@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mart-style grouped aggregations — the reference's three daily marts
+  * (`/root/reference/sql/mart/02_marts.sql`), generalized.
+  *
+  * Shape: shared filtered `base` (predicate applied once, as in the
+  * reference's CTE) → groupBy(1..2 keys) → count / sum / avg / max with
+  * explicit output casts mirroring `::int`, `::bigint`,
+  * `::numeric(10,2)` (`02_marts.sql:32-36`).
+  *
+  * Scale notes: these are hash aggregations with map-side partial
+  * aggregation; the only shuffle is on the grouping keys. Cardinality of
+  * the output (days, days×domains, days×users) is small relative to the
+  * input, so partial aggregation collapses most rows before the
+  * exchange — this plan holds at 100 TB as long as the key space stays
+  * much smaller than the input (true for daily marts by construction).
+  * Sums/averages are computed over `decimal(18,2)` rather than double so
+  * results are order-independent (exact, associative) — required both
+  * for the DuckDB oracle hash-compare and for run-to-run determinism on
+  * a real cluster where partition order is not stable.
+  */
+object Marts {
+
+  /** Money-ish double column → exact decimal for associative aggregation. */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** avg(x)::numeric(10,2) computed as sum(decimal)/count to match the
+    * reference's `AVG(score)::numeric(10,2)` (`02_marts.sql:34`) with
+    * deterministic HALF_UP rounding in both Spark and the oracle. */
+  def avgDec2(c: Column): Column =
+    (sum(dec2(c)) / count(lit(1))).cast("decimal(10,2)")
+
+  /** G1 — daily_story_metrics analog (`02_marts.sql:11-39`) over `events`:
+    * ts ≙ time_utc, event_type ≙ type ('purchase' ≙ 'story'), value ≙ score.
+    */
+  def dailyMetrics(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("metric_date"), col("value"))
+      .groupBy("metric_date")
+      .agg(
+        count(lit(1)).cast("int").as("events_count"),
+        sum(dec2(col("value"))).cast("decimal(18,2)").as("total_value"),
+        avgDec2(col("value")).as("avg_value"))
+
+  /** G2 — top_domains_daily analog (`02_marts.sql:53-90`): 2-key groupBy
+    * with a derived bucket column (see Enrich.domainOf for C8/C9). */
+  def groupedDaily(base: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    base
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).cast("int").as("events_count"),
+        avgDec2(col(valueCol)).as("avg_value"))
+}

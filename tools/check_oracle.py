@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query output parquet under <outDir>, executes the matching
+oracle SQL from oracle_sql.json in DuckDB against the same sf parquet
+tables, then compares (columns sorted by name, rows sorted, values
+stringified). Dev-only tool — NOT part of the Scala library.
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(str(r[i]) for i in order))
+    out.sort()
+    return sorted(c for c in cols), out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noracle = 0
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"[{name}] NO OUTPUT"); n_fail += 1; continue
+        tbl = pq.read_table(files[0] if len(files) == 1 else d)
+        got_cols = tbl.column_names
+        got_rows = [tuple(r.values()) for r in tbl.to_pylist()]
+        if name not in oracles:
+            print(f"[{name}] no oracle ({len(got_rows)} rows, rows-only check: {'PASS' if got_rows else 'FAIL'})")
+            n_noracle += 1
+            continue
+        try:
+            res = con.sql(oracles[name])
+            exp_cols = res.columns
+            exp_rows = res.fetchall()
+        except Exception as e:
+            print(f"[{name}] ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+        gc, gr = canon([list(r) for r in got_rows], got_cols)
+        ec, er = canon([list(r) for r in exp_rows], exp_cols)
+        if gc != ec:
+            print(f"[{name}] COLUMN MISMATCH spark={gc} duck={ec}"); n_fail += 1; continue
+        if gr != er:
+            print(f"[{name}] VALUE MISMATCH rows spark={len(gr)} duck={len(er)}")
+            diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            for a, b in diffs:
+                print(f"   spark={a}\n   duck ={b}")
+            if len(gr) != len(er):
+                only_g = set(gr) - set(er); only_e = set(er) - set(gr)
+                for x in list(only_g)[:2]: print(f"   only-spark={x}")
+                for x in list(only_e)[:2]: print(f"   only-duck ={x}")
+            n_fail += 1; continue
+        print(f"[{name}] PASS ({len(gr)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
