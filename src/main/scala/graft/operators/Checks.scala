@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks — SURVEY §2.B B5, §2.F G4-G7, §2.G S1, §2.E J3.
+  * These are the reference's `04_checks.sql` / `03_checks.sql` queries
+  * as reusable plans.
+  */
+object Checks {
+
+  /** B5/G7 — duplicate-key detector: `GROUP BY keys HAVING COUNT(*) > 1`
+    * (`/root/reference/sql/load/04_checks.sql:5-8`). Map-side partial
+    * count collapses the input before the shuffle; output is only the
+    * offending keys. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .filter(col("n") > 1)
+
+  /** G4/G5/S1 — per-table summary row (name, min, max, count) stacked
+    * with UNION ALL (`/root/reference/sql/mart/03_checks.sql:8-15`).
+    * Each branch is a full-table scalar aggregate → 1 row; the union is
+    * free. */
+  def summaryUnion(tables: Seq[(String, DataFrame, String)]): DataFrame =
+    tables.map { case (name, df, dateCol) =>
+      df.agg(
+        min(to_date(col(dateCol))).as("min_date"),
+        max(to_date(col(dateCol))).as("max_date"),
+        count(lit(1)).cast("bigint").as("n"))
+        .select(lit(name).as("tbl"), col("min_date"), col("max_date"), col("n"))
+    }.reduce(_ unionByName _)
+
+  /** J3/G6 — count of rows on the latest day, via scalar-subquery join
+    * (`/root/reference/sql/mart/03_checks.sql:18-21`). The 1-row max
+    * side auto-broadcasts, so this is a broadcast hash join, never a
+    * shuffle. */
+  def lastDayCount(df: DataFrame, dateCol: String): DataFrame = {
+    val withDate = df.select(to_date(col(dateCol)).as("__d"))
+    val lastDay = withDate.agg(max(col("__d")).as("__maxd"))
+    withDate.join(broadcast(lastDay), col("__d") === col("__maxd"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+  }
+}

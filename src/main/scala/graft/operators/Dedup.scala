@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication — SURVEY §2.D.
+  *
+  * Spark's `dropDuplicates` keeps an *arbitrary* row per key; the
+  * reference's semantics are positional (`keep="last"`,
+  * `/root/reference/src/transform/hn_transform.py:109-116`) or versioned
+  * (keep max `extracted_at`, `/root/reference/sql/load/03_merge.sql:27`).
+  * Both are a single `row_number` window — one shuffle on the key, no
+  * sort of the whole input, partial-agg-free but hash-partition-able, so
+  * the plan is a straight exchange+sort-within-partition at any scale.
+  * Skewed keys (one id with millions of dups) are the failure mode at
+  * 100 TB; AQE skew handling does not split windows, so extremely hot
+  * keys would need a pre-aggregation — not reachable for PK-style dedup
+  * where dup counts are small by construction.
+  */
+object Dedup {
+
+  /** D1 — keep the LAST occurrence per key under an explicit ordering
+    * column (input position, batch index, …). Ties broken arbitrarily
+    * only if `order` itself ties — pass a total order for determinism. */
+  def keepLast(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D2 — keep the newest version per key (max `versionCol`), with
+    * `tieBreak` deciding equal versions (the reference keeps the target
+    * row on ties: `s.extracted_at > t.extracted_at` is strict). */
+  def keepNewest(df: DataFrame, keys: Seq[String], versionCol: Column,
+                 tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(versionCol.desc, tieBreak.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

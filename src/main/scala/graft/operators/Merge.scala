@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert (merge) — SURVEY §2.E J1+J2.
+  *
+  * Reference semantics (`/root/reference/sql/load/03_merge.sql`):
+  *   - insert batch rows whose key is absent from the target (J1,
+  *     `ON CONFLICT DO NOTHING`);
+  *   - update target rows where the batch row is strictly newer
+  *     (`s.extracted_at > t.extracted_at`, J2) — equal versions keep the
+  *     target row;
+  *   - report (inserted, updated) counts (`03_merge.sql:30-32`).
+  *
+  * Spark-first formulation: `target ∪ batch` tagged by source, then
+  * keep-newest-per-key with target-wins tie-break ([[Dedup.keepNewest]]).
+  * One union (no shuffle) + one hash-partitioned window — strictly less
+  * data movement than the join-then-union alternative, and AQE handles
+  * the exchange sizing. Counts come from the same tagged plan via a
+  * single aggregate, so the whole merge is two jobs over one shuffle
+  * each. At cluster scale the target side would be a bucketed table on
+  * the key, making the exchange on the target side a no-op.
+  */
+object Merge {
+
+  final case class MergeResult(merged: DataFrame, inserted: Long, updated: Long)
+
+  private val SRC = "__src" // 0 = target (wins ties), 1 = batch
+
+  /** Merged relation only (no counts) — single lazy plan, no actions. */
+  def merged(target: DataFrame, batch: DataFrame, keys: Seq[String],
+             versionCol: String): DataFrame = {
+    val tagged = target.withColumn(SRC, lit(0))
+      .unionByName(batch.withColumn(SRC, lit(1)))
+    Dedup.keepNewest(tagged, keys, col(versionCol), col(SRC)).drop(SRC)
+  }
+
+  /** Lazy one-row (inserted, updated) counts plan — same semantics as
+    * [[merge]] but returned as a DataFrame (for the driver contract). */
+  def countsPlan(target: DataFrame, batch: DataFrame, keys: Seq[String],
+                 versionCol: String): DataFrame = {
+    val t = target.select(keys.map(col) :+ col(versionCol).as("__tv"): _*)
+    batch.join(t, keys, "left")
+      .agg(
+        coalesce(sum(when(col("__tv").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("bigint").as("inserted"),
+        coalesce(sum(when(col("__tv").isNotNull && col(versionCol) > col("__tv"), 1L)
+          .otherwise(0L)), lit(0L)).cast("bigint").as("updated"))
+  }
+
+  /** Merge with inserted/updated counts (runs one counting action).
+    * `inserted` = batch keys absent from target; `updated` = batch rows
+    * strictly newer than the target row for an existing key. */
+  def merge(target: DataFrame, batch: DataFrame, keys: Seq[String],
+            versionCol: String): MergeResult = {
+    val m = merged(target, batch, keys, versionCol)
+    val t = target.select(keys.map(col) :+ col(versionCol).as("__tv"): _*)
+    val counts = batch
+      .join(t, keys, "left")
+      .agg(
+        sum(when(col("__tv").isNull, 1L).otherwise(0L)).as("ins"),
+        sum(when(col("__tv").isNotNull && col(versionCol) > col("__tv"), 1L)
+          .otherwise(0L)).as("upd"))
+      .collect()(0)
+    MergeResult(m,
+      Option(counts.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+}
