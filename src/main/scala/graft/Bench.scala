@@ -9,6 +9,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up pass: first use of some expression classes (e.g. Spark 4's
+    // collation-aware string functions) pays a multi-second one-time JVM
+    // init that would otherwise be billed to an arbitrary query.
+    val smallest = "/root/testdata/sf0.001"
+    val warmDir = if (new java.io.File(smallest).isDirectory) smallest else sfDir
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

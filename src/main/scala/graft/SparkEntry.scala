@@ -50,7 +50,27 @@ object SparkEntry {
       |         CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS extracted_at
       |  FROM events WHERE event_id % 3 = 0)""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Planted-duplicate corpora for the dedup operators: exact copies
+    * (every 5th doc) and near-copies with a suffix (every 7th doc), ids
+    * offset by 1e6. Guarantees the dedup queries have hits at any sf. */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++ extensionQueries
+
+  def oracleSql: Map[String, String] = parityOracles ++ extensionOracles
+
+  def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- marts (G1-G3, B3, C6-C11) ----
     "q1_daily_metrics" -> ((s, dir) => Marts.dailyMetrics(Tables.events(s, dir))),
@@ -179,7 +199,186 @@ object SparkEntry {
         .select(col("win_start_us"), col("event_type"), col("n"), col("total")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.functions.TextFunctions._
+    Map(
+      // ---- text analysis ----
+      "t1_token_stats" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          bpeTokenCount(col("text")).as("n_bpe"))),
+
+      "t2_quality" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          hitCount(tokens(col("text")), stopwords("en")).as("stop_hits"),
+          qualityScore(col("text")).as("quality"))),
+
+      "t3_langid" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"), langId(tokens(col("text"))).as("lang_pred"))),
+
+      "t4_fingerprint" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+      // ---- dedup ----
+      "d1_exact_dedup" -> ((s, dir) =>
+        DedupSuite.exact(corpusExact(s, dir), "doc_id", "text")),
+
+      "d2_minhash_pairs" -> ((s, dir) =>
+        DedupSuite.minhashNearDups(corpusNear(s, dir), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)),
+
+      "d3_simhash" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"), DedupSuite.simhash60(col("text")).as("simhash"))),
+
+      "d4_ngram_jaccard" -> ((s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), DedupSuite.shingles(col("text"), 3).as("sh"))
+        sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            DedupSuite.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      }),
+
+      // ---- embedding similarity ----
+      "e1_cosine_topk" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      }),
+
+      "e2_ann_lsh" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        Similarity.lshNearDups(planted, "vec_id", "embedding",
+          nPlanes = 8, threshold = 0.95)
+      }),
+
+      // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
+      "m1_media_features" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("int").as("byte_len"),
+          md5(col("text")).as("content_md5"),
+          (lit(1) + hash32(col("text")) % 1024).cast("int").as("fake_width"),
+          (lit(1) + hash32(col("text"), 1) % 30).cast("int").as("fake_frames")))
+    )
+  }
+
+  // Shared oracle fragments (DuckDB SQL twins of TextFunctions).
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def hash32Sql(salt: Int, v: String): String =
+    s"CAST(('0x' || substr(md5('$salt:' || $v), 1, 8)) AS BIGINT)"
+  private val shinglesSql =
+    "list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))"
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"
+
+  def extensionOracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe
+         |FROM documents""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks) AS n,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(stop_hits AS INT) AS stop_hits,
+         |  CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
+         |      + CAST(LEAST(CASE WHEN n > 0 THEN CAST(CAST(stop_hits AS DECIMAL(14,4)) / n AS DECIMAL(10,4))
+         |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
+         |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
+         |    AS DECIMAL(10,4)) AS quality
+         |FROM c""".stripMargin,
+
+    "t3_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS c_en,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS c_es,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS c_de,
+         |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(c_en,c_es,c_de,c_fr) = 0 THEN 'und'
+         |       WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
+         |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
+         |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM c""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(0, list_transform(toks, tk -> ${hash32Sql(0, "tk")})),
+         |       (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         |FROM t""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM corpus GROUP BY md5(text)""".stripMargin,
+
+    "d3_simhash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($toksSql, tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(60), i ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM t""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $shinglesSql AS sh FROM tk)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         |       THEN CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+         |                 / len(list_distinct(list_concat(a.sh, b.sh))) AS DECIMAL(10,6))
+         |       ELSE CAST(0 AS DECIMAL(10,6)) END AS jaccard
+         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "e1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |        ${dotSql("qv", "cv")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS simd
+         |      FROM c CROSS JOIN q
+         |      WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, CAST(simd AS DECIMAL(12,8)) AS sim,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "m1_media_features" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+         |  md5(text) AS content_md5,
+         |  CAST(1 + ${hash32Sql(0, "text")} % 1024 AS INT) AS fake_width,
+         |  CAST(1 + ${hash32Sql(1, "text")} % 30 AS INT) AS fake_frames
+         |FROM documents""".stripMargin
+  )
+
+  def parityOracles: Map[String, String] = Map(
     "q1_daily_metrics" ->
       """SELECT CAST(ts AS DATE) AS metric_date,
         |       CAST(COUNT(*) AS INT) AS events_count,

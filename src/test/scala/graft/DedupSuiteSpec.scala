@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupSuite, Similarity}
+import graft.functions.TextFunctions
+
+class DedupSuiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = DedupSuite.exact(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L) // docs 1 and 4 collapse to id 1
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not unrelated docs") {
+    val pairs = DedupSuite.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical text: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated far") {
+    val h = docs.select($"doc_id", DedupSuite.simhash60($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(4L)) == 0)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+  }
+
+  test("jaccard: identical -> 1, disjoint -> 0") {
+    val sh = docs.select($"doc_id", DedupSuite.shingles($"text", 3).as("sh"))
+    val a = sh.filter($"doc_id" === 1).select($"sh".as("sa"))
+    val b = sh.filter($"doc_id" === 3).select($"sh".as("sb"))
+    val j = a.crossJoin(b)
+      .select(DedupSuite.jaccard($"sa", $"sb").cast("double")).as[Double].head()
+    assert(j == 0.0)
+    val self = sh.filter($"doc_id" === 1).select($"sh".as("sa"), $"sh".as("sb"))
+      .select(DedupSuite.jaccard($"sa", $"sb").cast("double")).as[Double].head()
+    assert(self == 1.0)
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0; topk ranks by similarity") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", 3)
+      .orderBy($"rnk")
+      .select($"neighbor_id", $"sim".cast("double")).as[(Long, Double)].collect()
+    assert(top(0) == (3L, 1.0))          // identical vector first
+    assert(top(1)._1 == 4L)              // 45° second
+    assert(top(2) == (2L, 0.0))          // orthogonal last
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq("the cat is in the house and it is big",
+      "el gato que en la casa los perros", "xyzzy qwerty").toDF("text")
+    val got = df.select(TextFunctions.langId(TextFunctions.tokens($"text")))
+      .as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+}
