@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `binary` columns plus typed metadata — the schema,
+  * partitioning, batch shape, and decode-stage signature are real and
+  * tested; only the codec itself is stubbed (this container has no
+  * image/audio libraries), clearly marked in [[decodeStub]], with a
+  * deterministic fake derived from the content hash so tests are exact.
+  *
+  * Scale design: decode is the archetypal CPU-heavy embarrassingly
+  * parallel stage. The pipeline repartitions by media id (spreads large
+  * blobs evenly — media tables are skew-prone because one video can be
+  * 1000× one thumbnail) and runs the decoder via `mapPartitions` in
+  * fixed-size batches, the JVM analog of Arrow-batched Pandas UDFs: a
+  * real codec would amortize model/codec init per batch exactly like
+  * `mapInPandas` does. Feature output is a fixed-width float vector
+  * ready for [[Similarity]] operators.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: id, kind, opaque bytes, metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("mime_type", StringType, nullable = true),
+    StructField("source_doc", LongType, nullable = true)))
+
+  final case class MediaRecord(media_id: Long, kind: String,
+                               content: Array[Byte], mime_type: String)
+  final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
+                                 content_sha: String, width: Int, height: Int,
+                                 n_frames: Int, features: Array[Float])
+
+  /** ??? — REAL DECODER GOES HERE. Stub: deterministic pseudo-decode
+    * from SHA-1 of the bytes (width/height/frame-count/8-dim feature
+    * vector). Signature matches what a JNI/FFI codec binding needs:
+    * bytes in, dimensioned raster + features out. */
+  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+    def u(i: Int): Int = sha(i) & 0xff
+    val width = 1 + ((u(0) << 8 | u(1)) % 1024)
+    val height = 1 + ((u(2) << 8 | u(3)) % 1024)
+    val frames = kind match {
+      case "video" => 1 + (u(4) % 240)
+      case "audio" => 1 + (u(4) % 48000)
+      case _ => 1
+    }
+    val feat = Array.tabulate(8)(i => (u(4 + i) / 255.0f) * 2f - 1f)
+    (width, height, frames, feat)
+  }
+
+  /** Decode + feature-extract stage. `batchSize` is the per-call batch
+    * the (stubbed) codec sees — the knob a real codec uses to amortize
+    * init cost, identical in role to Arrow's batch size for Pandas UDFs. */
+  def extractFeatures(media: Dataset[MediaRecord], partitions: Int = 0,
+                      batchSize: Int = 32): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val spread = if (partitions > 0) media.repartition(partitions, col("media_id"))
+                 else media
+    spread.mapPartitions { it =>
+      // grouped() = the batch shape; a real impl hands each batch to the
+      // codec in one call (and would reuse a per-partition codec handle).
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
+          val sha = java.security.MessageDigest.getInstance("SHA-1")
+            .digest(bytes).map("%02x".format(_)).mkString
+          val (w, h, f, feat) = decodeStub(r.kind, bytes)
+          MediaFeatures(r.media_id, r.kind, bytes.length.toLong, sha, w, h, f, feat)
+        }
+      }
+    }
+  }
+
+  /** Build a synthetic media table from the `documents` fixture (text
+    * bytes as the blob) — exercises the binary plumbing end-to-end
+    * without real media files. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      lit("application/octet-stream").as("mime_type"))
+      .as[MediaRecord]
+  }
+}

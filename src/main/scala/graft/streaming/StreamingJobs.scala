@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming forms of the engine's batch operators.
+  *
+  * The reference's "stream" is a sequence of timestamped batch files
+  * (`/root/reference/README.md:113-124`): one extraction run = one file,
+  * consumed by the next phase. That maps exactly onto Spark's file
+  * source — each new file is a micro-batch; `Trigger.AvailableNow`
+  * reproduces the reference's run-to-completion semantics.
+  *
+  * Scale notes: the file source tracks processed files in the checkpoint
+  * log, giving the same exactly-once, idempotent-rerun behavior the
+  * reference gets from its PK merge; watermarks bound the window state
+  * so the aggregation state store stays O(open windows), not O(stream).
+  */
+object StreamingJobs {
+
+  /** Tumbling event-time aggregation with a watermark — the streaming
+    * twin of [[graft.operators.Windows.tumbling]]. Caller starts it with
+    * `.writeStream` (see StreamingSpec for the AvailableNow harness). */
+  def tumblingCounts(spark: SparkSession, srcDir: String, schema: StructType,
+                     tsCol: String, keyCol: String, width: String,
+                     watermark: String = "2 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+
+  final case class Keyed(id: Long, version: Long, payload: String)
+
+  /** Last-write-wins keyed state — the streaming form of the batch merge
+    * (keep-newest-per-key, `/root/reference/sql/load/03_merge.sql:27`).
+    * Emits the row only when the incoming version is strictly newer than
+    * the stored one (ties keep stored state, like the reference's
+    * strict `>`). State is one row per key — at scale, bounded by key
+    * cardinality, and evictable via a timeout if keys churn. */
+  def lastWriteWins(input: Dataset[Keyed]): Dataset[Keyed] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.id)
+      .flatMapGroupsWithState[Keyed, Keyed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Keyed], state: GroupState[Keyed]) =>
+          val newest = rows.reduceOption((a, b) => if (b.version > a.version) b else a)
+          newest match {
+            case Some(r) if !state.exists || r.version > state.get.version =>
+              state.update(r)
+              Iterator.single(r)
+            case _ => Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingJobs
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source tumbling aggregation matches the batch twin") {
+    val dir = Files.createTempDirectory("stream_src").toString
+    val ev = Tables.events(spark, sf)
+      .select($"ts", $"event_type", $"value")
+    ev.write.mode("overwrite").parquet(dir)
+    val streamed = StreamingJobs.tumblingCounts(
+      spark, dir, ev.schema, "ts", "event_type", "1 hour")
+    val q = streamed.writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("tumbling_out")
+      .select(unix_micros($"window.start").as("w"), $"event_type", $"n", $"total")
+    val expected = graft.operators.Windows.tumbling(
+        ev, "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("decimal(18,2)").as("total")))
+      .select($"win_start_us".as("w"), $"event_type", $"n", $"total")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("lastWriteWins state: newer versions emit, stale and equal are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingJobs.Keyed]
+    val out = StreamingJobs.lastWriteWins(input.toDS())
+    val q = out.writeStream.format("memory").queryName("lww_out")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingJobs.Keyed(1, 10, "a"), StreamingJobs.Keyed(2, 5, "b"))
+      q.processAllAvailable()
+      // batch 2: key 1 stale (v9), key 1 equal (v10), key 2 newer (v6), key 3 new
+      input.addData(StreamingJobs.Keyed(1, 9, "stale"),
+        StreamingJobs.Keyed(1, 10, "equal"),
+        StreamingJobs.Keyed(2, 6, "newer"), StreamingJobs.Keyed(3, 1, "new"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("lww_out").as[StreamingJobs.Keyed].collect()
+      .map(k => (k.id, k.version, k.payload)).toSet
+    assert(rows == Set((1L, 10L, "a"), (2L, 5L, "b"), (2L, 6L, "newer"), (3L, 1L, "new")))
+  }
+}
