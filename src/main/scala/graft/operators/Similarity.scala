@@ -46,18 +46,25 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * hash32 mapped to [-1, 1). Engine-portable (MD5-based). */
-  private def planeWeight(plane: Int, d: Column): Column =
-    (hash32(concat(lit(plane.toString), lit("_"), d.cast("string"))) /
-      lit(2147483648.0)) - 1.0
+    * md5-derived, mapped to [-1, 1). Computed driver-side ONCE (pure
+    * Scala md5, same formula an engine-side expression would use) and
+    * embedded as literals — recomputing md5 per row × plane × dim
+    * dominated the LSH cost otherwise. */
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+    val h = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    h / 2147483648.0 - 1.0
+  }
 
   /** Sign-of-projection LSH bucket id from `nPlanes` fixed random
-    * hyperplanes (bit p set iff dot(v, plane_p) >= 0). */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    * hyperplanes (bit p set iff dot(v, plane_p) >= 0). `dims` must match
+    * the embedding width. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, dims: Int): Column =
     (0 until nPlanes).map { p =>
+      val w = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeWeight(p, i)),
+        zip_with(vec, w, (x, wd) => x.cast("double") * wd),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -67,9 +74,10 @@ object Similarity {
     * the bucket id — with 2^nPlanes buckets, expected bucket size is
     * n/2^nPlanes; raise nPlanes as the corpus grows. */
   def lshNearDups(vectors: DataFrame, idCol: String, vecCol: String,
-                  nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+                  nPlanes: Int = 8, threshold: Double = 0.95,
+                  dims: Int = 64): DataFrame = {
     val withBucket = vectors.select(col(idCol), col(vecCol))
-      .withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes))
+      .withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes, dims))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, "bucket")
