@@ -27,8 +27,20 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Composable cosine (built-ins only; interpreted HOFs). Kept as the
+    * engine-portable reference form — [[cosineNative]] is bit-identical
+    * and codegen'd; use it on hot paths. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Codegen'd cosine via the custom Catalyst expression
+    * [[graft.plans.CosineSimilarity]] (registered lazily per session). */
+  def cosineNative(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_cosine",
+        exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    call_function("graft_cosine", a, b)
+  }
 
   /** Brute-force top-k cosine neighbors of `queries` within `candidates`
     * (self-pairs excluded). Output: query_id, neighbor_id, rnk, sim. */
@@ -39,7 +51,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
+        cosineNative(col("qv"), col("cv")).as("sim"))
     TopK.perGroup(scored, Seq("query_id"),
         Seq(col("sim").desc, col("neighbor_id").asc), k)
       .withColumn("sim", col("sim").cast("decimal(12,8)"))
@@ -82,7 +94,7 @@ object Similarity {
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("id_a"), col("id_b"), cosineNative(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
       .withColumn("sim", col("sim").cast("decimal(12,8)"))
   }
