@@ -196,7 +196,41 @@ object SparkEntry {
       Windows.tumbling(Tables.events(s, dir), "ts", "1 hour", Seq("event_type"),
         Seq(count(lit(1)).cast("bigint").as("n"),
           sum(dec2(col("value"))).cast("decimal(18,2)").as("total")))
-        .select(col("win_start_us"), col("event_type"), col("n"), col("total")))
+        .select(col("win_start_us"), col("event_type"), col("n"), col("total"))),
+
+    // ---- rollup + distinct aggregation (extension beyond §2.F) ----
+    "q19_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(dec2(col("value"))).cast("decimal(18,2)").as("total"),
+          countDistinct(col("user_id")).cast("bigint").as("n_users"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          col("n"), col("total"), col("n_users"))),
+
+    // ---- as-of join by composition (carry latest prior signup) ----
+    "q20_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Windows.asOfCarry(ev, Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc),
+          when(col("event_type") === "signup", unix_micros(col("ts"))),
+          "last_signup_us")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("last_signup_us"), lit(-1L)).as("last_signup_us"))
+    }),
+
+    // ---- gap sessionization (batch twin of streaming session windows) ----
+    "q21_sessionize" -> ((s, dir) =>
+      Windows.sessionize(Tables.events(s, dir), Seq("user_id"), "ts",
+          30L * 60 * 1000000, col("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          min(col("__ts_us")).as("start_us"),
+          max(col("__ts_us")).as("end_us"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us")))
   )
 
   def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -512,6 +546,43 @@ object SparkEntry {
         |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q19_rollup" ->
+      """SELECT COALESCE(event_type, '(all)') AS event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY ROLLUP(event_type)""".stripMargin,
+
+    "q20_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         last_value(CASE WHEN event_type = 'signup'
+        |                         THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |       COALESCE(last_signup_us, -1) AS last_signup_us
+        |FROM c WHERE event_type = 'purchase'""".stripMargin,
+
+    "q21_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM t),
+        |s AS (SELECT user_id, event_id, ts_us,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin
   )
 }

@@ -20,6 +20,38 @@ object Windows {
     df.withColumn(as, sum(valueCol).over(w))
   }
 
+  /** As-of join by composition (preference order (a) from the build
+    * brief: compose built-ins before custom plans): for each row, carry
+    * forward the most recent value of `marked` (null where not
+    * applicable) at-or-before it within the partition. One shuffle on
+    * the partition keys + in-partition sort — the scalable formulation
+    * of "join each event to the latest prior X", with no range
+    * cross-join. `order` must be a TOTAL order for determinism. */
+  def asOfCarry(df: DataFrame, partKeys: Seq[String], order: Seq[Column],
+                marked: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(partKeys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(marked, ignoreNulls = true).over(w))
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapMicros`
+    * of inactivity. Two stacked windows on one partitioning (lag, then
+    * running sum of session-start flags) — a single shuffle; the batch
+    * twin of Structured Streaming's session windows. */
+  def sessionize(df: DataFrame, partKeys: Seq[String], tsCol: String,
+                 gapMicros: Long, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(col(tsCol).asc, tieBreak.asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__prev_us", lag(col("__ts_us"), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_us").isNull ||
+          col("__ts_us") - col("__prev_us") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new_sess")).over(run))
+      .drop("__prev_us", "__new_sess")
+  }
+
   /** Tumbling event-time bucket aggregation — the batch twin of the
     * Structured Streaming windowed aggregation in
     * [[graft.streaming.StreamingJobs]]. `window()` is a plain projection
