@@ -295,6 +295,54 @@ object SparkEntry {
           nPlanes = 8, threshold = 0.95)
       }),
 
+      // ---- IVF ANN (scale path beside LSH) ----
+      "e3_ann_ivf" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      }),
+
+      // ---- salted aggregation (skew path; must equal the plain agg) ----
+      "q22_salted_agg" -> ((s, dir) =>
+        Skew.saltedAgg(
+          Tables.events(s, dir).withColumn("val", Marts.dec2(col("value"))),
+          Seq("event_type"),
+          scala.collection.immutable.ListMap(
+            "n" -> Skew.AlgebraicAgg.countAll,
+            "total" -> Skew.AlgebraicAgg.sumOf(col("val")),
+            "first_us" -> Skew.AlgebraicAgg.minOf(unix_micros(col("ts"))),
+            "last_us" -> Skew.AlgebraicAgg.maxOf(unix_micros(col("ts")))),
+          saltBuckets = 8)
+          .select(col("event_type"), col("n").cast("bigint").as("n"),
+            col("total").cast("decimal(18,2)").as("total"),
+            col("first_us"), col("last_us"))),
+
+      // ---- streaming (AvailableNow over the events file; same oracle as q18) ----
+      "s1_stream_tumbling" -> ((s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = java.nio.file.Files.createTempDirectory("s1_stream").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$tmp/events.parquet"))
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val src = s.readStream.schema(schema).parquet(tmp)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val agg = src
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
+        val q = agg.writeStream.format("memory").queryName("s1_stream_out")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("s1_stream_out")
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("total"))
+      }),
+
       // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
       "m1_media_features" -> ((s, dir) =>
         Tables.documents(s, dir).select(
@@ -402,6 +450,20 @@ object SparkEntry {
          |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
          |      FROM s)
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q22_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "s1_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
 
     "m1_media_features" ->
       s"""SELECT doc_id,

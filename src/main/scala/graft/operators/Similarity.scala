@@ -81,6 +81,45 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: assign every vector to its nearest of
+    * `nCentroids` centroids (one scored pass against a broadcast
+    * centroid set), then answer queries by probing only the `nProbe`
+    * nearest centroid lists. Centroids are taken deterministically from
+    * the corpus (lowest ids) — a k-means refinement would drop in
+    * without changing the plan shape. The scan side never shuffles by
+    * more than its centroid assignment; at 100 TB the inverted lists
+    * would be written out partitioned by centroid so probes prune
+    * partitions at the scan. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val cent = vectors.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    // assignment pass: nearest centroid per corpus vector
+    val assigned = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cent))
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"),
+        cosineNative(col("cv"), col("centroid_vec")).as("csim"))
+    val lists = TopK.perGroup(assigned, Seq("neighbor_id"),
+        Seq(col("csim").desc, col("centroid_id").asc), 1)
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+    // probe pass: each query scores only its nProbe nearest lists
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = TopK.perGroup(
+        q.crossJoin(broadcast(cent))
+          .select(col("query_id"), col("qv"), col("centroid_id"),
+            cosineNative(col("qv"), col("centroid_vec")).as("csim")),
+        Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val scored = probes.join(lists, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineNative(col("qv"), col("cv")).as("sim"))
+    TopK.perGroup(scored.distinct(), Seq("query_id"),
+        Seq(col("sim").desc, col("neighbor_id").asc), k)
+      .withColumn("sim", col("sim").cast("decimal(12,8)"))
+  }
+
   /** LSH-bucketed near-duplicate vectors: only same-bucket pairs are
     * scored; pairs with cosine ≥ threshold survive. The shuffle key is
     * the bucket id — with 2^nPlanes buckets, expected bucket size is

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Skew}
+
+class AnnSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF ANN recall@5 vs brute force is high on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 too low: $recall")
+    // probing ALL centroids must recover brute force exactly
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val ev = Tables.events(spark, sf).withColumn("val",
+      graft.operators.Marts.dec2($"value"))
+    val salted = Skew.saltedAgg(ev, Seq("event_type"),
+      scala.collection.immutable.ListMap(
+        "n" -> Skew.AlgebraicAgg.countAll,
+        "total" -> Skew.AlgebraicAgg.sumOf($"val")),
+      saltBuckets = 8)
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum($"val").as("total"))
+    assert(salted.select($"event_type", $"n".cast("long"), $"total".cast("decimal(18,2)"))
+      .exceptAll(plain.select($"event_type", $"n".cast("long"), $"total".cast("decimal(18,2)")))
+      .isEmpty)
+  }
+
+  test("approx_count_distinct is within 5% of exact (SURVEY §7.1)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val row = ev.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id").as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05)
+  }
+}
