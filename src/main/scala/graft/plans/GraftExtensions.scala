@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions for SQL use. Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or `withExtensions(new GraftExtensions)`); then
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` resolves to the
+  * codegen'd [[CosineSimilarity]]. The injectFunction path makes the
+  * function available in every session derived from the builder —
+  * cluster-wide via config, no per-session registration code. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_cosine expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}
