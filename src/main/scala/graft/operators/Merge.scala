@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * keep-newest-per-key with target-wins tie-break ([[Dedup.keepNewest]]).
   * One union (no shuffle) + one hash-partitioned window — strictly less
   * data movement than the join-then-union alternative, and AQE handles
-  * the exchange sizing. Counts come from the same tagged plan via a
-  * single aggregate, so the whole merge is two jobs over one shuffle
-  * each. At cluster scale the target side would be a bucketed table on
-  * the key, making the exchange on the target side a no-op.
+  * the exchange sizing. Counts are a separate single-aggregate plan
+  * ([[Merge.countsPlan]]: batch left-joined to a two-column projection
+  * of target), so `merge` runs two jobs: the window merge and the
+  * counts join. At cluster scale the target side would be a bucketed
+  * table on the key, making its exchange a no-op in both plans.
   */
 object Merge {
 
@@ -55,16 +56,7 @@ object Merge {
   def merge(target: DataFrame, batch: DataFrame, keys: Seq[String],
             versionCol: String): MergeResult = {
     val m = merged(target, batch, keys, versionCol)
-    val t = target.select(keys.map(col) :+ col(versionCol).as("__tv"): _*)
-    val counts = batch
-      .join(t, keys, "left")
-      .agg(
-        sum(when(col("__tv").isNull, 1L).otherwise(0L)).as("ins"),
-        sum(when(col("__tv").isNotNull && col(versionCol) > col("__tv"), 1L)
-          .otherwise(0L)).as("upd"))
-      .collect()(0)
-    MergeResult(m,
-      Option(counts.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
-      Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val counts = countsPlan(target, batch, keys, versionCol).collect()(0)
+    MergeResult(m, counts.getLong(0), counts.getLong(1))
   }
 }

@@ -17,10 +17,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_cosine expects 2 arguments, got ${children.length}")
-        CosineSimilarity(children.head, children(1))
-      }))
+      GraftExtensions.cosineBuilder))
+  }
+}
+
+object GraftExtensions {
+  /** The SQL function builder (exposed for direct testing). */
+  val cosineBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2,
+      s"graft_cosine expects 2 arguments, got ${children.length}")
+    CosineSimilarity(children.head, children(1))
   }
 }
