@@ -343,6 +343,27 @@ object SparkEntry {
             col("event_type"), col("n"), col("total"))
       }),
 
+      // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
+      "c1_clean_corpus" -> ((s, dir) => {
+        val docs = corpusExact(s, dir) // includes planted exact dups
+        // let-bind the token array: quality + langid share one tokenizer
+        // run even after filter pushdown substitutes the projection
+        val scored = docs.select(col("doc_id"), col("text"),
+          graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+            struct(qualityScoreFromTokens(toks).as("quality"),
+              langId(toks).as("lang_pred"))
+          }.as("s"))
+          .select(col("doc_id"), col("text"),
+            col("s.quality").as("quality"), col("s.lang_pred").as("lang_pred"))
+        val kept = scored
+          .filter(col("quality") >= lit(0.2).cast("decimal(10,4)") &&
+            col("lang_pred") === "en")
+        DedupSuite.exact(kept, "doc_id", "text")
+          .join(kept.select(col("doc_id"), col("quality")), "doc_id")
+          .select(col("doc_id"), col("content_hash"), col("n_copies"),
+            col("quality"))
+      }),
+
       // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
       "m1_media_features" -> ((s, dir) =>
         Tables.documents(s, dir).select(
@@ -450,6 +471,37 @@ object SparkEntry {
          |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
          |      FROM s)
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "c1_clean_corpus" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         |t AS (SELECT doc_id, text, $toksSql AS toks FROM corpus),
+         |c AS (SELECT doc_id, text, len(toks) AS n,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS c_es,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS c_de,
+         |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr
+         |  FROM t),
+         |scored AS (SELECT doc_id, text,
+         |  CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
+         |      + CAST(LEAST(CASE WHEN n > 0 THEN CAST(CAST(stop_hits AS DECIMAL(14,4)) / n AS DECIMAL(10,4))
+         |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
+         |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
+         |    AS DECIMAL(10,4)) AS quality,
+         |  CASE WHEN greatest(stop_hits,c_es,c_de,c_fr) = 0 THEN 'und'
+         |       WHEN stop_hits = greatest(stop_hits,c_es,c_de,c_fr) THEN 'en'
+         |       WHEN c_es = greatest(stop_hits,c_es,c_de,c_fr) THEN 'es'
+         |       WHEN c_de = greatest(stop_hits,c_es,c_de,c_fr) THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |  FROM c),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.2 AND lang_pred = 'en'),
+         |dedup AS (SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+         |                 CAST(COUNT(*) AS BIGINT) AS n_copies
+         |          FROM kept GROUP BY md5(text))
+         |SELECT d.doc_id, d.content_hash, d.n_copies, k.quality
+         |FROM dedup d JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
 
     "q22_salted_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

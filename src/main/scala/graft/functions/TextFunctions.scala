@@ -72,8 +72,12 @@ object TextFunctions {
     * stopword ratio, and mean token length band — the standard cheap
     * pre-filters for LLM corpus cleaning, in exact decimal arithmetic so
     * the score is engine-portable. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
+
+  /** [[qualityScore]] over a pre-materialized (or let-bound) token
+    * array — use with [[ColUtil.bindOnce]] in pipelines so the
+    * tokenizer runs once per row, not once per sub-term. */
+  def qualityScoreFromTokens(toks: Column): Column = {
     val n = size(toks).cast("long")
     val stopHits = hitCount(toks, stopwords("en")).cast("long")
     // length saturation: min(n, 200)/200 (decimal)
