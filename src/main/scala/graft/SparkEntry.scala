@@ -295,6 +295,16 @@ object SparkEntry {
           nPlanes = 8, threshold = 0.95)
       }),
 
+      "d5_minhash_portable" -> ((s, dir) => {
+        val d = Tables.documents(s, dir)
+          .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+        val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
+        DedupSuite.minhashNearDupsPortable(corpus, "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+      }),
+
       // ---- IVF ANN (scale path beside LSH) ----
       "e3_ann_ivf" -> ((s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -386,7 +396,46 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"
 
+  /** d5 oracle: the ENTIRE MinHash+LSH pipeline in DuckDB SQL, with the
+    * engine's affine hash constants inlined — signatures, band hashes,
+    * bucket capping, candidate pairs, and Jaccard verify all reproduce
+    * the Spark plan bit-for-bit. */
+  private def d5OracleSql: String = {
+    val sigList = DedupSuite.affineConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (x * $a + $b) % ${DedupSuite.MinhashP}))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' nearly duplicate suffix'
+       |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |filt AS (SELECT * FROM tk WHERE len(toks) >= 3),
+       |shs AS (SELECT doc_id, $shinglesSql AS sh FROM filt),
+       |h AS (SELECT doc_id, list_transform(sh, s -> ${hash32Sql(0, "s")}) AS hs FROM shs),
+       |sig AS (SELECT doc_id, hs, $sigList AS sig FROM h),
+       |bnd AS (SELECT doc_id, j AS band,
+       |          md5(array_to_string(sig[j*4+1 : j*4+4], ',')) AS band_hash
+       |        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS j)),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bucket_n FROM bnd),
+       |capped AS (SELECT * FROM sized WHERE bucket_n <= 1000),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM capped a JOIN capped b
+       |            ON a.band = b.band AND a.band_hash = b.band_hash
+       |           AND a.doc_id < b.doc_id),
+       |j AS (SELECT p.id_a, p.id_b,
+       |        CASE WHEN len(list_distinct(list_concat(ha.hs, hb.hs))) > 0
+       |             THEN CAST(CAST(len(list_intersect(ha.hs, hb.hs)) AS DECIMAL(18,6))
+       |                       / len(list_distinct(list_concat(ha.hs, hb.hs))) AS DECIMAL(10,6))
+       |             ELSE CAST(0 AS DECIMAL(10,6)) END AS jaccard
+       |      FROM pairs p
+       |      JOIN h ha ON ha.doc_id = p.id_a
+       |      JOIN h hb ON hb.doc_id = p.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
   def extensionOracles: Map[String, String] = Map(
+    "d5_minhash_portable" -> d5OracleSql,
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INT) AS n_tokens,

@@ -69,8 +69,8 @@ object DedupSuite {
     * function at identical collision behavior; constants are fixed-seed
     * so signatures stay deterministic across runs and engines. Bounds:
     * x < 2^32, a_i < 2^30 keeps a_i·x < 2^62 (no signed-64 overflow). */
-  private val MinhashP = 4294967311L // prime > 2^32
-  private[operators] def affineConsts(k: Int): Seq[(Long, Long)] = {
+  val MinhashP = 4294967311L // prime > 2^32
+  def affineConsts(k: Int): Seq[(Long, Long)] = {
     val rnd = new java.util.Random(0x5eed1234L)
     Seq.fill(k)((1L + rnd.nextInt(1 << 30).toLong, rnd.nextLong().abs % MinhashP))
   }
@@ -149,6 +149,31 @@ object DedupSuite {
           transform(tokens(col(textCol)),
             t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))) { th =>
           shingleHashesFromTokenHashes(th, n)
+        }.as("hs"))
+    val sig = hs.select(col(idCol), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+    val cand = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
+    cand
+      .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Engine-portable variant of [[minhashNearDups]]: shingle base
+    * hashes use md5 (hash32) instead of xxhash64, so every stage —
+    * signatures, band hashes, bucket capping, candidate pairs, Jaccard
+    * verify — is reproducible bit-for-bit in the DuckDB oracle (query
+    * d5). Slower than the xxhash path (one interpreted md5 per shingle);
+    * use it when cross-engine reproducibility of the PAIRS matters, the
+    * fast path when only the semantics do. */
+  def minhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, k: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    val hs = docs
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol),
+        graft.functions.ColUtil.bindOnce(tokens(col(textCol))) { toks =>
+          transform(shinglesFromTokens(toks, n), s => hash32(s))
         }.as("hs"))
     val sig = hs.select(col(idCol), minhashSignatureFromHashes(col("hs"), k).as("sig"))
     val cand = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
