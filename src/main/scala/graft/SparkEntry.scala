@@ -21,6 +21,9 @@ object SparkEntry {
 
   import Marts.{avgDec2, dec2}
 
+  /** Typed row for the Dataset-API query (q23). */
+  final case class Ev(event_id: Long, event_type: String, user_id: Long)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Marts.dailyMetrics(Tables.events(spark, "/root/testdata/sf0.001"))
@@ -295,6 +298,23 @@ object SparkEntry {
           nPlanes = 8, threshold = 0.95)
       }),
 
+      // ---- typed Dataset API (case-class Encoder + groupByKey) ----
+      "q23_typed_agg" -> ((s, dir) => {
+        import s.implicits._
+        val ds = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("user_id")).as[Ev]
+        ds.groupByKey(_.event_type)
+          .mapGroups { (k, it) =>
+            var n = 0L; var minId = Long.MaxValue; var users = Set.empty[Long]
+            it.foreach { e =>
+              n += 1; if (e.event_id < minId) minId = e.event_id
+              if (users.size <= 64) users += e.user_id
+            }
+            (k, n, minId, math.min(users.size, 64).toLong)
+          }
+          .toDF("event_type", "n", "min_event_id", "n_users_capped")
+      }),
+
       "d5_minhash_portable" -> ((s, dir) => {
         val d = Tables.documents(s, dir)
           .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
@@ -436,6 +456,12 @@ object SparkEntry {
 
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
+
+    "q23_typed_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(event_id) AS min_event_id,
+        |       CAST(LEAST(COUNT(DISTINCT user_id), 64) AS BIGINT) AS n_users_capped
+        |FROM events GROUP BY 1""".stripMargin,
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INT) AS n_tokens,

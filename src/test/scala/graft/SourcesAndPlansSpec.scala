@@ -33,6 +33,19 @@ class SourcesAndPlansSpec extends SparkSpec {
     assert(back.select("by").as[String].collect().toSet == Set("alice", "bob"))
   }
 
+  test("CSV round-trip with explicit schema (no inference for contract tables)") {
+    val dir = Files.createTempDirectory("csv").toString
+    val src = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"value")
+    src.write.mode("overwrite").option("header", true).csv(dir)
+    val back = spark.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .option("header", true).csv(dir)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("retry: succeeds after transient failures, rethrows after budget") {
     var calls = 0
     val got = Retry.withRetry(retries = 3, backoffMs = 1) {
