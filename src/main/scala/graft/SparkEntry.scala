@@ -315,6 +315,14 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- incremental mart maintenance (combine partials == recompute) ----
+      "q24_incremental_mart" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+        val partA = Marts.dailyPartial(ev.filter(col("event_id") % 2 === 0))
+        val partB = Marts.dailyPartial(ev.filter(col("event_id") % 2 =!= 0))
+        Marts.finalizeDaily(Marts.combinePartials(partA, partB))
+      }),
+
       "d5_minhash_portable" -> ((s, dir) => {
         val d = Tables.documents(s, dir)
           .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
@@ -456,6 +464,15 @@ object SparkEntry {
 
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
+
+    "q24_incremental_mart" ->
+      """SELECT CAST(ts AS DATE) AS metric_date,
+        |       CAST(COUNT(*) AS INT) AS events_count,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS avg_value
+        |FROM events
+        |WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q23_typed_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -46,6 +46,36 @@ object Marts {
         sum(dec2(col("value"))).cast("decimal(18,2)").as("total_value"),
         avgDec2(col("value")).as("avg_value"))
 
+  /** Partial daily aggregate carrying combinable state (count + sum),
+    * from which avg derives at read time. The incremental-refresh
+    * building block: at 100 TB you don't re-aggregate all history per
+    * batch (the reference's full refresh, `02_marts.sql:1-5`) — you
+    * aggregate the new batch and combine partials per key. */
+  def dailyPartial(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("metric_date"), col("value"))
+      .groupBy("metric_date")
+      .agg(
+        count(lit(1)).cast("bigint").as("cnt"),
+        sum(dec2(col("value"))).cast("decimal(18,2)").as("sm"))
+
+  /** Combine two partial daily marts (counts and sums add; both are
+    * associative, so any combine tree gives the same result). */
+  def combinePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("metric_date")
+      .agg(sum(col("cnt")).cast("bigint").as("cnt"),
+        sum(col("sm")).cast("decimal(18,2)").as("sm"))
+
+  /** Finalize a partial mart into the reference's reader schema. */
+  def finalizeDaily(partial: DataFrame): DataFrame =
+    partial.select(
+      col("metric_date"),
+      col("cnt").cast("int").as("events_count"),
+      col("sm").as("total_value"),
+      (col("sm") / col("cnt")).cast("decimal(10,2)").as("avg_value"))
+
   /** G2 — top_domains_daily analog (`02_marts.sql:53-90`): 2-key groupBy
     * with a derived bucket column (see Enrich.domainOf for C8/C9). */
   def groupedDaily(base: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
