@@ -58,13 +58,20 @@ object TextFunctions {
   }
 
   /** Language ID by stopword-hit argmax with fixed priority tie-break
-    * (en > es > de > fr > und). Zero hits everywhere → 'und'. */
+    * (en > es > de > fr > und). Zero hits everywhere → 'und'. The four
+    * hit counts are let-bound as one struct so each stopword filter
+    * scans the token array exactly once — Column trees have no sharing,
+    * and the `greatest` + per-branch comparisons would otherwise
+    * re-evaluate every count 2-3×. */
   def langId(toks: Column): Column = {
     val order = Seq("en", "es", "de", "fr")
-    val counts = order.map(l => l -> hitCount(toks, stopwords(l))).toMap
-    val best = greatest(order.map(counts): _*)
-    order.foldRight(lit("und")) { (l, elseC) =>
-      when(best > 0 && counts(l) === best, lit(l)).otherwise(elseC)
+    ColUtil.bindOnce(
+      struct(order.map(l => hitCount(toks, stopwords(l)).as(l)): _*)) { c =>
+      val counts = order.map(l => l -> c.getField(l)).toMap
+      val best = greatest(order.map(counts): _*)
+      order.foldRight(lit("und")) { (l, elseC) =>
+        when(best > 0 && counts(l) === best, lit(l)).otherwise(elseC)
+      }
     }
   }
 
