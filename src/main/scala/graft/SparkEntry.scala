@@ -315,6 +315,15 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- native session windows (same semantics as composed q21) ----
+      "q25_session_window" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).cast("bigint").as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            col("n_events"))),
+
       // ---- incremental mart maintenance (combine partials == recompute) ----
       "q24_incremental_mart" -> ((s, dir) => {
         val ev = Tables.events(s, dir)
@@ -464,6 +473,21 @@ object SparkEntry {
 
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
+
+    "q25_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM t),
+        |s AS (SELECT user_id, ts_us,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM f)
+        |SELECT user_id, MIN(ts_us) AS start_us, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q24_incremental_mart" ->
       """SELECT CAST(ts AS DATE) AS metric_date,

@@ -1,0 +1,24 @@
+package graft
+
+/** Partition-order independence: the engine's determinism claims
+  * (decimal aggregation, total-order ranking windows, keep-newest merge)
+  * must hold under different parallelism — on a real cluster, partition
+  * count and task order are not stable between runs. */
+class DeterminismSpec extends SparkSpec {
+
+  private val checked = Seq("q1_daily_metrics", "q4_merge_upsert",
+    "q10_topk_per_group", "q17_running_total", "t4_fingerprint",
+    "q21_sessionize", "d5_minhash_portable")
+
+  test("query results are identical at 1x and 8x shuffle parallelism") {
+    checked.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val a = fn(spark, sf).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val b = fn(spark, sf).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a.sameElements(b), s"$name differs across shuffle parallelism")
+    }
+  }
+}
