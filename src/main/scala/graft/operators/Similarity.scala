@@ -130,21 +130,38 @@ object Similarity {
     * refined centroids are for recall, not for oracle-exact queries. */
   def refineCentroids(vectors: DataFrame, centroids: DataFrame,
                       idCol: String, vecCol: String): DataFrame = {
-    val assigned = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids
-        .select(col("centroid_id"), col("centroid_vec"))))
-      .select(col("vid"), col("v"), col("centroid_id"),
-        cosineNative(col("v"), col("centroid_vec")).as("csim"))
-    val best = TopK.perGroup(assigned, Seq("vid"),
-      Seq(col("csim").desc, col("centroid_id").asc), 1)
-    best.select(col("centroid_id"), posexplode(col("v")))
+    // centroid set is small by construction — inline it as literals so
+    // the nearest-centroid argmax is pure map-side (no join, no window
+    // shuffle; the only exchanges are the two small-key aggregations)
+    val cents = centroids.select(col("centroid_id"), col("centroid_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val idsLit = typedlit(cents.map(_._1).toSeq)
+    val simsArr = array(cents.map { case (_, vec) =>
+      // nanvl: a zero-norm vector scores NaN against everything; rank it
+      // below any real similarity instead of (NaN sorts high) first
+      nanvl(cosineNative(col("v"), typedlit(vec)), lit(-2.0))
+    }: _*)
+    val assigned = vectors.select(col(vecCol).as("v"))
+      .withColumn("centroid_id",
+        graft.functions.ColUtil.bindOnce(simsArr) { s =>
+          element_at(idsLit, array_position(s, array_max(s)).cast("int"))
+        })
+    val means = assigned.select(col("centroid_id"), posexplode(col("v")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(avg(col("col")).as("m"))
       .groupBy(col("centroid_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
       .select(col("centroid_id"),
         transform(col("dims"), d => d.getField("m").cast("float"))
-          .as("centroid_vec"))
+          .as("new_vec"))
+    // a centroid that attracted no vectors keeps its previous position
+    // (dropping it would shrink k every iteration)
+    centroids.select(col("centroid_id"), col("centroid_vec").as("old_vec"))
+      .join(means, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("new_vec"), col("old_vec")).as("centroid_vec"))
   }
 
   /** LSH-bucketed near-duplicate vectors: only same-bucket pairs are

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The versioned-staging protocol shared by the batch pipeline and the
+  * streaming merge sink: each merge writes a NEW `v%06d` directory
+  * (never overwrite-while-reading), and readers take the newest
+  * COMPLETE version.
+  *
+  * - Completeness: a version counts only if its `_SUCCESS` marker
+  *   exists, so a crash mid-write can never be picked up as the merge
+  *   target (a partial snapshot would silently drop rows).
+  * - Ordering: versions compare NUMERICALLY (parsed from the dir name),
+  *   not lexicographically — `v1000000` must sort after `v999999` even
+  *   though the padding is exhausted.
+  * - Idempotence: an optional `batchId` is recorded as a
+  *   `_BATCH-<id>` marker; a replayed micro-batch (same id as the
+  *   current latest version) is skipped instead of stacking a duplicate
+  *   snapshot.
+  */
+object VersionedStaging {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionOf(path: String): Option[Int] =
+    path.split("/").last.stripPrefix("v").toIntOption
+
+  /** Newest COMPLETE (_SUCCESS-marked) version dir, by numeric order. */
+  def latestComplete(spark: SparkSession, root: String): Option[String] = {
+    val f = fs(spark, root)
+    val matches = Option(f.globStatus(new Path(s"$root/v*")))
+      .getOrElse(Array.empty)
+    matches.map(_.getPath.toString)
+      .filter(p => versionOf(p).isDefined &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .sortBy(versionOf(_).get)
+      .lastOption
+  }
+
+  /** Batch id recorded for a version, if any. */
+  def batchIdOf(spark: SparkSession, versionDir: String): Option[Long] = {
+    val f = fs(spark, versionDir)
+    Option(f.globStatus(new Path(s"$versionDir/_BATCH-*")))
+      .getOrElse(Array.empty)
+      .headOption
+      .flatMap(_.getPath.getName.stripPrefix("_BATCH-").toLongOption)
+  }
+
+  /** Merge `batch` into the staging at `root`: read the newest complete
+    * version as target, keep-newest merge, write the next version.
+    * Returns the new version path, or None if `batchId` matches the
+    * current version's (replay — skipped). */
+  def mergeInto(spark: SparkSession, root: String, batch: DataFrame,
+                keys: Seq[String], versionCol: String,
+                batchId: Option[Long] = None): Option[(String, Merge.MergeResult)] = {
+    val current = latestComplete(spark, root)
+    if (batchId.isDefined && current.exists(c =>
+        batchIdOf(spark, c) == batchId)) {
+      return None // exact replay of the batch that produced `current`
+    }
+    val target = current.map(spark.read.parquet(_)).getOrElse(batch.limit(0))
+    val result = Merge.merge(target, batch, keys, versionCol)
+    val next = current.flatMap(versionOf).getOrElse(0) + 1
+    val dest = f"$root/v$next%06d"
+    result.merged.write.mode("overwrite").parquet(dest)
+    batchId.foreach { id =>
+      fs(spark, dest).create(new Path(dest, s"_BATCH-$id"), true).close()
+    }
+    Some((dest, result))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Enrich
-import graft.operators.{Checks, Dedup, Marts, Merge, TopK}
+import graft.operators.{Checks, Dedup, Marts, Merge, VersionedStaging}
 
 /** The reference pipeline itself, re-expressed Spark-first: RAW
   * (multiLine JSON) → typed staging → keyed merge → daily marts →
@@ -75,23 +75,15 @@ object HnPipeline {
     deduped // B2: projection is the 12-column contract above
   }
 
-  /** Staging merge (load phase, `hn_load.py` + `03_merge.sql`): read the
-    * current staging parquet if present, merge keep-newest, write to a
-    * NEW versioned directory (never overwrite-while-reading — SURVEY
-    * §7.4), and return the merge counts for the audit row. */
+  /** Staging merge (load phase, `hn_load.py` + `03_merge.sql`): the
+    * shared versioned-staging protocol (newest COMPLETE version as
+    * target, keep-newest merge, new version dir — never
+    * overwrite-while-reading, SURVEY §7.4). See
+    * [[graft.operators.VersionedStaging]]. */
   def mergeIntoStaging(spark: SparkSession, stagingRoot: String,
-                       batch: DataFrame): (String, Merge.MergeResult) = {
-    val current = latestFile(spark, s"$stagingRoot/v*")
-    val target = current.map(spark.read.parquet(_))
-      .getOrElse(batch.limit(0))
-    val result = Merge.merge(target, batch, Seq("id"), "extracted_at")
-    val next = f"$stagingRoot/v${current.map(_ => nextVersion(current.get)).getOrElse(1)}%06d"
-    result.merged.write.mode("overwrite").parquet(next)
-    (next, result)
-  }
-
-  private def nextVersion(path: String): Int =
-    path.split("/v").last.toInt + 1
+                       batch: DataFrame): (String, Merge.MergeResult) =
+    VersionedStaging.mergeInto(spark, stagingRoot, batch,
+      Seq("id"), "extracted_at").get // no batchId -> never skips
 
   /** Mart phase (`02_marts.sql`): shared filtered base computed once
     * (the reference's repeated CTE), three grouped marts, full-refresh

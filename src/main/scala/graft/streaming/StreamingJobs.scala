@@ -33,24 +33,24 @@ object StreamingJobs {
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
 
   /** Streaming keyed merge: each arriving file micro-batch is upserted
-    * into a versioned staging directory via the batch [[graft.operators.Merge]]
-    * (insert-if-absent + update-if-newer) inside `foreachBatch` — the
-    * streaming form of the reference's load phase, with the file
-    * source's checkpoint giving exactly-once per input file. Returns the
-    * started query; callers await/stop it. */
+    * into versioned staging via the shared
+    * [[graft.operators.VersionedStaging]] protocol inside `foreachBatch`
+    * — the streaming form of the reference's load phase. The batch id is
+    * recorded per version, so a micro-batch replayed after a failure
+    * between write and checkpoint commit is skipped, not duplicated; the
+    * _SUCCESS completeness check means a crash mid-write can never
+    * become the next merge target. Returns the started query; callers
+    * await/stop it. */
   def streamingMerge(spark: SparkSession, srcDir: String, schema: StructType,
                      stagingRoot: String, keys: Seq[String], versionCol: String,
                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val current = graft.pipeline.HnPipeline.latestFile(spark, s"$stagingRoot/v*")
-        val target = current.map(spark.read.parquet(_)).getOrElse(batch.limit(0))
-        val merged = graft.operators.Merge
-          .merged(target, batch.toDF(), keys, versionCol)
-        val next = current.map(_.split("/v").last.toInt + 1).getOrElse(1)
-        merged.write.mode("overwrite").parquet(f"$stagingRoot/v$next%06d")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.VersionedStaging.mergeInto(
+          batch.sparkSession, stagingRoot, batch.toDF(),
+          keys, versionCol, batchId = Some(batchId))
         ()
       }
       .start()
