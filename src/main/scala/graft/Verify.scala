@@ -14,9 +14,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // total-order the dump: row order inside the parquet must not
+        // depend on partition/task order, in case the comparer hashes
+        // rows positionally (harmless if it canonicalizes)
+        out.orderBy(out.columns.map(org.apache.spark.sql.functions.col): _*)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
