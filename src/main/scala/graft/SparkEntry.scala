@@ -471,8 +471,72 @@ object SparkEntry {
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** e2 oracle: hyperplane-LSH near-dup in DuckDB — the 8×64 plane
+    * weights inlined from the engine's own deterministic generator, the
+    * dot-product fold in the same order, so buckets and pairs match
+    * bit-for-bit. */
+  private def e2OracleSql: String = {
+    def planeArr(p: Int): String =
+      (0 until 64).map(d => Similarity.planeWeight(p, d)).mkString("[", ",", "]")
+    val bucketExpr = (0 until 8).map { p =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0,
+         |  list_transform(list_zip(embedding, ${planeArr(p)}),
+         |    pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, b) -> a + b) >= 0
+         |THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |planted AS (SELECT vec_id, embedding FROM emb
+       |            UNION ALL
+       |            SELECT vec_id + 1000000, embedding FROM emb WHERE vec_id % 10 = 0),
+       |b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM planted),
+       |p AS (SELECT x.bucket, x.vec_id AS id_a, y.vec_id AS id_b,
+       |        ${dotSql("x.embedding", "y.embedding")}
+       |        / (sqrt(${dotSql("x.embedding", "x.embedding")})
+       |           * sqrt(${dotSql("y.embedding", "y.embedding")})) AS simd
+       |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, CAST(simd AS DECIMAL(12,8)) AS sim
+       |FROM p WHERE simd >= 0.95""".stripMargin
+  }
+
+  /** e3 oracle: the full IVF pipeline (assignment, probe selection,
+    * list scoring, final top-k) as window queries. */
+  private val e3OracleSql: String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+       |              FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+       |assign AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+       |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |               ORDER BY ${dotSql("e.embedding", "c.cvec")}
+       |                 / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |                    * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+       |               c.centroid_id ASC) AS rn
+       |           FROM embeddings e CROSS JOIN cent c),
+       |lists AS (SELECT neighbor_id, cv, centroid_id FROM assign WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |probes AS (SELECT query_id, qv, centroid_id FROM (
+       |             SELECT q.query_id, q.qv, c.centroid_id,
+       |               ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                 ORDER BY ${dotSql("q.qv", "c.cvec")}
+       |                   / (sqrt(${dotSql("q.qv", "q.qv")})
+       |                      * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |             FROM q CROSS JOIN cent c)
+       |           WHERE rn <= 4),
+       |scored AS (SELECT DISTINCT p.query_id, l.neighbor_id,
+       |             ${dotSql("p.qv", "l.cv")}
+       |             / (sqrt(${dotSql("p.qv", "p.qv")})
+       |                * sqrt(${dotSql("l.cv", "l.cv")})) AS simd
+       |           FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+       |           WHERE p.query_id <> l.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(simd AS DECIMAL(12,8)) AS sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
+    "e2_ann_lsh" -> e2OracleSql,
+    "e3_ann_ivf" -> e3OracleSql,
 
     "q25_session_window" ->
       """WITH t AS (

@@ -62,7 +62,7 @@ object Similarity {
     * Scala md5, same formula an engine-side expression would use) and
     * embedded as literals — recomputing md5 per row × plane × dim
     * dominated the LSH cost otherwise. */
-  private def planeWeight(plane: Int, dim: Int): Double = {
+  def planeWeight(plane: Int, dim: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${plane}_$dim".getBytes("UTF-8"))
     val h = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
