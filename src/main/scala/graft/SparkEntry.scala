@@ -315,6 +315,17 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- exact percentiles (sort-based; interpolation parity w/ oracle) ----
+      "q26_percentiles" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.9)))
+            .as("qs"))
+          .select(col("event_type"),
+            element_at(col("qs"), 1).cast("decimal(18,6)").as("p25"),
+            element_at(col("qs"), 2).cast("decimal(18,6)").as("p50"),
+            element_at(col("qs"), 3).cast("decimal(18,6)").as("p90"))),
+
       // ---- native session windows (same semantics as composed q21) ----
       "q25_session_window" -> ((s, dir) =>
         Tables.events(s, dir)
@@ -537,6 +548,13 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "e2_ann_lsh" -> e2OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q26_percentiles" ->
+      """SELECT event_type,
+        |       CAST(quantile_cont(value, 0.25) AS DECIMAL(18,6)) AS p25,
+        |       CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS p50,
+        |       CAST(quantile_cont(value, 0.9) AS DECIMAL(18,6)) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q25_session_window" ->
       """WITH t AS (

@@ -48,26 +48,45 @@ object VersionedStaging {
       .flatMap(_.getPath.getName.stripPrefix("_BATCH-").toLongOption)
   }
 
+  /** Publish `df` as the next version under `root`. Returns the new
+    * version path, or None if `batchId` matches the current version's
+    * (exact replay — skipped). The single owner of the version-advance
+    * + marker protocol; every writer goes through here.
+    *
+    * Crash safety: data AND batch-id marker are staged in a hidden
+    * `.tmp-*` dir (invisible to the `v*` glob) and renamed into place
+    * in one step — a version can never exist complete-but-markerless,
+    * which for non-idempotent combiners (incremental marts) would turn
+    * a micro-batch replay into a double-count. */
+  def publish(spark: SparkSession, root: String, df: DataFrame,
+              batchId: Option[Long] = None): Option[String] = {
+    val current = latestComplete(spark, root)
+    if (batchId.isDefined && current.exists(c => batchIdOf(spark, c) == batchId))
+      return None
+    val next = current.flatMap(versionOf).getOrElse(0) + 1
+    val dest = f"$root/v$next%06d"
+    val tmp = f"$root/.tmp-v$next%06d"
+    df.write.mode("overwrite").parquet(tmp)
+    batchId.foreach { id =>
+      fs(spark, tmp).create(new Path(tmp, s"_BATCH-$id"), true).close()
+    }
+    val f = fs(spark, dest)
+    if (f.exists(new Path(dest))) f.delete(new Path(dest), true) // stale partial
+    f.rename(new Path(tmp), new Path(dest))
+    Some(dest)
+  }
+
   /** Merge `batch` into the staging at `root`: read the newest complete
-    * version as target, keep-newest merge, write the next version.
-    * Returns the new version path, or None if `batchId` matches the
-    * current version's (replay — skipped). */
+    * version as target, keep-newest merge, publish the next version.
+    * Returns the new version path, or None on batch-id replay. */
   def mergeInto(spark: SparkSession, root: String, batch: DataFrame,
                 keys: Seq[String], versionCol: String,
                 batchId: Option[Long] = None): Option[(String, Merge.MergeResult)] = {
     val current = latestComplete(spark, root)
-    if (batchId.isDefined && current.exists(c =>
-        batchIdOf(spark, c) == batchId)) {
-      return None // exact replay of the batch that produced `current`
-    }
+    if (batchId.isDefined && current.exists(c => batchIdOf(spark, c) == batchId))
+      return None
     val target = current.map(spark.read.parquet(_)).getOrElse(batch.limit(0))
     val result = Merge.merge(target, batch, keys, versionCol)
-    val next = current.flatMap(versionOf).getOrElse(0) + 1
-    val dest = f"$root/v$next%06d"
-    result.merged.write.mode("overwrite").parquet(dest)
-    batchId.foreach { id =>
-      fs(spark, dest).create(new Path(dest, s"_BATCH-$id"), true).close()
-    }
-    Some((dest, result))
+    publish(spark, root, result.merged, batchId).map(dest => (dest, result))
   }
 }

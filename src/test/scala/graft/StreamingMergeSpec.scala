@@ -34,4 +34,27 @@ class StreamingMergeSpec extends SparkSpec {
       assert(st == Set((1L, 10L, "a"), (2L, 6L, "newer"), (3L, 1L, "new")))
     } finally q.stop()
   }
+
+  test("streaming incremental mart equals batch recompute across restarts") {
+    val root = Files.createTempDirectory("smart").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val mart = s"$root/mart"; val ckpt = s"$root/ckpt"
+    val ev = Tables.events(spark, sf) // normalized ts (timestamp)
+    // source files carry raw long-nanos ts like the driver's parquet
+    val raw = Tables.load(spark, sf, "events")
+    raw.filter($"event_id" % 2 === 0).write.parquet(s"$src/b1")
+    val schema = raw.schema
+    val q1 = graft.streaming.StreamingJobs.streamingIncrementalMart(
+      spark, s"$src/*", schema, mart, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    raw.filter($"event_id" % 2 =!= 0).write.parquet(s"$src/b2")
+    val q2 = graft.streaming.StreamingJobs.streamingIncrementalMart(
+      spark, s"$src/*", schema, mart, ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val latest = graft.operators.VersionedStaging.latestComplete(spark, mart).get
+    val got = graft.operators.Marts.finalizeDaily(spark.read.parquet(latest))
+    val expected = graft.operators.Marts.finalizeDaily(
+      graft.operators.Marts.dailyPartial(ev))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }
