@@ -315,6 +315,37 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- cube / pivot / explode (relational surface beyond rollup) ----
+      "q27_cube" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("metric_month", date_trunc("month", col("ts")).cast("date"))
+          .cube(col("event_type"), col("metric_month"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+          .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+            coalesce(col("metric_month"), lit(java.sql.Date.valueOf("1970-01-01"))).as("metric_month"),
+            col("n"))),
+
+      "q28_pivot" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("metric_date", to_date(col("ts")))
+          .groupBy(col("metric_date"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(sum(dec2(col("value"))))
+          .select(col("metric_date"),
+            coalesce(col("click"), lit(0).cast("decimal(18,2)")).as("click"),
+            coalesce(col("error"), lit(0).cast("decimal(18,2)")).as("error"),
+            coalesce(col("purchase"), lit(0).cast("decimal(18,2)")).as("purchase"),
+            coalesce(col("signup"), lit(0).cast("decimal(18,2)")).as("signup"),
+            coalesce(col("view"), lit(0).cast("decimal(18,2)")).as("view"))),
+
+      "q29_wordcount" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(20)),
+
       // ---- exact percentiles (sort-based; interpolation parity w/ oracle) ----
       "q26_percentiles" -> ((s, dir) =>
         Tables.events(s, dir)
@@ -548,6 +579,29 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "e2_ann_lsh" -> e2OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q27_cube" ->
+      """SELECT COALESCE(event_type, '(all)') AS event_type,
+        |       COALESCE(CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE),
+        |                DATE '1970-01-01') AS metric_month,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE))""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT CAST(ts AS DATE) AS metric_date,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS click,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS error,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS purchase,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS signup,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q29_wordcount" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM t GROUP BY 1
+         |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     "q26_percentiles" ->
       """SELECT event_type,
