@@ -331,12 +331,9 @@ object SparkEntry {
           .groupBy(col("metric_date"))
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
           .agg(sum(dec2(col("value"))))
-          .select(col("metric_date"),
-            coalesce(col("click"), lit(0).cast("decimal(18,2)")).as("click"),
-            coalesce(col("error"), lit(0).cast("decimal(18,2)")).as("error"),
-            coalesce(col("purchase"), lit(0).cast("decimal(18,2)")).as("purchase"),
-            coalesce(col("signup"), lit(0).cast("decimal(18,2)")).as("signup"),
-            coalesce(col("view"), lit(0).cast("decimal(18,2)")).as("view"))),
+          .select(col("metric_date") +:
+            Seq("click", "error", "purchase", "signup", "view").map(c =>
+              coalesce(col(c), lit(0)).cast("decimal(18,2)").as(c)): _*)),
 
       "q29_wordcount" -> ((s, dir) =>
         Tables.documents(s, dir)
@@ -417,8 +414,7 @@ object SparkEntry {
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        val src = s.readStream.schema(schema).parquet(tmp)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val src = Tables.normalizeNanos(s.readStream.schema(schema).parquet(tmp))
         val agg = src
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))

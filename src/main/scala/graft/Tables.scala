@@ -28,7 +28,12 @@ object Tables {
     * would lose precision above 2^53 ns ≈ 1970+104 days). DuckDB's
     * `CAST(ts AS TIMESTAMP)` truncates ns→us identically. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeNanos(load(spark, dir, "events"))
+
+  /** Shared ns→us normalization for any frame carrying a raw long-nanos
+    * `ts` (batch loads AND streaming sources must agree bit-for-bit). */
+  def normalizeNanos(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -59,8 +59,15 @@ object VersionedStaging {
     * which for non-idempotent combiners (incremental marts) would turn
     * a micro-batch replay into a double-count. */
   def publish(spark: SparkSession, root: String, df: DataFrame,
-              batchId: Option[Long] = None): Option[String] = {
-    val current = latestComplete(spark, root)
+              batchId: Option[Long] = None): Option[String] =
+    publishFrom(spark, root, latestComplete(spark, root), df, batchId)
+
+  /** [[publish]] with the current-version listing already computed —
+    * callers that listed for their own read (mergeInto) pass it in so a
+    * long-lived stream doesn't pay two O(versions) listings per batch. */
+  private def publishFrom(spark: SparkSession, root: String,
+                          current: Option[String], df: DataFrame,
+                          batchId: Option[Long]): Option[String] = {
     if (batchId.isDefined && current.exists(c => batchIdOf(spark, c) == batchId))
       return None
     val next = current.flatMap(versionOf).getOrElse(0) + 1
@@ -70,9 +77,14 @@ object VersionedStaging {
     batchId.foreach { id =>
       fs(spark, tmp).create(new Path(tmp, s"_BATCH-$id"), true).close()
     }
+    // Hadoop FS signals failure by RETURNING false, not throwing; a
+    // swallowed failure here would let a streaming checkpoint commit a
+    // batch whose version was never created (silent data loss)
     val f = fs(spark, dest)
-    if (f.exists(new Path(dest))) f.delete(new Path(dest), true) // stale partial
-    f.rename(new Path(tmp), new Path(dest))
+    if (f.exists(new Path(dest)) && !f.delete(new Path(dest), true))
+      throw new java.io.IOException(s"failed to delete stale partial $dest")
+    if (!f.rename(new Path(tmp), new Path(dest)))
+      throw new java.io.IOException(s"failed to rename $tmp to $dest")
     Some(dest)
   }
 
@@ -84,9 +96,10 @@ object VersionedStaging {
                 batchId: Option[Long] = None): Option[(String, Merge.MergeResult)] = {
     val current = latestComplete(spark, root)
     if (batchId.isDefined && current.exists(c => batchIdOf(spark, c) == batchId))
-      return None
+      return None // checked here too: Merge.merge below runs an eager count
     val target = current.map(spark.read.parquet(_)).getOrElse(batch.limit(0))
     val result = Merge.merge(target, batch, keys, versionCol)
-    publish(spark, root, result.merged, batchId).map(dest => (dest, result))
+    publishFrom(spark, root, current, result.merged, batchId)
+      .map(dest => (dest, result))
   }
 }

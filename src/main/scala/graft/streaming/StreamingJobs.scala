@@ -65,8 +65,7 @@ object StreamingJobs {
   def streamingIncrementalMart(spark: SparkSession, srcDir: String,
                                schema: StructType, martRoot: String,
                                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeNanos(spark.readStream.schema(schema).parquet(srcDir))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
