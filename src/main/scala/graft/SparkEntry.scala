@@ -230,8 +230,8 @@ object SparkEntry {
           30L * 60 * 1000000, col("event_id"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).cast("bigint").as("n_events"),
-          min(col("__ts_us")).as("start_us"),
-          max(col("__ts_us")).as("end_us"))
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("start_us"), col("end_us")))
   )
@@ -612,7 +612,10 @@ object SparkEntry {
         |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
         |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
         |  FROM events),
-        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |-- >= gap: Spark session windows are half-open [ts, ts+gap), so an
+        |-- event at exactly the session end starts a NEW session (unlike
+        |-- q21's composed operator, which uses strict >)
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
         |                     THEN 1 ELSE 0 END AS new_sess FROM t),
         |s AS (SELECT user_id, ts_us,
         |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC

@@ -188,16 +188,19 @@ object DedupSuite {
     * the (+1/−1)-weighted count of tokens with bit i set is positive.
     * Token hashes are computed once, then folded per bit — 60 integer
     * folds per doc, all inside whole-stage codegen. */
-  def simhash60(text: Column): Column = {
-    val hs = transform(tokens(text), t => hash60(t))
-    aggregate(
-      transform(sequence(lit(0), lit(59)), i =>
-        when(
-          aggregate(hs, lit(0L), (acc, h) =>
-            acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
-              .otherwise(-1L)) > 0,
-          call_function("shiftleft", lit(1L), i))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def simhash60(text: Column): Column =
+    graft.functions.ColUtil.bindOnce(transform(tokens(text), t => hash60(t))) { hs =>
+      // hs is a lambda variable: the 60 per-bit folds below each
+      // reference it, and an inline expression here would re-tokenize
+      // and re-md5 the document once per bit (the bindOnce trap)
+      aggregate(
+        transform(sequence(lit(0), lit(59)), i =>
+          when(
+            aggregate(hs, lit(0L), (acc, h) =>
+              acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
+                .otherwise(-1L)) > 0,
+            call_function("shiftleft", lit(1L), i))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v)
+    }
 }

@@ -29,11 +29,22 @@ object Merge {
 
   private val SRC = "__src" // 0 = target (wins ties), 1 = batch
 
+  /** Canonicalize a batch that may carry duplicate keys: keep the newest
+    * version per key, ties broken by a deterministic whole-row hash.
+    * Without this, counts would double-count duplicate-key batch rows
+    * and the surviving payload for a (key, version) tie would vary
+    * run-to-run. (The reference pre-dedups batches in its transform
+    * phase; generic callers — e.g. the streaming merge — may not.) */
+  private def canonBatch(batch: DataFrame, keys: Seq[String],
+                         versionCol: String): DataFrame =
+    Dedup.keepNewest(batch, keys, col(versionCol),
+      xxhash64(struct(batch.columns.map(col): _*)))
+
   /** Merged relation only (no counts) — single lazy plan, no actions. */
   def merged(target: DataFrame, batch: DataFrame, keys: Seq[String],
              versionCol: String): DataFrame = {
     val tagged = target.withColumn(SRC, lit(0))
-      .unionByName(batch.withColumn(SRC, lit(1)))
+      .unionByName(canonBatch(batch, keys, versionCol).withColumn(SRC, lit(1)))
     Dedup.keepNewest(tagged, keys, col(versionCol), col(SRC)).drop(SRC)
   }
 
@@ -42,7 +53,7 @@ object Merge {
   def countsPlan(target: DataFrame, batch: DataFrame, keys: Seq[String],
                  versionCol: String): DataFrame = {
     val t = target.select(keys.map(col) :+ col(versionCol).as("__tv"): _*)
-    batch.join(t, keys, "left")
+    canonBatch(batch, keys, versionCol).join(t, keys, "left")
       .agg(
         coalesce(sum(when(col("__tv").isNull, 1L).otherwise(0L)), lit(0L))
           .cast("bigint").as("inserted"),

@@ -41,8 +41,14 @@ object Multimodal {
     * from SHA-1 of the bytes (width/height/frame-count/8-dim feature
     * vector). Signature matches what a JNI/FFI codec binding needs:
     * bytes in, dimensioned raster + features out. */
-  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    decodeFromDigest(kind,
+      java.security.MessageDigest.getInstance("SHA-1").digest(bytes))
+
+  /** Stub decode from a pre-computed digest — the pipeline hashes each
+    * blob once for `content_sha` and reuses the digest here (blobs are
+    * the dominant per-record cost; don't digest them twice). */
+  def decodeFromDigest(kind: String, sha: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     def u(i: Int): Int = sha(i) & 0xff
     val width = 1 + ((u(0) << 8 | u(1)) % 1024)
     val height = 1 + ((u(2) << 8 | u(3)) % 1024)
@@ -69,9 +75,9 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
-          val sha = java.security.MessageDigest.getInstance("SHA-1")
-            .digest(bytes).map("%02x".format(_)).mkString
-          val (w, h, f, feat) = decodeStub(r.kind, bytes)
+          val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+          val sha = digest.map("%02x".format(_)).mkString
+          val (w, h, f, feat) = decodeFromDigest(r.kind, digest)
           MediaFeatures(r.media_id, r.kind, bytes.length.toLong, sha, w, h, f, feat)
         }
       }

@@ -34,20 +34,24 @@ object Windows {
     df.withColumn(as, last(marked, ignoreNulls = true).over(w))
   }
 
-  /** Gap-based sessionization: a new session starts after `gapMicros`
-    * of inactivity. Two stacked windows on one partitioning (lag, then
-    * running sum of session-start flags) — a single shuffle; the batch
-    * twin of Structured Streaming's session windows. */
+  /** Gap-based sessionization: a new session starts after STRICTLY MORE
+    * than `gapMicros` of inactivity (note: Spark's native
+    * `session_window` differs at the exact boundary — its windows are
+    * half-open, so an event at exactly ts+gap starts a new session).
+    * Two stacked windows on one partitioning (lag, then running sum of
+    * session-start flags) — a single shuffle; the batch twin of
+    * Structured Streaming's session windows. Output adds the documented
+    * columns `ts_us` (event time in epoch micros) and `session_id`. */
   def sessionize(df: DataFrame, partKeys: Seq[String], tsCol: String,
                  gapMicros: Long, tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(partKeys.map(col): _*)
       .orderBy(col(tsCol).asc, tieBreak.asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__ts_us", unix_micros(col(tsCol)))
-      .withColumn("__prev_us", lag(col("__ts_us"), 1).over(w))
+    df.withColumn("ts_us", unix_micros(col(tsCol)))
+      .withColumn("__prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("__new_sess",
         when(col("__prev_us").isNull ||
-          col("__ts_us") - col("__prev_us") > gapMicros, 1L).otherwise(0L))
+          col("ts_us") - col("__prev_us") > gapMicros, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("__new_sess")).over(run))
       .drop("__prev_us", "__new_sess")
   }

@@ -87,8 +87,13 @@ object HnPipeline {
 
   /** Mart phase (`02_marts.sql`): shared filtered base computed once
     * (the reference's repeated CTE), three grouped marts, full-refresh
-    * semantics = overwrite write by the caller. */
-  def marts(staging: DataFrame): Map[String, DataFrame] = {
+    * semantics = overwrite write by the caller. The cached base is
+    * owned by the caller via [[martsWithBase]] — unpersist it after
+    * materializing the marts. */
+  def marts(staging: DataFrame): Map[String, DataFrame] =
+    martsWithBase(staging)._1
+
+  def martsWithBase(staging: DataFrame): (Map[String, DataFrame], DataFrame) = {
     val base = staging
       .filter(col("type") === "story" && col("time_utc").isNotNull) // B3
       .select(
@@ -110,10 +115,10 @@ object HnPipeline {
       count(lit(1)).cast("int").as("stories_count"),
       Marts.avgDec2(col("score")).as("avg_score"),
       max(col("extracted_at")).as("last_batch_extracted_at"))
-    Map(
+    (Map(
       "daily_story_metrics" -> daily,
       "top_domains_daily" -> grouped("domain"),
-      "user_activity_daily" -> grouped("author"))
+      "user_activity_daily" -> grouped("author")), base)
   }
 
   /** Check phase (`04_checks.sql` + `03_checks.sql` as assertions). */
@@ -150,13 +155,18 @@ object HnPipeline {
         new java.text.SimpleDateFormat("yyyyMMdd_HHmmss") { setTimeZone(java.util.TimeZone.getTimeZone("UTC")) }
           .parse(s).getTime))
       .getOrElse(new java.sql.Timestamp(0L))
+    // cache the transformed batch: the count guard, the merge-counts
+    // join, and the merged write would otherwise each re-read and
+    // re-transform the raw file (3 full passes)
+    val staged = transform(readRaw(spark, file), ts).cache()
     try {
-      val staged = transform(readRaw(spark, file), ts)
       require(staged.count() > 0, "empty transform result") // K5
       val (newPath, res) = mergeIntoStaging(spark, stagingRoot, staged)
       val staging = spark.read.parquet(newPath)
-      val m = marts(staging)
-      runChecks(staging, m)
+      val (m, base) = martsWithBase(staging)
+      try runChecks(staging, m)
+      finally base.unpersist() // marts are materialized by the checks;
+      // without this, every run leaks one cached base for the session
       auditRow(spark, auditDir, "load", file, "success", res.inserted, res.updated, None)
       m
     } catch {
@@ -164,6 +174,6 @@ object HnPipeline {
         auditRow(spark, auditDir, "load", file, "failed", 0, 0,
           Option(e.getMessage)) // K4: failure leaves prior staging version intact
         throw e
-    }
+    } finally staged.unpersist()
   }
 }

@@ -8,6 +8,7 @@ package graft.sources
 object Retry {
   def withRetry[T](retries: Int = 3, backoffMs: Long = 1000L,
                    onRetry: (Int, Throwable) => Unit = (_, _) => ())(f: => T): T = {
+    require(retries >= 1, s"retries must be >= 1, got $retries")
     var attempt = 0
     var last: Throwable = null
     while (attempt < retries) {

@@ -40,6 +40,21 @@ class MergeDedupSpec extends SparkSpec {
     assert(r2.inserted == 0 && r2.updated == 0)
   }
 
+  test("batch with duplicate keys: counts reflect distinct keys, result deterministic") {
+    val target = tbl(Seq((9L, "t", 1L)))
+    // id 7 twice at the SAME version with different payloads, plus a
+    // third older row — the canonical batch must collapse them
+    val batch = tbl(Seq((7L, "pA", 5L), (7L, "pB", 5L), (7L, "old", 3L)))
+    val r = Merge.merge(target, batch, Seq("id"), "extracted_at")
+    assert(r.inserted == 1 && r.updated == 0) // one distinct new key
+    val merged = r.merged.filter($"id" === 7L).collect()
+    assert(merged.length == 1 && merged.head.getLong(2) == 5L)
+    // deterministic winner across plans: re-merge picks the same payload
+    val again = Merge.merge(target, batch, Seq("id"), "extracted_at")
+    assert(again.merged.filter($"id" === 7L).head().getString(1) ==
+      merged.head.getString(1))
+  }
+
   test("merge result has unique keys (PK invariant)") {
     val target = tbl(Seq((1L, "a", 1L), (2L, "b", 2L)))
     val batch = tbl(Seq((1L, "c", 9L), (1L, "d", 8L), (3L, "e", 1L)))

@@ -19,6 +19,15 @@ class SourcesAndPlansSpec extends SparkSpec {
     assert(both.filter($"fold" =!= $"native").count() == 0)
   }
 
+  test("cosineNative yields null (like the fold form) on ragged arrays") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      Similarity.cosine($"a", $"b").as("fold"),
+      Similarity.cosineNative($"a", $"b").as("native")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("JSON array sink round-trips through the pipeline's reader") {
     val dir = Files.createTempDirectory("sink").toString
     val df = Seq((1L, "story", "alice", 1704153600L, "t1"),

@@ -38,8 +38,12 @@ def main(sf_dir, out_dir):
         got_cols = tbl.column_names
         got_rows = [tuple(r.values()) for r in tbl.to_pylist()]
         if name not in oracles:
-            print(f"[{name}] no oracle ({len(got_rows)} rows, rows-only check: {'PASS' if got_rows else 'FAIL'})")
-            n_noracle += 1
+            ok = bool(got_rows)
+            print(f"[{name}] no oracle ({len(got_rows)} rows, rows-only check: {'PASS' if ok else 'FAIL'})")
+            if ok:
+                n_noracle += 1
+            else:
+                n_fail += 1
             continue
         try:
             res = con.sql(oracles[name])
