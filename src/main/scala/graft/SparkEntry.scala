@@ -249,13 +249,20 @@ object SparkEntry {
       "t2_quality" -> ((s, dir) =>
         Tables.documents(s, dir).select(
           col("doc_id"),
-          tokenCount(col("text")).as("n_tokens"),
-          hitCount(tokens(col("text")), stopwords("en")).as("stop_hits"),
-          qualityScore(col("text")).as("quality"))),
+          graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+            struct(
+              size(toks).cast("int").as("n_tokens"),
+              hitCount(toks, stopwords("en")).as("stop_hits"),
+              qualityScoreFromTokens(toks).as("quality"))
+          }.as("q"))
+          .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+            col("q.stop_hits").as("stop_hits"), col("q.quality").as("quality"))),
 
       "t3_langid" -> ((s, dir) =>
         Tables.documents(s, dir).select(
-          col("doc_id"), langId(tokens(col("text"))).as("lang_pred"))),
+          col("doc_id"),
+          graft.functions.ColUtil.bindOnce(tokens(col("text")))(langId)
+            .as("lang_pred"))),
 
       "t4_fingerprint" -> ((s, dir) =>
         Tables.documents(s, dir).select(

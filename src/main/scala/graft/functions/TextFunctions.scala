@@ -79,7 +79,8 @@ object TextFunctions {
     * stopword ratio, and mean token length band — the standard cheap
     * pre-filters for LLM corpus cleaning, in exact decimal arithmetic so
     * the score is engine-portable. */
-  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
+  def qualityScore(text: Column): Column =
+    ColUtil.bindOnce(tokens(text))(qualityScoreFromTokens)
 
   /** [[qualityScore]] over a pre-materialized (or let-bound) token
     * array — use with [[ColUtil.bindOnce]] in pipelines so the
