@@ -322,6 +322,17 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- z-order clustering key + table checksum (scale utilities) ----
+      "q30_zorder_key" -> ((s, dir) =>
+        Tables.part(s, dir).select(
+          col("p_partkey"),
+          Enrich.zorderKey(col("p_size"),
+            pmod(col("p_partkey"), lit(1024)).cast("int"), 10).as("zkey"))),
+
+      "q31_table_checksum" -> ((s, dir) =>
+        Checks.tableChecksum(Tables.nation(s, dir),
+          Seq("n_nationkey", "n_name", "n_regionkey"))),
+
       // ---- cube / pivot / explode (relational surface beyond rollup) ----
       "q27_cube" -> ((s, dir) =>
         Tables.events(s, dir)
@@ -582,6 +593,18 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "e2_ann_lsh" -> e2OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q30_zorder_key" -> {
+      val interleave = (0 until 10).map { i =>
+        s"(((p_size >> $i) & 1) * ${1L << (2 * i)} + (((p_partkey % 1024) >> $i) & 1) * ${1L << (2 * i + 1)})"
+      }.mkString(" + ")
+      s"""SELECT p_partkey, CAST($interleave AS BIGINT) AS zkey FROM part"""
+    },
+
+    "q31_table_checksum" ->
+      s"""SELECT CAST(SUM(${hash32Sql(0, "CAST(n_nationkey AS VARCHAR) || n_name || CAST(n_regionkey AS VARCHAR)")}) AS BIGINT) AS checksum,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM nation""".stripMargin,
 
     "q27_cube" ->
       """SELECT COALESCE(event_type, '(all)') AS event_type,

@@ -50,4 +50,15 @@ object Enrich {
 
   /** C14 — error-message style truncation (`hn_load.py:151`). */
   def truncate(c: Column, n: Int): Column = substring(c, 1, n)
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative ints so rows sorted by the key cluster along BOTH
+    * dimensions — the standard multi-column data-skipping layout (sort
+    * by this before writing; parquet min/max stats then prune on either
+    * column). Pure integer shifts: engine-portable. */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(1) * (1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(1) * (1L << (2 * i + 1)))
+    }.reduce(_ + _).cast("long")
 }

@@ -31,6 +31,19 @@ object Checks {
         .select(lit(name).as("tbl"), col("min_date"), col("max_date"), col("n"))
     }.reduce(_ unionByName _)
 
+  /** Order-independent whole-table checksum: sum of portable 32-bit row
+    * hashes (md5-based, see TextFunctions.hash32) over a canonical
+    * string encoding of the given columns. The anti-entropy primitive
+    * for 100 TB replication/migration checks: computable independently
+    * by any engine, insensitive to partition order, and a single scalar
+    * to compare. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(graft.functions.TextFunctions
+        .hash32(concat_ws("", cols.map(c => col(c).cast("string")): _*))
+        .as("h"))
+      .agg(sum(col("h")).cast("bigint").as("checksum"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+
   /** J3/G6 — count of rows on the latest day, via scalar-subquery join
     * (`/root/reference/sql/mart/03_checks.sql:18-21`). The 1-row max
     * side auto-broadcasts, so this is a broadcast hash join, never a
