@@ -28,6 +28,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("streaming session windows close after the watermark and match batch") {
+    val dir = Files.createTempDirectory("sess_src").toString
+    val ev = Tables.events(spark, sf).select($"ts", $"user_id")
+    ev.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(ev.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val q = streamed.writeStream
+      .format("memory").queryName("sess_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_out")
+      .select($"user_id", unix_micros($"session_window.start").as("start_us"),
+        $"n_events")
+    val batch = ev
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"session_window.start").as("start_us"),
+        $"n_events")
+    // append mode emits only watermark-closed sessions; every emitted
+    // session must match the batch result, and all but the stream-tail
+    // sessions (watermark still open at end-of-input) must have emitted
+    assert(got.exceptAll(batch).isEmpty)
+    val missing = batch.exceptAll(got).count()
+    val maxTs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+    val openTail = batch
+      .join(ev.groupBy($"user_id").agg(max(unix_micros($"ts")).as("last_us")), "user_id")
+      .filter($"last_us" >= maxTs - 5400L * 1000000) // gap + watermark window
+      .count()
+    assert(missing <= openTail, s"$missing unemitted sessions but only $openTail near the tail")
+  }
+
   test("lastWriteWins state: newer versions emit, stale and equal are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingJobs.Keyed]
