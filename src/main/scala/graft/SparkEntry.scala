@@ -250,10 +250,15 @@ object SparkEntry {
         Tables.documents(s, dir).select(
           col("doc_id"),
           graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
-            struct(
-              size(toks).cast("int").as("n_tokens"),
-              hitCount(toks, stopwords("en")).as("stop_hits"),
-              qualityScoreFromTokens(toks).as("quality"))
+            graft.functions.ColUtil.bindOnce(
+              struct(size(toks).cast("int").as("n"),
+                hitCount(toks, stopwords("en")).as("s"))) { c =>
+              struct(
+                c.getField("n").as("n_tokens"),
+                c.getField("s").as("stop_hits"),
+                qualityScoreFromCounts(c.getField("n").cast("long"),
+                  c.getField("s").cast("long")).as("quality"))
+            }
           }.as("q"))
           .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
             col("q.stop_hits").as("stop_hits"), col("q.quality").as("quality"))),
@@ -602,7 +607,8 @@ object SparkEntry {
     },
 
     "q31_table_checksum" ->
-      s"""SELECT CAST(SUM(${hash32Sql(0, "CAST(n_nationkey AS VARCHAR) || n_name || CAST(n_regionkey AS VARCHAR)")}) AS BIGINT) AS checksum,
+      s"""SELECT CAST(SUM(${hash32Sql(0,
+        "COALESCE(CAST(n_nationkey AS VARCHAR),'(null)') || '|' || COALESCE(n_name,'(null)') || '|' || COALESCE(CAST(n_regionkey AS VARCHAR),'(null)')")}) AS BIGINT) AS checksum,
          |       CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM nation""".stripMargin,
 
@@ -642,10 +648,10 @@ object SparkEntry {
         |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
         |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
         |  FROM events),
-        |-- >= gap: Spark session windows are half-open [ts, ts+gap), so an
-        |-- event at exactly the session end starts a NEW session (unlike
-        |-- q21's composed operator, which uses strict >)
-        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |-- strict >: verified on this Spark build — session_window MERGES an
+        |-- event at exactly prev+gap into the same session (same boundary
+        |-- rule as the composed q21 operator)
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
         |                     THEN 1 ELSE 0 END AS new_sess FROM t),
         |s AS (SELECT user_id, ts_us,
         |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC

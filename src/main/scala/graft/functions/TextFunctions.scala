@@ -85,9 +85,16 @@ object TextFunctions {
   /** [[qualityScore]] over a pre-materialized (or let-bound) token
     * array — use with [[ColUtil.bindOnce]] in pipelines so the
     * tokenizer runs once per row, not once per sub-term. */
-  def qualityScoreFromTokens(toks: Column): Column = {
-    val n = size(toks).cast("long")
-    val stopHits = hitCount(toks, stopwords("en")).cast("long")
+  def qualityScoreFromTokens(toks: Column): Column =
+    qualityScoreFromCounts(size(toks).cast("long"),
+      hitCount(toks, stopwords("en")).cast("long"))
+
+  /** [[qualityScore]] from already-computed counts — for callers that
+    * surface n/stop_hits alongside the score (avoids re-scanning the
+    * token array for counts they already hold). */
+  def qualityScoreFromCounts(tokenCount: Column, stopwordHits: Column): Column = {
+    val n = tokenCount
+    val stopHits = stopwordHits
     // length saturation: min(n, 200)/200 (decimal)
     val lenScore = (least(n, lit(200L)).cast("decimal(10,4)") / lit(200))
       .cast("decimal(10,4)")

@@ -36,13 +36,22 @@ object Checks {
     * string encoding of the given columns. The anti-entropy primitive
     * for 100 TB replication/migration checks: computable independently
     * by any engine, insensitive to partition order, and a single scalar
-    * to compare. */
-  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
+    * to compare.
+    *
+    * Encoding: columns joined with '|' and NULL encoded as a sentinel —
+    * a separator-less encoding would let ('1','2X') and ('12','X')
+    * collide, and `concat_ws` silently skips NULLs, both of which
+    * defeat corruption detection. The DuckDB twin is
+    * `COALESCE(CAST(c AS VARCHAR),'(null)') || '|' || ...`. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val encoded = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("(null)")))
     df.select(graft.functions.TextFunctions
-        .hash32(concat_ws("", cols.map(c => col(c).cast("string")): _*))
+        .hash32(concat_ws("|", encoded: _*))
         .as("h"))
       .agg(sum(col("h")).cast("bigint").as("checksum"),
         count(lit(1)).cast("bigint").as("n_rows"))
+  }
 
   /** J3/G6 — count of rows on the latest day, via scalar-subquery join
     * (`/root/reference/sql/mart/03_checks.sql:18-21`). The 1-row max

@@ -35,15 +35,17 @@ object Windows {
   }
 
   /** Gap-based sessionization: a new session starts after STRICTLY MORE
-    * than `gapMicros` of inactivity (note: Spark's native
-    * `session_window` differs at the exact boundary — its windows are
-    * half-open, so an event at exactly ts+gap starts a new session).
-    * Two stacked windows on one partitioning (lag, then running sum of
-    * session-start flags) — a single shuffle; the batch twin of
-    * Structured Streaming's session windows. Output adds the documented
-    * columns `ts_us` (event time in epoch micros) and `session_id`. */
+    * than `gapMicros` of inactivity — the same boundary rule as Spark's
+    * native `session_window` (verified on this build: an event at
+    * exactly prev+gap merges into the session). Two stacked windows on
+    * one partitioning (lag, then running sum of session-start flags) —
+    * a single shuffle; the batch twin of Structured Streaming's session
+    * windows. Output adds the documented columns `ts_us` (event time in
+    * epoch micros) and `session_id`. */
   def sessionize(df: DataFrame, partKeys: Seq[String], tsCol: String,
                  gapMicros: Long, tieBreak: Column): DataFrame = {
+    require(!df.columns.contains("ts_us") && !df.columns.contains("session_id"),
+      "sessionize adds ts_us/session_id output columns; input already has one")
     val w = Window.partitionBy(partKeys.map(col): _*)
       .orderBy(col(tsCol).asc, tieBreak.asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

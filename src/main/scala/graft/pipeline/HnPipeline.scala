@@ -85,25 +85,30 @@ object HnPipeline {
     VersionedStaging.mergeInto(spark, stagingRoot, batch,
       Seq("id"), "extracted_at").get // no batchId -> never skips
 
-  /** Mart phase (`02_marts.sql`): shared filtered base computed once
-    * (the reference's repeated CTE), three grouped marts, full-refresh
-    * semantics = overwrite write by the caller. The cached base is
-    * owned by the caller via [[martsWithBase]] — unpersist it after
-    * materializing the marts. */
+  /** Mart phase (`02_marts.sql`): shared filtered base (the reference's
+    * repeated CTE), three grouped marts, full-refresh semantics =
+    * overwrite write by the caller. This uncached form never leaks;
+    * [[martsWithBase]] additionally caches the shared base and hands it
+    * to the caller, who must unpersist after materializing the marts. */
   def marts(staging: DataFrame): Map[String, DataFrame] =
-    martsWithBase(staging)._1
+    martsFrom(martBase(staging))._1
 
   def martsWithBase(staging: DataFrame): (Map[String, DataFrame], DataFrame) = {
-    val base = staging
-      .filter(col("type") === "story" && col("time_utc").isNotNull) // B3
-      .select(
-        to_date(col("time_utc")).as("metric_date"), // C6
-        Enrich.domainOf(col("url")).as("domain"), // C8+C9
-        coalesce(col("by"), lit("(unknown)")).as("author"), // C7
-        coalesce(col("score"), lit(0L)).as("score"),
-        coalesce(col("descendants"), lit(0L)).as("comments"),
-        col("extracted_at"))
-      .cache() // shared by all three marts — one scan, three aggs
+    val base = martBase(staging).cache()
+    (martsFrom(base)._1, base)
+  }
+
+  private def martBase(staging: DataFrame): DataFrame = staging
+    .filter(col("type") === "story" && col("time_utc").isNotNull) // B3
+    .select(
+      to_date(col("time_utc")).as("metric_date"), // C6
+      Enrich.domainOf(col("url")).as("domain"), // C8+C9
+      coalesce(col("by"), lit("(unknown)")).as("author"), // C7
+      coalesce(col("score"), lit(0L)).as("score"),
+      coalesce(col("descendants"), lit(0L)).as("comments"),
+      col("extracted_at"))
+
+  private def martsFrom(base: DataFrame): (Map[String, DataFrame], DataFrame) = {
     val daily = base.groupBy("metric_date").agg(
       count(lit(1)).cast("int").as("stories_count"),
       sum(col("score")).cast("bigint").as("total_score"),
@@ -158,8 +163,11 @@ object HnPipeline {
     // cache the transformed batch: the count guard, the merge-counts
     // join, and the merged write would otherwise each re-read and
     // re-transform the raw file (3 full passes)
-    val staged = transform(readRaw(spark, file), ts).cache()
+    var staged: DataFrame = null
     try {
+      // inside the try: a read/transform-construction failure must
+      // still produce the K4 'failed' audit row
+      staged = transform(readRaw(spark, file), ts).cache()
       require(staged.count() > 0, "empty transform result") // K5
       val (newPath, res) = mergeIntoStaging(spark, stagingRoot, staged)
       val staging = spark.read.parquet(newPath)
@@ -174,6 +182,6 @@ object HnPipeline {
         auditRow(spark, auditDir, "load", file, "failed", 0, 0,
           Option(e.getMessage)) // K4: failure leaves prior staging version intact
         throw e
-    } finally staged.unpersist()
+    } finally { if (staged != null) staged.unpersist() }
   }
 }
