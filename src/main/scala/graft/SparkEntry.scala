@@ -327,6 +327,21 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- set operations (INTERSECT / EXCEPT; beyond the reference's S1) ----
+      "q32_setops" -> ((s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"))
+        val a = ev.filter(col("event_id") % 2 === 0)
+        val b = ev.filter(col("event_id") % 3 === 0)
+        a.intersect(b).withColumn("op", lit("both"))
+          .unionByName(a.exceptAll(b).withColumn("op", lit("only_even")))
+      }),
+
+      // ---- edit distance (fuzzy matching over type labels) ----
+      "q33_edit_distance" -> ((s, dir) =>
+        Tables.events(s, dir).select(col("event_type")).distinct()
+          .select(col("event_type"),
+            levenshtein(col("event_type"), lit("purchase")).cast("int").as("dist"))),
+
       // ---- z-order clustering key + table checksum (scale utilities) ----
       "q30_zorder_key" -> ((s, dir) =>
         Tables.part(s, dir).select(
@@ -598,6 +613,17 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "e2_ann_lsh" -> e2OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q32_setops" ->
+      """WITH a AS (SELECT event_id FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT event_id FROM events WHERE event_id % 3 = 0)
+        |SELECT event_id, 'both' AS op FROM (SELECT event_id FROM a INTERSECT SELECT event_id FROM b)
+        |UNION ALL
+        |SELECT event_id, 'only_even' AS op FROM (SELECT event_id FROM a EXCEPT ALL SELECT event_id FROM b)""".stripMargin,
+
+    "q33_edit_distance" ->
+      """SELECT event_type, CAST(levenshtein(event_type, 'purchase') AS INT) AS dist
+        |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
 
     "q30_zorder_key" -> {
       val interleave = (0 until 10).map { i =>
