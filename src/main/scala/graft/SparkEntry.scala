@@ -327,6 +327,33 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- funnel + cohort retention (event-analytics staples) ----
+      "q34_funnel" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+        val firstSignup = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("first_signup_us"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+          .join(firstSignup, "user_id")
+          .filter(col("p_us") > col("first_signup_us"))
+          .groupBy(col("user_id"), col("first_signup_us"))
+          .agg(count(lit(1)).cast("bigint").as("n_purchases_after"))
+      }),
+
+      "q35_retention" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+        val active = ev.distinct()
+        cohort.join(active, "user_id")
+          .groupBy(col("cohort_date"))
+          .agg(
+            countDistinct(col("user_id")).cast("bigint").as("cohort_size"),
+            countDistinct(when(col("d") === date_add(col("cohort_date"), 7),
+              col("user_id"))).cast("bigint").as("retained_d7"))
+      }),
+
       // ---- set operations (INTERSECT / EXCEPT; beyond the reference's S1) ----
       "q32_setops" -> ((s, dir) => {
         val ev = Tables.events(s, dir).select(col("event_id"))
@@ -613,6 +640,25 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "e2_ann_lsh" -> e2OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q34_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_signup_us
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT e.user_id, s.first_signup_us, CAST(COUNT(*) AS BIGINT) AS n_purchases_after
+        |FROM events e JOIN s ON e.user_id = s.user_id
+        |WHERE e.event_type = 'purchase'
+        |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s.first_signup_us
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q35_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, MIN(d) AS cohort_date FROM ev GROUP BY 1)
+        |SELECT c.cohort_date,
+        |       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS cohort_size,
+        |       CAST(COUNT(DISTINCT CASE WHEN ev.d = c.cohort_date + 7
+        |                                THEN ev.user_id END) AS BIGINT) AS retained_d7
+        |FROM cohort c JOIN ev ON ev.user_id = c.user_id
+        |GROUP BY 1""".stripMargin,
 
     "q32_setops" ->
       """WITH a AS (SELECT event_id FROM events WHERE event_id % 2 = 0),
