@@ -31,6 +31,40 @@ class MergePropertySpec extends SparkSpec {
       org.apache.spark.sql.functions.max("v").as("v"))
       .select("id", "extracted_at", "v")
 
+  test("keepLast property: result equals last-by-order row per key (10 random cases)") {
+    (0 until 10).foreach { i =>
+      val rows = batchGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .zipWithIndex.map { case ((id, _, p), ord) => (id, ord.toLong, p) }
+      val df2 = rows.toDF("id", "ord", "p")
+      val got = graft.operators.Dedup.keepLast(df2, Seq("id"),
+        org.apache.spark.sql.functions.col("ord"))
+        .select("id", "p").as[(Long, String)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (id, rs) =>
+        id -> rs.maxBy(_._2)._3
+      }
+      assert(got == expected, s"case $i")
+    }
+  }
+
+  test("topK property: at most k rows per group, ranks contiguous from 1 (10 random cases)") {
+    (0 until 10).foreach { i =>
+      val rows = batchGen.apply(Gen.Parameters.default, Seed(99L + i)).get
+      val df2 = rows.toDF("g", "v", "p")
+      val k = 1 + i % 3
+      val got = graft.operators.TopK.perGroup(df2, Seq("g"),
+          Seq(org.apache.spark.sql.functions.col("v").desc,
+            org.apache.spark.sql.functions.col("p").asc), k)
+        .select("g", "v", "rnk").as[(Long, Long, Int)].collect()
+      got.groupBy(_._1).foreach { case (g, rs) =>
+        assert(rs.length <= k, s"case $i group $g exceeds k")
+        assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"case $i ranks")
+        // each group's rank-1 value is the group max
+        val expectedMax = rows.filter(_._1 == g).map(_._2).max
+        assert(rs.find(_._3 == 1).get._2 == expectedMax, s"case $i max")
+      }
+    }
+  }
+
   test("merge: PK-unique, version-monotone, idempotent on re-merge (15 random cases)") {
     (0 until 15).foreach { i =>
       val seed = Seed(42L + i)
