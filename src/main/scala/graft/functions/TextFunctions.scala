@@ -92,9 +92,7 @@ object TextFunctions {
   /** [[qualityScore]] from already-computed counts — for callers that
     * surface n/stop_hits alongside the score (avoids re-scanning the
     * token array for counts they already hold). */
-  def qualityScoreFromCounts(tokenCount: Column, stopwordHits: Column): Column = {
-    val n = tokenCount
-    val stopHits = stopwordHits
+  def qualityScoreFromCounts(n: Column, stopHits: Column): Column = {
     // length saturation: min(n, 200)/200 (decimal)
     val lenScore = (least(n, lit(200L)).cast("decimal(10,4)") / lit(200))
       .cast("decimal(10,4)")

@@ -91,11 +91,11 @@ object HnPipeline {
     * [[martsWithBase]] additionally caches the shared base and hands it
     * to the caller, who must unpersist after materializing the marts. */
   def marts(staging: DataFrame): Map[String, DataFrame] =
-    martsFrom(martBase(staging))._1
+    martsFrom(martBase(staging))
 
   def martsWithBase(staging: DataFrame): (Map[String, DataFrame], DataFrame) = {
     val base = martBase(staging).cache()
-    (martsFrom(base)._1, base)
+    (martsFrom(base), base)
   }
 
   private def martBase(staging: DataFrame): DataFrame = staging
@@ -108,7 +108,7 @@ object HnPipeline {
       coalesce(col("descendants"), lit(0L)).as("comments"),
       col("extracted_at"))
 
-  private def martsFrom(base: DataFrame): (Map[String, DataFrame], DataFrame) = {
+  private def martsFrom(base: DataFrame): Map[String, DataFrame] = {
     val daily = base.groupBy("metric_date").agg(
       count(lit(1)).cast("int").as("stories_count"),
       sum(col("score")).cast("bigint").as("total_score"),
@@ -120,10 +120,10 @@ object HnPipeline {
       count(lit(1)).cast("int").as("stories_count"),
       Marts.avgDec2(col("score")).as("avg_score"),
       max(col("extracted_at")).as("last_batch_extracted_at"))
-    (Map(
+    Map(
       "daily_story_metrics" -> daily,
       "top_domains_daily" -> grouped("domain"),
-      "user_activity_daily" -> grouped("author")), base)
+      "user_activity_daily" -> grouped("author"))
   }
 
   /** Check phase (`04_checks.sql` + `03_checks.sql` as assertions). */
