@@ -104,19 +104,24 @@ object DedupSuite {
   /** Candidate pairs from shared LSH buckets (id_a < id_b), with hot
     * buckets above `maxBucket` docs dropped (boilerplate guard — at
     * corpus scale a near-universal shingle bucket would otherwise emit
-    * O(bucket²) pairs). */
+    * O(bucket²) pairs).
+    *
+    * One aggregation on (band, band_hash) collecting the bucket's ids,
+    * then in-bucket pair expansion from the sorted array — a single
+    * shuffle, versus the window-count + self-join formulation (two).
+    * Bucket arrays are bounded by `maxBucket`, so the per-row pair
+    * expansion is small and the skew guard doubles as a memory bound. */
   def candidatePairs(bands: DataFrame, idCol: String,
                      maxBucket: Int = 1000): DataFrame = {
-    val sized = bands
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val b = sized.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val buckets = bands.groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairs = flatten(transform(
+      sequence(lit(0), size(col("ids")) - 2), i =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), j =>
+          struct(element_at(col("ids"), i + 1).as("id_a"), j.as("id_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
