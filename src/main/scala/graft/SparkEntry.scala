@@ -327,6 +327,43 @@ object SparkEntry {
           .toDF("event_type", "n", "min_event_id", "n_users_capped")
       }),
 
+      // ---- reproducible sampling / splits (training-set construction) ----
+      "q36_hash_sample" -> ((s, dir) => {
+        // deterministic stratified sample: hash-mod gate per stratum
+        // (reproducible across runs/engines, unlike Bernoulli sample())
+        val rate = when(col("event_type") === "purchase", 50).otherwise(5)
+        Tables.events(s, dir)
+          .filter(hash32(col("event_id").cast("string")) % 100 < rate)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n_sampled"))
+      }),
+
+      "q37_leakage_safe_split" -> ((s, dir) =>
+        // group-stable 80/20 split: the split key is the USER hash, so
+        // all of a user's events land on one side (no train/test leakage
+        // through correlated rows — the split discipline near-dup dedup
+        // exists to protect)
+        Tables.events(s, dir)
+          .withColumn("split",
+            when(hash32(col("user_id").cast("string"), 1) % 10 < 8, "train")
+              .otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).cast("bigint").as("n_events"),
+            countDistinct(col("user_id")).cast("bigint").as("n_users"))),
+
+      "q38_interval_join" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), unix_micros(col("ts")).as("s_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        signups.join(purchases, Seq("user_id"))
+          .filter(col("p_us") > col("s_us") &&
+            col("p_us") <= col("s_us") + 3600L * 1000000)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      }),
+
       // ---- funnel + cohort retention (event-analytics staples) ----
       "q34_funnel" -> ((s, dir) => {
         val ev = Tables.events(s, dir)
@@ -640,6 +677,30 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "e2_ann_lsh" -> e2OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q36_hash_sample" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+         |FROM events
+         |WHERE ${hash32Sql(0, "CAST(event_id AS VARCHAR)")} % 100
+         |      < CASE WHEN event_type = 'purchase' THEN 50 ELSE 5 END
+         |GROUP BY 1""".stripMargin,
+
+    "q37_leakage_safe_split" ->
+      s"""SELECT CASE WHEN ${hash32Sql(1, "CAST(user_id AS VARCHAR)")} % 10 < 8
+         |            THEN 'train' ELSE 'test' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q38_interval_join" ->
+      """WITH s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |WHERE p.p_us > s.s_us AND p.p_us <= s.s_us + 3600000000
+        |GROUP BY 1""".stripMargin,
 
     "q34_funnel" ->
       """WITH s AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_signup_us
