@@ -49,6 +49,16 @@ class AnnSkewSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("approx_percentile is within 10% of exact (100TB-scale quantile path)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val row = ev.agg(
+      percentile($"value", lit(0.5)).as("exact"),
+      percentile_approx($"value", lit(0.5), lit(1000)).as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact <= 0.10,
+      s"approx median $approx too far from exact $exact")
+  }
+
   test("approx_count_distinct is within 5% of exact (SURVEY §7.1)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val row = ev.agg(

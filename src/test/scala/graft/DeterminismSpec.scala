@@ -21,4 +21,12 @@ class DeterminismSpec extends SparkSpec {
       assert(a.sameElements(b), s"$name differs across shuffle parallelism")
     }
   }
+
+  test("EVERY contract query is deterministic across two runs") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sf).collect().map(_.toString).sorted
+      val b = fn(spark, sf).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$name differs between identical runs")
+    }
+  }
 }
