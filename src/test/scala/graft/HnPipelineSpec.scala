@@ -81,6 +81,27 @@ class HnPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$staging/v000003").count() == 4)
   }
 
+  test("pipeline ingests a 10k-record JSON batch (moderate-scale smoke)") {
+    val root = Files.createTempDirectory("hnbig").toString
+    val rawDir = s"$root/raw"; Files.createDirectories(Paths.get(rawDir))
+    val items = (0 until 10000).map { i =>
+      s"""{"id": $i, "type": "story", "by": "u${i % 97}", "time": ${1704153600L + i * 60},
+         | "title": "t$i", "url": "https://site${i % 31}.example/p/$i",
+         | "score": ${i % 500}, "kids": [${i % 7}]}""".stripMargin.replace("\n", "")
+    }
+    writeRaw(rawDir, "hn_raw_20240110_000000.json",
+      items.mkString("[\n", ",\n", "\n]"))
+    val t0 = System.nanoTime()
+    val m = HnPipeline.run(spark, s"$rawDir/hn_raw_*.json",
+      s"$root/staging", s"$root/audit")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val staging = spark.read.parquet(s"$root/staging/v000001")
+    assert(staging.count() == 10000)
+    assert(m("top_domains_daily").select("domain").distinct().count() == 31)
+    assert(m("user_activity_daily").select("author").distinct().count() == 97)
+    assert(secs < 120, s"10k-record pipeline run took ${secs}s")
+  }
+
   test("missing required column fails fast") {
     val root = Files.createTempDirectory("hnpipe_bad").toString
     val rawDir = s"$root/raw"; Files.createDirectories(Paths.get(rawDir))
