@@ -18,19 +18,34 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // best-of-2: single-shot timings at this scale carry ±20% scheduler/
-    // GC noise; min-of-two is the standard way to report steady-state
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // GC noise; min-of-two is the standard way to report steady-state.
+    // A query that throws is reported in "failed", NOT timed — folding
+    // the exception path's elapsed time into the total made a broken
+    // query look like a fast one (round-1 ADVICE.md).
+    val timings = SparkEntry.queries.map { case (name, fn) =>
+      val attempts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val good = attempts.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = timings.collect { case (k, Some(v)) => k -> v }
+    val failed = timings.collect { case (k, None) => k }.toSeq.sorted
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stdout goes through sbt's "[info] " prefix, which broke the
+    // driver's JSON extraction in round 1 — also land the raw line in a
+    // well-known file.
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -11,7 +11,12 @@ import graft.operators._
   * scale extension); `oracleSql` holds the DuckDB-runnable ANSI twin.
   * Conventions keeping the exact-hash compare stable:
   *   - column names and final types cast explicitly on BOTH sides;
-  *   - doubles aggregated as DECIMAL(18,2) (order-independent);
+  *   - doubles aggregated as DECIMAL(18,2) (order-independent), then
+  *     the FINAL column is cast decimal→double on both sides — the
+  *     conversion is correctly rounded in both engines (verified), so
+  *     bits match, and the driver's typed hash sees double==double
+  *     (a raw DECIMAL output column hash-mismatches the oracle even
+  *     when values stringify identically — round-1 ADVICE.md);
   *   - timestamps output as epoch micros BIGINT (`unix_micros` /
   *     `epoch_us`) — raw timestamp columns differ in UTC adjustment
   *     between Spark parquet and DuckDB;
@@ -69,6 +74,25 @@ object SparkEntry {
         concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
   }
 
+  /** Staging dir for the streaming source, one per sf dir per JVM
+    * (repeat invocations — bench warm-up + 2 timed passes, Verify,
+    * PlanDump — reuse the copy instead of leaking a new temp dir each
+    * time), removed on JVM exit. */
+  private val streamStageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEventsDir(dir: String): String =
+    streamStageDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("s1_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        tmp.resolve("events.parquet"))
+      sys.addShutdownHook {
+        java.nio.file.Files.deleteIfExists(tmp.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+      tmp.toString
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++ extensionQueries
 
   def oracleSql: Map[String, String] = parityOracles ++ extensionOracles
@@ -98,7 +122,8 @@ object SparkEntry {
     "q4_merge_upsert" -> ((s, dir) => {
       val (target, batch) = mergeFixture(s, dir)
       Merge.merged(target, batch, Seq("event_id"), "extracted_at")
-        .select(col("event_id"), col("event_type"), col("val"),
+        .select(col("event_id"), col("event_type"),
+          col("val").cast("double").as("val"),
           unix_micros(col("extracted_at")).as("extracted_at_us"))
     }),
 
@@ -115,6 +140,7 @@ object SparkEntry {
           .select(col("event_id"), (dec2(col("value")) + 1).cast("decimal(18,2)").as("val"),
             lit(2).as("ord")))
       Dedup.keepLast(b, Seq("event_id"), col("ord")).drop("ord")
+        .withColumn("val", col("val").cast("double"))
     }),
 
     "q12_anti_join_new" -> ((s, dir) => {
@@ -148,7 +174,7 @@ object SparkEntry {
     "q11_order_limit" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("metric_date"))
-        .agg(sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
+        .agg(sum(dec2(col("value"))).cast("decimal(18,2)").cast("double").as("total"))
         .orderBy(col("total").desc, col("metric_date").asc)
         .limit(5)),
 
@@ -158,7 +184,7 @@ object SparkEntry {
         col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
         to_date(col("ts")).as("event_date"),
-        coalesce(dec2(col("value")), lit(0).cast("decimal(18,2)")).as("val"),
+        coalesce(dec2(col("value")), lit(0).cast("decimal(18,2)")).cast("double").as("val"),
         Enrich.lenientLong(get_json_object(col("props"), "$.k")).as("prop_k"),
         Enrich.truncate(col("event_type"), 3).as("type3"))),
 
@@ -176,7 +202,7 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).cast("bigint").as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"))),
+          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))),
 
     "q16_semi_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -192,13 +218,14 @@ object SparkEntry {
         .agg(sum(dec2(col("value"))).cast("decimal(18,2)").as("daily"))
       Windows.runningSum(daily, Seq("event_type"), col("metric_date"),
         col("daily"), "running")
-        .withColumn("running", col("running").cast("decimal(18,2)"))
+        .withColumn("daily", col("daily").cast("double"))
+        .withColumn("running", col("running").cast("decimal(18,2)").cast("double"))
     }),
 
     "q18_tumbling_hour" -> ((s, dir) =>
       Windows.tumbling(Tables.events(s, dir), "ts", "1 hour", Seq("event_type"),
         Seq(count(lit(1)).cast("bigint").as("n"),
-          sum(dec2(col("value"))).cast("decimal(18,2)").as("total")))
+          sum(dec2(col("value"))).cast("decimal(18,2)").cast("double").as("total")))
         .select(col("win_start_us"), col("event_type"), col("n"), col("total"))),
 
     // ---- rollup + distinct aggregation (extension beyond §2.F) ----
@@ -206,7 +233,7 @@ object SparkEntry {
       Tables.events(s, dir)
         .rollup(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
-          sum(dec2(col("value"))).cast("decimal(18,2)").as("total"),
+          sum(dec2(col("value"))).cast("decimal(18,2)").cast("double").as("total"),
           countDistinct(col("user_id")).cast("bigint").as("n_users"))
         .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
           col("n"), col("total"), col("n_users"))),
@@ -261,7 +288,8 @@ object SparkEntry {
             }
           }.as("q"))
           .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
-            col("q.stop_hits").as("stop_hits"), col("q.quality").as("quality"))),
+            col("q.stop_hits").as("stop_hits"),
+            col("q.quality").cast("double").as("quality"))),
 
       "t3_langid" -> ((s, dir) =>
         Tables.documents(s, dir).select(
@@ -292,7 +320,7 @@ object SparkEntry {
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
             col("id_b") === col("id_a") + 1)
           .select(col("id_a"), col("id_b"),
-            DedupSuite.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+            DedupSuite.jaccard(col("sh_a"), col("sh_b")).cast("double").as("jaccard"))
       }),
 
       // ---- embedding similarity ----
@@ -435,7 +463,7 @@ object SparkEntry {
           .agg(sum(dec2(col("value"))))
           .select(col("metric_date") +:
             Seq("click", "error", "purchase", "signup", "view").map(c =>
-              coalesce(col(c), lit(0)).cast("decimal(18,2)").as(c)): _*)),
+              coalesce(col(c), lit(0)).cast("decimal(18,2)").cast("double").as(c)): _*)),
 
       "q29_wordcount" -> ((s, dir) =>
         Tables.documents(s, dir)
@@ -452,9 +480,9 @@ object SparkEntry {
           .agg(percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.9)))
             .as("qs"))
           .select(col("event_type"),
-            element_at(col("qs"), 1).cast("decimal(18,6)").as("p25"),
-            element_at(col("qs"), 2).cast("decimal(18,6)").as("p50"),
-            element_at(col("qs"), 3).cast("decimal(18,6)").as("p90"))),
+            element_at(col("qs"), 1).cast("decimal(18,6)").cast("double").as("p25"),
+            element_at(col("qs"), 2).cast("decimal(18,6)").cast("double").as("p50"),
+            element_at(col("qs"), 3).cast("decimal(18,6)").cast("double").as("p90"))),
 
       // ---- native session windows (same semantics as composed q21) ----
       "q25_session_window" -> ((s, dir) =>
@@ -502,16 +530,13 @@ object SparkEntry {
             "last_us" -> Skew.AlgebraicAgg.maxOf(unix_micros(col("ts")))),
           saltBuckets = 8)
           .select(col("event_type"), col("n").cast("bigint").as("n"),
-            col("total").cast("decimal(18,2)").as("total"),
+            col("total").cast("decimal(18,2)").cast("double").as("total"),
             col("first_us"), col("last_us"))),
 
       // ---- streaming (AvailableNow over the events file; same oracle as q18) ----
       "s1_stream_tumbling" -> ((s, dir) => {
         import org.apache.spark.sql.types._
-        val tmp = java.nio.file.Files.createTempDirectory("s1_stream").toString
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$tmp/events.parquet"))
+        val tmp = stagedEventsDir(dir)
         val schema = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
@@ -527,7 +552,7 @@ object SparkEntry {
         try q.processAllAvailable() finally q.stop()
         s.table("s1_stream_out")
           .select(unix_micros(col("window.start")).as("win_start_us"),
-            col("event_type"), col("n"), col("total"))
+            col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
       // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
@@ -548,7 +573,7 @@ object SparkEntry {
         DedupSuite.exact(kept, "doc_id", "text")
           .join(kept.select(col("doc_id"), col("quality")), "doc_id")
           .select(col("doc_id"), col("content_hash"), col("n_copies"),
-            col("quality"))
+            col("quality").cast("double").as("quality"))
       }),
 
       // ---- multimodal (binary column plumbing; see operators.Multimodal) ----
@@ -608,7 +633,8 @@ object SparkEntry {
        |      FROM pairs p
        |      JOIN h ha ON ha.doc_id = p.id_a
        |      JOIN h hb ON hb.doc_id = p.id_b)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+       |SELECT id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard
+       |FROM j WHERE jaccard >= 0.5""".stripMargin
   }
 
   /** e2 oracle: hyperplane-LSH near-dup in DuckDB — the 8×64 plane
@@ -634,7 +660,7 @@ object SparkEntry {
        |        / (sqrt(${dotSql("x.embedding", "x.embedding")})
        |           * sqrt(${dotSql("y.embedding", "y.embedding")})) AS simd
        |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |SELECT id_a, id_b, CAST(simd AS DECIMAL(12,8)) AS sim
+       |SELECT id_a, id_b, CAST(CAST(simd AS DECIMAL(12,8)) AS DOUBLE) AS sim
        |FROM p WHERE simd >= 0.95""".stripMargin
   }
 
@@ -671,7 +697,8 @@ object SparkEntry {
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
        |      FROM scored)
-       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+       |SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim, rnk
+       |FROM r WHERE rnk <= 5""".stripMargin
 
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
@@ -755,11 +782,11 @@ object SparkEntry {
 
     "q28_pivot" ->
       """SELECT CAST(ts AS DATE) AS metric_date,
-        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS click,
-        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS error,
-        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS purchase,
-        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS signup,
-        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS view
+        |  CAST(COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS DOUBLE) AS click,
+        |  CAST(COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS DOUBLE) AS error,
+        |  CAST(COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS DOUBLE) AS purchase,
+        |  CAST(COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS DOUBLE) AS signup,
+        |  CAST(COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)), 0) AS DOUBLE) AS view
         |FROM events GROUP BY 1""".stripMargin,
 
     "q29_wordcount" ->
@@ -770,9 +797,9 @@ object SparkEntry {
 
     "q26_percentiles" ->
       """SELECT event_type,
-        |       CAST(quantile_cont(value, 0.25) AS DECIMAL(18,6)) AS p25,
-        |       CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS p50,
-        |       CAST(quantile_cont(value, 0.9) AS DECIMAL(18,6)) AS p90
+        |       CAST(CAST(quantile_cont(value, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+        |       CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+        |       CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
         |FROM events GROUP BY 1""".stripMargin,
 
     "q25_session_window" ->
@@ -796,8 +823,8 @@ object SparkEntry {
     "q24_incremental_mart" ->
       """SELECT CAST(ts AS DATE) AS metric_date,
         |       CAST(COUNT(*) AS INT) AS events_count,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS avg_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
         |FROM events
         |WHERE event_type = 'purchase' AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
@@ -819,11 +846,11 @@ object SparkEntry {
          |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
          |  FROM t)
          |SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(stop_hits AS INT) AS stop_hits,
-         |  CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
+         |  CAST(CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
          |      + CAST(LEAST(CASE WHEN n > 0 THEN CAST(CAST(stop_hits AS DECIMAL(14,4)) / n AS DECIMAL(10,4))
          |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
          |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
-         |    AS DECIMAL(10,4)) AS quality
+         |    AS DECIMAL(10,4)) AS DOUBLE) AS quality
          |FROM c""".stripMargin,
 
     "t3_langid" ->
@@ -873,10 +900,10 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $shinglesSql AS sh FROM tk)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         |  CAST(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
          |       THEN CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
          |                 / len(list_distinct(list_concat(a.sh, b.sh))) AS DECIMAL(10,6))
-         |       ELSE CAST(0 AS DECIMAL(10,6)) END AS jaccard
+         |       ELSE CAST(0 AS DECIMAL(10,6)) END AS DOUBLE) AS jaccard
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     "e1_cosine_topk" ->
@@ -890,7 +917,8 @@ object SparkEntry {
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
          |      FROM s)
-         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+         |SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim, rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
     "c1_clean_corpus" ->
       s"""WITH corpus AS (
@@ -920,12 +948,13 @@ object SparkEntry {
          |dedup AS (SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
          |                 CAST(COUNT(*) AS BIGINT) AS n_copies
          |          FROM kept GROUP BY md5(text))
-         |SELECT d.doc_id, d.content_hash, d.n_copies, k.quality
+         |SELECT d.doc_id, d.content_hash, d.n_copies,
+         |       CAST(k.quality AS DOUBLE) AS quality
          |FROM dedup d JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
 
     "q22_salted_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
         |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
         |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
@@ -933,7 +962,7 @@ object SparkEntry {
     "s1_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
         |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
@@ -950,8 +979,8 @@ object SparkEntry {
     "q1_daily_metrics" ->
       """SELECT CAST(ts AS DATE) AS metric_date,
         |       CAST(COUNT(*) AS INT) AS events_count,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS avg_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
         |FROM events
         |WHERE event_type = 'purchase' AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
@@ -962,7 +991,7 @@ object SparkEntry {
         |            ELSE lower(split_part(replace(replace(source,'https://',''),'http://',''),'/',1))
         |       END AS domain,
         |       CAST(COUNT(*) AS INT) AS events_count,
-        |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS avg_value
+        |       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
         |FROM documents
         |GROUP BY 1, 2""".stripMargin,
 
@@ -970,7 +999,7 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS metric_date,
         |       COALESCE(CAST(user_id AS VARCHAR), '(unknown)') AS author,
         |       CAST(COUNT(*) AS INT) AS events_count,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS avg_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
         |FROM events
         |WHERE event_type = 'purchase' AND ts IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
@@ -980,7 +1009,8 @@ object SparkEntry {
          |u AS (SELECT *, 0 AS src FROM target UNION ALL SELECT *, 1 AS src FROM batch),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
          |                 ORDER BY extracted_at DESC, src ASC) AS rn FROM u)
-         |SELECT event_id, event_type, val, epoch_us(extracted_at) AS extracted_at_us
+         |SELECT event_id, event_type, CAST(val AS DOUBLE) AS val,
+         |       epoch_us(extracted_at) AS extracted_at_us
          |FROM r WHERE rn = 1""".stripMargin,
 
     "q5_merge_counts" ->
@@ -998,7 +1028,7 @@ object SparkEntry {
         |  SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)), 2
         |  FROM events WHERE event_id % 10 = 0),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ord DESC) rn FROM b)
-        |SELECT event_id, val FROM r WHERE rn = 1""".stripMargin,
+        |SELECT event_id, CAST(val AS DOUBLE) AS val FROM r WHERE rn = 1""".stripMargin,
 
     "q7_dup_check" ->
       """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
@@ -1030,7 +1060,7 @@ object SparkEntry {
         |SELECT metric_date, event_type, n, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     "q11_order_limit" ->
-      """SELECT metric_date, total FROM (
+      """SELECT metric_date, CAST(total AS DOUBLE) AS total FROM (
         |  SELECT CAST(ts AS DATE) AS metric_date,
         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         |  FROM events GROUP BY 1)
@@ -1044,7 +1074,7 @@ object SparkEntry {
       """SELECT event_id,
         |       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |       CAST(ts AS DATE) AS event_date,
-        |       COALESCE(CAST(value AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS val,
+        |       CAST(COALESCE(CAST(value AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS val,
         |       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS prop_k,
         |       substr(event_type, 1, 3) AS type3
         |FROM events""".stripMargin,
@@ -1055,7 +1085,7 @@ object SparkEntry {
 
     "q15_join_agg_nation" ->
       """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1070,22 +1100,22 @@ object SparkEntry {
       """WITH d AS (SELECT CAST(ts AS DATE) AS metric_date, event_type,
         |                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily
         |           FROM events GROUP BY 1, 2)
-        |SELECT metric_date, event_type, daily,
-        |       CAST(SUM(daily) OVER (PARTITION BY event_type ORDER BY metric_date
-        |            ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running
+        |SELECT metric_date, event_type, CAST(daily AS DOUBLE) AS daily,
+        |       CAST(CAST(SUM(daily) OVER (PARTITION BY event_type ORDER BY metric_date
+        |            ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) AS running
         |FROM d""".stripMargin,
 
     "q18_tumbling_hour" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
         |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
     "q19_rollup" ->
       """SELECT COALESCE(event_type, '(all)') AS event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
         |GROUP BY ROLLUP(event_type)""".stripMargin,

@@ -162,6 +162,7 @@ object DedupSuite {
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", col("jaccard").cast("double"))
   }
 
   /** Engine-portable variant of [[minhashNearDups]]: shingle base
@@ -187,6 +188,7 @@ object DedupSuite {
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", col("jaccard").cast("double"))
   }
 
   /** 60-bit SimHash over token hashes: bit i of the result is set iff

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * Sums/averages are computed over `decimal(18,2)` rather than double so
   * results are order-independent (exact, associative) — required both
   * for the DuckDB oracle hash-compare and for run-to-run determinism on
-  * a real cluster where partition order is not stable.
+  * a real cluster where partition order is not stable. Final outputs are
+  * cast decimal→double: both Spark (`BigDecimal.doubleValue`) and DuckDB
+  * produce the correctly-rounded nearest double, so the bits match
+  * across engines while readers get a plain double column.
   */
 object Marts {
 
@@ -43,8 +46,8 @@ object Marts {
       .groupBy("metric_date")
       .agg(
         count(lit(1)).cast("int").as("events_count"),
-        sum(dec2(col("value"))).cast("decimal(18,2)").as("total_value"),
-        avgDec2(col("value")).as("avg_value"))
+        sum(dec2(col("value"))).cast("decimal(18,2)").cast("double").as("total_value"),
+        avgDec2(col("value")).cast("double").as("avg_value"))
 
   /** Partial daily aggregate carrying combinable state (count + sum),
     * from which avg derives at read time. The incremental-refresh
@@ -73,8 +76,8 @@ object Marts {
     partial.select(
       col("metric_date"),
       col("cnt").cast("int").as("events_count"),
-      col("sm").as("total_value"),
-      (col("sm") / col("cnt")).cast("decimal(10,2)").as("avg_value"))
+      col("sm").cast("double").as("total_value"),
+      (col("sm") / col("cnt")).cast("decimal(10,2)").cast("double").as("avg_value"))
 
   /** G2 — top_domains_daily analog (`02_marts.sql:53-90`): 2-key groupBy
     * with a derived bucket column (see Enrich.domainOf for C8/C9). */
@@ -83,5 +86,5 @@ object Marts {
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).cast("int").as("events_count"),
-        avgDec2(col(valueCol)).as("avg_value"))
+        avgDec2(col(valueCol)).cast("double").as("avg_value"))
 }

@@ -54,7 +54,7 @@ object Similarity {
         cosineNative(col("qv"), col("cv")).as("sim"))
     TopK.perGroup(scored, Seq("query_id"),
         Seq(col("sim").desc, col("neighbor_id").asc), k)
-      .withColumn("sim", col("sim").cast("decimal(12,8)"))
+      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
@@ -117,7 +117,7 @@ object Similarity {
         cosineNative(col("qv"), col("cv")).as("sim"))
     TopK.perGroup(scored.distinct(), Seq("query_id"),
         Seq(col("sim").desc, col("neighbor_id").asc), k)
-      .withColumn("sim", col("sim").cast("decimal(12,8)"))
+      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
   }
 
   /** One Lloyd (k-means) iteration over the IVF centroids: assign every
@@ -179,6 +179,6 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosineNative(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
-      .withColumn("sim", col("sim").cast("decimal(12,8)"))
+      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
   }
 }

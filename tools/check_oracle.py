@@ -8,16 +8,33 @@ tables, then compares (columns sorted by name, rows sorted, values
 stringified). Dev-only tool — NOT part of the Scala library.
 """
 import json, sys, glob, os
+from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def cell(v):
+    """Typed canonical form: Decimal('1.5') vs 1.5 vs '1.5' must all
+    differ, like the driver's typed hash (round-1 lesson: str() masked
+    23 Decimal-vs-double mismatches)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "bool:" + str(v)
+    if isinstance(v, float):
+        return "f:" + repr(v)          # shortest-roundtrip: bit-exact
+    if isinstance(v, Decimal):
+        return "dec:" + str(v)         # scale-preserving
+    if isinstance(v, int):
+        return "i:" + str(v)
+    return type(v).__name__ + ":" + str(v)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(str(r[i]) for i in order))
+        out.append(tuple(cell(r[i]) for i in order))
     out.sort()
     return sorted(c for c in cols), out
 
