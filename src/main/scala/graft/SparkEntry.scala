@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Enrich
 import graft.operators._
@@ -555,6 +556,89 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- window-function suite (lag/lead/dense_rank/ntile/first_value) ----
+      "q39_window_suite" -> ((s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("metric_date"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val wOrd = Window.partitionBy(col("event_type"))
+          .orderBy(col("metric_date").asc)
+        val wRank = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("metric_date").asc)
+        // both windows share one partitioning (event_type): a single
+        // shuffle; Spark evaluates the two sort orders in two in-memory
+        // window stages over the same exchange
+        daily.select(
+          col("event_type"), col("metric_date"), col("n"),
+          coalesce(lag(col("n"), 1).over(wOrd), lit(-1L)).as("prev_n"),
+          coalesce(lead(col("n"), 1).over(wOrd), lit(-1L)).as("next_n"),
+          dense_rank().over(wRank).cast("int").as("rk"),
+          ntile(4).over(wRank).cast("int").as("quartile"),
+          first(col("n")).over(wOrd).as("first_n"))
+      }),
+
+      // ---- grouping sets with grouping() disambiguation ----
+      "q40_grouping_sets" -> ((s, dir) => {
+        val base = Tables.events(s, dir)
+          .withColumn("metric_month", date_trunc("month", col("ts")).cast("date"))
+        base.groupingSets(
+            Seq(Seq(col("event_type")), Seq(col("metric_month")), Seq.empty),
+            col("event_type"), col("metric_month"))
+          .agg(grouping(col("event_type")).cast("int").as("g_type"),
+            grouping(col("metric_month")).cast("int").as("g_month"),
+            count(lit(1)).cast("bigint").as("n"),
+            sum(dec2(col("value"))).cast("decimal(18,2)").cast("double").as("total"))
+          .select(
+            coalesce(col("event_type"), lit("(all)")).as("event_type"),
+            coalesce(col("metric_month"),
+              lit(java.sql.Date.valueOf("1970-01-01"))).as("metric_month"),
+            col("g_type"), col("g_month"), col("n"), col("total"))
+      }),
+
+      // ---- per-label embedding norm statistics ----
+      "e4_vector_stats" -> ((s, dir) => {
+        val withNorm = Tables.embeddings(s, dir)
+          .select(col("label"), col("embedding"),
+            sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
+        withNorm.groupBy(col("label"))
+          .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+            max(size(col("embedding"))).cast("int").as("dim"),
+            min(col("norm")).as("min_norm"),
+            max(col("norm")).as("max_norm"),
+            (sum(col("norm").cast("decimal(20,8)")) / count(lit(1)))
+              .cast("decimal(20,8)").cast("double").as("avg_norm"))
+      }),
+
+      // ---- embedding-cosine near-dup dedup (fifth dedup mode) ----
+      "d6_embedding_dedup" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        Similarity.lshDedup(planted, "vec_id", "embedding",
+          nPlanes = 8, threshold = 0.99)
+      }),
+
+      // ---- binary-column feature extraction (multimodal plumbing) ----
+      // the "decode" is a deterministic stand-in (no image/audio libs in
+      // this container) but the binary column, byte-level features, and
+      // fingerprint are real — see operators.Multimodal for batch shape
+      "m2_binary_features" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+          .select(col("doc_id"),
+            length(col("bin")).cast("int").as("byte_len"),
+            graft.functions.ColUtil.bindOnce(hex(col("bin"))) { h =>
+              struct(
+                substring(h, 1, 16).as("head_hex"),
+                call_function("right", h, lit(16)).as("tail_hex"),
+                md5(h).as("hex_md5"))
+            }.as("f"))
+          .select(col("doc_id"), col("byte_len"),
+            col("f.head_hex").as("head_hex"),
+            col("f.tail_hex").as("tail_hex"),
+            col("f.hex_md5").as("hex_md5"),
+            (col("byte_len") % 3 + 1).cast("int").as("fake_channels"))),
+
       // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
       "c1_clean_corpus" -> ((s, dir) => {
         val docs = corpusExact(s, dir) // includes planted exact dups
@@ -637,11 +721,11 @@ object SparkEntry {
        |FROM j WHERE jaccard >= 0.5""".stripMargin
   }
 
-  /** e2 oracle: hyperplane-LSH near-dup in DuckDB — the 8×64 plane
-    * weights inlined from the engine's own deterministic generator, the
-    * dot-product fold in the same order, so buckets and pairs match
-    * bit-for-bit. */
-  private def e2OracleSql: String = {
+  /** Shared WITH-prefix for the hyperplane-LSH oracles (e2, d6): the
+    * 8×64 plane weights inlined from the engine's own deterministic
+    * generator, the dot-product fold in the same order, so buckets and
+    * pairs match bit-for-bit. Ends with `p` = scored same-bucket pairs. */
+  private def lshPairsPrefixSql: String = {
     def planeArr(p: Int): String =
       (0 until 64).map(d => Similarity.planeWeight(p, d)).mkString("[", ",", "]")
     val bucketExpr = (0 until 8).map { p =>
@@ -659,10 +743,22 @@ object SparkEntry {
        |        ${dotSql("x.embedding", "y.embedding")}
        |        / (sqrt(${dotSql("x.embedding", "x.embedding")})
        |           * sqrt(${dotSql("y.embedding", "y.embedding")})) AS simd
-       |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  /** e2 oracle: LSH near-dup pairs ≥ 0.95. */
+  private def e2OracleSql: String =
+    s"""$lshPairsPrefixSql
        |SELECT id_a, id_b, CAST(CAST(simd AS DECIMAL(12,8)) AS DOUBLE) AS sim
        |FROM p WHERE simd >= 0.95""".stripMargin
-  }
+
+  /** d6 oracle: embedding near-dup DEDUP — drop the higher id of every
+    * ≥ 0.99 same-bucket pair, keep the rest. */
+  private def d6OracleSql: String =
+    s"""$lshPairsPrefixSql,
+       |dropped AS (SELECT DISTINCT id_b FROM p WHERE simd >= 0.99)
+       |SELECT vec_id FROM planted
+       |WHERE vec_id NOT IN (SELECT id_b FROM dropped)""".stripMargin
 
   /** e3 oracle: the full IVF pipeline (assignment, probe selection,
     * list scoring, final top-k) as window queries. */
@@ -703,7 +799,58 @@ object SparkEntry {
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
     "e2_ann_lsh" -> e2OracleSql,
+    "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q39_window_suite" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS metric_date, event_type,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, metric_date, n,
+        |       COALESCE(lag(n) OVER w_ord, -1) AS prev_n,
+        |       COALESCE(lead(n) OVER w_ord, -1) AS next_n,
+        |       CAST(dense_rank() OVER w_rank AS INT) AS rk,
+        |       CAST(ntile(4) OVER w_rank AS INT) AS quartile,
+        |       first_value(n) OVER w_ord AS first_n
+        |FROM d
+        |WINDOW w_ord AS (PARTITION BY event_type ORDER BY metric_date ASC),
+        |       w_rank AS (PARTITION BY event_type ORDER BY n DESC, metric_date ASC)""".stripMargin,
+
+    "q40_grouping_sets" ->
+      """WITH b AS (SELECT event_type,
+        |                  CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS metric_month,
+        |                  value
+        |           FROM events)
+        |SELECT COALESCE(event_type, '(all)') AS event_type,
+        |       COALESCE(metric_month, DATE '1970-01-01') AS metric_month,
+        |       CAST(GROUPING(event_type) AS INT) AS g_type,
+        |       CAST(GROUPING(metric_month) AS INT) AS g_month,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM b
+        |GROUP BY GROUPING SETS ((event_type), (metric_month), ())""".stripMargin,
+
+    "e4_vector_stats" ->
+      s"""WITH n AS (SELECT label, len(embedding) AS dim,
+         |                  sqrt(${dotSql("embedding", "embedding")}) AS norm
+         |           FROM embeddings)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(MAX(dim) AS INT) AS dim,
+         |       MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+         |       CAST(CAST(SUM(CAST(norm AS DECIMAL(20,8))) / COUNT(*)
+         |            AS DECIMAL(20,8)) AS DOUBLE) AS avg_norm
+         |FROM n GROUP BY 1""".stripMargin,
+
+    "m2_binary_features" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS bin FROM documents),
+        |h AS (SELECT doc_id, CAST(octet_length(bin) AS INT) AS byte_len,
+        |             hex(bin) AS hx FROM b)
+        |SELECT doc_id, byte_len,
+        |       substr(hx, 1, 16) AS head_hex,
+        |       right(hx, 16) AS tail_hex,
+        |       md5(hx) AS hex_md5,
+        |       CAST(byte_len % 3 + 1 AS INT) AS fake_channels
+        |FROM h""".stripMargin,
 
     "q36_hash_sample" ->
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled

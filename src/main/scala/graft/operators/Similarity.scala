@@ -181,4 +181,22 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
   }
+
+  /** Embedding-cosine near-duplicate DEDUP (the prompt's fifth dedup
+    * mode): drop every vector that is ≥ `threshold`-similar to a
+    * lower-id vector, keep the rest. Built on [[lshNearDups]] — only
+    * same-bucket pairs are ever scored — plus one left-anti join on the
+    * dropped-id set. At corpus scale the dropped set is a small
+    * fraction of the input, so the anti join broadcasts. Note LSH is
+    * approximate: a near-dup pair split across all bands' buckets is
+    * missed; raise nPlanes/bands for recall, or verify survivors with
+    * [[bruteForceTopK]] on a sample. */
+  def lshDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               nPlanes: Int = 8, threshold: Double = 0.99,
+               dims: Int = 64): DataFrame = {
+    val dropped = lshNearDups(vectors, idCol, vecCol, nPlanes, threshold, dims)
+      .select(col("id_b").as(idCol)).distinct()
+    vectors.select(col(idCol))
+      .join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
 }
