@@ -47,4 +47,44 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).parquet(dest)
     dest
   }
+
+  /** Fixed schema of the audit log (column order = CSV column order). */
+  val AuditSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("run_id",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("phase",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("row_count",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("at_us",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("error",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** K3 — audit run-tracking as an append-only CSV table
+    * (`/root/reference/sql/load/01_audit.sql:1-17`,
+    * `src/load/hn_load.py:109-165`): one row per phase transition
+    * (`running` → `success`/`failed`), error messages clipped to 4000
+    * chars (C14, `hn_load.py:151`). Spark-idiomatic: an append-mode CSV
+    * directory — each append is one new part file, so concurrent runs
+    * never rewrite each other and the sink stays atomic per append
+    * (no read-modify-write). Read back with [[readAudit]]. */
+  def appendAudit(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  runId: String, phase: String, status: String,
+                  rowCount: Long, atUs: Long,
+                  error: Option[String] = None): Unit = {
+    import org.apache.spark.sql.Row
+    val clipped = error.map(_.take(4000)).orNull
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(runId, phase, status, rowCount, atUs, clipped)),
+      AuditSchema)
+    df.coalesce(1).write.mode(SaveMode.Append).csv(dir)
+  }
+
+  /** Audit log scan with the fixed schema (CSV carries no header). */
+  def readAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.schema(AuditSchema).csv(dir)
 }

@@ -61,6 +61,38 @@ class StreamingSpec extends SparkSpec {
     assert(missing <= openTail, s"$missing unemitted sessions but only $openTail near the tail")
   }
 
+  test("session-window state evicts at the watermark: exactly-once emit, late drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val src = input.toDS().toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("evict_out")
+      .outputMode("append").start()
+    def out(): Set[(Long, Long, Long)] = spark.table("evict_out")
+      .select($"user_id", unix_micros($"session_window.start").as("start_us"), $"n")
+      .as[(Long, Long, Long)].collect().toSet
+    val M = 60L * 1000000 // one minute in micros
+    try {
+      input.addData((1L, 0L), (1L, 2 * M), (2L, 1 * M))
+      q.processAllAvailable()
+      // watermark still at epoch: no session closed, nothing emitted
+      assert(out().isEmpty)
+      input.addData((3L, 60 * M)) // advances watermark to 50 min
+      q.processAllAvailable()
+      // sessions ending before the watermark emit EXACTLY once; the
+      // 60-min event's own session stays open in state
+      assert(out() == Set((1L, 0L, 2L), (2L, 1 * M, 1L)))
+      input.addData((1L, 3 * M)) // late: 3 min << 50-min watermark
+      q.processAllAvailable()
+      // late row dropped by the watermark, closed sessions NOT re-emitted
+      // (their state was evicted, so the late row cannot resurrect them)
+      assert(out() == Set((1L, 0L, 2L), (2L, 1 * M, 1L)))
+    } finally q.stop()
+  }
+
   test("lastWriteWins state: newer versions emit, stale and equal are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingJobs.Keyed]
