@@ -84,6 +84,31 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving resize plan: target raster dims fitting
+    * `maxSide`, computed in integer arithmetic (metadata stage of a
+    * resize — a real impl hands (w, h, new_w, new_h) to the raster
+    * kernel). Upscaling is never planned: dims already inside the box
+    * pass through. */
+  def resizeDims(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                 maxSide: Int): org.apache.spark.sql.Column = {
+    val longest = greatest(w, h)
+    struct(
+      when(longest <= maxSide, w)
+        .otherwise(greatest((w * maxSide / longest).cast("int"), lit(1))).as("new_w"),
+      when(longest <= maxSide, h)
+        .otherwise(greatest((h * maxSide / longest).cast("int"), lit(1))).as("new_h"))
+  }
+
+  /** Deterministic frame sampling: `k` frame indices evenly spaced over
+    * [0, nFrames) (metadata stage of a frame sampler; a real impl
+    * slices the decoded frame batch at these indices). Fewer frames
+    * than k → every frame once. */
+  def sampleFrameIndices(nFrames: org.apache.spark.sql.Column,
+                         k: Int): org.apache.spark.sql.Column =
+    when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), lit(k - 1)),
+        i => (i * nFrames / k).cast("int"))))
+
   /** Build a synthetic media table from the `documents` fixture (text
     * bytes as the blob) — exercises the binary plumbing end-to-end
     * without real media files. */
