@@ -556,6 +556,39 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- exact algebraic moments (mean/stddev from integer sums) ----
+      // variance from EXACT integer moments (value scaled ×100): the
+      // three sums (n, Σx, Σx²) are the canonical mergeable "moment
+      // sketch" — partials combine associatively at any scale, and the
+      // single double conversion at the end is correctly rounded in
+      // both engines, so even stddev hash-matches the oracle
+      "q41_exact_stats" -> ((s, dir) => {
+        val xi = (dec2(col("value")) * 100).cast("decimal(38,0)")
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(xi).cast("decimal(38,0)").as("sx"),
+            sum((xi * xi).cast("decimal(38,0)")).cast("decimal(38,0)").as("sx2"))
+          .select(col("event_type"), col("n"),
+            (col("sx").cast("double") / col("n").cast("double") / lit(100.0))
+              .as("mean"),
+            sqrt(
+              (col("n").cast("decimal(38,0)") * col("sx2") - col("sx") * col("sx"))
+                .cast("decimal(38,0)").cast("double")
+                / (col("n") * (col("n") - 1)).cast("double") / lit(10000.0))
+              .as("stddev"))
+      }),
+
+      // ---- bigram frequency (n-gram counting over shingles) ----
+      "t5_bigrams" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(DedupSuite.shingles(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(20)),
+
       // ---- window-function suite (lag/lead/dense_rank/ntile/first_value) ----
       "q39_window_suite" -> ((s, dir) => {
         val daily = Tables.events(s, dir)
@@ -801,6 +834,28 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q41_exact_stats" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |         CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+        |                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |       sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * sx2 - sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+        |            / CAST(n * (n - 1) AS DOUBLE) / 10000.0) AS stddev
+        |FROM m""".stripMargin,
+
+    "t5_bigrams" ->
+      s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(len(toks) - 1),
+         |               i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+         |      FROM tk WHERE len(toks) >= 2)
+         |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM b GROUP BY 1
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "q39_window_suite" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS metric_date, event_type,
