@@ -35,8 +35,10 @@ object Soak {
       // 30 days of event time, spread by a cheap integer mix
       timestamp_micros(lit(baseUs) +
         pmod(col("id") * 2654435761L, lit(30L * 86400 * 1000000))).as("ts"),
-      // HOT KEYS: even ids -> 100 users (half the traffic), odd ids -> 1M users
-      when(pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(100)))
+      // HOT KEYS: 10% of ALL rows on user 7 (the mega key a skew split
+      // must break up), even ids -> 100 warm users, rest -> 1M uniform
+      when(pmod(col("id"), lit(10)) === 0, lit(7L))
+        .when(pmod(col("id"), lit(2)) === 0, pmod(col("id"), lit(100)))
         .otherwise(pmod(col("id"), lit(1000000))).as("user_id"),
       element_at(types, (pmod(col("id") * 40503L, lit(5)) + 1).cast("int")).as("event_type"),
       (pmod(col("id") * 69069L, lit(100000)).cast("double") / 100.0).as("value"))
@@ -96,10 +98,43 @@ object Soak {
     val (mergedRows, tMerge) = time(
       Merge.merged(half, newer, Seq("event_id"), "extracted_at").count())
 
+    // 6. skewed shuffle join: events (half the rows on 100 hot keys)
+    // x 1M-row dim on user_id. Dim is sized past the broadcast
+    // threshold so this is a genuine sort-merge/shuffled-hash join;
+    // AQE's skew-join split is what keeps the hot partitions from
+    // stalling the stage at cluster scale.
+    val dim = spark.range(1000000L).select(
+      col("id").as("user_id"),
+      sha2(col("id").cast("string"), 256).as("segment_a"),
+      sha2((col("id") + 1).cast("string"), 256).as("segment_b"),
+      sha2((col("id") + 2).cast("string"), 256).as("segment_c"),
+      (col("id") % 7).as("tier"))
+    dim.write.mode("overwrite").parquet("target/soak/users.parquet")
+    val users = spark.read.parquet("target/soak/users.parquet")
+    def joinCount(): Long = ev.join(users, "user_id")
+      .groupBy(col("tier")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt"))).head().getLong(0)
+    // local partitions are far below AQE's 256 MB default skew
+    // threshold; scale the thresholds down so the mega-key partition
+    // trips the SAME split logic a 100 TB run would
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val (rowsNoSkewOpt, tJoinNoOpt) = time(joinCount())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val (rowsSkewOpt, tJoinOpt) = time(joinCount())
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    require(rowsSkewOpt == rowsNoSkewOpt && rowsSkewOpt == n,
+      s"skew-join drift: $rowsSkewOpt vs $rowsNoSkewOpt vs $n")
+
     println(
       s"""{"soak_rows":$n,"daily_rows":$nDaily,"merged_rows":$mergedRows,
          |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
-         |"salt_check":$tCheck,"sessionize":$tSess,"topk":$tTopk,"merge":$tMerge}}"""
+         |"salt_check":$tCheck,"sessionize":$tSess,"topk":$tTopk,"merge":$tMerge,
+         |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }
