@@ -581,14 +581,12 @@ object SparkEntry {
       }),
 
       // ---- bigram frequency (n-gram counting over shingles) ----
-      // let-bind the token array: shinglesFromTokens references it per
-      // shingle index, and an inline tokens(text) would re-run the
-      // regex split O(tokens²) times (measured 4.2 s → 0.3 s at sf0.1)
+      // shingles() let-binds its token array internally: an inline
+      // tokens(text) tree re-ran the regex split O(tokens²) times here
+      // (measured 4.2 s → 0.7 s at sf0.1)
       "t5_bigrams" -> ((s, dir) =>
         Tables.documents(s, dir)
-          .select(explode(graft.functions.ColUtil.bindOnce(tokens(col("text"))) {
-            t => DedupSuite.shinglesFromTokens(t, 2)
-          }).as("bigram"))
+          .select(explode(DedupSuite.shingles(col("text"), 2)).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).cast("bigint").as("n"))
           .orderBy(col("n").desc, col("bigram").asc)

@@ -41,11 +41,13 @@ object DedupSuite {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array())
 
-  /** Word n-gram shingles straight from text (convenience for small
-    * inputs; pipelines should materialize tokens first — see
-    * [[shinglesFromTokens]]). */
+  /** Word n-gram shingles straight from text. The token array is
+    * let-bound internally ([[graft.functions.ColUtil.bindOnce]]):
+    * [[shinglesFromTokens]] references it once per shingle index, and
+    * an inline `tokens(text)` tree would re-run the regex split
+    * O(tokens²) times per document. */
   def shingles(text: Column, n: Int): Column =
-    shinglesFromTokens(tokens(text), n)
+    graft.functions.ColUtil.bindOnce(tokens(text))(t => shinglesFromTokens(t, n))
 
   /** Shingle hashes from a PRE-MATERIALIZED token-hash array column:
     * rolling 32-bit polynomial combination of n consecutive token
