@@ -94,6 +94,18 @@ object DedupSuite {
   def minhashSignature(shingleCol: Column, k: Int): Column =
     minhashSignatureFromHashes(transform(shingleCol, s => hash32(s)), k)
 
+  /** [[minhashSignatureFromHashes]] via the codegen'd native expression
+    * [[graft.plans.MinhashSignature]] — ONE fused pass over the hash
+    * array instead of k interpreted walks; bit-identical signatures
+    * (same fixed-seed affine family), so d5's DuckDB oracle still
+    * reproduces them. Use on hot paths. */
+  def minhashSignatureNative(hashCol: Column, k: Int): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(s"graft_minhash_$k",
+        exprs => graft.plans.MinhashSignature(exprs(0), k), "built-in")
+    call_function(s"graft_minhash_$k", hashCol)
+  }
+
   /** LSH banding: docs×bands rows of (id, band, band_hash). b bands of
     * width r must satisfy b*r == signature length. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
@@ -157,7 +169,7 @@ object DedupSuite {
             t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))) { th =>
           shingleHashesFromTokenHashes(th, n)
         }.as("hs"))
-    val sig = hs.select(col(idCol), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+    val sig = hs.select(col(idCol), minhashSignatureNative(col("hs"), k).as("sig"))
     val cand = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
     cand
       .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
@@ -183,7 +195,7 @@ object DedupSuite {
         graft.functions.ColUtil.bindOnce(tokens(col(textCol))) { toks =>
           transform(shinglesFromTokens(toks, n), s => hash32(s))
         }.as("hs"))
-    val sig = hs.select(col(idCol), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+    val sig = hs.select(col(idCol), minhashSignatureNative(col("hs"), k).as("sig"))
     val cand = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
     cand
       .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")

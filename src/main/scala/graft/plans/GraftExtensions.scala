@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Enable with
@@ -18,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      GraftExtensions.minhashBuilder))
   }
 }
 
@@ -27,5 +32,18 @@ object GraftExtensions {
     require(children.length == 2,
       s"graft_cosine expects 2 arguments, got ${children.length}")
     CosineSimilarity(children.head, children(1))
+  }
+
+  /** `graft_minhash(hashes, k)` — k must be an integer literal (the
+    * signature width shapes the generated code). */
+  val minhashBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2,
+      s"graft_minhash expects 2 arguments, got ${children.length}")
+    val k = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash k must be an integer literal, got $other")
+    }
+    MinhashSignature(children.head, k)
   }
 }

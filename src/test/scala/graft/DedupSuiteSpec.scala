@@ -38,6 +38,24 @@ class DedupSuiteSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("native minhash signature is bit-identical to the composable form") {
+    val hs = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        transform(TextFunctions.tokens(col("text")),
+          t => TextFunctions.hash32(t)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val native = hs.select(col("doc_id"),
+      DedupSuite.minhashSignatureNative(col("hs"), 16).as("sig"))
+    val composed = hs.select(col("doc_id"),
+      DedupSuite.minhashSignatureFromHashes(col("hs"), 16).as("sig"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // empty-array input -> null, like the composable when(size > 0, ...)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(DedupSuite.minhashSignatureNative(col("hs"), 4).as("sig"))
+    assert(empty.head().isNullAt(0))
+  }
+
   test("jaccard: identical -> 1, disjoint -> 0") {
     val sh = docs.select($"doc_id", DedupSuite.shingles($"text", 3).as("sh"))
     val a = sh.filter($"doc_id" === 1).select($"sh".as("sa"))
