@@ -88,6 +88,53 @@ object VersionedStaging {
     Some(dest)
   }
 
+  /** Storage lifecycle: delete every complete version older than the
+    * newest `keep` ones, plus any orphaned `.tmp-*` staging dirs (a
+    * crash between write and rename leaves one; it is invisible to
+    * readers but holds space). Never touches the newest complete
+    * version. Returns the deleted paths. At 100 TB this is the
+    * history-retention knob — unbounded version history is unbounded
+    * storage, the same reason table formats ship VACUUM. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val f = fs(spark, root)
+    val complete = Option(f.globStatus(new Path(s"$root/v*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString)
+      .filter(p => versionOf(p).isDefined && f.exists(new Path(p, "_SUCCESS")))
+      .sortBy(versionOf(_).get)
+    val doomedVersions = complete.dropRight(keep)
+    val orphans = Option(f.globStatus(new Path(s"$root/.tmp-v*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString)
+      // an in-flight writer's tmp dir is NOT an orphan: only collect
+      // tmp dirs whose target version already exists (rename happened
+      // via a retry path) or that sort at/below the newest version
+      .filter(p => versionOf(p.replace(".tmp-", ""))
+        .exists(v => complete.lastOption.flatMap(versionOf).exists(_ >= v)))
+    val doomed = doomedVersions ++ orphans
+    doomed.foreach { p =>
+      // Hadoop FS signals failure by RETURNING false, not throwing
+      if (!f.delete(new Path(p), true))
+        throw new java.io.IOException(s"vacuum failed to delete $p")
+    }
+    doomed.toSeq
+  }
+
+  /** Compaction: rewrite the newest complete version into
+    * `numPartitions` files and publish it as the NEXT version (readers
+    * never see a half-compacted snapshot; the old version remains until
+    * [[vacuum]]). Micro-batch merges accrete small part files — at
+    * cluster scale file-count, not byte-count, is what kills scan
+    * planning. Returns the new version path, or None if there is
+    * nothing to compact. */
+  def compact(spark: SparkSession, root: String,
+              numPartitions: Int = 1): Option[String] =
+    latestComplete(spark, root).flatMap { current =>
+      val df = spark.read.parquet(current).repartition(numPartitions)
+      publishFrom(spark, root, Some(current), df, batchId = None)
+    }
+
   /** Merge `batch` into the staging at `root`: read the newest complete
     * version as target, keep-newest merge, publish the next version.
     * Returns the new version path, or None on batch-id replay. */

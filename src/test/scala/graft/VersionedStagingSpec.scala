@@ -39,6 +39,47 @@ class VersionedStagingSpec extends SparkSpec {
     assert(next.exists(_._1.endsWith("v000002")))
   }
 
+  test("vacuum keeps the newest versions, removes old ones and orphaned tmp dirs") {
+    val root = Files.createTempDirectory("vs_vac").toString
+    (1 to 4).foreach { i =>
+      VersionedStaging.mergeInto(spark, root,
+        Seq((i.toLong, i.toLong, s"v$i")).toDF("id", "version", "v"),
+        Seq("id"), "version")
+    }
+    // orphaned tmp from a writer that crashed between write and rename
+    write(s"$root/.tmp-v000002", Seq((9L, 9L, "orphan")))
+    val deleted = VersionedStaging.vacuum(spark, root, keep = 2)
+    assert(deleted.exists(_.endsWith("v000001")) &&
+      deleted.exists(_.endsWith("v000002")) &&
+      deleted.exists(_.endsWith(".tmp-v000002")))
+    assert(VersionedStaging.latestComplete(spark, root).get.endsWith("v000004"))
+    // the kept history still reads fine and holds the merged state
+    val got = spark.read.parquet(s"$root/v000004")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+    // newest is never deletable even with keep = 1 applied twice
+    VersionedStaging.vacuum(spark, root, keep = 1)
+    assert(VersionedStaging.latestComplete(spark, root).isDefined)
+  }
+
+  test("compact publishes a single-file next version with identical rows") {
+    val root = Files.createTempDirectory("vs_cmp").toString
+    (1 to 3).foreach { i =>
+      VersionedStaging.mergeInto(spark, root,
+        Seq((i.toLong, i.toLong, s"v$i")).toDF("id", "version", "v"),
+        Seq("id"), "version")
+    }
+    val before = spark.read.parquet(
+      VersionedStaging.latestComplete(spark, root).get)
+    val Some(dest) = VersionedStaging.compact(spark, root, numPartitions = 1)
+    assert(dest.endsWith("v000004"))
+    val after = spark.read.parquet(dest)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    val parts = new java.io.File(dest).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
   test("version ordering is numeric beyond the zero-padding range") {
     val root = Files.createTempDirectory("vs3").toString
     write(s"$root/v999999", Seq((1L, 1L, "a")))
