@@ -556,6 +556,37 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- string-function suite (C9-family breadth) ----
+      "q42_string_ops" -> ((s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 20)).as("head_upper"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("id_pad"),
+          reverse(lower(substring(col("text"), 1, 10))).as("head_rev"),
+          translate(lower(substring(col("text"), 1, 30)), "aeiou", "01234").as("head_tr"),
+          regexp_extract(coalesce(col("source"), lit("")),
+            "//([^/]+)", 1).as("host"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("int").as("n_digits"),
+          instr(lower(col("text")), "the").cast("int").as("first_the"),
+          split_part(coalesce(col("source"), lit("-")), lit("/"), lit(-1)).as("last_seg"))),
+
+      // ---- date/time-function suite ----
+      "q43_date_ops" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("d")).distinct()
+          .select(col("d"),
+            date_add(col("d"), 7).as("plus7"),
+            date_sub(col("d"), 1).as("minus1"),
+            datediff(col("d"), lit(java.sql.Date.valueOf("2000-01-01")))
+              .cast("int").as("since_y2k"),
+            last_day(col("d")).as("month_end"),
+            (dayofweek(col("d")) - 1).cast("int").as("dow_sun0"),
+            weekofyear(col("d")).cast("int").as("iso_week"),
+            quarter(col("d")).cast("int").as("qtr"),
+            dayofyear(col("d")).cast("int").as("doy"),
+            date_trunc("week", col("d")).cast("date").as("week_start"))),
+
       // ---- exact algebraic moments (mean/stddev from integer sums) ----
       // variance from EXACT integer moments (value scaled ×100): the
       // three sums (n, Σx, Σx²) are the canonical mergeable "moment
@@ -837,6 +868,33 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q42_string_ops" ->
+      """SELECT doc_id,
+        |       upper(substr(text, 1, 20)) AS head_upper,
+        |       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+        |       reverse(lower(substr(text, 1, 10))) AS head_rev,
+        |       translate(lower(substr(text, 1, 30)), 'aeiou', '01234') AS head_tr,
+        |       COALESCE(regexp_extract(COALESCE(source, ''), '//([^/]+)', 1), '') AS host,
+        |       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+        |       CAST(instr(lower(text), 'the') AS INT) AS first_the,
+        |       split_part(COALESCE(source, '-'), '/', -1) AS last_seg
+        |FROM documents""".stripMargin,
+
+    "q43_date_ops" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS d
+        |           FROM events WHERE ts IS NOT NULL)
+        |SELECT d,
+        |       CAST(d + 7 AS DATE) AS plus7,
+        |       CAST(d - 1 AS DATE) AS minus1,
+        |       CAST(datediff('day', DATE '2000-01-01', d) AS INT) AS since_y2k,
+        |       last_day(d) AS month_end,
+        |       CAST(dayofweek(d) AS INT) AS dow_sun0,
+        |       CAST(weekofyear(d) AS INT) AS iso_week,
+        |       CAST(quarter(d) AS INT) AS qtr,
+        |       CAST(dayofyear(d) AS INT) AS doy,
+        |       CAST(date_trunc('week', d) AS DATE) AS week_start
+        |FROM d""".stripMargin,
 
     "q41_exact_stats" ->
       """WITH m AS (

@@ -93,6 +93,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin (q38 semantics)") {
+    val dir = Files.createTempDirectory("ssj_src").toString
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    ev.write.mode("overwrite").parquet(dir)
+    def side(t: String) = spark.readStream.schema(ev.schema).parquet(dir)
+      .filter($"event_type" === t)
+    // both sides watermarked; the join range bounds state retention -
+    // without it a stream-stream join buffers forever
+    val signups = side("signup").withWatermark("ts", "2 hours")
+      .select($"user_id", $"ts".as("s_ts"))
+    val purchases = side("purchase").withWatermark("ts", "2 hours")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val joined = signups.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"p_ts" > $"s_ts" && $"p_ts" <= $"s_ts" + expr("interval 1 hour"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_out")
+      .groupBy($"user_id").agg(count(lit(1)).cast("long").as("n_pairs"))
+    val batch = SparkEntry.queries("q38_interval_join")(spark, sf)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream-stream interval join diverged from the batch interval join")
+  }
+
   test("lastWriteWins state: newer versions emit, stale and equal are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingJobs.Keyed]
