@@ -556,6 +556,39 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- array-function suite (int arrays: engine-portable output) ----
+      "q44_array_ops" -> ((s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            sequence(lit(1), (col("vec_id") % 5 + 2).cast("int")).as("base"))
+          .select(col("vec_id"), col("base"),
+            transform(col("base"), x => x * ((col("vec_id") % 3 + 1))).as("arr"))
+          .select(col("vec_id"),
+            sort_array(col("arr"), asc = false).as("sorted_desc"),
+            slice(col("arr"), 2, 2).as("mid2"),
+            array_position(col("arr"), col("vec_id") % 3 + 1).cast("int").as("pos_first"),
+            array_contains(col("arr"), lit(2L)).as("has_two"),
+            array_join(col("arr"), ",").as("joined"),
+            array_sort(array_distinct(concat(col("base"), col("base")))).as("dedup"),
+            flatten(array(col("base"), col("arr"))).as("flat"))),
+
+      // ---- JSON-function suite (deterministic doc built by concat) ----
+      "q45_json_ops" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            concat(lit("{\"id\":"), col("event_id"),
+              lit(",\"tags\":[\""), col("event_type"), lit("\",\"x\"]"),
+              lit(",\"meta\":{\"k\":"),
+              coalesce(get_json_object(col("props"), "$.k"), lit("0")),
+              lit("}}")).as("j"))
+          .select(col("event_id"),
+            get_json_object(col("j"), "$.id").cast("bigint").as("id_back"),
+            get_json_object(col("j"), "$.tags[0]").as("tag0"),
+            json_array_length(get_json_object(col("j"), "$.tags"))
+              .cast("int").as("n_tags"),
+            get_json_object(col("j"), "$.meta.k").cast("bigint").as("k_meta"),
+            array_sort(json_object_keys(col("j"))).as("keys_sorted"))),
+
       // ---- string-function suite (C9-family breadth) ----
       "q42_string_ops" -> ((s, dir) =>
         Tables.documents(s, dir).select(
@@ -868,6 +901,37 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q44_array_ops" ->
+      """WITH b AS (SELECT vec_id, range(1, CAST(vec_id % 5 + 3 AS INT)) AS base
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, base,
+        |             list_transform(base, x -> x * (vec_id % 3 + 1)) AS arr
+        |      FROM b)
+        |SELECT vec_id,
+        |       list_reverse_sort(arr) AS sorted_desc,
+        |       arr[2:3] AS mid2,
+        |       CAST(list_position(arr, vec_id % 3 + 1) AS INT) AS pos_first,
+        |       list_contains(arr, 2) AS has_two,
+        |       array_to_string(arr, ',') AS joined,
+        |       list_sort(list_distinct(list_concat(base, base))) AS dedup,
+        |       flatten([base, arr]) AS flat
+        |FROM a""".stripMargin,
+
+    "q45_json_ops" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |         '{"id":' || event_id || ',"tags":["' || event_type ||
+        |         '","x"],"meta":{"k":' ||
+        |         COALESCE(json_extract_string(props, '$.k'), '0') || '}}' AS j
+        |  FROM events)
+        |SELECT event_id,
+        |       CAST(json_extract_string(j, '$.id') AS BIGINT) AS id_back,
+        |       json_extract_string(j, '$.tags[0]') AS tag0,
+        |       CAST(json_array_length(j, '$.tags') AS INT) AS n_tags,
+        |       CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS k_meta,
+        |       list_sort(json_keys(j)) AS keys_sorted
+        |FROM j""".stripMargin,
 
     "q42_string_ops" ->
       """SELECT doc_id,
