@@ -1,0 +1,49 @@
+package graft
+
+/** Scale-critical physical-plan properties, asserted so a regression
+  * (lost pushdown, dropped broadcast, extra shuffle) fails CI instead
+  * of silently multiplying cluster cost. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: filters reach the parquet scan, aggregation is partial") {
+    val p = plan("q1_daily_metrics")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filter not pushed to scan")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q2: column pruning excludes the document text from the scan") {
+    val p = plan("q2_domain_daily")
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).get
+    assert(!scanLine.contains("text"), "scan reads the (unused) text column")
+  }
+
+  test("q15: dimension join broadcasts, no shuffle of the fact side for it") {
+    val p = plan("q15_join_agg_nation")
+    assert(p.contains("BroadcastHashJoin"), "nation join not broadcast")
+  }
+
+  test("q16: semi join planned as LeftSemi") {
+    assert(plan("q16_semi_join").contains("LeftSemi"))
+  }
+
+  test("q39: both window sort orders share one partition exchange") {
+    val p = plan("q39_window_suite")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one for the aggregation, one for the shared window partitioning -
+    // a third would mean the two sort orders stopped sharing
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("d6: dropped-id set broadcasts into the anti join") {
+    val p = plan("d6_embedding_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "near-dup dedup anti join is not broadcast")
+  }
+
+  test("q11: order+limit is TakeOrderedAndProject, not a global sort") {
+    assert(plan("q11_order_limit").contains("TakeOrderedAndProject"))
+  }
+}
