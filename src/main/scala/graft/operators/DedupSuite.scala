@@ -161,8 +161,12 @@ object DedupSuite {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    // No size(tokens) >= n pre-filter: a Filter and a Project cannot
+    // share the token array (predicate pushdown substitutes the
+    // expression, re-tokenizing every doc), and short docs already
+    // yield an empty shingle array → null signature → zero bands, so
+    // they drop out of the pipeline for free.
     val hs = docs
-      .filter(size(tokens(col(textCol))) >= n)
       .select(col(idCol),
         graft.functions.ColUtil.bindOnce(
           transform(tokens(col(textCol)),
@@ -189,8 +193,9 @@ object DedupSuite {
   def minhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, k: Int = 16, bands: Int = 4,
                               threshold: Double = 0.5): DataFrame = {
+    // no pre-filter — see [[minhashNearDups]]: short docs produce empty
+    // shingle sets and fall out via the null signature
     val hs = docs
-      .filter(size(tokens(col(textCol))) >= n)
       .select(col(idCol),
         graft.functions.ColUtil.bindOnce(tokens(col(textCol))) { toks =>
           transform(shinglesFromTokens(toks, n), s => hash32(s))
