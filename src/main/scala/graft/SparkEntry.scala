@@ -556,6 +556,35 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- typed Aggregator UDAF (the §2.J extension point) ----
+      "q46_typed_udaf" -> ((s, dir) => {
+        import s.implicits._
+        val prof = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("value")).as[(String, Double)]
+          .groupByKey(_._1)
+          .agg(new TypedAggs.ProfileAgg[(String, Double)](_._2)
+            .toColumn.name("p"))
+          .toDF("event_type", "p")
+        prof.select(col("event_type"),
+          col("p.n").cast("bigint").as("n"),
+          col("p.sum").cast("decimal(18,2)").cast("double").as("total"),
+          col("p.min").as("min_v"), col("p.max").as("max_v"))
+      }),
+
+      // ---- correlated subquery (Catalyst decorrelation) ----
+      "q47_correlated" -> ((s, dir) => {
+        Sql.registerTables(s, dir)
+        s.sql(
+          """SELECT c1.c_nationkey AS nationkey,
+            |       CAST(COUNT(*) AS BIGINT) AS n_above_avg
+            |FROM customer c1
+            |WHERE c1.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2))
+            |                      FROM customer c2
+            |                      WHERE c2.c_nationkey = c1.c_nationkey)
+            |GROUP BY c1.c_nationkey""".stripMargin)
+      }),
+
       // ---- array-function suite (int arrays: engine-portable output) ----
       "q44_array_ops" -> ((s, dir) =>
         Tables.embeddings(s, dir)
@@ -908,6 +937,21 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q46_typed_udaf" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |       MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q47_correlated" ->
+      """SELECT c1.c_nationkey AS nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_above_avg
+        |FROM customer c1
+        |WHERE c1.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2))
+        |                      FROM customer c2
+        |                      WHERE c2.c_nationkey = c1.c_nationkey)
+        |GROUP BY c1.c_nationkey""".stripMargin,
 
     "q44_array_ops" ->
       """WITH b AS (SELECT vec_id, range(1, CAST(vec_id % 5 + 3 AS INT)) AS base
