@@ -548,8 +548,16 @@ object SparkEntry {
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).cast("bigint").as("n"),
             sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
-        val q = agg.writeStream.format("memory").queryName("s1_stream_out")
+        // state-store parallelism: the windowed aggregate holds ~3-4k
+        // rows of state; 32 shuffle partitions would spin up 32 state
+        // stores (checkpoint dirs, provider init) for microseconds of
+        // work each. Sized to the STATE, not the scan — the scan side
+        // still reads with full parallelism.
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = try agg.writeStream.format("memory").queryName("s1_stream_out")
           .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
         try q.processAllAvailable() finally q.stop()
         s.table("s1_stream_out")
           .select(unix_micros(col("window.start")).as("win_start_us"),
