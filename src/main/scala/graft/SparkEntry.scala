@@ -564,6 +564,27 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- one-pass column profile (data-quality staple) ----
+      "q48_profile" -> ((s, dir) =>
+        Tables.events(s, dir).agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          count(col("value")).cast("bigint").as("value_nonnull"),
+          count(col("ts")).cast("bigint").as("ts_nonnull"),
+          countDistinct(col("event_type")).cast("bigint").as("type_card"),
+          countDistinct(col("user_id")).cast("bigint").as("user_card"),
+          min(col("event_id")).cast("bigint").as("min_id"),
+          max(col("event_id")).cast("bigint").as("max_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
+      // ---- document length histogram (500-char buckets) ----
+      "t6_len_histogram" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(floor(length(col("text")) / 500).cast("int").as("bucket"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            min(length(col("text"))).cast("int").as("min_len"),
+            max(length(col("text"))).cast("int").as("max_len"))),
+
       // ---- typed Aggregator UDAF (the §2.J extension point) ----
       "q46_typed_udaf" -> ((s, dir) => {
         import s.implicits._
@@ -945,6 +966,25 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q48_profile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(value) AS BIGINT) AS value_nonnull,
+        |       CAST(COUNT(ts) AS BIGINT) AS ts_nonnull,
+        |       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS type_card,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_card,
+        |       CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id,
+        |       MIN(value) AS min_value,
+        |       MAX(value) AS max_value
+        |FROM events""".stripMargin,
+
+    "t6_len_histogram" ->
+      """SELECT CAST(floor(length(text) / 500) AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(length(text)) AS INT) AS min_len,
+        |       CAST(MAX(length(text)) AS INT) AS max_len
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q46_typed_udaf" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
