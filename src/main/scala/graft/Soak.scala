@@ -130,11 +130,33 @@ object Soak {
     require(rowsSkewOpt == rowsNoSkewOpt && rowsSkewOpt == n,
       s"skew-join drift: $rowsSkewOpt vs $rowsNoSkewOpt vs $n")
 
+    // 7. text dedup at 20x the documents fixture: replicate with id
+    // offsets (exact dups) and suffix mutations (near dups), then run
+    // the full MinHash+LSH pipeline. The planted structure means every
+    // replica pairs with its source somewhere in the candidate set.
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val replicas = (1 to 19).map { r =>
+      docs0.select((col("doc_id") + r * 1000000L).as("doc_id"),
+        (if (r % 2 == 0) col("text")
+         else concat(col("text"), lit(s" replica suffix $r"))).as("text"))
+    }
+    val corpus = replicas.foldLeft(docs0)(_ unionByName _)
+    corpus.write.mode("overwrite").parquet("target/soak/docs.parquet")
+    val docs = spark.read.parquet("target/soak/docs.parquet")
+    val nDocs = docs.count()
+    val (nPairs, tDedup) = time(
+      operators.DedupSuite.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5).count())
+    require(nPairs > nDocs / 2, s"dedup found too few pairs: $nPairs for $nDocs docs")
+
     println(
-      s"""{"soak_rows":$n,"daily_rows":$nDaily,"merged_rows":$mergedRows,
+      s"""{"soak_rows":$n,"doc_rows":$nDocs,"dedup_pairs":$nPairs,
+         |"daily_rows":$nDaily,"merged_rows":$mergedRows,
          |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
          |"salt_check":$tCheck,"sessionize":$tSess,"topk":$tTopk,"merge":$tMerge,
-         |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt}}"""
+         |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
+         |"text_dedup":$tDedup}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }
