@@ -53,6 +53,50 @@ object Checks {
         count(lit(1)).cast("bigint").as("n_rows"))
   }
 
+  /** K5 at scale — declarative schema contract. Validates a frame
+    * against an expected schema (names + types; nullability is advisory
+    * in parquet so it is checked as a CONSTRAINT on the data, not the
+    * metadata) and returns per-rule violation counts. One aggregation
+    * pass for all rules — at 100 TB you cannot afford a scan per rule.
+    * Empty result = contract holds; the reference's fail-fast guards
+    * (`hn_transform.py:62-65,113-114`) become
+    * `require(schemaContract(...).isEmpty)`. */
+  def schemaContract(df: DataFrame,
+                     expected: org.apache.spark.sql.types.StructType,
+                     notNull: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val actual = df.schema
+    val actualByName = actual.fields.map(f => f.name -> f).toMap
+    val schemaViolations: Seq[(String, String, Long)] =
+      expected.fields.toSeq.flatMap { ef =>
+        actualByName.get(ef.name) match {
+          case None => Some(("missing_column", ef.name, 1L))
+          case Some(af) if af.dataType != ef.dataType =>
+            Some(("type_mismatch",
+              s"${ef.name}: ${af.dataType.simpleString} != ${ef.dataType.simpleString}", 1L))
+          case _ => None
+        }
+      } ++ actual.fields.toSeq
+        .filterNot(f => expected.fieldNames.contains(f.name))
+        .map(f => ("unexpected_column", f.name, 1L))
+    val nullable = notNull.filter(actualByName.contains)
+    val nullViolations: Seq[(String, String, Long)] =
+      if (nullable.isEmpty) Nil
+      else {
+        val counts = df.agg(
+          count(lit(1)).as("__n"),
+          nullable.map(c => count(col(c)).as(s"__nn_$c")): _*).head()
+        val n = counts.getLong(0)
+        nullable.zipWithIndex.collect {
+          case (c, i) if counts.getLong(i + 1) < n =>
+            ("null_constraint", c, n - counts.getLong(i + 1))
+        }
+      }
+    (schemaViolations ++ nullViolations)
+      .toDF("rule", "detail", "violations")
+  }
+
   /** J3/G6 — count of rows on the latest day, via scalar-subquery join
     * (`/root/reference/sql/mart/03_checks.sql:18-21`). The 1-row max
     * side auto-broadcasts, so this is a broadcast hash join, never a
