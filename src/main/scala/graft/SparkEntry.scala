@@ -564,6 +564,25 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- multimodal resize + frame-sample plan (oracle-checked) ----
+      // fake media dims derive from the content hash (same generator as
+      // m1); the resize and frame-sample arithmetic is the real
+      // metadata plan a codec stage would execute
+      "m3_media_plan" -> ((s, dir) => {
+        import graft.functions.TextFunctions.hash32
+        Tables.documents(s, dir).select(
+            col("doc_id"),
+            (lit(1) + hash32(col("text")) % 1024).cast("int").as("w"),
+            (lit(1) + hash32(col("text"), 1) % 1024).cast("int").as("h"),
+            (lit(1) + hash32(col("text"), 2) % 240).cast("int").as("frames"))
+          .select(col("doc_id"), col("w"), col("h"), col("frames"),
+            Multimodal.resizeDims(col("w"), col("h"), 256).as("r"),
+            Multimodal.sampleFrameIndices(col("frames"), 8).as("idx"))
+          .select(col("doc_id"), col("w"), col("h"), col("frames"),
+            col("r.new_w").as("new_w"), col("r.new_h").as("new_h"),
+            col("idx"))
+      }),
+
       // ---- one-pass column profile (data-quality staple) ----
       "q48_profile" -> ((s, dir) =>
         Tables.events(s, dir).agg(
@@ -966,6 +985,22 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "m3_media_plan" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(1 + ${hash32Sql(0, "text")} % 1024 AS INT) AS w,
+         |    CAST(1 + ${hash32Sql(1, "text")} % 1024 AS INT) AS h,
+         |    CAST(1 + ${hash32Sql(2, "text")} % 240 AS INT) AS frames
+         |  FROM documents),
+         |r AS (SELECT *, greatest(w, h) AS longest FROM m)
+         |SELECT doc_id, w, h, frames,
+         |  CASE WHEN longest <= 256 THEN w
+         |       ELSE greatest(CAST(floor(w * 256.0 / longest) AS INT), 1) END AS new_w,
+         |  CASE WHEN longest <= 256 THEN h
+         |       ELSE greatest(CAST(floor(h * 256.0 / longest) AS INT), 1) END AS new_h,
+         |  list_sort(list_distinct(list_transform(range(8),
+         |    i -> CAST(floor(i * frames / 8.0) AS INT)))) AS idx
+         |FROM r""".stripMargin,
 
     "q48_profile" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
