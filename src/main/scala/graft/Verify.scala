@@ -19,7 +19,7 @@ object Verify {
         // total-order the dump: row order inside the parquet must not
         // depend on partition/task order, in case the comparer hashes
         // rows positionally (harmless if it canonicalizes)
-        out.orderBy(out.columns.map(org.apache.spark.sql.functions.col): _*)
+        out.orderBy(out.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

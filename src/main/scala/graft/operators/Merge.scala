@@ -38,7 +38,7 @@ object Merge {
   private def canonBatch(batch: DataFrame, keys: Seq[String],
                          versionCol: String): DataFrame =
     Dedup.keepNewest(batch, keys, col(versionCol),
-      xxhash64(struct(batch.columns.map(col): _*)))
+      xxhash64(struct(batch.columns.toIndexedSeq.map(col): _*)))
 
   /** Merged relation only (no counts) — single lazy plan, no actions. */
   def merged(target: DataFrame, batch: DataFrame, keys: Seq[String],

@@ -138,7 +138,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     val idsLit = typedlit(cents.map(_._1).toSeq)
-    val simsArr = array(cents.map { case (_, vec) =>
+    val simsArr = array(cents.toIndexedSeq.map { case (_, vec) =>
       // nanvl: a zero-norm vector scores NaN against everything; rank it
       // below any real similarity instead of (NaN sorts high) first
       nanvl(cosineNative(col("v"), typedlit(vec)), lit(-2.0))

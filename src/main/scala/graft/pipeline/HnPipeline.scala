@@ -131,7 +131,7 @@ object HnPipeline {
     require(Checks.duplicateKeys(staging, Seq("id")).isEmpty,
       "duplicate ids in staging")
     marts.foreach { case (name, m) =>
-      val keys = m.columns.takeWhile(c => c == "metric_date" || c == "domain" || c == "author")
+      val keys = m.columns.toIndexedSeq.takeWhile(c => c == "metric_date" || c == "domain" || c == "author")
       require(Checks.duplicateKeys(m, keys).isEmpty, s"duplicate PK in $name")
     }
   }
