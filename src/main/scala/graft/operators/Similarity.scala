@@ -120,6 +120,55 @@ object Similarity {
       .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
   }
 
+  /** Materialize the IVF inverted lists as a parquet table PARTITIONED
+    * BY centroid_id — the serving layout for ANN at corpus scale: a
+    * probe touches only its nProbe partition directories, so the scan
+    * cost is corpus_size × nProbe / nCentroids, enforced by partition
+    * pruning rather than a filter over a full scan. Returns the
+    * centroid set (read it back alongside the index). */
+  def buildIvfIndex(vectors: DataFrame, path: String, idCol: String,
+                    vecCol: String, nCentroids: Int = 16): DataFrame = {
+    val cent = vectors.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val assigned = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cent))
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"),
+        cosineNative(col("cv"), col("centroid_vec")).as("csim"))
+    TopK.perGroup(assigned, Seq("neighbor_id"),
+        Seq(col("csim").desc, col("centroid_id").asc), 1)
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    cent
+  }
+
+  /** Query a [[buildIvfIndex]] layout: pick each query's `nProbe`
+    * nearest centroids, then scan ONLY those centroid partitions (the
+    * probe set is collected — it is ≤ queries × nProbe ids — and pushed
+    * as an IN filter, which parquet partition pruning turns into a
+    * directory-level skip). Same ranking semantics as [[ivfTopK]]. */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    centroids: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = TopK.perGroup(
+        q.crossJoin(broadcast(centroids))
+          .select(col("query_id"), col("qv"), col("centroid_id"),
+            cosineNative(col("qv"), col("centroid_vec")).as("csim")),
+        Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(path)
+      .filter(col("centroid_id").isin(probedIds.toIndexedSeq: _*))
+    val scored = probes.join(lists, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineNative(col("qv"), col("cv")).as("sim"))
+    TopK.perGroup(scored.distinct(), Seq("query_id"),
+        Seq(col("sim").desc, col("neighbor_id").asc), k)
+      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
+  }
+
   /** One Lloyd (k-means) iteration over the IVF centroids: assign every
     * vector to its nearest centroid, then recompute each centroid as the
     * element-wise mean of its members. Means are computed via

@@ -23,6 +23,25 @@ class AnnSkewSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("partitioned IVF index: pruned probes, identical results to ivfTopK") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/index"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 8)
+    val cent = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding", 16)
+    val served = Similarity.queryIvfIndex(spark, path, cent, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val inline = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4)
+    assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty)
+    // the probe scan must prune at the partition level, not post-filter
+    val probedIds = cent.limit(4).collect().map(_.getLong(0)) // any subset
+    val prunedScan = spark.read.parquet(path)
+      .filter($"centroid_id".isin(probedIds.toIndexedSeq: _*))
+    val plan = prunedScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"probe filter did not reach partition pruning:\n$plan")
+  }
+
   test("k-means refinement keeps centroid shape and improves/preserves recall") {
     val emb = Tables.embeddings(spark, sf)
     val cent0 = emb.orderBy($"vec_id".asc).limit(16)
