@@ -564,6 +564,33 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- FILTER-clause aggregates (conditional agg without CASE) ----
+      "q49_filtered_agg" -> ((s, dir) => {
+        Sql.registerTables(s, dir)
+        s.sql(
+          """SELECT CAST(ts AS DATE) AS metric_date,
+            |       CAST(COUNT(*) AS BIGINT) AS n_all,
+            |       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+            |       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+            |       CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup_users
+            |FROM events WHERE ts IS NOT NULL
+            |GROUP BY 1""".stripMargin)
+      }),
+
+      // ---- outer-join shapes (left/full with null-side accounting) ----
+      "q50_outer_join" -> ((s, dir) => {
+        val custOrders = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).cast("bigint").as("n_orders"))
+        Tables.customer(s, dir)
+          .join(custOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+            when(col("c_custkey").isNull, "order_only")
+              .when(col("o_custkey").isNull, "customer_only")
+              .otherwise("matched").as("side"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      }),
+
       // ---- multimodal resize + frame-sample plan (oracle-checked) ----
       // fake media dims derive from the content hash (same generator as
       // m1); the resize and frame-sample arithmetic is the real
@@ -985,6 +1012,25 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q49_filtered_agg" ->
+      """SELECT CAST(ts AS DATE) AS metric_date,
+        |       CAST(COUNT(*) AS BIGINT) AS n_all,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        |       CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup_users
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q50_outer_join" ->
+      """WITH co AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |            FROM orders GROUP BY 1)
+        |SELECT COALESCE(c_custkey, -1) AS custkey,
+        |       CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'matched' END AS side,
+        |       COALESCE(n_orders, 0) AS n_orders
+        |FROM customer FULL OUTER JOIN co ON c_custkey = o_custkey""".stripMargin,
 
     "m3_media_plan" ->
       s"""WITH m AS (SELECT doc_id,

@@ -46,4 +46,17 @@ class PlanShapeSpec extends SparkSpec {
   test("q11: order+limit is TakeOrderedAndProject, not a global sort") {
     assert(plan("q11_order_limit").contains("TakeOrderedAndProject"))
   }
+
+  test("hot scan-and-aggregate paths run inside whole-stage codegen") {
+    Seq("q1_daily_metrics", "q15_join_agg_nation", "q41_exact_stats")
+      .foreach { q =>
+        // AQE shows codegen spans only in the FINAL plan - execute first
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        // "*(n) Operator" is the codegen-stage marker in plan strings
+        assert(p.contains("WholeStageCodegen") || p.contains("*("),
+          s"$q lost whole-stage codegen:\n$p")
+      }
+  }
 }
