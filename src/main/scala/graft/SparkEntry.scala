@@ -564,6 +564,15 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- positional explode (UNNEST WITH ORDINALITY parity) ----
+      "q51_token_positions" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .filter(col("col") === "the")
+          .groupBy(col("doc_id"))
+          .agg(min(col("pos")).cast("int").as("first_the_pos"),
+            count(lit(1)).cast("bigint").as("n_the"))),
+
       // ---- FILTER-clause aggregates (conditional agg without CASE) ----
       "q49_filtered_agg" -> ((s, dir) => {
         Sql.registerTables(s, dir)
@@ -1012,6 +1021,15 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+
+    "q51_token_positions" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM tk),
+         |hits AS (SELECT p.doc_id, p.pos FROM p JOIN tk USING (doc_id)
+         |         WHERE tk.toks[p.pos + 1] = 'the')
+         |SELECT doc_id, CAST(MIN(pos) AS INT) AS first_the_pos,
+         |       CAST(COUNT(*) AS BIGINT) AS n_the
+         |FROM hits GROUP BY 1""".stripMargin,
 
     "q49_filtered_agg" ->
       """SELECT CAST(ts AS DATE) AS metric_date,

@@ -93,6 +93,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger bounds micro-batch size without changing results") {
+    val dir = Files.createTempDirectory("mfpt_src").toString
+    val ev = Tables.events(spark, sf).select($"ts", $"event_type", $"value")
+    // 4 files -> with maxFilesPerTrigger=1 the stream must take 4+ batches
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    var batches = 0
+    @volatile var last: Map[String, Long] = Map.empty
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        last = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+    val expected = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == expected, "final complete-mode state diverged from batch")
+  }
+
   test("stream-stream interval join matches the batch twin (q38 semantics)") {
     val dir = Files.createTempDirectory("ssj_src").toString
     val ev = Tables.events(spark, sf)
