@@ -68,6 +68,16 @@ object SparkEntry {
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
+  /** The d5/d7 corpus: doc_id < 200 (fixed size at every sf) plus
+    * near-copies of every 7th doc at id+1e6. */
+  private def corpusD5(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
+  }
+
   private def corpusNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
@@ -502,14 +512,35 @@ object SparkEntry {
         Marts.finalizeDaily(Marts.combinePartials(partA, partB))
       }),
 
-      "d5_minhash_portable" -> ((s, dir) => {
-        val d = Tables.documents(s, dir)
-          .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
-        val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
-        DedupSuite.minhashNearDupsPortable(corpus, "doc_id", "text",
-          n = 3, k = 16, bands = 4, threshold = 0.5)
+      "d5_minhash_portable" -> ((s, dir) =>
+        DedupSuite.minhashNearDupsPortable(corpusD5(s, dir), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)),
+
+      // ---- near-dup canonical selection (keep best-quality member) ----
+      "d7_canonical_near_dup" -> ((s, dir) => {
+        import graft.functions.TextFunctions.{tokens, qualityScoreFromTokens}
+        val corpus = corpusD5(s, dir)
+        // single-step min-id representative: exact for pair-shaped
+        // clusters (each planted dup pairs with its source); a general
+        // transitive closure would iterate label propagation to a fixed
+        // point with the same per-step plan
+        val pairs = DedupSuite.minhashNearDupsPortable(corpus, "doc_id", "text",
+            n = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        val rep = pairs.groupBy(col("id_b").as("doc_id"))
+          .agg(min(col("id_a")).as("rep"))
+        val mem = corpus.join(rep, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster"))
+        val q = corpus.select(col("doc_id"),
+          graft.functions.ColUtil.bindOnce(tokens(col("text")))(
+            qualityScoreFromTokens).as("quality"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        mem.join(q, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id"),
+            col("quality").cast("double").as("quality"))
       }),
 
       // ---- IVF ANN (scale path beside LSH) ----
@@ -562,6 +593,18 @@ object SparkEntry {
         s.table("s1_stream_out")
           .select(unix_micros(col("window.start")).as("win_start_us"),
             col("event_type"), col("n"), col("total").cast("double").as("total"))
+      }),
+
+      // ---- relative-rank windows (percent_rank / cume_dist) ----
+      "q52_relative_rank" -> ((s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("metric_date"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").asc, col("metric_date").asc)
+        daily.select(col("event_type"), col("metric_date"), col("n"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
       }),
 
       // ---- positional explode (UNNEST WITH ORDINALITY parity) ----
@@ -902,11 +945,12 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"
 
-  /** d5 oracle: the ENTIRE MinHash+LSH pipeline in DuckDB SQL, with the
-    * engine's affine hash constants inlined — signatures, band hashes,
-    * bucket capping, candidate pairs, and Jaccard verify all reproduce
-    * the Spark plan bit-for-bit. */
-  private def d5OracleSql: String = {
+  /** d5/d7 oracle prefix: the ENTIRE MinHash+LSH pipeline in DuckDB
+    * SQL, with the engine's affine hash constants inlined — signatures,
+    * band hashes, bucket capping, candidate pairs, and Jaccard verify
+    * all reproduce the Spark plan bit-for-bit. Ends with `j` =
+    * (id_a, id_b, jaccard). */
+  private def d5PairsPrefixSql: String = {
     val sigList = DedupSuite.affineConsts(16).map { case (a, b) =>
       s"list_min(list_transform(hs, x -> (x * $a + $b) % ${DedupSuite.MinhashP}))"
     }.mkString("[", ",\n    ", "]")
@@ -936,10 +980,39 @@ object SparkEntry {
        |             ELSE CAST(0 AS DECIMAL(10,6)) END AS jaccard
        |      FROM pairs p
        |      JOIN h ha ON ha.doc_id = p.id_a
-       |      JOIN h hb ON hb.doc_id = p.id_b)
+       |      JOIN h hb ON hb.doc_id = p.id_b)""".stripMargin
+  }
+
+  private def d5OracleSql: String =
+    s"""$d5PairsPrefixSql
        |SELECT id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard
        |FROM j WHERE jaccard >= 0.5""".stripMargin
-  }
+
+  /** d7 oracle: near-dup canonical selection — single-step min-id
+    * representative per near-dup pair set, then keep the best-quality
+    * member per cluster (quality formula identical to t2's). */
+  private def d7OracleSql: String =
+    s"""$d5PairsPrefixSql,
+       |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |rep AS (SELECT id_b AS doc_id, MIN(id_a) AS rep FROM pr GROUP BY 1),
+       |mem AS (SELECT c.doc_id, COALESCE(r.rep, c.doc_id) AS cluster
+       |        FROM corpus c LEFT JOIN rep r USING (doc_id)),
+       |qc AS (SELECT doc_id, len(toks) AS n,
+       |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS sh
+       |       FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+       |q AS (SELECT doc_id,
+       |  CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
+       |      + CAST(LEAST(CASE WHEN n > 0 THEN CAST(CAST(sh AS DECIMAL(14,4)) / n AS DECIMAL(10,4))
+       |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
+       |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
+       |    AS DECIMAL(10,4)) AS quality
+       |  FROM qc),
+       |ranked AS (SELECT m.cluster, m.doc_id, q.quality,
+       |             ROW_NUMBER() OVER (PARTITION BY m.cluster
+       |               ORDER BY q.quality DESC, m.doc_id ASC) AS rn
+       |           FROM mem m JOIN q USING (doc_id))
+       |SELECT cluster, doc_id, CAST(quality AS DOUBLE) AS quality
+       |FROM ranked WHERE rn = 1""".stripMargin
 
   /** Shared WITH-prefix for the hyperplane-LSH oracles (e2, d6): the
     * 8×64 plane weights inlined from the engine's own deterministic
@@ -1018,6 +1091,17 @@ object SparkEntry {
 
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
+    "d7_canonical_near_dup" -> d7OracleSql,
+
+    "q52_relative_rank" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS metric_date, event_type,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, metric_date, n,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY n ASC, metric_date ASC)""".stripMargin,
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
