@@ -41,4 +41,45 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Connected components over an undirected pair list
+    * (`id_a`, `id_b`) by iterative min-label propagation — the operator
+    * that turns near-dup PAIRS into dedup CLUSTERS. Each iteration
+    * joins every node's current label against its neighbors' and keeps
+    * the minimum; converged when no label changes. Iterations are
+    * O(diameter) — near-dup clusters are shallow (dups of dups of one
+    * source), so 3-5 rounds cover real corpora; `maxIter` bounds
+    * adversarial chains. Each round is two shuffles (join + agg) on the
+    * edge list; at 100 TB the edge list is the small output of LSH, not
+    * the corpus. Returns (id, component) where component = min id
+    * reachable within maxIter hops. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels: for each edge (src, dst), dst's label proposes
+      // itself to src; keep min(own, proposals)
+      val proposals = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("prop"))
+      val next = labels.join(proposals, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("prop"), col("component")))
+            .as("component"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Pair list → dedup clusters via iterative min-label propagation. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, triangles, and singleton pairs resolve to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("real minhash pairs: every pair ends in one component") {
+    val d = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val corpus = d.unionByName(d.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" nearly duplicate suffix")).as("text")))
+    val pairs = graft.operators.DedupSuite.minhashNearDups(
+      corpus, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs.select($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toMap
+    val check = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(check.nonEmpty)
+    check.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a, $b) split across components")
+    }
+  }
+}

@@ -93,6 +93,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermark bounds state, cross-batch dups dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val M = 60L * 1000000
+    val deduped = input.toDS().toDF("id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id") // state holds ids only until the watermark passes
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ids(): Seq[Long] = spark.table("dedup_out")
+      .select($"id").as[Long].collect().toSeq
+    try {
+      input.addData((1L, 0L), (1L, 1 * M), (2L, 2 * M)) // dup of 1 in-batch
+      q.processAllAvailable()
+      assert(ids().sorted == Seq(1L, 2L))
+      input.addData((1L, 3 * M), (3L, 4 * M)) // cross-batch dup of 1
+      q.processAllAvailable()
+      assert(ids().sorted == Seq(1L, 2L, 3L))
+      assert(ids().count(_ == 1L) == 1, "cross-batch duplicate emitted twice")
+    } finally q.stop()
+  }
+
   test("maxFilesPerTrigger bounds micro-batch size without changing results") {
     val dir = Files.createTempDirectory("mfpt_src").toString
     val ev = Tables.events(spark, sf).select($"ts", $"event_type", $"value")
