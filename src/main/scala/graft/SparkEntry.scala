@@ -595,6 +595,14 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- near-dup clusters via iterative connected components ----
+      "d8_components" -> ((s, dir) => {
+        val pairs = DedupSuite.minhashNearDupsPortable(corpusD5(s, dir),
+            "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs)
+      }),
+
       // ---- relative-rank windows (percent_rank / cume_dist) ----
       "q52_relative_rank" -> ((s, dir) => {
         val daily = Tables.events(s, dir)
@@ -1014,6 +1022,23 @@ object SparkEntry {
        |SELECT cluster, doc_id, CAST(quality AS DOUBLE) AS quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** d8 oracle: exact transitive closure of the near-dup pairs via a
+    * recursive CTE — grades the engine's iterative label-propagation
+    * operator against a ground-truth component assignment. The WITH
+    * RECURSIVE wraps the shared pairs prefix (DuckDB allows RECURSIVE
+    * on the first WITH even when later CTEs are non-recursive). */
+  private def d8OracleSql: String =
+    s"""${d5PairsPrefixSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |FROM reach GROUP BY src""".stripMargin
+
   /** Shared WITH-prefix for the hyperplane-LSH oracles (e2, d6): the
     * 8×64 plane weights inlined from the engine's own deterministic
     * generator, the dot-product fold in the same order, so buckets and
@@ -1092,6 +1117,7 @@ object SparkEntry {
   def extensionOracles: Map[String, String] = Map(
     "d5_minhash_portable" -> d5OracleSql,
     "d7_canonical_near_dup" -> d7OracleSql,
+    "d8_components" -> d8OracleSql,
 
     "q52_relative_rank" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS metric_date, event_type,
