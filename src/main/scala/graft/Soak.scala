@@ -84,6 +84,24 @@ object Soak {
       s"sessionize dropped rows: ${sessAgg.getLong(1)} != $n")
     require(sessAgg.getLong(0) > 0L, "sessionize produced no sessions")
 
+    // 3b. bucketed two-pass sessionization: same summaries, but the
+    // mega key parallelizes over time buckets instead of serializing
+    // into one task's sort
+    val plainSummaries = Windows.sessionize(ev, Seq("user_id"), "ts",
+        30L * 60 * 1000000, col("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    val (nPlainSess, tPlainSess) = time(plainSummaries.count())
+    val bucketed = Windows.sessionSummariesBucketed(ev, Seq("user_id"), "ts",
+      30L * 60 * 1000000, 3600L * 1000000)
+    val (nBucketSess, tBucketSess) = time(bucketed.count())
+    require(nBucketSess == nPlainSess,
+      s"bucketed session count drift: $nBucketSess != $nPlainSess")
+    require(bucketed.exceptAll(plainSummaries).isEmpty,
+      "bucketed sessions differ from single-window sessions")
+
     // 4. top-k per day (rank window after agg)
     val daily = ev.groupBy(to_date(col("ts")).as("d"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -154,7 +172,9 @@ object Soak {
       s"""{"soak_rows":$n,"doc_rows":$nDocs,"dedup_pairs":$nPairs,
          |"daily_rows":$nDaily,"merged_rows":$mergedRows,
          |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
-         |"salt_check":$tCheck,"sessionize":$tSess,"topk":$tTopk,"merge":$tMerge,
+         |"salt_check":$tCheck,"sessionize":$tSess,
+         |"session_summaries_plain":$tPlainSess,
+         |"session_summaries_bucketed":$tBucketSess,"topk":$tTopk,"merge":$tMerge,
          |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
          |"text_dedup":$tDedup}}"""
         .stripMargin.replace("\n", ""))

@@ -58,6 +58,57 @@ object Windows {
       .drop("__prev_us", "__new_sess")
   }
 
+  /** Scalable session SUMMARIES via two-pass bucketed sessionization —
+    * the mitigation for the mega-key ceiling of [[sessionize]] (one key
+    * with millions of events lands its whole sort in one task; the
+    * 50M-row soak measured this going superlinear).
+    *
+    * Pass 1 partitions by (keys, time-bucket) — a hot key splits across
+    * time buckets, restoring parallelism — and sessionizes within each
+    * bucket. Pass 2 re-sessionizes the per-bucket SESSION RECORDS per
+    * key (rows per key = sessions, bounded by span/gap, thousands of
+    * times fewer than events), merging sessions that continue across a
+    * bucket boundary (start − prev_end ≤ gap, the same merge-at-gap
+    * rule). Produces exactly the summaries
+    * `sessionize(...).groupBy(session)` would — spec-verified — with
+    * the heavy pass parallel over buckets.
+    *
+    * `bucketMicros` must exceed `gapMicros` (a session can then span at
+    * most adjacent CHAINS of buckets, which pass 2 stitches). */
+  def sessionSummariesBucketed(df: DataFrame, partKeys: Seq[String],
+                               tsCol: String, gapMicros: Long,
+                               bucketMicros: Long): DataFrame = {
+    require(bucketMicros > gapMicros,
+      s"bucket width $bucketMicros must exceed the session gap $gapMicros")
+    val keyCols = partKeys.map(col)
+    val withUs = df.select(keyCols :+ unix_micros(col(tsCol)).as("__us"): _*)
+      .withColumn("__bucket", floor(col("__us") / bucketMicros))
+    val w1 = Window.partitionBy(keyCols :+ col("__bucket"): _*)
+      .orderBy(col("__us").asc)
+    val run1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = withUs
+      .withColumn("__prev", lag(col("__us"), 1).over(w1))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(run1))
+      .groupBy(keyCols :+ col("__bucket") :+ col("__sess"): _*)
+      .agg(min(col("__us")).as("__s"), max(col("__us")).as("__e"),
+        count(lit(1)).as("__n"))
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(col("__s").asc, col("__e").asc)
+    val run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("__prevE", lag(col("__e"), 1).over(w2))
+      .withColumn("__chain",
+        when(col("__prevE").isNull ||
+          col("__s") - col("__prevE") > gapMicros, 1L).otherwise(0L))
+      .withColumn("__cid", sum(col("__chain")).over(run2))
+      .groupBy(keyCols :+ col("__cid"): _*)
+      .agg(min(col("__s")).as("start_us"), max(col("__e")).as("end_us"),
+        sum(col("__n")).cast("bigint").as("n_events"))
+      .drop("__cid")
+  }
+
   /** Tumbling event-time bucket aggregation — the batch twin of the
     * Structured Streaming windowed aggregation in
     * [[graft.streaming.StreamingJobs]]. `window()` is a plain projection

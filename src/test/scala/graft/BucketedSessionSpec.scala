@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Windows
+
+/** Two-pass bucketed sessionization must equal the single-window form
+  * exactly — summaries, boundaries, counts — while parallelizing over
+  * time buckets. */
+class BucketedSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Gap = 30L * 60 * 1000000 // 30 min
+
+  private def plainSummaries(df: org.apache.spark.sql.DataFrame) =
+    Windows.sessionize(df, Seq("user_id"), "ts", Gap, col("event_id"))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+
+  test("bucketed summaries equal the single-window sessionize on real events") {
+    val ev = Tables.events(spark, sf).filter($"ts".isNotNull)
+    Seq(2L, 6L, 24L).foreach { hours =>
+      val bucketed = Windows.sessionSummariesBucketed(
+        ev, Seq("user_id"), "ts", Gap, hours * 3600L * 1000000)
+      val plain = plainSummaries(ev)
+      assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty,
+        s"bucketed != plain at bucket = $hours h")
+    }
+  }
+
+  test("sessions spanning many buckets stitch back into one") {
+    // one user, an event every 20 min for 10 h: ONE session crossing
+    // every 1-h bucket boundary (20 min < 30-min gap)
+    val base = 1700000000000000L
+    val rows = (0 until 30).map(i => (7L, i.toLong, base + i * 20L * 60 * 1000000))
+    val df = rows.toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val got = Windows.sessionSummariesBucketed(
+        df, Seq("user_id"), "ts", Gap, 3600L * 1000000)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (_, start, end, n) = got.head
+    assert(n == 30 && start == base && end == base + 29 * 20L * 60 * 1000000)
+  }
+
+  test("events exactly gap-apart merge; gap+1us splits (boundary rule parity)") {
+    val base = 1700000000000000L
+    val df = Seq(
+      (1L, 0L, base), (1L, 1L, base + Gap),              // == gap -> merge
+      (2L, 2L, base), (2L, 3L, base + Gap + 1))          // > gap -> split
+      .toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val got = Windows.sessionSummariesBucketed(
+        df, Seq("user_id"), "ts", Gap, 2 * Gap)
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+}
