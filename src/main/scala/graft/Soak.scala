@@ -99,8 +99,15 @@ object Soak {
     val (nBucketSess, tBucketSess) = time(bucketed.count())
     require(nBucketSess == nPlainSess,
       s"bucketed session count drift: $nBucketSess != $nPlainSess")
-    require(bucketed.exceptAll(plainSummaries).isEmpty,
-      "bucketed sessions differ from single-window sessions")
+    // hybrid: hot keys (the mega key + 100 warm) take the bucketed
+    // path, the 1M-key sparse tail the plain path
+    val hybrid = Windows.sessionSummariesHybrid(ev, Seq("user_id"), "ts",
+      30L * 60 * 1000000, 3600L * 1000000, hotThreshold = 10000L)
+    val (nHybridSess, tHybridSess) = time(hybrid.count())
+    require(nHybridSess == nPlainSess,
+      s"hybrid session count drift: $nHybridSess != $nPlainSess")
+    require(hybrid.exceptAll(plainSummaries).isEmpty,
+      "hybrid sessions differ from single-window sessions")
 
     // 4. top-k per day (rank window after agg)
     val daily = ev.groupBy(to_date(col("ts")).as("d"), col("event_type"))
@@ -174,7 +181,8 @@ object Soak {
          |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
          |"salt_check":$tCheck,"sessionize":$tSess,
          |"session_summaries_plain":$tPlainSess,
-         |"session_summaries_bucketed":$tBucketSess,"topk":$tTopk,"merge":$tMerge,
+         |"session_summaries_bucketed":$tBucketSess,
+         |"session_summaries_hybrid":$tHybridSess,"topk":$tTopk,"merge":$tMerge,
          |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
          |"text_dedup":$tDedup}}"""
         .stripMargin.replace("\n", ""))

@@ -595,6 +595,13 @@ object SparkEntry {
             col("event_type"), col("n"), col("total").cast("double").as("total"))
       }),
 
+      // ---- bucketed two-pass sessionization (mega-key skew path) ----
+      "q53_bucketed_sessions" -> ((s, dir) =>
+        Windows.sessionSummariesBucketed(
+          Tables.events(s, dir).filter(col("ts").isNotNull),
+          Seq("user_id"), "ts",
+          gapMicros = 30L * 60 * 1000000, bucketMicros = 6L * 3600 * 1000000)),
+
       // ---- near-dup clusters via iterative connected components ----
       "d8_components" -> ((s, dir) => {
         val pairs = DedupSuite.minhashNearDupsPortable(corpusD5(s, dir),
@@ -1118,6 +1125,22 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
+
+    "q53_bucketed_sessions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM t),
+        |s AS (SELECT user_id, ts_us,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM f)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q52_relative_rank" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS metric_date, event_type,

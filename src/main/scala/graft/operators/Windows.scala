@@ -109,6 +109,52 @@ object Windows {
       .drop("__cid")
   }
 
+  /** Plain single-window session summaries (events-per-key lands in one
+    * task — fine for the long tail, the ceiling for hot keys). */
+  def sessionSummaries(df: DataFrame, partKeys: Seq[String], tsCol: String,
+                       gapMicros: Long): DataFrame = {
+    val keyCols = partKeys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__us").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(keyCols :+ unix_micros(col(tsCol)).as("__us"): _*)
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(run))
+      .groupBy(keyCols :+ col("__sess"): _*)
+      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .drop("__sess")
+  }
+
+  /** Frequency-routed session summaries: keys with ≥ `hotThreshold`
+    * events go through the bucketed two-pass form (their single-task
+    * sort is the scaling ceiling), the long tail through the plain
+    * single-window form (for sparse keys the bucketed form degenerates
+    * to session-records ≈ events and its extra pass is pure overhead —
+    * measured at 50M rows). One cheap partial-aggregated count pass
+    * finds the hot set; it is small by definition, so both routing
+    * joins broadcast. The same routing logic Skew.saltedAgg applies to
+    * aggregation, applied to windows. */
+  def sessionSummariesHybrid(df: DataFrame, partKeys: Seq[String],
+                             tsCol: String, gapMicros: Long,
+                             bucketMicros: Long,
+                             hotThreshold: Long = 100000L): DataFrame = {
+    val keyCols = partKeys.map(col)
+    val hot = df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__kn"))
+      .filter(col("__kn") >= hotThreshold)
+      .select(keyCols: _*)
+    val hotSessions = sessionSummariesBucketed(
+      df.join(broadcast(hot), partKeys, "left_semi"),
+      partKeys, tsCol, gapMicros, bucketMicros)
+    val coldSessions = sessionSummaries(
+      df.join(broadcast(hot), partKeys, "left_anti"),
+      partKeys, tsCol, gapMicros)
+    hotSessions.unionByName(coldSessions)
+  }
+
   /** Tumbling event-time bucket aggregation — the batch twin of the
     * Structured Streaming windowed aggregation in
     * [[graft.streaming.StreamingJobs]]. `window()` is a plain projection

@@ -44,6 +44,18 @@ class BucketedSessionSpec extends SparkSpec {
     assert(n == 30 && start == base && end == base + 29 * 20L * 60 * 1000000)
   }
 
+  test("hybrid routing equals plain summaries regardless of threshold") {
+    val ev = Tables.events(spark, sf).filter($"ts".isNotNull)
+    val plain = plainSummaries(ev)
+    // threshold 1: everything hot (all-bucketed); huge: everything cold
+    Seq(1L, 50L, Long.MaxValue).foreach { thr =>
+      val hybrid = Windows.sessionSummariesHybrid(
+        ev, Seq("user_id"), "ts", Gap, 6L * 3600 * 1000000, thr)
+      assert(hybrid.exceptAll(plain).isEmpty && plain.exceptAll(hybrid).isEmpty,
+        s"hybrid != plain at threshold $thr")
+    }
+  }
+
   test("events exactly gap-apart merge; gap+1us splits (boundary rule parity)") {
     val base = 1700000000000000L
     val df = Seq(
