@@ -65,6 +65,16 @@ object DedupSuite {
         }))
       .otherwise(array().cast("array<long>"))
 
+  /** [[shingleHashesFromTokenHashes]] via the codegen'd native
+    * expression [[graft.plans.ShingleHashes]] — one fused loop, no
+    * boxed inner fold; bit-identical output. */
+  def shingleHashesNative(th: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(s"graft_shingles_$n",
+        exprs => graft.plans.ShingleHashes(exprs(0), n), "built-in")
+    call_function(s"graft_shingles_$n", th)
+  }
+
   /** MinHash hash family: ONE md5 per shingle (the expensive part),
     * then k affine variants h_i(x) = (a_i·x + b_i) mod p — the standard
     * universal-hash construction. 16× less hashing than salted-MD5-per-
@@ -168,11 +178,9 @@ object DedupSuite {
     // they drop out of the pipeline for free.
     val hs = docs
       .select(col(idCol),
-        graft.functions.ColUtil.bindOnce(
+        shingleHashesNative(
           transform(tokens(col(textCol)),
-            t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))) { th =>
-          shingleHashesFromTokenHashes(th, n)
-        }.as("hs"))
+            t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))), n).as("hs"))
     val sig = hs.select(col(idCol), minhashSignatureNative(col("hs"), k).as("sig"))
     val cand = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
     cand

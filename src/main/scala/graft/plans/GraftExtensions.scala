@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
       GraftExtensions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      GraftExtensions.shingleBuilder))
   }
 }
 
@@ -45,5 +49,17 @@ object GraftExtensions {
         s"graft_minhash k must be an integer literal, got $other")
     }
     MinhashSignature(children.head, k)
+  }
+
+  /** `graft_shingle_hashes(token_hashes, n)` — n must be a literal. */
+  val shingleBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2,
+      s"graft_shingle_hashes expects 2 arguments, got ${children.length}")
+    val n = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_hashes n must be an integer literal, got $other")
+    }
+    ShingleHashes(children.head, n)
   }
 }

@@ -38,6 +38,24 @@ class DedupSuiteSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("native shingle hashes are bit-identical to the composable form") {
+    val th = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        transform(TextFunctions.tokens(col("text")),
+          t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))).as("th"))
+    val native = th.select(col("doc_id"),
+      DedupSuite.shingleHashesNative(col("th"), 3).as("hs"))
+    val composed = th.select(col("doc_id"),
+      DedupSuite.shingleHashesFromTokenHashes(col("th"), 3).as("hs"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // short docs -> EMPTY array, like the composable otherwise(array())
+    val short = Seq(Seq(1L, 2L)).toDF("th")
+      .select(DedupSuite.shingleHashesNative(col("th"), 3).as("hs"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("native minhash signature is bit-identical to the composable form") {
     val hs = Tables.documents(spark, sf).limit(200)
       .select(col("doc_id"),
