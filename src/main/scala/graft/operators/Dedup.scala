@@ -69,9 +69,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("prop"))
-      val next = labels.join(proposals, Seq("id"), "left")
+      val propagated = labels.join(proposals, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("prop"), col("component")))
+            .as("component"))
+      // pointer jumping: follow the label's OWN label (components are
+      // node ids, so every label is a key in the table). This squares
+      // the propagation distance per round — a depth-d chain converges
+      // in O(log d) rounds instead of d, which is what makes a fixed
+      // maxIter safe for deep components
+      val next = propagated
+        .join(propagated.select(col("id").as("component"),
+          col("component").as("__c2")), Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__c2"), col("component")))
             .as("component"))
         .localCheckpoint() // truncate the growing iterative lineage
       converged = next.join(labels.withColumnRenamed("component", "old"), "id")

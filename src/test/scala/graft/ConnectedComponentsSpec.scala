@@ -17,6 +17,16 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("a 64-deep chain converges inside the default iteration budget") {
+    // plain 1-hop label propagation needs depth rounds (64 > maxIter);
+    // pointer jumping must close it in O(log d)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == 64)
+    assert(got.forall(_._2 == 0L), s"chain not fully labeled: ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
   test("real minhash pairs: every pair ends in one component") {
     val d = Tables.documents(spark, sf)
       .select($"doc_id", $"text")
