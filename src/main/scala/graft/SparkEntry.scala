@@ -910,6 +910,38 @@ object SparkEntry {
             col("f.hex_md5").as("hex_md5"),
             (col("byte_len") % 3 + 1).cast("int").as("fake_channels"))),
 
+      // ---- end-to-end corpus prep: quality -> langid -> dedup -> split ----
+      // the full training-set construction pass as ONE declarative plan:
+      // every stage pipelines inside the same job, no intermediate
+      // materialization
+      "c2_corpus_prep" -> ((s, dir) => {
+        val docs = corpusExact(s, dir)
+        val scored = docs.select(col("doc_id"), col("text"),
+          graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+            struct(size(toks).cast("long").as("ntok"),
+              qualityScoreFromTokens(toks).as("q"),
+              langId(toks).as("lang"))
+          }.as("s"))
+          .select(col("doc_id"), col("text"), col("s.ntok").as("ntok"),
+            col("s.q").as("q"), col("s.lang").as("lang"))
+        val kept = scored.filter(
+          col("q") >= lit(0.2).cast("decimal(10,4)") && col("lang") === "en")
+        val w = Window.partitionBy(col("content_hash"))
+          .orderBy(col("doc_id").asc)
+        val canon = kept.withColumn("content_hash", md5(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        canon
+          .withColumn("split",
+            when(hash32(col("doc_id").cast("string"), 2) % 10 < 9, "train")
+              .otherwise("holdout"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("ntok")).cast("bigint").as("n_tokens"),
+            (sum(col("q")) / count(lit(1)))
+              .cast("decimal(10,4)").cast("double").as("avg_quality"))
+      }),
+
       // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
       "c1_clean_corpus" -> ((s, dir) => {
         val docs = corpusExact(s, dir) // includes planted exact dups
@@ -1577,6 +1609,41 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim, rnk
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "c2_corpus_prep" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         |t AS (SELECT doc_id, text, $toksSql AS toks FROM corpus),
+         |c AS (SELECT doc_id, text, len(toks) AS ntok,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS c_en,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS c_es,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS c_de,
+         |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr
+         |  FROM t),
+         |scored AS (SELECT doc_id, text, ntok,
+         |  CAST((CAST(CAST(LEAST(ntok, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
+         |      + CAST(LEAST(CASE WHEN ntok > 0 THEN CAST(CAST(c_en AS DECIMAL(14,4)) / ntok AS DECIMAL(10,4))
+         |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
+         |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
+         |    AS DECIMAL(10,4)) AS q,
+         |  CASE WHEN greatest(c_en,c_es,c_de,c_fr) = 0 THEN 'und'
+         |       WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
+         |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
+         |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
+         |       ELSE 'fr' END AS lang
+         |  FROM c),
+         |kept AS (SELECT * FROM scored WHERE q >= 0.2 AND lang = 'en'),
+         |canon AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                    ORDER BY doc_id ASC) AS rn FROM kept)
+         |SELECT CASE WHEN ${hash32Sql(2, "CAST(doc_id AS VARCHAR)")} % 10 < 9
+         |            THEN 'train' ELSE 'holdout' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |       CAST(CAST(SUM(q) / COUNT(*) AS DECIMAL(10,4)) AS DOUBLE) AS avg_quality
+         |FROM canon WHERE rn = 1
+         |GROUP BY 1""".stripMargin,
 
     "c1_clean_corpus" ->
       s"""WITH corpus AS (
