@@ -88,6 +88,59 @@ object StreamingJobs {
     * the stored one (ties keep stored state, like the reference's
     * strict `>`). State is one row per key — at scale, bounded by key
     * cardinality, and evictable via a timeout if keys churn. */
+  final case class SessionState(startUs: Long, endUs: Long, n: Long)
+  final case class SessionOut(key: Long, start_us: Long, end_us: Long,
+                              n_events: Long)
+
+  /** Custom-state streaming sessionization via flatMapGroupsWithState +
+    * EventTimeTimeout: per-key session state extends while events
+    * arrive within `gapMicros`; a session EMITS either when a
+    * same-batch event splits it, or when the WATERMARK passes its
+    * end + gap (the timeout path — this is how custom state gets the
+    * same bounded-state guarantee `session_window` has natively).
+    * Input: a frame with `key` (long) and a WATERMARKED timestamp
+    * column `ts` — the watermarked column must flow into the stateful
+    * operator itself or the analyzer rejects the event-time timeout. */
+  def statefulSessions(events: DataFrame,
+                       gapMicros: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    events.select(col("key"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rowsIn: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          val rows = rowsIn.map(r => (r._1, r._2))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = rows.map(_._2).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { us =>
+              cur = cur match {
+                case Some(s) if us - s.endUs <= gapMicros =>
+                  Some(SessionState(s.startUs, math.max(s.endUs, us), s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(key, s.startUs, s.endUs, s.n)
+                  Some(SessionState(us, us, 1))
+                case None => Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the event-time watermark passes end + gap
+              state.setTimeoutTimestamp((s.endUs + gapMicros) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   def lastWriteWins(input: Dataset[Keyed]): Dataset[Keyed] = {
     import input.sparkSession.implicits._
     input.groupByKey(_.id)

@@ -93,6 +93,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessions: in-batch splits emit immediately, timeouts on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val M = 60L * 1000000
+    val withTime = input.toDS().toDF("key", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "10 minutes")
+    val out = StreamingJobs.statefulSessions(withTime, gapMicros = 5 * M)
+    val q = out.writeStream.format("memory").queryName("sess_state_out")
+      .outputMode("append").start()
+    def sessions(): Set[(Long, Long, Long, Long)] = spark.table("sess_state_out")
+      .as[StreamingJobs.SessionOut].collect()
+      .map(s => (s.key, s.start_us, s.end_us, s.n_events)).toSet
+    // base off epoch: an event AT the initial zero watermark is dropped
+    // as late before the state function ever sees it
+    val B = 1000 * M
+    try {
+      // batch 1: user 1 has two events 3 min apart (one session), then a
+      // 20-min jump — the split closes the first session IN BATCH
+      input.addData((1L, B), (1L, B + 3 * M), (1L, B + 23 * M))
+      q.processAllAvailable()
+      assert(sessions() == Set((1L, B, B + 3 * M, 2L)))
+      // batch 2: far-future event advances the watermark past the open
+      // session's end + gap -> the timeout path emits it
+      input.addData((2L, B + 120 * M))
+      q.processAllAvailable()
+      assert(sessions() == Set((1L, B, B + 3 * M, 2L),
+        (1L, B + 23 * M, B + 23 * M, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: watermark bounds state, cross-batch dups dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
