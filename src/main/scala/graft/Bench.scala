@@ -17,13 +17,15 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // best-of-2: single-shot timings at this scale carry ±20% scheduler/
-    // GC noise; min-of-two is the standard way to report steady-state.
+    // best-of-3: single-shot timings at this scale carry ±20% scheduler/
+    // GC noise and the host shows sustained background load; min-of-n
+    // is the standard steady-state report and three samples cut the
+    // observed run-to-run total variance roughly in half.
     // A query that throws is reported in "failed", NOT timed — folding
     // the exception path's elapsed time into the total made a broken
     // query look like a fast one (round-1 ADVICE.md).
     val timings = SparkEntry.queries.map { case (name, fn) =>
-      val attempts = (1 to 2).map { _ =>
+      val attempts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

@@ -65,6 +65,18 @@ object DedupSuite {
         }))
       .otherwise(array().cast("array<long>"))
 
+  /** Tokenize + masked 32-bit xxhash in ONE native byte scan
+    * ([[graft.plans.TokenHashes32]]) — bit-identical to
+    * `transform(tokens(c), t => xxhash64(t) & 0xFFFFFFFF)` with zero
+    * per-token string allocation. Unicode lowercasing stays Spark's
+    * `lower`. */
+  def tokenHashesNative(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_token_hashes",
+        exprs => graft.plans.TokenHashes32(exprs(0)), "built-in")
+    call_function("graft_token_hashes", lower(text))
+  }
+
   /** [[shingleHashesFromTokenHashes]] via the codegen'd native
     * expression [[graft.plans.ShingleHashes]] — one fused loop, no
     * boxed inner fold; bit-identical output. */
@@ -178,9 +190,7 @@ object DedupSuite {
     // they drop out of the pipeline for free.
     val hs = docs
       .select(col(idCol),
-        shingleHashesNative(
-          transform(tokens(col(textCol)),
-            t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))), n).as("hs"))
+        shingleHashesNative(tokenHashesNative(col(textCol)), n).as("hs"))
     val sig = hs.select(col(idCol), minhashSignatureNative(col("hs"), k).as("sig"))
     val cand = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
     cand

@@ -11,17 +11,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // both the driver union-find fast path and the distributed loop
+    Seq(100000L, 0L).foreach { thr =>
+      val got = Dedup.connectedComponents(pairs, localThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"wrong components at localThreshold=$thr")
+    }
   }
 
   test("a 64-deep chain converges inside the default iteration budget") {
     // plain 1-hop label propagation needs depth rounds (64 > maxIter);
-    // pointer jumping must close it in O(log d)
+    // pointer jumping must close it in O(log d). localThreshold = 0
+    // forces the DISTRIBUTED path — the driver fast path is exact by
+    // construction and would mask a propagation bug
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, maxIter = 10)
+    val got = Dedup.connectedComponents(pairs, maxIter = 10, localThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 64)
     assert(got.forall(_._2 == 0L), s"chain not fully labeled: ${got.filter(_._2 != 0L).take(5).mkString(",")}")

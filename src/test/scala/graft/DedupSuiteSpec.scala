@@ -38,6 +38,20 @@ class DedupSuiteSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("native token hashes are bit-identical to the composable form") {
+    val base = Tables.documents(spark, sf).limit(200).select(col("doc_id"), col("text"))
+      .unionByName(Seq((9000001L, ""), (9000002L, "  --- !!! "),
+        (9000003L, "Ünïcode Σeparators between words123 and456"))
+        .toDF("doc_id", "text"))
+    val native = base.select(col("doc_id"),
+      DedupSuite.tokenHashesNative(col("text")).as("th"))
+    val composed = base.select(col("doc_id"),
+      transform(TextFunctions.tokens(col("text")),
+        t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))).as("th"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
   test("native shingle hashes are bit-identical to the composable form") {
     val th = Tables.documents(spark, sf).limit(200)
       .select(col("doc_id"),
