@@ -610,6 +610,19 @@ object SparkEntry {
         Dedup.connectedComponents(pairs)
       }),
 
+      // ---- NULL-semantics suite (coalesce/nullif/null-safe compare) ----
+      "q54_null_semantics" -> ((s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          coalesce(dec2(col("value")), lit(-1).cast("decimal(18,2)"))
+            .cast("double").as("v_or_neg1"),
+          nullif(col("event_type"), lit("view")).as("type_nonview"),
+          col("value").isNull.as("v_missing"),
+          // null-safe equality: NULL <=> NULL is TRUE, never NULL
+          (col("value") <=> lit(null).cast("double"))
+            .as("v_null_safe_eq_null"),
+          when(col("ts").isNull, "no").otherwise("yes").as("has_ts"))),
+
       // ---- relative-rank windows (percent_rank / cume_dist) ----
       "q52_relative_rank" -> ((s, dir) => {
         val daily = Tables.events(s, dir)
@@ -1157,6 +1170,15 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
+
+    "q54_null_semantics" ->
+      """SELECT event_id,
+        |       CAST(COALESCE(CAST(value AS DECIMAL(18,2)), CAST(-1 AS DECIMAL(18,2))) AS DOUBLE) AS v_or_neg1,
+        |       nullif(event_type, 'view') AS type_nonview,
+        |       value IS NULL AS v_missing,
+        |       value IS NOT DISTINCT FROM NULL AS v_null_safe_eq_null,
+        |       CASE WHEN ts IS NULL THEN 'no' ELSE 'yes' END AS has_ts
+        |FROM events""".stripMargin,
 
     "q53_bucketed_sessions" ->
       """WITH t AS (
