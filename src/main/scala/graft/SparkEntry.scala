@@ -734,7 +734,8 @@ object SparkEntry {
           """SELECT c1.c_nationkey AS nationkey,
             |       CAST(COUNT(*) AS BIGINT) AS n_above_avg
             |FROM customer c1
-            |WHERE c1.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2))
+            |WHERE c1.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            |                             / CAST(COUNT(*) AS DOUBLE)
             |                      FROM customer c2
             |                      WHERE c2.c_nationkey = c1.c_nationkey)
             |GROUP BY c1.c_nationkey""".stripMargin)
@@ -889,8 +890,10 @@ object SparkEntry {
             max(size(col("embedding"))).cast("int").as("dim"),
             min(col("norm")).as("min_norm"),
             max(col("norm")).as("max_norm"),
-            (sum(col("norm").cast("decimal(20,8)")) / count(lit(1)))
-              .cast("decimal(20,8)").cast("double").as("avg_norm"))
+            // exact decimal sum, then DOUBLE division — rounding the
+            // quotient to decimal diverges cross-engine on exact halves
+            (sum(col("norm").cast("decimal(20,8)")).cast("double")
+              / count(lit(1)).cast("double")).as("avg_norm"))
       }),
 
       // ---- embedding-cosine near-dup dedup (fifth dedup mode) ----
@@ -937,8 +940,7 @@ object SparkEntry {
           }.as("s"))
           .select(col("doc_id"), col("text"), col("s.ntok").as("ntok"),
             col("s.q").as("q"), col("s.lang").as("lang"))
-        val kept = scored.filter(
-          col("q") >= lit(0.2).cast("decimal(10,4)") && col("lang") === "en")
+        val kept = scored.filter(col("q") >= 0.2 && col("lang") === "en")
         val w = Window.partitionBy(col("content_hash"))
           .orderBy(col("doc_id").asc)
         val canon = kept.withColumn("content_hash", md5(col("text")))
@@ -948,11 +950,15 @@ object SparkEntry {
           .withColumn("split",
             when(hash32(col("doc_id").cast("string"), 2) % 10 < 9, "train")
               .otherwise("holdout"))
+          // quality is now a double: quantize by FLOOR (no rounding
+          // ambiguity) to an exact integer before summing, so the
+          // aggregate stays partition-order independent
+          .withColumn("qs", floor(col("q") * 100000000L).cast("long"))
           .groupBy(col("split"))
           .agg(count(lit(1)).cast("bigint").as("n_docs"),
             sum(col("ntok")).cast("bigint").as("n_tokens"),
-            (sum(col("q")) / count(lit(1)))
-              .cast("decimal(10,4)").cast("double").as("avg_quality"))
+            (sum(col("qs")).cast("double") / count(lit(1)).cast("double")
+              / lit(100000000.0)).as("avg_quality"))
       }),
 
       // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
@@ -968,8 +974,7 @@ object SparkEntry {
           .select(col("doc_id"), col("text"),
             col("s.quality").as("quality"), col("s.lang_pred").as("lang_pred"))
         val kept = scored
-          .filter(col("quality") >= lit(0.2).cast("decimal(10,4)") &&
-            col("lang_pred") === "en")
+          .filter(col("quality") >= 0.2 && col("lang_pred") === "en")
         // single-pass dedup: rank + count over one content_hash window
         // instead of groupBy + join-back — the join form evaluates the
         // whole tokenizer/score subtree TWICE (no common-subplan reuse
@@ -1035,9 +1040,9 @@ object SparkEntry {
        |           AND a.doc_id < b.doc_id),
        |j AS (SELECT p.id_a, p.id_b,
        |        CASE WHEN len(list_distinct(list_concat(ha.hs, hb.hs))) > 0
-       |             THEN CAST(CAST(len(list_intersect(ha.hs, hb.hs)) AS DECIMAL(18,6))
-       |                       / len(list_distinct(list_concat(ha.hs, hb.hs))) AS DECIMAL(10,6))
-       |             ELSE CAST(0 AS DECIMAL(10,6)) END AS jaccard
+       |             THEN CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+       |                  / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE)
+       |             ELSE 0.0 END AS jaccard
        |      FROM pairs p
        |      JOIN h ha ON ha.doc_id = p.id_a
        |      JOIN h hb ON hb.doc_id = p.id_b)""".stripMargin
@@ -1045,7 +1050,7 @@ object SparkEntry {
 
   private def d5OracleSql: String =
     s"""$d5PairsPrefixSql
-       |SELECT id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard
+       |SELECT id_a, id_b, jaccard
        |FROM j WHERE jaccard >= 0.5""".stripMargin
 
   /** d7 oracle: near-dup canonical selection — single-step min-id
@@ -1061,17 +1066,15 @@ object SparkEntry {
        |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS sh
        |       FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
        |q AS (SELECT doc_id,
-       |  CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
-       |      + CAST(LEAST(CASE WHEN n > 0 THEN CAST(CAST(sh AS DECIMAL(14,4)) / n AS DECIMAL(10,4))
-       |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
-       |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
-       |    AS DECIMAL(10,4)) AS quality
+       |  (CAST(LEAST(n, 200) AS DOUBLE) / 200.0
+       |   + LEAST(CASE WHEN n > 0 THEN CAST(sh AS DOUBLE) / CAST(n AS DOUBLE)
+       |                ELSE 0.0 END, 0.5) * 2.0) / 2.0 AS quality
        |  FROM qc),
        |ranked AS (SELECT m.cluster, m.doc_id, q.quality,
        |             ROW_NUMBER() OVER (PARTITION BY m.cluster
        |               ORDER BY q.quality DESC, m.doc_id ASC) AS rn
        |           FROM mem m JOIN q USING (doc_id))
-       |SELECT cluster, doc_id, CAST(quality AS DOUBLE) AS quality
+       |SELECT cluster, doc_id, quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
   /** d8 oracle: exact transitive closure of the near-dup pairs via a
@@ -1119,7 +1122,7 @@ object SparkEntry {
   /** e2 oracle: LSH near-dup pairs ≥ 0.95. */
   private def e2OracleSql: String =
     s"""$lshPairsPrefixSql
-       |SELECT id_a, id_b, CAST(CAST(simd AS DECIMAL(12,8)) AS DOUBLE) AS sim
+       |SELECT id_a, id_b, simd AS sim
        |FROM p WHERE simd >= 0.95""".stripMargin
 
   /** d6 oracle: embedding near-dup DEDUP — drop the higher id of every
@@ -1159,11 +1162,11 @@ object SparkEntry {
        |                * sqrt(${dotSql("l.cv", "l.cv")})) AS simd
        |           FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
        |           WHERE p.query_id <> l.neighbor_id),
-       |r AS (SELECT query_id, neighbor_id, CAST(simd AS DECIMAL(12,8)) AS sim,
+       |r AS (SELECT query_id, neighbor_id, simd AS sim,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
        |      FROM scored)
-       |SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim, rnk
+       |SELECT query_id, neighbor_id, sim, rnk
        |FROM r WHERE rnk <= 5""".stripMargin
 
   def extensionOracles: Map[String, String] = Map(
@@ -1402,8 +1405,8 @@ object SparkEntry {
          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
          |       CAST(MAX(dim) AS INT) AS dim,
          |       MIN(norm) AS min_norm, MAX(norm) AS max_norm,
-         |       CAST(CAST(SUM(CAST(norm AS DECIMAL(20,8))) / COUNT(*)
-         |            AS DECIMAL(20,8)) AS DOUBLE) AS avg_norm
+         |       CAST(SUM(CAST(norm AS DECIMAL(20,8))) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS avg_norm
          |FROM n GROUP BY 1""".stripMargin,
 
     "m2_binary_features" ->
@@ -1536,7 +1539,7 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS metric_date,
         |       CAST(COUNT(*) AS INT) AS events_count,
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
-        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
         |FROM events
         |WHERE event_type = 'purchase' AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
@@ -1558,11 +1561,9 @@ object SparkEntry {
          |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits
          |  FROM t)
          |SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(stop_hits AS INT) AS stop_hits,
-         |  CAST(CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
-         |      + CAST(LEAST(CASE WHEN n > 0 THEN CAST(CAST(stop_hits AS DECIMAL(14,4)) / n AS DECIMAL(10,4))
-         |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
-         |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
-         |    AS DECIMAL(10,4)) AS DOUBLE) AS quality
+         |  (CAST(LEAST(n, 200) AS DOUBLE) / 200.0
+         |   + LEAST(CASE WHEN n > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n AS DOUBLE)
+         |                ELSE 0.0 END, 0.5) * 2.0) / 2.0 AS quality
          |FROM c""".stripMargin,
 
     "t3_langid" ->
@@ -1612,10 +1613,10 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, $shinglesSql AS sh FROM tk)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
-         |       THEN CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
-         |                 / len(list_distinct(list_concat(a.sh, b.sh))) AS DECIMAL(10,6))
-         |       ELSE CAST(0 AS DECIMAL(10,6)) END AS DOUBLE) AS jaccard
+         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         |       THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |       ELSE 0.0 END AS jaccard
          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     "e1_cosine_topk" ->
@@ -1625,11 +1626,11 @@ object SparkEntry {
          |        ${dotSql("qv", "cv")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS simd
          |      FROM c CROSS JOIN q
          |      WHERE query_id <> neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, CAST(simd AS DECIMAL(12,8)) AS sim,
+         |r AS (SELECT query_id, neighbor_id, simd AS sim,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
          |      FROM s)
-         |SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim, rnk
+         |SELECT query_id, neighbor_id, sim, rnk
          |FROM r WHERE rnk <= 5""".stripMargin,
 
     "c2_corpus_prep" ->
@@ -1645,11 +1646,9 @@ object SparkEntry {
          |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr
          |  FROM t),
          |scored AS (SELECT doc_id, text, ntok,
-         |  CAST((CAST(CAST(LEAST(ntok, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
-         |      + CAST(LEAST(CASE WHEN ntok > 0 THEN CAST(CAST(c_en AS DECIMAL(14,4)) / ntok AS DECIMAL(10,4))
-         |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
-         |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
-         |    AS DECIMAL(10,4)) AS q,
+         |  (CAST(LEAST(ntok, 200) AS DOUBLE) / 200.0
+         |   + LEAST(CASE WHEN ntok > 0 THEN CAST(c_en AS DOUBLE) / CAST(ntok AS DOUBLE)
+         |                ELSE 0.0 END, 0.5) * 2.0) / 2.0 AS q,
          |  CASE WHEN greatest(c_en,c_es,c_de,c_fr) = 0 THEN 'und'
          |       WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
          |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
@@ -1663,7 +1662,8 @@ object SparkEntry {
          |            THEN 'train' ELSE 'holdout' END AS split,
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-         |       CAST(CAST(SUM(q) / COUNT(*) AS DECIMAL(10,4)) AS DOUBLE) AS avg_quality
+         |       CAST(SUM(CAST(floor(q * 100000000) AS BIGINT)) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) / 100000000.0 AS avg_quality
          |FROM canon WHERE rn = 1
          |GROUP BY 1""".stripMargin,
 
@@ -1680,11 +1680,9 @@ object SparkEntry {
          |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr
          |  FROM t),
          |scored AS (SELECT doc_id, text,
-         |  CAST((CAST(CAST(LEAST(n, 200) AS DECIMAL(10,4)) / 200 AS DECIMAL(10,4))
-         |      + CAST(LEAST(CASE WHEN n > 0 THEN CAST(CAST(stop_hits AS DECIMAL(14,4)) / n AS DECIMAL(10,4))
-         |                        ELSE CAST(0 AS DECIMAL(10,4)) END,
-         |                   CAST(0.5 AS DECIMAL(10,4))) * 2 AS DECIMAL(10,4))) / 2
-         |    AS DECIMAL(10,4)) AS quality,
+         |  (CAST(LEAST(n, 200) AS DOUBLE) / 200.0
+         |   + LEAST(CASE WHEN n > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n AS DOUBLE)
+         |                ELSE 0.0 END, 0.5) * 2.0) / 2.0 AS quality,
          |  CASE WHEN greatest(stop_hits,c_es,c_de,c_fr) = 0 THEN 'und'
          |       WHEN stop_hits = greatest(stop_hits,c_es,c_de,c_fr) THEN 'en'
          |       WHEN c_es = greatest(stop_hits,c_es,c_de,c_fr) THEN 'es'
@@ -1696,7 +1694,7 @@ object SparkEntry {
          |                 CAST(COUNT(*) AS BIGINT) AS n_copies
          |          FROM kept GROUP BY md5(text))
          |SELECT d.doc_id, d.content_hash, d.n_copies,
-         |       CAST(k.quality AS DOUBLE) AS quality
+         |       k.quality AS quality
          |FROM dedup d JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
 
     "q22_salted_agg" ->
@@ -1727,7 +1725,7 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS metric_date,
         |       CAST(COUNT(*) AS INT) AS events_count,
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
-        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
         |FROM events
         |WHERE event_type = 'purchase' AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
@@ -1738,7 +1736,7 @@ object SparkEntry {
         |            ELSE lower(split_part(replace(replace(source,'https://',''),'http://',''),'/',1))
         |       END AS domain,
         |       CAST(COUNT(*) AS INT) AS events_count,
-        |       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
+        |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
         |FROM documents
         |GROUP BY 1, 2""".stripMargin,
 
@@ -1746,7 +1744,7 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS metric_date,
         |       COALESCE(CAST(user_id AS VARCHAR), '(unknown)') AS author,
         |       CAST(COUNT(*) AS INT) AS events_count,
-        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(10,2)) AS DOUBLE) AS avg_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
         |FROM events
         |WHERE event_type = 'purchase' AND ts IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,

@@ -75,10 +75,14 @@ object TextFunctions {
     }
   }
 
-  /** Quality score in [0,1] as DECIMAL(10,4): mix of length saturation,
-    * stopword ratio, and mean token length band — the standard cheap
-    * pre-filters for LLM corpus cleaning, in exact decimal arithmetic so
-    * the score is engine-portable. */
+  /** Quality score in [0,1] as DOUBLE: mix of length saturation and
+    * stopword ratio — the standard cheap pre-filters for LLM corpus
+    * cleaning. Every operation is an IEEE double op on exactly-derived
+    * operands (integer→double conversion and division are correctly
+    * rounded in both engines; ×2 and ÷2 are exact), so the score is
+    * bit-identical cross-engine with NO decimal rounding step — a
+    * decimal-rounded quotient diverges between engines on exact halves
+    * (hit at sf0.001). */
   def qualityScore(text: Column): Column =
     ColUtil.bindOnce(tokens(text))(qualityScoreFromTokens)
 
@@ -93,16 +97,13 @@ object TextFunctions {
     * surface n/stop_hits alongside the score (avoids re-scanning the
     * token array for counts they already hold). */
   def qualityScoreFromCounts(n: Column, stopHits: Column): Column = {
-    // length saturation: min(n, 200)/200 (decimal)
-    val lenScore = (least(n, lit(200L)).cast("decimal(10,4)") / lit(200))
-      .cast("decimal(10,4)")
-    // stopword ratio clipped to [0, 0.5] then scaled ×2
-    val stopRatio = when(n > 0,
-      (stopHits.cast("decimal(14,4)") / n).cast("decimal(10,4)"))
-      .otherwise(lit(0).cast("decimal(10,4)"))
-    val stopScore = (least(stopRatio, lit(0.5).cast("decimal(10,4)")) * 2)
-      .cast("decimal(10,4)")
-    ((lenScore + stopScore) / 2).cast("decimal(10,4)")
+    // length saturation: min(n, 200)/200 — correctly-rounded double
+    val lenScore = least(n, lit(200L)).cast("double") / lit(200.0)
+    // stopword ratio clipped to [0, 0.5] then scaled ×2 (exact in binary)
+    val stopRatio = when(n > 0, stopHits.cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val stopScore = least(stopRatio, lit(0.5)) * 2.0
+    (lenScore + stopScore) / 2.0
   }
 
   /** Order-sensitive document fingerprint: left fold of a polynomial

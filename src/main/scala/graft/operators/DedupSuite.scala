@@ -162,12 +162,15 @@ object DedupSuite {
   }
 
   /** Exact n-gram Jaccard over shingle SETS (distinct semantics, like
-    * `array_intersect`/`array_union`), as exact decimal. */
+    * `array_intersect`/`array_union`), as the raw DOUBLE quotient of
+    * the two exact counts — integer→double conversion and double
+    * division are correctly rounded in both engines, so the bits match
+    * with no decimal quantization step (quotient-rounding to decimal
+    * diverges between engines on exact halves). */
   def jaccard(aShingles: Column, bShingles: Column): Column = {
-    val ic = size(array_intersect(aShingles, bShingles)).cast("decimal(18,6)")
-    val uc = size(array_union(aShingles, bShingles)).cast("decimal(18,6)")
-    when(uc > 0, (ic / uc).cast("decimal(10,6)"))
-      .otherwise(lit(0).cast("decimal(10,6)"))
+    val ic = size(array_intersect(aShingles, bShingles)).cast("double")
+    val uc = size(array_union(aShingles, bShingles)).cast("double")
+    when(uc > 0, ic / uc).otherwise(lit(0.0))
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → hash → sign → band →
@@ -198,7 +201,6 @@ object DedupSuite {
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .withColumn("jaccard", col("jaccard").cast("double"))
   }
 
   /** Engine-portable variant of [[minhashNearDups]]: shingle base
@@ -225,7 +227,6 @@ object DedupSuite {
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .withColumn("jaccard", col("jaccard").cast("double"))
   }
 
   /** 60-bit SimHash over token hashes: bit i of the result is set iff

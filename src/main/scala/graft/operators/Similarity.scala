@@ -54,7 +54,7 @@ object Similarity {
         cosineNative(col("qv"), col("cv")).as("sim"))
     TopK.perGroup(scored, Seq("query_id"),
         Seq(col("sim").desc, col("neighbor_id").asc), k)
-      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
+      
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
@@ -117,7 +117,7 @@ object Similarity {
         cosineNative(col("qv"), col("cv")).as("sim"))
     TopK.perGroup(scored.distinct(), Seq("query_id"),
         Seq(col("sim").desc, col("neighbor_id").asc), k)
-      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
+      
   }
 
   /** Materialize the IVF inverted lists as a parquet table PARTITIONED
@@ -166,7 +166,7 @@ object Similarity {
         cosineNative(col("qv"), col("cv")).as("sim"))
     TopK.perGroup(scored.distinct(), Seq("query_id"),
         Seq(col("sim").desc, col("neighbor_id").asc), k)
-      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
+      
   }
 
   /** One Lloyd (k-means) iteration over the IVF centroids: assign every
@@ -228,7 +228,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosineNative(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
-      .withColumn("sim", col("sim").cast("decimal(12,8)").cast("double"))
+      
   }
 
   /** Embedding-cosine near-duplicate DEDUP (the prompt's fifth dedup
