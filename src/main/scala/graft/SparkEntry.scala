@@ -687,7 +687,10 @@ object SparkEntry {
             Multimodal.sampleFrameIndices(col("frames"), 8).as("idx"))
           .select(col("doc_id"), col("w"), col("h"), col("frames"),
             col("r.new_w").as("new_w"), col("r.new_h").as("new_h"),
-            col("idx"))
+            // final-column convention: array outputs serialize to a CSV
+            // string — the driver's comparer sorts rows in pandas, and
+            // ndarray cells are unhashable/unsortable there (r2 gate)
+            array_join(col("idx"), ",").as("idx"))
       }),
 
       // ---- one-pass column profile (data-quality staple) ----
@@ -749,13 +752,15 @@ object SparkEntry {
           .select(col("vec_id"), col("base"),
             transform(col("base"), x => x * ((col("vec_id") % 3 + 1))).as("arr"))
           .select(col("vec_id"),
-            sort_array(col("arr"), asc = false).as("sorted_desc"),
-            slice(col("arr"), 2, 2).as("mid2"),
+            // arrays computed natively; serialized to CSV strings at the
+            // output boundary (driver comparer can't sort ndarray cells)
+            array_join(sort_array(col("arr"), asc = false), ",").as("sorted_desc"),
+            array_join(slice(col("arr"), 2, 2), ",").as("mid2"),
             array_position(col("arr"), col("vec_id") % 3 + 1).cast("int").as("pos_first"),
             array_contains(col("arr"), lit(2L)).as("has_two"),
             array_join(col("arr"), ",").as("joined"),
-            array_sort(array_distinct(concat(col("base"), col("base")))).as("dedup"),
-            flatten(array(col("base"), col("arr"))).as("flat"))),
+            array_join(array_sort(array_distinct(concat(col("base"), col("base")))), ",").as("dedup"),
+            array_join(flatten(array(col("base"), col("arr"))), ",").as("flat"))),
 
       // ---- JSON-function suite (deterministic doc built by concat) ----
       "q45_json_ops" -> ((s, dir) =>
@@ -772,7 +777,7 @@ object SparkEntry {
             json_array_length(get_json_object(col("j"), "$.tags"))
               .cast("int").as("n_tags"),
             get_json_object(col("j"), "$.meta.k").cast("bigint").as("k_meta"),
-            array_sort(json_object_keys(col("j"))).as("keys_sorted"))),
+            array_join(array_sort(json_object_keys(col("j"))), ",").as("keys_sorted"))),
 
       // ---- string-function suite (C9-family breadth) ----
       "q42_string_ops" -> ((s, dir) =>
@@ -1252,8 +1257,8 @@ object SparkEntry {
          |       ELSE greatest(CAST(floor(w * 256.0 / longest) AS INT), 1) END AS new_w,
          |  CASE WHEN longest <= 256 THEN h
          |       ELSE greatest(CAST(floor(h * 256.0 / longest) AS INT), 1) END AS new_h,
-         |  list_sort(list_distinct(list_transform(range(8),
-         |    i -> CAST(floor(i * frames / 8.0) AS INT)))) AS idx
+         |  array_to_string(list_sort(list_distinct(list_transform(range(8),
+         |    i -> CAST(floor(i * frames / 8.0) AS INT)))), ',') AS idx
          |FROM r""".stripMargin,
 
     "q48_profile" ->
@@ -1297,13 +1302,13 @@ object SparkEntry {
         |             list_transform(base, x -> x * (vec_id % 3 + 1)) AS arr
         |      FROM b)
         |SELECT vec_id,
-        |       list_reverse_sort(arr) AS sorted_desc,
-        |       arr[2:3] AS mid2,
+        |       array_to_string(list_reverse_sort(arr), ',') AS sorted_desc,
+        |       array_to_string(arr[2:3], ',') AS mid2,
         |       CAST(list_position(arr, vec_id % 3 + 1) AS INT) AS pos_first,
         |       list_contains(arr, 2) AS has_two,
         |       array_to_string(arr, ',') AS joined,
-        |       list_sort(list_distinct(list_concat(base, base))) AS dedup,
-        |       flatten([base, arr]) AS flat
+        |       array_to_string(list_sort(list_distinct(list_concat(base, base))), ',') AS dedup,
+        |       array_to_string(flatten([base, arr]), ',') AS flat
         |FROM a""".stripMargin,
 
     "q45_json_ops" ->
@@ -1318,7 +1323,7 @@ object SparkEntry {
         |       json_extract_string(j, '$.tags[0]') AS tag0,
         |       CAST(json_array_length(j, '$.tags') AS INT) AS n_tags,
         |       CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS k_meta,
-        |       list_sort(json_keys(j)) AS keys_sorted
+        |       array_to_string(list_sort(json_keys(j)), ',') AS keys_sorted
         |FROM j""".stripMargin,
 
     "q42_string_ops" ->
