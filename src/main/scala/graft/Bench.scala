@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only subset filter (comma-separated names); full suite when unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -14,7 +21,7 @@ object Bench {
     // init that would otherwise be billed to an arbitrary query.
     val smallest = "/root/testdata/sf0.001"
     val warmDir = if (new java.io.File(smallest).isDirectory) smallest else sfDir
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // best-of-3: single-shot timings at this scale carry ±20% scheduler/
@@ -24,7 +31,7 @@ object Bench {
     // A query that throws is reported in "failed", NOT timed — folding
     // the exception path's elapsed time into the total made a broken
     // query look like a fast one (round-1 ADVICE.md).
-    val timings = SparkEntry.queries.map { case (name, fn) =>
+    val timings = selected.map { case (name, fn) =>
       val attempts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -55,39 +55,47 @@ object Dedup {
     * reachable within maxIter hops. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
                           localThreshold: Long = 100000L): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
     // small-graph fast path: the LSH pair list is usually a tiny
     // fraction of the corpus — when it fits on the driver, a union-find
     // beats 2 Spark jobs per distributed round by orders of magnitude
-    // (the same economics as broadcasting a small join side). The
-    // distributed loop below remains the big-graph path.
-    if (edges.count() <= localThreshold) {
-      val spark = pairs.sparkSession
+    // (the same economics as broadcasting a small join side). ONE job
+    // decides AND fetches: limit(threshold+1) + collect — if the limit
+    // wasn't hit we hold the whole pair list. Union-find needs neither
+    // the symmetric closure nor distinct edges, so the raw pair list is
+    // collected as-is (an uncached count()-then-collect() ran the
+    // upstream pair pipeline twice; at sf0.1 that was ~half of d8).
+    val spark = pairs.sparkSession
+    locally {
       import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      val sample = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(localThreshold.toInt + 1)
         .as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != r) {
-          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      if (sample.length <= localThreshold) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
         }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // union by MIN root → component label = min id
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        sample.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by MIN root → component label = min id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
         }
+        return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+          .toDF("id", "component")
       }
-      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
-        .toDF("id", "component")
     }
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
