@@ -1000,7 +1000,213 @@ object SparkEntry {
           length(encode(col("text"), "UTF-8")).cast("int").as("byte_len"),
           md5(col("text")).as("content_md5"),
           (lit(1) + hash32(col("text")) % 1024).cast("int").as("fake_width"),
-          (lit(1) + hash32(col("text"), 1) % 30).cast("int").as("fake_frames")))
+          (lit(1) + hash32(col("text"), 1) % 30).cast("int").as("fake_frames"))),
+
+      // ---- map-typed column suite (map build/lookup/filter/fold) ----
+      "q55_map_ops" -> ((s, dir) => {
+        val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        daily.groupBy(col("d"))
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("event_type"), col("n")))))
+            .as("m"))
+          .select(col("d"),
+            size(col("m")).cast("int").as("n_types"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("types_csv"),
+            coalesce(try_element_at(col("m"), lit("purchase")), lit(0L))
+              .cast("bigint").as("n_purchase"),
+            array_join(array_sort(map_keys(
+              map_filter(col("m"), (_, v) => v >= 50))), ",").as("hot_types"),
+            aggregate(map_values(col("m")), lit(0L), (a, b) => a + b)
+              .cast("bigint").as("n_total"))
+      }),
+
+      // ---- unpivot / melt (wide->long; Dataset.unpivot) ----
+      "q56_unpivot" -> ((s, dir) => {
+        val wide = Tables.events(s, dir).filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(
+            count(when(col("event_type") === "view", 1)).as("view"),
+            count(when(col("event_type") === "click", 1)).as("click"),
+            count(when(col("event_type") === "purchase", 1)).as("purchase"))
+        wide.unpivot(Array(col("d")),
+            Array(col("view"), col("click"), col("purchase")), "metric", "n")
+          .select(col("d"), col("metric"), col("n").cast("bigint").as("n"))
+      }),
+
+      // ---- lateral join (correlated top-n subquery per outer row) ----
+      "q57_lateral_topn" -> ((s, dir) => {
+        Sql.registerTables(s, dir)
+        s.sql(
+          """SELECT n.n_nationkey AS nationkey, t.custkey, t.bal
+            |FROM nation n JOIN LATERAL (
+            |  SELECT c_custkey AS custkey,
+            |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+            |  FROM customer
+            |  WHERE c_nationkey = n.n_nationkey
+            |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC
+            |  LIMIT 2) t""".stripMargin)
+      }),
+
+      // ---- regression/correlation stats from EXACT integer moments ----
+      // (built-in corr/regr_* fold doubles in partition order — not
+      // reproducible across engines; exact decimal sums then one final
+      // double formula are, same recipe as q41)
+      "q58_regr_stats" -> ((s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("x"),
+            (col("event_id") % 97).as("y"))
+        val m = e.groupBy(col("event_type")).agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        val (nD, sxD, syD, sxyD, sxxD, syyD) =
+          (col("n").cast("double"), col("sx").cast("double"),
+            col("sy").cast("double"), col("sxy").cast("double"),
+            col("sxx").cast("double"), col("syy").cast("double"))
+        val num = nD * sxyD - sxD * syD
+        val slope = num / (nD * sxxD - sxD * sxD)
+        val corr = num / (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD))
+        m.select(col("event_type"), col("n").cast("bigint").as("n"),
+          slope.as("slope"),
+          (syD / nD - slope * (sxD / nD)).as("intercept"),
+          corr.as("corr"), (corr * corr).as("r2"))
+      }),
+
+      // ---- bitwise aggregates + scalar bit ops ----
+      "q59_bitwise_agg" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            col("event_id").bitwiseAND(255).as("lo"),
+            shiftright(col("event_id"), 4).as("hi"),
+            col("event_id").bitwiseXOR(col("user_id")).as("x"))
+          .groupBy(col("event_type"))
+          .agg(expr("bit_and(event_id)").as("band"),
+            expr("bit_or(lo)").as("bor"),
+            expr("bit_xor(x)").as("bxor"),
+            max(col("hi")).cast("bigint").as("hi_max"))),
+
+      // ---- higher-order function suite (exists/forall/aggregate/zip_with) ----
+      "q60_hof_suite" -> ((s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            sequence(lit(1L), col("vec_id") % 7 + 3).as("base"))
+          .select(col("vec_id"),
+            exists(col("base"), x => x * x > 20).as("any_big"),
+            forall(col("base"), x => x <= 8).as("all_small"),
+            aggregate(col("base"), lit(0L), (a, b) => a + b)
+              .cast("bigint").as("total"),
+            aggregate(zip_with(col("base"), reverse(col("base")), (a, b) => a * b),
+              lit(0L), (a, b) => a + b).cast("bigint").as("dot_rev"),
+            size(filter(col("base"), x => x % 3 === 0)).cast("int").as("n_div3"))),
+
+      // ---- RANGE-frame window (7-day rolling totals; value-based frame) ----
+      "q61_range_frame" -> ((s, dir) => {
+        val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("total"))
+          .withColumn("day_n",
+            datediff(col("d"), lit(java.sql.Date.valueOf("2000-01-01"))))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("day_n")).rangeBetween(-6, 0)
+        daily.select(col("event_type"), col("d"),
+          sum(col("n")).over(w).cast("bigint").as("roll7_n"),
+          sum(col("total")).over(w).cast("decimal(18,2)").cast("double")
+            .as("roll7_total"))
+      }),
+
+      // ---- regexp_extract_all + array reductions over the matches ----
+      "q62_regex_extract_all" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[0-9]+', 0)").as("nums"),
+            expr("regexp_extract_all(text, '[A-Z][a-z]+', 0)").as("caps"))
+          .select(col("doc_id"),
+            size(col("nums")).cast("int").as("n_nums"),
+            size(array_distinct(col("nums"))).cast("int").as("n_uniq_nums"),
+            coalesce(try_element_at(col("nums"), lit(1)), lit("")).as("first_num"),
+            size(col("caps")).cast("int").as("n_caps"),
+            coalesce(aggregate(col("caps"), lit(0),
+              (a, c) => greatest(a, length(c))), lit(0))
+              .cast("int").as("max_cap_len"))),
+
+      // ---- generator source + calendar zero-fill (sequence/explode) ----
+      "q63_calendar_fill" -> ((s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+        val cal = ev.agg(min(to_date(col("ts"))).as("mn"),
+            max(to_date(col("ts"))).as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"))).as("d"))
+        val errDaily = ev.filter(col("event_type") === "error")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        cal.join(errDaily, Seq("d"), "left")
+          .select(col("d"), coalesce(col("n"), lit(0L)).cast("bigint")
+            .as("n_errors"))
+      }),
+
+      // ---- exact median + deterministic mode (min key among max count) ----
+      "q64_median_mode" -> ((s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+            (dec2(col("value")) * 100).cast("long").as("xl"))
+        // median over exact ×100 ints: odd n hits an integer, even n an
+        // exact .5 — both representable, so the interpolation formula
+        // difference between engines cannot round differently
+        val med = e.groupBy(col("event_type"))
+          .agg((expr("median(xl)") / 100.0).as("med_value"))
+        val cnt = e.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+        val mode = cnt.withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("n").desc, col("d").asc)))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("d").as("mode_day"),
+            col("n").cast("bigint").as("mode_n"))
+        med.join(mode, "event_type")
+      }),
+
+      // ---- try_* error-safe arithmetic (ANSI mode stays on) ----
+      "q65_try_ops" -> ((s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          // long÷long: Spark's `/` promotes to double and ANSI raises on
+          // zero → try_divide yields NULL, matching DuckDB's x/0 = NULL
+          // (double÷0.0 would give Infinity in Spark vs NULL in DuckDB)
+          try_divide(col("event_id"), col("user_id") % 5).as("div_or_null"),
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_json"),
+          expr("try_cast(event_type AS BIGINT)").as("bad_int"),
+          expr("try_cast(concat(cast(event_id AS STRING), '9999999999999999999') AS BIGINT)")
+            .as("overflow_null"))),
+
+      // ---- streaming sliding windows (1h window / 30min slide) ----
+      "s2_stream_sliding" -> ((s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = stagedEventsDir(dir)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val src = Tables.normalizeNanos(s.readStream.schema(schema).parquet(tmp))
+        val agg = src
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = try agg.writeStream.format("memory").queryName("s2_stream_out")
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        try q.processAllAvailable() finally q.stop()
+        s.table("s2_stream_out")
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("total").cast("double").as("total"))
+      })
     )
   }
 
@@ -1175,6 +1381,168 @@ object SparkEntry {
        |FROM r WHERE rnk <= 5""".stripMargin
 
   def extensionOracles: Map[String, String] = Map(
+    "q55_map_ops" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT d,
+        |       CAST(COUNT(*) AS INT) AS n_types,
+        |       string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+        |       CAST(COALESCE(SUM(n) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS n_purchase,
+        |       COALESCE(string_agg(event_type, ',' ORDER BY event_type)
+        |                FILTER (WHERE n >= 50), '') AS hot_types,
+        |       CAST(SUM(n) AS BIGINT) AS n_total
+        |FROM daily GROUP BY d""".stripMargin,
+
+    "q56_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+        |         COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        |SELECT d, metric, CAST(n AS BIGINT) AS n
+        |FROM wide UNPIVOT (n FOR metric IN ("view", click, purchase))""".stripMargin,
+
+    "q57_lateral_topn" ->
+      """SELECT n.n_nationkey AS nationkey, t.custkey, t.bal
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_custkey AS custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |  FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC
+        |  LIMIT 2) t ON TRUE""".stripMargin,
+
+    "q58_regr_stats" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         event_id % 97 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |  FROM e GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+        |       syd / nd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * (sxd / nd) AS intercept,
+        |       (nd * sxyd - sxd * syd)
+        |         / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS corr,
+        |       ((nd * sxyd - sxd * syd)
+        |         / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)))
+        |       * ((nd * sxyd - sxd * syd)
+        |         / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))) AS r2
+        |FROM d""".stripMargin,
+
+    "q59_bitwise_agg" ->
+      """SELECT event_type,
+        |       bit_and(event_id) AS band,
+        |       bit_or(event_id & 255) AS bor,
+        |       bit_xor(xor(event_id, user_id)) AS bxor,
+        |       CAST(MAX(event_id >> 4) AS BIGINT) AS hi_max
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q60_hof_suite" ->
+      """WITH b AS (
+        |  SELECT vec_id, range(1, CAST(vec_id % 7 + 4 AS INT)) AS base
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       len(list_filter(base, x -> x * x > 20)) > 0 AS any_big,
+        |       len(list_filter(base, x -> x > 8)) = 0 AS all_small,
+        |       CAST(list_reduce(list_prepend(0, base), (a, x) -> a + x) AS BIGINT) AS total,
+        |       CAST(list_reduce(list_prepend(0,
+        |         list_transform(list_zip(base, list_reverse(base)),
+        |           p -> p[1] * p[2])), (a, x) -> a + x) AS BIGINT) AS dot_rev,
+        |       CAST(len(list_filter(base, x -> x % 3 = 0)) AS INT) AS n_div3
+        |FROM b""".stripMargin,
+
+    "q61_range_frame" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |         datediff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS day_n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT event_type, d,
+        |       CAST(SUM(n) OVER w AS BIGINT) AS roll7_n,
+        |       CAST(CAST(SUM(total) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS roll7_total
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_n
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q62_regex_extract_all" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(text, '[0-9]+') AS nums,
+        |         regexp_extract_all(text, '[A-Z][a-z]+') AS caps
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(nums) AS INT) AS n_nums,
+        |       CAST(len(list_distinct(nums)) AS INT) AS n_uniq_nums,
+        |       COALESCE(nums[1], '') AS first_num,
+        |       CAST(len(caps) AS INT) AS n_caps,
+        |       CAST(COALESCE(list_reduce(list_prepend(0,
+        |         list_transform(caps, c -> len(c))),
+        |         (a, x) -> greatest(a, x)), 0) AS INT) AS max_cap_len
+        |FROM x""".stripMargin,
+
+    "q63_calendar_fill" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        |            FROM events WHERE ts IS NOT NULL),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM ev),
+        |cal AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+        |errs AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |         FROM ev WHERE event_type = 'error' GROUP BY 1)
+        |SELECT cal.d, CAST(COALESCE(errs.n, 0) AS BIGINT) AS n_errors
+        |FROM cal LEFT JOIN errs ON cal.d = errs.d""".stripMargin,
+
+    "q64_median_mode" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xl
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |med AS (SELECT event_type, median(xl) / 100.0 AS med_value
+        |        FROM e GROUP BY event_type),
+        |cnt AS (SELECT event_type, d, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |mode AS (SELECT event_type, d AS mode_day, CAST(n AS BIGINT) AS mode_n
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |                 ORDER BY n DESC, d ASC) AS rn FROM cnt)
+        |         WHERE rn = 1)
+        |SELECT med.event_type, med.med_value, mode.mode_day, mode.mode_n
+        |FROM med JOIN mode ON med.event_type = mode.event_type""".stripMargin,
+
+    "q65_try_ops" ->
+      """SELECT event_id,
+        |       event_id / (user_id % 5) AS div_or_null,
+        |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
+        |       TRY_CAST(event_type AS BIGINT) AS bad_int,
+        |       TRY_CAST(CAST(event_id AS VARCHAR) || '9999999999999999999' AS BIGINT) AS overflow_null
+        |FROM events""".stripMargin,
+
+    "s2_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE ts IS NOT NULL),
+        |x AS (SELECT (us // 1800000000) * 1800000000 AS b, event_type, v FROM e),
+        |u AS (SELECT b AS win_start_us, event_type, v FROM x
+        |      UNION ALL
+        |      SELECT b - 1800000000, event_type, v FROM x)
+        |SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
     "d5_minhash_portable" -> d5OracleSql,
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
