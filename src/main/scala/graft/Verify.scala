@@ -13,7 +13,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter, mirroring Bench (full dump when unset —
+    // the driver always runs the full dump)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val sel = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    sel.foreach { case (name, fn) =>
       try {
         val out = fn(spark, sfDir)
         // total-order the dump: row order inside the parquet must not

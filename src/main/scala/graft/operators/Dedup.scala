@@ -67,9 +67,12 @@ object Dedup {
     val spark = pairs.sparkSession
     locally {
       import spark.implicits._
+      // clamp before toInt: a Long threshold near Int.MaxValue would
+      // wrap to a negative limit (AnalysisException) — ADVICE.md r3
+      val lim = math.min(localThreshold, Int.MaxValue - 1L).toInt + 1
       val sample = pairs
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .limit(localThreshold.toInt + 1)
+        .limit(lim)
         .as[(Long, Long)].collect()
       if (sample.length <= localThreshold) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]

@@ -114,6 +114,47 @@ class DedupSuiteSpec extends SparkSpec {
     assert(top(2) == (2L, 0.0))          // orthogonal last
   }
 
+  test("xxhash fast path (x1) and gated portable d2 agree up to banding recall") {
+    val fast = SparkEntry.benchOnlyQueries("x1_minhash_fast")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val portable = SparkEntry.queries("d2_minhash_pairs")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // The verify filter (exact jaccard >= 0.5 over the base-hash sets)
+    // is shared; only LSH banding depends on the hash family, so the
+    // two paths legitimately differ on MARGINAL pairs (short planted
+    // docs sit near the threshold, where band-collision probability is
+    // ~0.2-0.6 per family). Equivalence claim: the pair SETS are nearly
+    // identical (measured 100 shared / 106 union at sf0.001) and both
+    // recover the planted near-dups almost completely.
+    val overlap = (fast & portable).size.toDouble / (fast | portable).size
+    assert(overlap >= 0.8, s"pair-set agreement $overlap below 0.8")
+    val plantedBoth = (fast & portable).count { case (a, b) => b == a + 1000000L }
+    assert(plantedBoth >= 50, s"only $plantedBoth planted pairs found by both")
+  }
+
+  test("d7 fixture plants 3-chains and d7 clusters them transitively") {
+    val pairs = DedupSuite.minhashNearDupsPortable(
+        SparkEntry.corpusD7(spark, sf), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // true chain: (A,B) and (B,C) found, no (A,C) shortcut — the case
+    // a single-step min-id representative clusters WRONG (C under B)
+    val chains = for {
+      (a, b) <- pairs if a < 1000000L && b >= 1000000L && b < 2000000L
+      (b2, c) <- pairs if b2 == b && c >= 2000000L && !pairs((a, c))
+    } yield (a, b, c)
+    assert(chains.nonEmpty, "fixture must plant at least one 3-chain")
+    val clusterLabels = SparkEntry.queries("d7_canonical_near_dup")(spark, sf)
+      .select("cluster").as[Long].collect().toSet
+    // under transitive labeling a chain's B and C can never label a
+    // cluster (their component always contains the smaller A); the old
+    // single-step rep put C under B, making B a cluster label
+    chains.foreach { case (_, b, c) =>
+      assert(!clusterLabels(b) && !clusterLabels(c),
+        s"chain member $b/$c must not label a cluster")
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq("the cat is in the house and it is big",
       "el gato que en la casa los perros", "xyzzy qwerty").toDF("text")

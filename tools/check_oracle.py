@@ -60,7 +60,10 @@ def main(sf_dir, out_dir):
         import pyarrow.types as pat
         bad = [f.name for f in tbl.schema
                if pat.is_nested(f.type)]
-        if bad and name in oracles:
+        if bad:
+            # flag regardless of oracle presence: an ungated query with
+            # nested output can still crash the driver-side pandas
+            # comparer (ADVICE.md r3)
             print(f"[{name}] DRIVER-UNSAFE OUTPUT TYPES (nested cols: {bad}) "
                   "- serialize to string at the output boundary")
             n_fail += 1
