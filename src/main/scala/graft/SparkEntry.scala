@@ -609,6 +609,19 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
       }),
 
+      // ANN quality measured, not asserted (r3 VERDICT item 6): recall@5
+      // of the IVF path against brute-force ground truth, per query.
+      // Deterministic (seed centroids + total-order ranking), so the
+      // recall numbers themselves are oracle-gated.
+      "e5_recall" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 8)
+        val truth = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4)
+        Similarity.recallAtK(truth, approx, 5)
+      }),
+
       // ---- salted aggregation (skew path; must equal the plain agg) ----
       "q22_salted_agg" -> ((s, dir) =>
         Skew.saltedAgg(
@@ -1467,10 +1480,11 @@ object SparkEntry {
        |SELECT vec_id FROM planted
        |WHERE vec_id NOT IN (SELECT id_b FROM dropped)""".stripMargin
 
-  /** e3 oracle: the full IVF pipeline (assignment, probe selection,
-    * list scoring, final top-k) as window queries. */
-  private val e3OracleSql: String =
-    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+  /** IVF pipeline CTE chain (assignment, probe selection, list scoring,
+    * ranking) shared by the e3 and e5 oracles — ends with `r` =
+    * (query_id, neighbor_id, sim, rnk). */
+  private val ivfCtesSql: String =
+    s"""cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
        |              FROM embeddings ORDER BY vec_id ASC LIMIT 16),
        |assign AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
        |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1499,9 +1513,34 @@ object SparkEntry {
        |r AS (SELECT query_id, neighbor_id, simd AS sim,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
-       |      FROM scored)
+       |      FROM scored)""".stripMargin
+
+  /** e3 oracle: the full IVF pipeline (assignment, probe selection,
+    * list scoring, final top-k) as window queries. */
+  private def e3OracleSql: String =
+    s"""WITH $ivfCtesSql
        |SELECT query_id, neighbor_id, sim, rnk
        |FROM r WHERE rnk <= 5""".stripMargin
+
+  /** e5 oracle: recall@5 of the IVF result against brute-force ground
+    * truth (e1's ranking), per query. */
+  private def e5OracleSql: String =
+    s"""WITH $ivfCtesSql,
+       |iv AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+       |bfr AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+       |            ORDER BY ${dotSql("qq.embedding", "cc.embedding")}
+       |              / (sqrt(${dotSql("qq.embedding", "qq.embedding")})
+       |                 * sqrt(${dotSql("cc.embedding", "cc.embedding")})) DESC,
+       |            cc.vec_id ASC) AS rn
+       |        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) qq
+       |        JOIN embeddings cc ON cc.vec_id <> qq.vec_id),
+       |bf AS (SELECT query_id, neighbor_id FROM bfr WHERE rn <= 5)
+       |SELECT b.query_id, CAST(COUNT(i.query_id) AS BIGINT) AS n_hits,
+       |       CAST(COUNT(i.query_id) AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM bf b LEFT JOIN iv i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY b.query_id""".stripMargin
 
   def extensionOracles: Map[String, String] = Map(
     "q55_map_ops" ->
@@ -1709,6 +1748,7 @@ object SparkEntry {
     "e2_ann_lsh" -> e2OracleSql,
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
+    "e5_recall" -> e5OracleSql,
 
     "q51_token_positions" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -92,9 +92,13 @@ object Similarity {
     * partitions at the scan. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val cent = vectors.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+              nProbe: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
+    // default centroid seed: deterministic lowest ids (oracle-exact);
+    // pass [[kmeans]] output for refined centroids (better recall, but
+    // float means are not cross-engine bit-stable — bench/serving only)
+    val cent = centroids.getOrElse(
+      vectors.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
     // assignment pass: nearest centroid per corpus vector
     val assigned = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cent))
@@ -212,6 +216,38 @@ object Similarity {
       .select(col("centroid_id"),
         coalesce(col("new_vec"), col("old_vec")).as("centroid_vec"))
   }
+
+  /** Lloyd's k-means over [[refineCentroids]]: seed with the
+    * deterministic lowest-id vectors, then iterate assign→mean `iters`
+    * times. Each iteration is the two small-key shuffles of
+    * [[refineCentroids]] plus one driver collect of the (tiny) centroid
+    * set — the standard iterative-refinement economics; `iters` is a
+    * fixed small constant, so the lineage stays bounded without
+    * checkpointing. Returns (centroid_id, centroid_vec). */
+  def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
+             nCentroids: Int = 16, iters: Int = 3): DataFrame = {
+    var cent = vectors.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    var i = 0
+    while (i < iters) {
+      cent = refineCentroids(vectors, cent, idCol, vecCol)
+      i += 1
+    }
+    cent
+  }
+
+  /** Recall@k of an ANN result against brute-force ground truth: per
+    * query, the fraction of true top-k neighbors the ANN result found.
+    * Both inputs: (query_id, neighbor_id [, ...]). */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / k.toDouble).as(s"recall_at_$k"))
 
   /** LSH-bucketed near-duplicate vectors: only same-bucket pairs are
     * scored; pairs with cosine ≥ threshold survive. The shuffle key is

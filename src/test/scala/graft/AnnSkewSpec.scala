@@ -23,6 +23,22 @@ class AnnSkewSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("kmeans refinement: k stable, and refined-centroid IVF keeps recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 8)
+    val refined = Similarity.kmeans(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 3)
+    assert(refined.count() == 16, "kmeans must preserve centroid count")
+    assert(refined.filter(size($"centroid_vec") =!= 64).isEmpty,
+      "centroid dimensionality must be preserved")
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4, centroids = Some(refined))
+    val recall = Similarity.recallAtK(truth, approx, 5)
+      .agg(avg($"recall_at_5")).as[Double].head()
+    assert(recall >= 0.5, s"refined-centroid recall@5 too low: $recall")
+  }
+
   test("partitioned IVF index: pruned probes, identical results to ivfTopK") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/index"
     val emb = Tables.embeddings(spark, sf)
