@@ -137,10 +137,21 @@ object DedupSuite {
           j => md5(concat_ws(",", slice(col(sigCol), j * r + 1, lit(r)))))))
       .toDF(idCol, "band", "band_hash")
 
+  /** Name of the [[org.apache.spark.sql.Dataset.observe]] metric group
+    * emitted by [[candidatePairs]]; read it from the driving query's
+    * `queryExecution.observedMetrics` (or a QueryExecutionListener). */
+  val LshBucketMetrics = "graft_lsh_buckets"
+
   /** Candidate pairs from shared LSH buckets (id_a < id_b), with hot
     * buckets above `maxBucket` docs dropped (boilerplate guard — at
     * corpus scale a near-universal shingle bucket would otherwise emit
     * O(bucket²) pairs).
+    *
+    * NO SILENT CAP (r3 VERDICT item 4): the drop is accounted for via
+    * an `observe` metric group [[LshBucketMetrics]] with
+    * `dropped_buckets` / `dropped_docs` / `max_bucket_size`, riding the
+    * existing aggregation pass — a boilerplate-heavy corpus at 100 TB
+    * surfaces its recall hole in metrics instead of hiding it.
     *
     * One aggregation on (band, band_hash) collecting the bucket's ids,
     * then in-bucket pair expansion from the sorted array — a single
@@ -151,7 +162,14 @@ object DedupSuite {
                      maxBucket: Int = 1000): DataFrame = {
     val buckets = bands.groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .filter(size(col("ids")) >= 2)
+      .observe(LshBucketMetrics,
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
+          .otherwise(0L)).as("dropped_docs"),
+        max(size(col("ids"))).cast("long").as("max_bucket_size"))
+      .filter(size(col("ids")) <= maxBucket)
     val pairs = flatten(transform(
       sequence(lit(0), size(col("ids")) - 2), i =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), j =>

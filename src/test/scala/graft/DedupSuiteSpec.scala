@@ -155,6 +155,28 @@ class DedupSuiteSpec extends SparkSpec {
     }
   }
 
+  test("hot LSH buckets are dropped WITH accounting, not silently") {
+    // 5 identical docs -> every band has one bucket of 5 (> maxBucket=3,
+    // dropped); 2 identical docs -> buckets of 2 (kept, pair survives)
+    val docs2 = ((1 to 5).map(i => (100L + i, "alpha beta gamma delta epsilon zeta"))
+      ++ Seq((1L, "one two three four five six seven"),
+             (2L, "one two three four five six seven"))).toDF("doc_id", "text")
+    val hs = docs2.select($"doc_id",
+      transform(DedupSuite.shingles($"text", 3),
+        s => TextFunctions.hash32(s)).as("hs"))
+    val sig = hs.select($"doc_id",
+      DedupSuite.minhashSignatureFromHashes($"hs", 16).as("sig"))
+    val bands = DedupSuite.lshBands(sig, "doc_id", "sig", 4, 4)
+    val out = DedupSuite.candidatePairs(bands, "doc_id", maxBucket = 3)
+    val rows = out.collect() // collect drives out's OWN QueryExecution
+    val m = out.queryExecution.observedMetrics(DedupSuite.LshBucketMetrics)
+    assert(m.getAs[Long]("dropped_buckets") == 4L)   // one 5-bucket per band
+    assert(m.getAs[Long]("dropped_docs") == 20L)     // 4 bands x 5 docs
+    assert(m.getAs[Long]("max_bucket_size") == 5L)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"unexpected pairs $pairs")
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq("the cat is in the house and it is big",
       "el gato que en la casa los perros", "xyzzy qwerty").toDF("text")
