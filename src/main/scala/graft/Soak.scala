@@ -170,13 +170,39 @@ object Soak {
     corpus.write.mode("overwrite").parquet("target/soak/docs.parquet")
     val docs = spark.read.parquet("target/soak/docs.parquet")
     val nDocs = docs.count()
-    val (nPairs, tDedup) = time(
+    // materialize the pair list once: connected components iterates
+    // over its edges, and recomputing the minhash pipeline per round
+    // would swamp the measurement
+    val (nPairs, tDedup) = time {
       operators.DedupSuite.minhashNearDups(docs, "doc_id", "text",
-        n = 3, k = 16, bands = 4, threshold = 0.5).count())
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet("target/soak/pairs.parquet")
+      spark.read.parquet("target/soak/pairs.parquet").count()
+    }
     require(nPairs > nDocs / 2, s"dedup found too few pairs: $nPairs for $nDocs docs")
+
+    // 8. connected components over the soak pair list — far above
+    // localThreshold, so this exercises the DISTRIBUTED label-
+    // propagation + pointer-jumping path at volume (the code path d9
+    // gates at sf0.01). Invariant: converged labels are the component
+    // minimum — every component id equals the min member id.
+    val soakPairs = spark.read.parquet("target/soak/pairs.parquet")
+    val (nNodes, tComp) = time {
+      val comp = operators.Dedup.connectedComponents(soakPairs, maxIter = 10)
+        .persist()
+      val n0 = comp.count()
+      val badLabels = comp.groupBy(col("component"))
+        .agg(min(col("id")).as("m"))
+        .filter(col("m") =!= col("component")).count()
+      require(badLabels == 0, s"$badLabels component labels are not the min member")
+      comp.unpersist(blocking = false)
+      n0
+    }
 
     println(
       s"""{"soak_rows":$n,"doc_rows":$nDocs,"dedup_pairs":$nPairs,
+         |"component_nodes":$nNodes,
          |"daily_rows":$nDaily,"merged_rows":$mergedRows,
          |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
          |"salt_check":$tCheck,"sessionize":$tSess,
@@ -184,7 +210,7 @@ object Soak {
          |"session_summaries_bucketed":$tBucketSess,
          |"session_summaries_hybrid":$tHybridSess,"topk":$tTopk,"merge":$tMerge,
          |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
-         |"text_dedup":$tDedup}}"""
+         |"text_dedup":$tDedup,"connected_components":$tComp}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

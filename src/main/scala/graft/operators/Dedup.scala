@@ -96,9 +96,14 @@ object Dedup {
           .toDF("id", "component")
       }
     }
+    // every iteration joins against `edges`: persist it or the entire
+    // upstream pair pipeline (minhash/LSH at corpus scale) re-executes
+    // once per round — measured on the soak corpus, this turned an
+    // O(pipeline × iters) loop into pipeline + O(|edges| × iters)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
@@ -133,6 +138,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // labels is localCheckpoint'ed (materialized) every round, so the
+    // edge cache is safe to release eagerly here
+    edges.unpersist(blocking = false)
     labels
   }
 }
