@@ -104,20 +104,25 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
+    // seed with min(self, direct neighbors): one aggregation over the
+    // (already symmetric) edge list gives every node its round-1 label
+    // for free — star/pair clusters (the common near-dup shape) start
+    // fully converged, and chain depth shrinks by one before the loop
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("component"))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // neighbor labels: for each edge (src, dst), dst's label proposes
-      // itself to src; keep min(own, proposals)
+      // itself to src; keep min(own, proposals). `prev` rides along so
+      // the convergence check below is a scan of the checkpointed
+      // result, not a join against the previous round
       val proposals = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("prop"))
       val propagated = labels.join(proposals, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("prop"), col("component")))
             .as("component"))
       // pointer jumping: follow the label's OWN label (components are
@@ -128,14 +133,12 @@ object Dedup {
       val next = propagated
         .join(propagated.select(col("id").as("component"),
           col("component").as("__c2")), Seq("component"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("component"), coalesce(col("__c2"), col("component")))
             .as("component"))
         .localCheckpoint() // truncate the growing iterative lineage
-      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     // labels is localCheckpoint'ed (materialized) every round, so the
