@@ -77,6 +77,19 @@ object DedupSuite {
     call_function("graft_token_hashes", lower(text))
   }
 
+  /** Engine-portable shingle hashes (md5-derived hash32 of each n-gram
+    * string) in ONE fused pass via
+    * [[graft.plans.PortableShingleHashes]] — bit-identical to
+    * `transform(shinglesFromTokens(toks, n), s => hash32(s))` and to
+    * the DuckDB oracle's reproduction, without the per-shingle
+    * interpreted slice/concat/md5-hex/conv tree. */
+  def shingleHashesPortableNative(toks: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(s"graft_pshingles_$n",
+        exprs => graft.plans.PortableShingleHashes(exprs(0), n), "built-in")
+    call_function(s"graft_pshingles_$n", toks)
+  }
+
   /** [[shingleHashesFromTokenHashes]] via the codegen'd native
     * expression [[graft.plans.ShingleHashes]] — one fused loop, no
     * boxed inner fold; bit-identical output. */
@@ -235,9 +248,7 @@ object DedupSuite {
     // shingle sets and fall out via the null signature
     val hs = docs
       .select(col(idCol),
-        graft.functions.ColUtil.bindOnce(tokens(col(textCol))) { toks =>
-          transform(shinglesFromTokens(toks, n), s => hash32(s))
-        }.as("hs"))
+        shingleHashesPortableNative(tokens(col(textCol)), n).as("hs"))
     val sig = hs.select(col(idCol), minhashSignatureNative(col("hs"), k).as("sig"))
     val cand = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
     cand

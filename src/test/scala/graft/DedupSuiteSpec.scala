@@ -70,6 +70,27 @@ class DedupSuiteSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("native portable shingle hashes are bit-identical to the composable form") {
+    val base = Tables.documents(spark, sf).limit(200).select(col("doc_id"), col("text"))
+      .unionByName(Seq((9000001L, ""), (9000002L, "one two"),
+        (9000003L, "exactly three tokens"),
+        (9000004L, "Ünïcode Σeparators between words123 and456 more words here"))
+        .toDF("doc_id", "text"))
+    val toks = base.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val native = toks.select(col("doc_id"),
+      DedupSuite.shingleHashesPortableNative(col("toks"), 3).as("hs"))
+    val composed = toks.select(col("doc_id"),
+      transform(DedupSuite.shinglesFromTokens(col("toks"), 3),
+        s => TextFunctions.hash32(s)).as("hs"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // short docs -> EMPTY array, like the composable otherwise(array())
+    val short = Seq(Seq("one", "two")).toDF("toks")
+      .select(DedupSuite.shingleHashesPortableNative(col("toks"), 3).as("hs"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("native minhash signature is bit-identical to the composable form") {
     val hs = Tables.documents(spark, sf).limit(200)
       .select(col("doc_id"),
