@@ -58,21 +58,18 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * md5-derived, mapped to [-1, 1). Computed driver-side ONCE (pure
-    * Scala md5, same formula an engine-side expression would use) and
-    * embedded as literals — recomputing md5 per row × plane × dim
-    * dominated the LSH cost otherwise. */
-  def planeWeight(plane: Int, dim: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${plane}_$dim".getBytes("UTF-8"))
-    val h = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
-    h / 2147483648.0 - 1.0
-  }
+    * md5-derived, mapped to [-1, 1). Shared with the native bucket
+    * expression ([[graft.plans.Hyperplanes]]) and inlined as literals
+    * into the DuckDB oracles. */
+  def planeWeight(plane: Int, dim: Int): Double =
+    graft.plans.Hyperplanes.weight(plane, dim)
 
   /** Sign-of-projection LSH bucket id from `nPlanes` fixed random
     * hyperplanes (bit p set iff dot(v, plane_p) >= 0). `dims` must match
-    * the embedding width. */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, dims: Int): Column =
+    * the embedding width. Composable built-ins form — kept as the
+    * engine-portable reference; [[hyperplaneBucket]] is the bit-identical
+    * fused native used on hot paths. */
+  def hyperplaneBucketComposable(vec: Column, nPlanes: Int, dims: Int): Column =
     (0 until nPlanes).map { p =>
       val w = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
       val proj = aggregate(
@@ -80,6 +77,17 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** [[hyperplaneBucketComposable]] via the fused native expression
+    * [[graft.plans.HyperplaneBucket]] — one primitive loop instead of
+    * nPlanes interpreted zip_with/aggregate trees per row; bit-identical
+    * buckets (same weights, same left-fold accumulation order). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(s"graft_hplane_${nPlanes}_$dims",
+        exprs => graft.plans.HyperplaneBucket(exprs(0), nPlanes, dims), "built-in")
+    call_function(s"graft_hplane_${nPlanes}_$dims", vec)
+  }
 
   /** IVF (inverted-file) ANN: assign every vector to its nearest of
     * `nCentroids` centroids (one scored pass against a broadcast

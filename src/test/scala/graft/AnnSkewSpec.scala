@@ -23,6 +23,22 @@ class AnnSkewSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("native hyperplane bucket is bit-identical to the composable form") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val native = emb.select($"vec_id",
+      Similarity.hyperplaneBucket($"embedding", 8, 64).as("b"))
+    val composed = emb.select($"vec_id",
+      Similarity.hyperplaneBucketComposable($"embedding", 8, 64).as("b"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // degenerate inputs: wrong width / null element -> bucket 0, like
+    // the composable's null-padded zip_with fold
+    val weird = Seq(Seq(1.0f, 2.0f), Seq.empty[Float]).toDF("embedding")
+      .select(Similarity.hyperplaneBucket($"embedding", 8, 64).as("b"))
+      .as[Long].collect().toSeq
+    assert(weird == Seq(0L, 0L))
+  }
+
   test("kmeans refinement: k stable, and refined-centroid IVF keeps recall") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 8)
