@@ -364,6 +364,62 @@ object SparkEntry {
         Tables.documents(s, dir).select(
           col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+      // Gopher/C4-style repetition signals: top-token fraction, distinct
+      // ratio, top-bigram fraction — the cheap statistical filters that
+      // catch boilerplate/spam before expensive dedup. Explode + two
+      // hash aggregations; no windows, fully partial-aggregable, so the
+      // plan is shuffle-on-doc_id at any corpus size. All fractions are
+      // double quotients of exact counts (bit-identical cross-engine).
+      "t7_repetition" -> ((s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("doc_id"),
+          tokens(col("text")).as("toks"))
+        val tokCounts = toks
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val perDoc = tokCounts.groupBy(col("doc_id")).agg(
+          sum(col("c")).cast("bigint").as("n_tokens"),
+          max(col("c")).as("top_tok"),
+          count(lit(1)).as("n_distinct"))
+        val bgDoc = toks
+          .select(col("doc_id"),
+            explode(DedupSuite.shinglesFromTokens(col("toks"), 2)).as("bg"))
+          .groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("nb"), max(col("c")).as("top_bg"))
+        perDoc.join(bgDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("top_tok").cast("double") / col("n_tokens").cast("double"))
+              .as("top_token_frac"),
+            (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+              .as("distinct_frac"),
+            coalesce(col("top_bg").cast("double") / col("nb").cast("double"),
+              lit(0.0)).as("top_bigram_frac"))
+      }),
+
+      // PII scrubbing (C4-style): count and redact email/phone shapes.
+      // The fixture plants deterministic PII (no real data has any);
+      // patterns stay in the RE2-compatible subset both engines share.
+      "t8_redact" -> ((s, dir) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{4,6}"
+        val withPii = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" call 555-01"),
+                lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+              .otherwise(lit(""))).as("text"))
+        withPii.select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("int").as("n_emails"),
+          regexp_count(col("text"), lit(phone)).cast("int").as("n_phones"),
+          length(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>")).cast("int").as("clean_len"))
+      }),
+
       // ---- dedup ----
       "d1_exact_dedup" -> ((s, dir) =>
         DedupSuite.exact(corpusExact(s, dir), "doc_id", "text")),
@@ -433,6 +489,71 @@ object SparkEntry {
           .filter(hash32(col("event_id").cast("string")) % 100 < rate)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).cast("bigint").as("n_sampled"))
+      }),
+
+      // Train/test n-gram contamination check — the leakage audit that
+      // must follow any hash split: test docs sharing 5-gram shingle
+      // hashes with ANY train doc. One shuffle on the shingle hash
+      // (semi join against the distinct train-shingle set); at 100 TB
+      // the train side is the big one and stays shuffle-partitioned,
+      // never collected. The planted near-dup corpus guarantees
+      // contaminated docs exist (source and its +1e6 copy can land in
+      // different splits).
+      "d10_contamination" -> ((s, dir) => {
+        val corpus = corpusNear(s, dir)
+        val sh = corpus.select(col("doc_id"),
+            explode(array_distinct(
+              DedupSuite.shingleHashesPortableNative(tokens(col("text")), 5)))
+              .as("h"))
+          .withColumn("is_train",
+            pmod(hash32(col("doc_id").cast("string"), 1), lit(10)) < 8)
+        val trainSh = sh.filter(col("is_train")).select(col("h")).distinct()
+        val testSh = sh.filter(!col("is_train"))
+        val totals = testSh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_shingles"))
+        val hits = testSh.join(trainSh, Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_contaminated"))
+        totals.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("n_contaminated"), lit(0L)).cast("double")
+              / col("n_shingles").cast("double")).as("contamination_frac"))
+      }),
+
+      // Per-domain cap — deterministic downsampling of over-represented
+      // domains (hash-ordered row_number ≤ K per domain). The window
+      // partitions by domain: skewed mega-domains are exactly the
+      // hot-key shape sessionization's bucketed path handles; at this
+      // cap size the partial TopK would also do.
+      "q66_domain_cap" -> ((s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          Enrich.domainOf(col("source")).as("domain"))
+        val w = Window.partitionBy(col("domain"))
+          .orderBy(hash32(col("doc_id").cast("string"), 2).asc, col("doc_id").asc)
+        d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).cast("bigint").as("n_kept"),
+            min(col("doc_id")).as("sample_min_id"))
+      }),
+
+      // Token-budget sequence packing: docs stream into 4096-token bins
+      // per shard (cumulative-sum window inside a hash shard, so packing
+      // parallelizes across shards instead of one global sort — the
+      // 100 TB shape; a global order would serialize).
+      "q68_pack" -> ((s, dir) => {
+        val t = Tables.documents(s, dir).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          pmod(hash32(col("doc_id").cast("string"), 3), lit(8)).as("shard"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin", floor(col("before") / lit(4096.0)).cast("bigint"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"))
       }),
 
       "q37_leakage_safe_split" -> ((s, dir) =>
@@ -1543,6 +1664,85 @@ object SparkEntry {
        |GROUP BY b.query_id""".stripMargin
 
   def extensionOracles: Map[String, String] = Map(
+    "t7_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |              MAX(c) AS top_tok, COUNT(*) AS n_distinct
+         |       FROM tc GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+         |         i -> array_to_string(toks[i+1:i+2], ' '))) AS b FROM tk),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |bd AS (SELECT doc_id, SUM(c) AS nb, MAX(c) AS top_bg FROM bc GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_tokens,
+         |       CAST(pd.top_tok AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE) AS top_token_frac,
+         |       CAST(pd.n_distinct AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE) AS distinct_frac,
+         |       COALESCE(CAST(bd.top_bg AS DOUBLE) / CAST(bd.nb AS DOUBLE), 0.0) AS top_bigram_frac
+         |FROM pd LEFT JOIN bd USING (doc_id)""".stripMargin,
+
+    "t8_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4,6}')) AS INT) AS n_phones,
+        |       CAST(length(regexp_replace(regexp_replace(text,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{3}-[0-9]{4,6}', '<PHONE>', 'g')) AS INT) AS clean_len
+        |FROM p""".stripMargin,
+
+    "d10_contamination" ->
+      s"""WITH $corpusNearCtes,
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |          list_transform(range(len(toks) - 4),
+         |            i -> array_to_string(toks[i+1:i+5], ' ')),
+         |          s -> ${hash32Sql(0, "s")})) AS hs FROM tk),
+         |sh AS (SELECT doc_id, unnest(hs) AS h,
+         |         ${hash32Sql(1, "CAST(doc_id AS VARCHAR)")} % 10 < 8 AS is_train
+         |       FROM shl),
+         |tr AS (SELECT DISTINCT h FROM sh WHERE is_train),
+         |te AS (SELECT doc_id, h FROM sh WHERE NOT is_train),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM te GROUP BY 1),
+         |hit AS (SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+         |        FROM te JOIN tr USING (h) GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_shingles,
+         |       CAST(COALESCE(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |       CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE)
+         |         / CAST(tot.n_shingles AS DOUBLE) AS contamination_frac
+         |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+    "q66_domain_cap" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN source IS NULL OR source = '' THEN '(no_domain)'
+         |         ELSE lower(split_part(replace(replace(source,'https://',''),'http://',''),'/',1))
+         |    END AS domain
+         |  FROM documents),
+         |r AS (SELECT doc_id, domain,
+         |        ROW_NUMBER() OVER (PARTITION BY domain
+         |          ORDER BY ${hash32Sql(2, "CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+         |      FROM d)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(doc_id) AS sample_min_id
+         |FROM r WHERE rn <= 50 GROUP BY 1""".stripMargin,
+
+    "q68_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${hash32Sql(3, "CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |      FROM t),
+         |b AS (SELECT shard, CAST(floor(cum_before / 4096.0) AS BIGINT) AS bin,
+         |             doc_id, n_tokens FROM c)
+         |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
     "q55_map_ops" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS n
