@@ -200,9 +200,30 @@ object Soak {
       n0
     }
 
+    // 9. train/test contamination audit over the full soak corpus:
+    // ~100 5-gram shingles per doc exploded (~20M rows) semi-joined
+    // against the distinct train-shingle set — the d10 plan at 400×
+    // the gate fixture. The replica structure guarantees heavy planted
+    // contamination (every doc's copies straddle the hash split).
+    import graft.functions.TextFunctions.{tokens, hash32}
+    import graft.operators.DedupSuite
+    val (nContam, tContam) = time {
+      val sh = docs.select(col("doc_id"),
+          explode(array_distinct(
+            DedupSuite.shingleHashesPortableNative(tokens(col("text")), 5)))
+            .as("h"))
+        .withColumn("is_train",
+          pmod(hash32(col("doc_id").cast("string"), 1), lit(10)) < 8)
+      val trainSh = sh.filter(col("is_train")).select(col("h")).distinct()
+      sh.filter(!col("is_train"))
+        .join(trainSh, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct().count()
+    }
+    require(nContam > 0, "planted cross-split contamination not detected")
+
     println(
       s"""{"soak_rows":$n,"doc_rows":$nDocs,"dedup_pairs":$nPairs,
-         |"component_nodes":$nNodes,
+         |"component_nodes":$nNodes,"contaminated_docs":$nContam,
          |"daily_rows":$nDaily,"merged_rows":$mergedRows,
          |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
          |"salt_check":$tCheck,"sessionize":$tSess,
@@ -210,7 +231,8 @@ object Soak {
          |"session_summaries_bucketed":$tBucketSess,
          |"session_summaries_hybrid":$tHybridSess,"topk":$tTopk,"merge":$tMerge,
          |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
-         |"text_dedup":$tDedup,"connected_components":$tComp}}"""
+         |"text_dedup":$tDedup,"connected_components":$tComp,
+         |"contamination":$tContam}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }
