@@ -730,6 +730,29 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
       }),
 
+      // Int8 embedding quantization (min/max affine, the storage layout
+      // for vectors at corpus scale): per-vector range stats + the
+      // quantized-value checksum. Exact float min/max and correctly-
+      // rounded double affine math — bit-identical cross-engine, no
+      // epsilon. Explode + two hash aggs; partial-aggregable.
+      "e6_quantize" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), explode(col("embedding")).as("x"))
+        val stats = e.groupBy(col("vec_id")).agg(
+          min(col("x")).as("mn"), max(col("x")).as("mx"),
+          count(lit(1)).cast("int").as("n_dims"))
+        val scale = (col("mx").cast("double") - col("mn").cast("double")) / 255.0
+        e.join(stats, "vec_id")
+          .select(col("vec_id"), col("n_dims"),
+            col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"),
+            when(col("mx") > col("mn"),
+              floor((col("x").cast("double") - col("mn").cast("double")) / scale
+                + 0.5).cast("long"))
+              .otherwise(0L).as("qi"))
+          .groupBy(col("vec_id"), col("n_dims"), col("mn"), col("mx"))
+          .agg(sum(col("qi")).cast("bigint").as("checksum"))
+      }),
+
       // ANN quality measured, not asserted (r3 VERDICT item 6): recall@5
       // of the IVF path against brute-force ground truth, per query.
       // Deterministic (seed centroids + total-order ranking), so the
@@ -1949,6 +1972,21 @@ object SparkEntry {
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
     "e5_recall" -> e5OracleSql,
+
+    "e6_quantize" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+        |s AS (SELECT vec_id, MIN(x) AS mn, MAX(x) AS mx,
+        |             CAST(COUNT(*) AS INT) AS n_dims FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, s.n_dims,
+        |        CAST(s.mn AS DOUBLE) AS mn, CAST(s.mx AS DOUBLE) AS mx,
+        |        CASE WHEN s.mx > s.mn THEN
+        |          CAST(floor((CAST(e.x AS DOUBLE) - CAST(s.mn AS DOUBLE))
+        |            / ((CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE)) / 255.0)
+        |            + 0.5) AS BIGINT)
+        |        ELSE 0 END AS qi
+        |      FROM e JOIN s USING (vec_id))
+        |SELECT vec_id, n_dims, mn, mx, CAST(SUM(qi) AS BIGINT) AS checksum
+        |FROM q GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q51_token_positions" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
