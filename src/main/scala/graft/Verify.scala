@@ -49,6 +49,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Gate-integrity manifest (ADVICE r4): the FULL declared query list,
+    // written unconditionally, so check_oracle.py can fail any dump that
+    // is missing a declared query — a leaked SPARK_GRAFT_ONLY during a
+    // gate run produces a loudly-red subset instead of a silently-green
+    // one. Subset runs additionally drop an explicit marker.
+    val declared = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"), declared)
+    if (only.isDefined)
+      Files.writeString(Paths.get(s"$outDir/SUBSET_MARKER"),
+        only.get.toSeq.sorted.mkString(","))
     spark.stop()
   }
 }

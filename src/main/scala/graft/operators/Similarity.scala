@@ -248,8 +248,11 @@ object Similarity {
     * query, the fraction of true top-k neighbors the ANN result found.
     * Both inputs: (query_id, neighbor_id [, ...]). */
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
-    truth.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"))
+    // dropDuplicates on both sides: a duplicated (query, neighbor) row in
+    // either input would fan the left join out and over-count hits
+    // (recall > 1) — ADVICE r4; hit-set semantics, not bag semantics
+    truth.select(col("query_id"), col("neighbor_id")).dropDuplicates()
+      .join(approx.select(col("query_id"), col("neighbor_id")).dropDuplicates()
           .withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

@@ -31,9 +31,11 @@ object Hyperplanes {
   * trees per row (each allocating a zipped array); this is one fused
   * primitive loop over a single unpacked double[].
   *
-  * Degenerate inputs mirror the composable null semantics: a vector
-  * whose length differs from `dims`, or containing a null element,
-  * yields null projections on every plane → no bit set → bucket 0. */
+  * Degenerate inputs mirror the composable null semantics: a NULL
+  * vector, a vector whose length differs from `dims`, or one containing
+  * a null element all yield null projections on every plane →
+  * `when(proj >= 0, bit).otherwise(0)` takes the otherwise branch →
+  * bucket 0. The expression is therefore never null itself. */
 case class HyperplaneBucket(child: Expression, nPlanes: Int, dims: Int)
   extends UnaryExpression {
 
@@ -97,13 +99,24 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dims: Int)
     bucket
   }
 
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[ArrayData])
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else compute(v.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val ref = ctx.addReferenceObj("hyperplaneBucket", this,
       classOf[HyperplaneBucket].getName)
-    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = ${childGen.isNull} ? 0L : $ref.compute(${childGen.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =

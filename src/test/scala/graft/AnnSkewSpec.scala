@@ -31,12 +31,28 @@ class AnnSkewSpec extends SparkSpec {
       Similarity.hyperplaneBucketComposable($"embedding", 8, 64).as("b"))
     assert(native.exceptAll(composed).isEmpty &&
       composed.exceptAll(native).isEmpty)
-    // degenerate inputs: wrong width / null element -> bucket 0, like
-    // the composable's null-padded zip_with fold
-    val weird = Seq(Seq(1.0f, 2.0f), Seq.empty[Float]).toDF("embedding")
-      .select(Similarity.hyperplaneBucket($"embedding", 8, 64).as("b"))
-      .as[Long].collect().toSeq
-    assert(weird == Seq(0L, 0L))
+    // degenerate inputs: wrong width / empty / NULL vector -> bucket 0,
+    // like the composable's null-padded zip_with fold hitting the
+    // otherwise(0) branch on every plane — for BOTH forms
+    val weirdIn = Seq(Option(Seq(1.0f, 2.0f)), Option(Seq.empty[Float]), None)
+      .toDF("embedding")
+    for (form <- Seq(Similarity.hyperplaneBucket _,
+                     Similarity.hyperplaneBucketComposable _)) {
+      val got = weirdIn.select(form($"embedding", 8, 64).as("b"))
+        .as[Long].collect().toSeq
+      assert(got == Seq(0L, 0L, 0L))
+    }
+  }
+
+  test("recallAtK is robust to duplicate rows in either input") {
+    // ADVICE r4: duplicated (query, neighbor) rows used to fan out the
+    // left join and report recall > 1
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 11L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(truth, approx, 2)
+      .select($"n_hits", $"recall_at_2").as[(Long, Double)].head()
+    assert(r == ((2L, 1.0)), s"expected (2, 1.0), got $r")
   }
 
   test("kmeans refinement: k stable, and refined-centroid IVF keeps recall") {

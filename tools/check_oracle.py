@@ -46,6 +46,21 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
+    # Gate integrity (ADVICE r4): a dump produced under SPARK_GRAFT_ONLY
+    # must never read as a green gate. Fail on the subset marker, and
+    # fail any declared query with no dump directory on disk.
+    if os.path.exists(f"{out_dir}/SUBSET_MARKER"):
+        print(f"[gate] SUBSET DUMP (SPARK_GRAFT_ONLY was set) - not a gate run")
+        n_fail += 1
+    decl_path = f"{out_dir}/declared_queries.json"
+    # fall back to the oracle keys for pre-manifest dumps
+    declared = (json.load(open(decl_path)) if os.path.exists(decl_path)
+                else sorted(oracles))
+    dumped = {os.path.basename(d.rstrip("/"))
+              for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(declared) - dumped):
+        print(f"[{name}] DECLARED BUT NOT DUMPED")
+        n_fail += 1
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         files = glob.glob(f"{d}/*.parquet")
