@@ -128,6 +128,33 @@ object SparkEntry {
     base.unionByName(b).unionByName(c)
   }
 
+  /** Paragraph-structured corpus for d11: every doc's tokens re-joined
+    * into 15-token paragraphs separated by '\n'; every 4th doc gets a
+    * shared banner paragraph prepended and every 3rd a shared footer
+    * appended (guaranteed cross-document duplicate paragraphs — the
+    * C4-style boilerplate shape), and every 5th doc is duplicated whole
+    * at id+1e6 (all of its paragraphs are second occurrences). The
+    * oracle rebuilds the identical corpus in SQL ([[corpusParaSql]]). */
+  private def corpusPara(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val body = Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+        array_join(transform(
+          sequence(lit(0),
+            greatest(floor((size(toks) - 1) / lit(15.0)), lit(0L)).cast("int")),
+          i => concat_ws(" ", slice(toks, i * 15 + 1, lit(15)))), "\n")
+      }.as("body"))
+    val base = body.select(col("doc_id"), concat(
+      when(col("doc_id") % 4 === 0,
+        lit("accept the cookie policy to continue reading\n")).otherwise(lit("")),
+      col("body"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nsubscribe to the newsletter for weekly updates")).otherwise(lit(""))
+    ).as("text"))
+    base.unionByName(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
   /** Staging dir for the streaming source, one per sf dir per JVM
     * (repeat invocations — bench warm-up + 2 timed passes, Verify,
     * PlanDump — reuse the copy instead of leaking a new temp dir each
@@ -554,6 +581,135 @@ object SparkEntry {
           .agg(count(lit(1)).cast("bigint").as("n_docs"),
             sum(col("n_tokens")).cast("bigint").as("bin_tokens"),
             min(col("doc_id")).as("first_doc"))
+      }),
+
+      // C4-style paragraph-level exact dedup: removes cross-document
+      // boilerplate whole-doc dedup can't see. One shuffle keyed on the
+      // paragraph content (row_number window), one back on doc id for
+      // reconstruction — see DedupSuite.dedupParagraphs scale notes.
+      "d11_paragraph_dedup" -> ((s, dir) =>
+        DedupSuite.dedupParagraphs(corpusPara(s, dir), "doc_id", "text")),
+
+      // TF-IDF top terms per document. idf is the RAW ratio N/df rather
+      // than log(N/df): log is monotone, so top-k ranking is identical,
+      // and the ratio form stays bit-portable to the DuckDB oracle
+      // (ln() is not guaranteed correctly-rounded across libm builds;
+      // N/df double division + one IEEE multiply are).
+      // Scale: tf shuffles on (doc, term) with map-side combine, df on
+      // term; the tf⋈df join shuffles on term (the dictionary is NOT
+      // broadcast-sized at 100 TB); N is one broadcast scalar row.
+      "t9_tfidf" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("bigint").as("tf"))
+        val df_ = tf.groupBy(col("term"))
+          .agg(count(lit(1)).cast("bigint").as("df"))
+        val n = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df_, "term").crossJoin(broadcast(n))
+          .withColumn("score", col("tf").cast("double")
+            * (col("n_docs").cast("double") / col("df").cast("double")))
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rnk"))
+      }),
+
+      // SCD2 change history (slowly-changing dimension, type 2): per
+      // user, collapse the event stream into versioned
+      // [valid_from, valid_to) intervals that change whenever the
+      // tracked attribute (event_type) changes — the warehouse-side
+      // twin of the reference's keyed upsert (J2/J4), keeping history
+      // instead of overwriting. valid_to is NULL on the current row.
+      // Scale: two windows over the same (user, time) partitioning —
+      // one shuffle, both window passes reuse it.
+      "q69_scd2" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("user_id") % 20 === 0)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(w).cast("int"))
+          .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w) - 1)
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      }),
+
+      // Fixed-size token windows with overlap (training-example prep):
+      // 32-token chunks at stride 24. Chunk starts are computed
+      // arithmetically and exploded — no self-join, no window; embar-
+      // rassingly parallel per doc, the right 100 TB shape. Chunk
+      // content is fingerprinted (md5 over the joined tokens) so
+      // downstream chunk-level dedup can run without re-tokenizing.
+      "q70_chunk" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+              struct(toks.as("toks"), size(toks).as("n"))
+            }.as("t"))
+          .select(col("doc_id"), col("t.toks").as("toks"), col("t.n").as("n"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              greatest(floor((col("n") - 9) / lit(24.0)), lit(0L)).cast("int")))
+              .as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+            (col("chunk_idx") * 24).cast("int").as("start_pos"),
+            graft.functions.ColUtil.bindOnce(
+              slice(col("toks"), col("chunk_idx") * 24 + 1, lit(32))) { chunk =>
+              struct(size(chunk).cast("int").as("chunk_len"),
+                md5(concat_ws(" ", chunk)).as("chunk_md5"))
+            }.as("c"))
+          .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+            col("c.chunk_len").as("chunk_len"), col("c.chunk_md5").as("chunk_md5"))),
+
+      // Weighted dataset mixture: per-language epoch factors (fr ×3,
+      // de ×2, rest ×1) materialized via explode(sequence(1, factor)),
+      // plus a deterministic hash-gate downsample of the dominant
+      // language (en kept at 60%) — the Dolma/Llama-style mix recipe.
+      // Scale: narrow ops only (filter + explode), one final agg.
+      "q71_mixture" -> ((s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        d.filter(col("lang") =!= "en" ||
+            hash32(col("doc_id").cast("string"), 4) % 100 < 60)
+          .withColumn("epoch", explode(sequence(lit(1),
+            when(col("lang") === "fr", 3)
+              .when(col("lang") === "de", 2).otherwise(1))))
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).cast("bigint").as("n_src_docs"),
+            count(lit(1)).cast("bigint").as("n_examples"),
+            sum(col("n_tok")).cast("bigint").as("n_tokens"))
+      }),
+
+      // Rare-token ratio (quality signal): fraction of a doc's tokens
+      // whose document frequency across the corpus is < 3. The fixture
+      // plants a unique token in every 11th doc so the signal is
+      // non-degenerate on the synthetic 31-token vocabulary.
+      // Scale: df is a distinct+groupBy on term; the term⋈rare join
+      // shuffles on term (rare set = the long tail, NOT broadcastable
+      // at 100 TB, though AQE will broadcast it at test sf).
+      "t10_rare_tokens" -> ((s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 11 === 0,
+            concat(lit(" zq"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+        val term = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val rare = term.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).cast("bigint").as("df"))
+          .filter(col("df") < 3)
+          .select(col("term"), lit(1L).as("is_rare"))
+        term.join(rare, Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+            sum(coalesce(col("is_rare"), lit(0L))).cast("bigint").as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+              .as("rare_frac"))
       }),
 
       "q37_leakage_safe_split" -> ((s, dir) =>
@@ -1444,6 +1600,26 @@ object SparkEntry {
     s"CAST(('0x' || substr(md5('$salt:' || $v), 1, 8)) AS BIGINT)"
   private val shinglesSql =
     "list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))"
+  /** SQL twin of [[corpusPara]] — ends defining CTE `corpus(doc_id, text)`. */
+  private val corpusParaSql =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bodied AS (SELECT doc_id,
+       |  array_to_string(list_transform(
+       |    range(CAST(greatest(floor((len(toks) - 1) / 15.0), 0) AS BIGINT) + 1),
+       |    i -> array_to_string(toks[i*15+1 : i*15+15], ' ')), chr(10)) AS body
+       |  FROM tk),
+       |parabase AS (SELECT doc_id,
+       |  concat(
+       |    CASE WHEN doc_id % 4 = 0
+       |         THEN 'accept the cookie policy to continue reading' || chr(10)
+       |         ELSE '' END,
+       |    body,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN chr(10) || 'subscribe to the newsletter for weekly updates'
+       |         ELSE '' END) AS text
+       |  FROM bodied),
+       |corpus AS (SELECT doc_id, text FROM parabase UNION ALL
+       |           SELECT doc_id + 1000000, text FROM parabase WHERE doc_id % 5 = 0)""".stripMargin
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"
@@ -1765,6 +1941,99 @@ object SparkEntry {
          |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
          |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "d11_paragraph_dedup" ->
+      s"""WITH $corpusParaSql,
+         |t AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+         |p AS (SELECT doc_id, unnest(range(len(parts))) AS pos FROM t),
+         |l AS (SELECT p.doc_id, p.pos, t.parts[p.pos + 1] AS para
+         |      FROM p JOIN t USING (doc_id)),
+         |r AS (SELECT doc_id, pos, para,
+         |        row_number() OVER (PARTITION BY para
+         |          ORDER BY doc_id ASC, pos ASC) AS rn FROM l)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+         |                           chr(10) ORDER BY pos), '') AS clean_text
+         |FROM r GROUP BY doc_id""".stripMargin,
+
+    "t9_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |term AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM term GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |        CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, df, score,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, term ASC) AS INT) AS rnk FROM s)
+         |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q69_scd2" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |           FROM events WHERE user_id % 20 = 0),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us ASC, event_id ASC) AS prev FROM e),
+        |v AS (SELECT user_id, event_id, ts_us, event_type FROM c
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts_us ASC, event_id ASC) AS INT) AS version,
+        |       event_type, ts_us AS valid_from_us,
+        |       lead(ts_us) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us ASC, event_id ASC) - 1 AS valid_to_us
+        |FROM v""".stripMargin,
+
+    "q70_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |        unnest(range(CAST(greatest(floor((len(toks) - 9) / 24.0), 0)
+         |          AS BIGINT) + 1)) AS chunk_idx
+         |      FROM tk),
+         |ch AS (SELECT c.doc_id, c.chunk_idx,
+         |         tk.toks[c.chunk_idx*24+1 : c.chunk_idx*24+32] AS chunk
+         |       FROM c JOIN tk USING (doc_id))
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       CAST(chunk_idx * 24 AS INT) AS start_pos,
+         |       CAST(len(chunk) AS INT) AS chunk_len,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch""".stripMargin,
+
+    "q71_mixture" ->
+      s"""WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |g AS (SELECT * FROM d WHERE lang <> 'en'
+         |        OR ${hash32Sql(4, "CAST(doc_id AS VARCHAR)")} % 100 < 60),
+         |x AS (SELECT doc_id, lang, n_tok,
+         |        unnest(range(CASE WHEN lang = 'fr' THEN 3
+         |                          WHEN lang = 'de' THEN 2 ELSE 1 END)) AS e
+         |      FROM g)
+         |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_examples,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY 1""".stripMargin,
+
+    "t10_rare_tokens" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 11 = 0
+         |                 THEN ' zq' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM d),
+         |term AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM term GROUP BY 1),
+         |rare AS (SELECT term FROM df WHERE df < 3),
+         |m AS (SELECT t.doc_id,
+         |        CASE WHEN r.term IS NULL THEN 0 ELSE 1 END AS isr
+         |      FROM term t LEFT JOIN rare r ON t.term = r.term)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(isr) AS BIGINT) AS n_rare,
+         |       CAST(SUM(isr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+         |FROM m GROUP BY doc_id""".stripMargin,
 
     "q55_map_ops" ->
       """WITH daily AS (

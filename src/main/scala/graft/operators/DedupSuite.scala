@@ -258,6 +258,47 @@ object DedupSuite {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** C4-style paragraph-level exact dedup: split every document on
+    * `sep`, keep only the globally-FIRST occurrence of each distinct
+    * paragraph (ordered by (doc id, position)), and reconstruct each
+    * document from its surviving paragraphs in original order.
+    * Removes cross-document boilerplate (cookie banners, nav footers)
+    * that whole-document dedup can't see.
+    *
+    * Scale design: ONE shuffle, on the paragraph content itself — the
+    * row_number window hash-partitions by paragraph, and each partition
+    * group is one paragraph's occurrence list (tiny unless the corpus
+    * is a single repeated banner, the same hot-key shape `maxBucket`
+    * caps in LSH — here the window is a streaming rank, so a hot
+    * paragraph costs a sort of its occurrences, not a pair blow-up).
+    * Reconstruction is the second shuffle, back on doc id. At 100 TB
+    * both keys are high-cardinality and skew-tolerant. To halve the
+    * paragraph-shuffle payload, rank md5(paragraph) instead of the text
+    * (collision-safe at 2^64 paragraphs); kept verbatim here so the
+    * semantics stay visibly content-keyed.
+    *
+    * Returns (doc_id, n_paras, n_kept, clean_text). */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val w = Window.partitionBy(col("para"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    paras.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        // collect_list drops the nulls (= dropped paragraphs); struct
+        // sort restores document order before the join
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para")), sep).as("clean_text"))
+  }
+
   /** 60-bit SimHash over token hashes: bit i of the result is set iff
     * the (+1/−1)-weighted count of tokens with bit i set is positive.
     * Token hashes are computed once, then folded per bit — 60 integer

@@ -14,6 +14,37 @@ class DedupSuiteSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog again and again") // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("paragraph dedup keeps only the first global occurrence of each paragraph") {
+    val pdocs = Seq(
+      (1L, "alpha beta\nshared boilerplate line\ngamma delta"),
+      (2L, "shared boilerplate line\nunique two"),
+      (3L, "unique three\nshared boilerplate line"),
+      (4L, "alpha beta\nshared boilerplate line\ngamma delta") // full dup of 1
+    ).toDF("doc_id", "text")
+    val out = DedupSuite.dedupParagraphs(pdocs, "doc_id", "text")
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 saw every paragraph first: everything kept, order preserved
+    assert(out(1L) == ((1L, 3L, 3L, "alpha beta\nshared boilerplate line\ngamma delta")))
+    // docs 2/3 lose the boilerplate but keep their unique lines in order
+    assert(out(2L) == ((2L, 2L, 1L, "unique two")))
+    assert(out(3L) == ((3L, 2L, 1L, "unique three")))
+    // the full duplicate of doc 1 loses every paragraph
+    assert(out(4L) == ((4L, 3L, 0L, "")))
+  }
+
+  test("paragraph dedup first-occurrence tie-break is (doc_id, pos)") {
+    val pdocs = Seq(
+      (5L, "dup\nx\ndup"), // same para twice within one doc
+      (6L, "dup")
+    ).toDF("doc_id", "text")
+    val out = DedupSuite.dedupParagraphs(pdocs, "doc_id", "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(5L) == "dup\nx") // second in-doc occurrence dropped too
+    assert(out(6L) == "")
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val out = DedupSuite.exact(docs, "doc_id", "text")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap

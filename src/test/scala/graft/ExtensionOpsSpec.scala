@@ -71,4 +71,95 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(avg >= mn - 1e-6 && avg <= mx + 1e-6)
     }
   }
+
+  test("token chunks cover every token with the configured overlap") {
+    import graft.functions.TextFunctions.tokens
+    val chunks = SparkEntry.queries("q70_chunk")(spark, sf)
+      .select($"doc_id", $"chunk_idx", $"start_pos", $"chunk_len")
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val nTok = Tables.documents(spark, sf)
+      .select($"doc_id", size(tokens($"text")))
+      .as[(Long, Int)].collect().toMap
+    assert(chunks.keySet == nTok.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      // chunk_idx is dense from 0; starts advance by the stride
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      cs.foreach { case (_, idx, start, len) =>
+        assert(start == idx * 24)
+        assert(len == math.min(32, n - start), s"doc $doc chunk $idx")
+      }
+      // coverage: the last chunk reaches the end of the doc
+      val (_, _, lastStart, lastLen) = cs.last
+      assert(lastStart + lastLen == n)
+      // no chunk beyond the last is needed: next start would be >= n - 8
+      assert(lastStart + 24 >= n - 8)
+    }
+  }
+
+  test("scd2 versions partition each user's timeline without overlap") {
+    val rows = SparkEntry.queries("q69_scd2")(spark, sf)
+      .select($"user_id", $"version", $"valid_from_us", $"valid_to_us")
+      .as[(Long, Int, Long, Option[Long])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, vs) =>
+      assert(vs.map(_._2).toSeq == (1 to vs.size).toSeq, s"user $u versions")
+      vs.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, Some(to)), (_, _, from, _)) =>
+          assert(to == from - 1, s"user $u: intervals must be contiguous")
+        case _ =>
+      }
+      // exactly one open (current) version, and it is the last
+      assert(vs.count(_._4.isEmpty) == 1 && vs.last._4.isEmpty, s"user $u")
+    }
+  }
+
+  test("tfidf ranks the planted unique token first for its doc") {
+    // every 11th doc in t10's corpus carries a unique zq<doc_id> token;
+    // t9 runs on the raw corpus, so plant one here via a tiny fixture
+    val docs = Seq(
+      (1L, "common words common words rareword"),
+      (2L, "common words common words"),
+      (3L, "common words other other")
+    ).toDF("doc_id", "text")
+    import graft.functions.TextFunctions.tokens
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val top = tf.join(df_, "term")
+      .withColumn("score", $"tf".cast("double") * (lit(3.0) / $"df".cast("double")))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"term".asc)))
+      .filter($"rnk" === 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // doc 1: rareword df=1 → score 3.0 beats common (tf=2, df=3 → 2.0)
+    assert(top(1L) == "rareword")
+    // doc 3: 'other' tf=2 df=1 → 6.0
+    assert(top(3L) == "other")
+  }
+
+  test("mixture epochs: fr tripled, de doubled, en hash-gated down") {
+    val m = SparkEntry.queries("q71_mixture")(spark, sf)
+      .select($"lang", $"n_src_docs", $"n_examples")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m("fr")._3 == m("fr")._2 * 3)
+    assert(m("de")._3 == m("de")._2 * 2)
+    assert(m("es")._3 == m("es")._2)
+    val nEn = Tables.documents(spark, sf).filter($"lang" === "en").count()
+    assert(m("en")._2 < nEn, "en must be downsampled")
+    assert(m("en")._3 == m("en")._2)
+  }
+
+  test("rare-token fraction is positive exactly for docs with planted tokens") {
+    val rf = SparkEntry.queries("t10_rare_tokens")(spark, sf)
+      .select($"doc_id", $"n_rare").as[(Long, Long)].collect().toMap
+    rf.foreach { case (doc, nRare) =>
+      if (doc % 11 == 0) assert(nRare >= 1L, s"doc $doc should carry a rare token")
+    }
+    // the 31-token base vocabulary is everywhere: only planted tokens are rare
+    assert(rf.count { case (doc, nRare) => doc % 11 != 0 && nRare > 0 } == 0)
+  }
 }
