@@ -221,9 +221,40 @@ object Soak {
     }
     require(nContam > 0, "planted cross-split contamination not detected")
 
+    // 10. paragraph-level dedup over the full soak corpus, restructured
+    // into 3-token paragraphs (~33 per doc -> millions of paragraph
+    // rows over a ~30k-key space) PLUS one planted mega-hot paragraph:
+    // the same banner line in EVERY doc. The d11 window partitions by
+    // paragraph content, so the banner is a single partition with
+    // nDocs rows — the hot-key shape that must stay a streaming rank,
+    // not a blow-up. Invariants: paragraph counts are conserved, and
+    // exactly one occurrence of each distinct paragraph survives.
+    val (paraTotals, tPara) = time {
+      val paraDocs = docs.select(col("doc_id"),
+        concat(lit("shared boilerplate banner\n"),
+          graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+            array_join(transform(
+              sequence(lit(0),
+                greatest(floor((size(toks) - 1) / lit(3.0)), lit(0L)).cast("int")),
+              i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))), "\n")
+          }).as("text"))
+      val out = DedupSuite.dedupParagraphs(paraDocs, "doc_id", "text")
+      val t = out.agg(sum(col("n_paras")).as("np"), sum(col("n_kept")).as("nk"))
+        .head()
+      val nDistinct = paraDocs
+        .select(explode(split(col("text"), "\n")).as("p"))
+        .select(col("p")).distinct().count()
+      require(t.getLong(1) == nDistinct,
+        s"paragraph dedup kept ${t.getLong(1)} != $nDistinct distinct paragraphs")
+      (t.getLong(0), t.getLong(1))
+    }
+    require(paraTotals._1 > nDocs * 10,
+      "paragraph corpus unexpectedly small") // ~34 paragraphs per doc
+
     println(
       s"""{"soak_rows":$n,"doc_rows":$nDocs,"dedup_pairs":$nPairs,
          |"component_nodes":$nNodes,"contaminated_docs":$nContam,
+         |"paragraphs":${paraTotals._1},"distinct_paragraphs":${paraTotals._2},
          |"daily_rows":$nDaily,"merged_rows":$mergedRows,
          |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
          |"salt_check":$tCheck,"sessionize":$tSess,
@@ -232,7 +263,7 @@ object Soak {
          |"session_summaries_hybrid":$tHybridSess,"topk":$tTopk,"merge":$tMerge,
          |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
          |"text_dedup":$tDedup,"connected_components":$tComp,
-         |"contamination":$tContam}}"""
+         |"contamination":$tContam,"paragraph_dedup":$tPara}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

@@ -686,6 +686,30 @@ object SparkEntry {
             sum(col("n_tok")).cast("bigint").as("n_tokens"))
       }),
 
+      // N-gram novelty score (dataset-diversity signal): the fraction
+      // of a doc's distinct 3-gram shingles whose globally FIRST
+      // occurrence (by doc id) is this doc — boilerplate-heavy or
+      // near-duplicate docs score near 0, fresh content near 1. The
+      // deduped-corpus growth curve is the running sum of n_novel.
+      // Scale: one shuffle on the shingle hash for the min-doc agg
+      // (map-side partial min), one join back on the hash, one agg on
+      // doc — the d10 contamination plan with min instead of semi join.
+      "t11_novelty" -> ((s, dir) => {
+        val sh = Tables.documents(s, dir).select(col("doc_id"),
+          explode(array_distinct(
+            DedupSuite.shingleHashesPortableNative(tokens(col("text")), 3)))
+            .as("h"))
+        val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .cast("bigint").as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+              .as("novelty_frac"))
+      }),
+
       // Rare-token ratio (quality signal): fraction of a doc's tokens
       // whose document frequency across the corpus is < 3. The fixture
       // plants a unique token in every 11th doc so the signal is
@@ -1589,6 +1613,34 @@ object SparkEntry {
         s.table("s2_stream_out")
           .select(unix_micros(col("window.start")).as("win_start_us"),
             col("event_type"), col("n"), col("total").cast("double").as("total"))
+      }),
+
+      // Streaming stateful dedup — the streaming twin of d1/D1: a
+      // dropDuplicates over the key columns holds the seen-key set in
+      // the state store and emits each key's first arrival. The output
+      // here is the KEY SET (which row "won" is arrival-order-dependent
+      // and so not oracle-able; the set of keys is exact), making the
+      // DuckDB twin a plain DISTINCT. Production at 100 TB would bound
+      // the state with dropDuplicatesWithinWatermark (keys can recur
+      // after the horizon); exact unbounded-state semantics keep the
+      // gate deterministic.
+      "s3_stream_dedup" -> ((s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = stagedEventsDir(dir)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val src = Tables.normalizeNanos(s.readStream.schema(schema).parquet(tmp))
+        val dedup = src.select(col("user_id"), col("event_type"))
+          .dropDuplicates(Seq("user_id", "event_type"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = try dedup.writeStream.format("memory").queryName("s3_stream_out")
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        try q.processAllAvailable() finally q.stop()
+        s.table("s3_stream_out").select(col("user_id"), col("event_type"))
       })
     )
   }
@@ -2016,6 +2068,23 @@ object SparkEntry {
          |       CAST(COUNT(*) AS BIGINT) AS n_examples,
          |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM x GROUP BY 1""".stripMargin,
+
+    "t11_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |shl AS (SELECT doc_id, list_distinct(list_transform($shinglesSql,
+         |          s -> ${hash32Sql(0, "s")})) AS hs FROM tk),
+         |sh AS (SELECT doc_id, unnest(hs) AS h FROM shl),
+         |fst AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN fst.first_doc = sh.doc_id
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(SUM(CASE WHEN fst.first_doc = sh.doc_id
+         |                     THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+         |FROM sh JOIN fst USING (h) GROUP BY sh.doc_id""".stripMargin,
+
+    "s3_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "t10_rare_tokens" ->
       s"""WITH d AS (SELECT doc_id,

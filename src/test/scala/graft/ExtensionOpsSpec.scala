@@ -153,6 +153,28 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(m("en")._3 == m("en")._2)
   }
 
+  test("novelty: doc 0 fully novel; novel counts sum to the distinct-shingle total") {
+    val rows = SparkEntry.queries("t11_novelty")(spark, sf)
+      .select($"doc_id", $"n_novel", $"novelty_frac")
+      .as[(Long, Long, Double)].collect()
+    // the lowest doc id saw every one of its shingles first
+    assert(rows.find(_._1 == 0L).get._3 == 1.0)
+    // each distinct shingle credits exactly one doc
+    val total = Tables.documents(spark, sf).select(
+      explode(array_distinct(graft.operators.DedupSuite.shingleHashesPortableNative(
+        graft.functions.TextFunctions.tokens($"text"), 3))).as("h"))
+      .select($"h").distinct().count()
+    assert(rows.map(_._2).sum == total)
+  }
+
+  test("streaming dedup emits exactly the batch-DISTINCT key set") {
+    val streamKeys = SparkEntry.queries("s3_stream_dedup")(spark, sf)
+      .as[(Long, String)].collect().toSet
+    val batchKeys = Tables.events(spark, sf).select($"user_id", $"event_type")
+      .distinct().as[(Long, String)].collect().toSet
+    assert(streamKeys == batchKeys)
+  }
+
   test("rare-token fraction is positive exactly for docs with planted tokens") {
     val rf = SparkEntry.queries("t10_rare_tokens")(spark, sf)
       .select($"doc_id", $"n_rare").as[(Long, Long)].collect().toMap

@@ -47,6 +47,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q11_order_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q70: token chunking is embarrassingly parallel - zero exchanges") {
+    val p = plan("q70_chunk")
+    assert(!p.contains("Exchange"),
+      s"chunking must stay narrow (scan -> explode -> project):\n$p")
+  }
+
+  test("d11: paragraph dedup shuffles exactly twice (content, then doc)") {
+    val p = plan("d11_paragraph_dedup")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one hash exchange keyed on the paragraph (the rank window), one
+    // back on doc_id (reconstruction agg); a third would mean the
+    // window and agg stopped sharing / a stray repartition crept in
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q69: both SCD2 window passes share one (user) partition exchange") {
+    val p = plan("q69_scd2")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("hot scan-and-aggregate paths run inside whole-stage codegen") {
     Seq("q1_daily_metrics", "q15_join_agg_nation", "q41_exact_stats")
       .foreach { q =>
