@@ -710,6 +710,49 @@ object SparkEntry {
               .as("novelty_frac"))
       }),
 
+      // Tokenizer vocabulary construction: top-20 tokens by corpus
+      // frequency with cumulative coverage (the fraction of all token
+      // occurrences a vocab prefix explains — the BPE/vocab-size
+      // planning curve). Scale: the corpus-sized work is the hash
+      // groupBy; top-K is TakeOrderedAndProject (no global sort of the
+      // dictionary), and the rank/cumsum window runs over K rows only.
+      "t12_vocab" -> ((s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).cast("bigint").as("n"))
+        val total = counts.agg(sum(col("n")).cast("bigint").as("total"))
+        val ord = Window.orderBy(col("n").desc, col("token").asc)
+        counts.orderBy(col("n").desc, col("token").asc).limit(20)
+          .withColumn("rank", row_number().over(ord).cast("int"))
+          .withColumn("cum_n", sum(col("n"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"))
+          .crossJoin(broadcast(total))
+          .select(col("token"), col("n"), col("rank"), col("cum_n"),
+            (col("cum_n").cast("double") / col("total").cast("double"))
+              .as("coverage"))
+      }),
+
+      // Incremental corpus ingestion: dedup a NEW batch against the
+      // already-ingested corpus by content hash (anti join on md5 —
+      // J1's insert-only merge lifted to content identity), then
+      // exact-dedup within the surviving batch. The fixture ships a
+      // batch where every 4th base doc reappears under a new id — all
+      // of those must be anti-joined away. Scale: the existing-corpus
+      // side stays a distinct hash set, shuffle-partitioned, never
+      // collected; one shuffle per side on the 16-byte digest.
+      "d13_incremental_ingest" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(base.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val fresh = batch.join(
+          base.select(md5(col("text")).as("h")).distinct(),
+          md5(col("text")) === col("h"), "left_anti")
+        DedupSuite.exact(fresh, "doc_id", "text")
+      }),
+
       // Rare-token ratio (quality signal): fraction of a doc's tokens
       // whose document frequency across the corpus is < 3. The fixture
       // plants a unique token in every 11th doc so the signal is
@@ -2085,6 +2128,32 @@ object SparkEntry {
 
     "s3_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "t12_vocab" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT unnest(toks) AS token FROM tk),
+         |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         |top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20),
+         |r AS (SELECT token, n,
+         |        CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+         |        CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+         |      FROM top)
+         |SELECT token, n, rank, cum_n,
+         |       CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         |FROM r CROSS JOIN tot""".stripMargin,
+
+    "d13_incremental_ingest" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 4 = 0),
+        |fresh AS (SELECT * FROM batch
+        |          WHERE md5(text) NOT IN (SELECT md5(text) FROM base))
+        |SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM fresh GROUP BY md5(text)""".stripMargin,
 
     "t10_rare_tokens" ->
       s"""WITH d AS (SELECT doc_id,

@@ -8,7 +8,11 @@ class DeterminismSpec extends SparkSpec {
 
   private val checked = Seq("q1_daily_metrics", "q4_merge_upsert",
     "q10_topk_per_group", "q17_running_total", "t4_fingerprint",
-    "q21_sessionize", "d5_minhash_portable")
+    "q21_sessionize", "d5_minhash_portable",
+    // d11 reconstructs documents from collect_list — exactly the shape
+    // where partition/arrival order could leak into output if the
+    // struct sort were missing; t9's rank must break score ties by term
+    "d11_paragraph_dedup", "t9_tfidf")
 
   test("query results are identical at 1x and 8x shuffle parallelism") {
     checked.foreach { name =>
