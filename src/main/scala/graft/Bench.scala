@@ -54,8 +54,17 @@ object Bench {
     // to a different file: a dev-subset total silently clobbered the
     // committed full-suite BENCH.json in round 3 (ADVICE.md).
     val subsetField = only.map(n => s""","subset":"${n.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    // Host-load evidence: round 5's driver bench ran 1.24x slower than
+    // round 4 on identical plans; a same-code A/B on an idle host
+    // (round 6) measured 0.84x, attributing the drift entirely to
+    // background load. Recording 1/5/15-min loadavg with every run
+    // makes that attribution data, not archaeology.
+    val loadavg = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$subsetField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg":"$loadavg"$subsetField}"""
     // stdout goes through sbt's "[info] " prefix, which broke the
     // driver's JSON extraction in round 1 — also land the raw line in a
     // well-known file.

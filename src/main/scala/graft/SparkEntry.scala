@@ -59,13 +59,25 @@ object SparkEntry {
       |         CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS extracted_at
       |  FROM events WHERE event_id % 3 = 0)""".stripMargin
 
+  /** Clone-id shift for the planted-duplicate fixtures, ENFORCING the
+    * no-collision invariant in-plan: a source id at or above the offset
+    * would collide with a clone id, and the d11/d13-style oracles then
+    * fan out over the colliding id where Spark's groupBy merges it —
+    * a silent hash mismatch (round-5 ADVICE). raise_error makes the
+    * assumption loud instead of implicit, at the cost of one per-row
+    * comparison inside the same stage (no extra job). */
+  private def cloneId(c: Column, offset: Long = 1000000L): Column =
+    when(c >= offset || c < 0,
+      raise_error(concat(lit(s"fixture id outside [0, $offset): "), c.cast("string"))))
+      .otherwise(c + offset)
+
   /** Planted-duplicate corpora for the dedup operators: exact copies
     * (every 5th doc) and near-copies with a suffix (every 7th doc), ids
     * offset by 1e6. Guarantees the dedup queries have hits at any sf. */
   private def corpusExact(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .select(cloneId(col("doc_id")).as("doc_id"), col("text")))
   }
 
   /** The d5/d7 corpus: doc_id < 200 (fixed size at every sf) plus
@@ -74,14 +86,14 @@ object SparkEntry {
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
     base.unionByName(base.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select(cloneId(col("doc_id")).as("doc_id"),
         concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
   }
 
   private def corpusNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select(cloneId(col("doc_id")).as("doc_id"),
         concat(col("text"), lit(" nearly duplicate suffix")).as("text")))
   }
 
@@ -119,9 +131,9 @@ object SparkEntry {
         transform(sequence(lit(1), col("p")),
           i => concat(lit("zz"), col("doc_id").cast("string"), lit("x"),
             i.cast("string")))))
-    val b = mk.select((col("doc_id") + 1000000).as("doc_id"),
+    val b = mk.select(cloneId(col("doc_id")).as("doc_id"),
       concat(col("text"), lit(" "), col("markers")).as("text"))
-    val c = mk.select((col("doc_id") + 2000000).as("doc_id"),
+    val c = mk.select(cloneId(col("doc_id"), 2000000L).as("doc_id"),
       concat(concat_ws(" ",
           slice(col("toks"), col("n") - col("r") + 1, col("r"))),
         lit(" "), col("markers")).as("text"))
@@ -152,7 +164,7 @@ object SparkEntry {
         lit("\nsubscribe to the newsletter for weekly updates")).otherwise(lit(""))
     ).as("text"))
     base.unionByName(base.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .select(cloneId(col("doc_id")).as("doc_id"), col("text")))
   }
 
   /** Staging dir for the streaming source, one per sf dir per JVM
@@ -485,7 +497,7 @@ object SparkEntry {
       "e2_ann_lsh" -> ((s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         val planted = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+          .select(cloneId(col("vec_id")).as("vec_id"), col("embedding")))
         Similarity.lshNearDups(planted, "vec_id", "embedding",
           nPlanes = 8, threshold = 0.95)
       }),
@@ -566,27 +578,23 @@ object SparkEntry {
       }),
 
       // Token-budget sequence packing: docs stream into 4096-token bins
-      // per shard (cumulative-sum window inside a hash shard, so packing
-      // parallelizes across shards instead of one global sort — the
-      // 100 TB shape; a global order would serialize).
-      "q68_pack" -> ((s, dir) => {
-        val t = Tables.documents(s, dir).select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"),
-          pmod(hash32(col("doc_id").cast("string"), 3), lit(8)).as("shard"))
-        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        t.withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .withColumn("bin", floor(col("before") / lit(4096.0)).cast("bigint"))
-          .groupBy(col("shard"), col("bin"))
-          .agg(count(lit(1)).cast("bigint").as("n_docs"),
-            sum(col("n_tokens")).cast("bigint").as("bin_tokens"),
-            min(col("doc_id")).as("first_doc"))
-      }),
+      // per hash shard, and the SHARD COUNT IS DERIVED from the input
+      // size in-plan (ceil(n_docs / target), integer arithmetic both
+      // engines reproduce) — parallelism grows with the corpus instead
+      // of a fixed-k serializing into k ever-growing single-task sorts.
+      // The gate target (64 docs/shard) scales the sf fixtures: 500
+      // docs -> 8 shards, 5000 -> 79; production default is 1M
+      // (Pack.packBins).
+      "q68_pack" -> ((s, dir) =>
+        Pack.packBins(Tables.documents(s, dir), "doc_id",
+          size(tokens(col("text"))), binTokens = 4096,
+          targetDocsPerShard = 64)),
 
       // C4-style paragraph-level exact dedup: removes cross-document
-      // boilerplate whole-doc dedup can't see. One shuffle keyed on the
-      // paragraph content (row_number window), one back on doc id for
-      // reconstruction — see DedupSuite.dedupParagraphs scale notes.
+      // boilerplate whole-doc dedup can't see. Winner per paragraph is
+      // a partial-aggregable groupBy-min (map-side combined, so a hot
+      // banner never lands in one task), marked via an AQE-skew-
+      // splittable join-back — see DedupSuite.dedupParagraphs.
       "d11_paragraph_dedup" -> ((s, dir) =>
         DedupSuite.dedupParagraphs(corpusPara(s, dir), "doc_id", "text")),
 
@@ -746,7 +754,7 @@ object SparkEntry {
         val base = docs.filter(col("doc_id") % 2 === 0)
         val batch = docs.filter(col("doc_id") % 2 === 1)
           .unionByName(base.filter(col("doc_id") % 4 === 0)
-            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+            .select(cloneId(col("doc_id")).as("doc_id"), col("text")))
         val fresh = batch.join(
           base.select(md5(col("text")).as("h")).distinct(),
           md5(col("text")) === col("h"), "left_anti")
@@ -1355,7 +1363,7 @@ object SparkEntry {
       "d6_embedding_dedup" -> ((s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         val planted = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+          .select(cloneId(col("vec_id")).as("vec_id"), col("embedding")))
         Similarity.lshDedup(planted, "vec_id", "embedding",
           nPlanes = 8, threshold = 0.99)
       }),
@@ -2024,8 +2032,10 @@ object SparkEntry {
          |FROM r WHERE rn <= 50 GROUP BY 1""".stripMargin,
 
     "q68_pack" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    ${hash32Sql(3, "CAST(doc_id AS VARCHAR)")} % 8 AS shard
+      s"""WITH nn AS (SELECT greatest((COUNT(*) + 63) // 64, 1) AS n_shards
+         |            FROM documents),
+         |t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${hash32Sql(3, "CAST(doc_id AS VARCHAR)")} % (SELECT n_shards FROM nn) AS shard
          |  FROM documents),
          |c AS (SELECT doc_id, n_tokens, shard,
          |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC

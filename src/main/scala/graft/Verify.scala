@@ -60,6 +60,11 @@ object Verify {
     if (only.isDefined)
       Files.writeString(Paths.get(s"$outDir/SUBSET_MARKER"),
         only.get.toSeq.sorted.mkString(","))
+    else
+      // outDir reuse is supported (per-query dumps overwrite), so a
+      // FULL run must clear any stale subset marker or check_oracle.py
+      // would permanently flag the directory (round-5 ADVICE).
+      Files.deleteIfExists(Paths.get(s"$outDir/SUBSET_MARKER"))
     spark.stop()
   }
 }

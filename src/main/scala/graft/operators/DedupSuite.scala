@@ -265,36 +265,42 @@ object DedupSuite {
     * Removes cross-document boilerplate (cookie banners, nav footers)
     * that whole-document dedup can't see.
     *
-    * Scale design: ONE shuffle, on the paragraph content itself — the
-    * row_number window hash-partitions by paragraph, and each partition
-    * group is one paragraph's occurrence list (tiny unless the corpus
-    * is a single repeated banner, the same hot-key shape `maxBucket`
-    * caps in LSH — here the window is a streaming rank, so a hot
-    * paragraph costs a sort of its occurrences, not a pair blow-up).
-    * Reconstruction is the second shuffle, back on doc id. At 100 TB
-    * both keys are high-cardinality and skew-tolerant. To halve the
-    * paragraph-shuffle payload, rank md5(paragraph) instead of the text
+    * Scale design: the winner of each distinct paragraph is a
+    * partial-aggregable MIN — `groupBy(para).agg(min(struct(doc_id,
+    * pos)))` — so map-side combine collapses a boilerplate banner
+    * present in 10% of a 100 TB corpus to one row per input task
+    * BEFORE the shuffle; the reduce side sees ~n_tasks rows per
+    * paragraph, never a single-task sort of billions (the
+    * row_number-window form this replaced could not partial-aggregate
+    * because the surrounding count consumes every row, defeating the
+    * WindowGroupLimit pushdown). Marking kept occurrences is a plain
+    * equi-join back on the content, which AQE's OptimizeSkewedJoin can
+    * split at runtime — a window partition can't be split.
+    * Reconstruction is the final shuffle, back on doc id
+    * (high-cardinality, skew-tolerant). To halve the paragraph-shuffle
+    * payload, key both sides on md5(paragraph) instead of the text
     * (collision-safe at 2^64 paragraphs); kept verbatim here so the
     * semantics stay visibly content-keyed.
     *
     * Returns (doc_id, n_paras, n_kept, clean_text). */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
                       sep: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    val w = Window.partitionBy(col("para"))
-      .orderBy(col("doc_id").asc, col("pos").asc)
-    paras.withColumn("rn", row_number().over(w))
+    val winners = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    paras.join(winners, Seq("para"))
+      .withColumn("keep",
+        col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("bigint").as("n_paras"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
         // collect_list drops the nulls (= dropped paragraphs); struct
         // sort restores document order before the join
         array_join(transform(
-          sort_array(collect_list(when(col("rn") === 1,
+          sort_array(collect_list(when(col("keep"),
             struct(col("pos"), col("para"))))),
           s => s.getField("para")), sep).as("clean_text"))
   }
