@@ -141,6 +141,24 @@ object StreamingJobs {
       }
   }
 
+  /** Watermark-BOUNDED streaming dedup — the production form of the
+    * gate's s3 entry (which keeps exact unbounded `dropDuplicates`
+    * state for gate determinism; see SparkEntry s3 notes).
+    * `dropDuplicatesWithinWatermark` holds a key in the state store
+    * only until the event-time watermark passes its arrival time plus
+    * `horizon`, so state is O(keys per horizon) instead of O(every key
+    * ever seen) — at 100 TB/day the unbounded form grows without
+    * bound, this one plateaus. The trade: a key recurring AFTER the
+    * horizon is re-emitted (one duplicate slips through), which is the
+    * right contract for ingest dedup where the duplicates that matter
+    * are near-in-time (retries, replays) — and exactly why the
+    * deterministic gate can't use it (output depends on arrival order
+    * relative to the watermark). */
+  def dedupWithinWatermark(src: DataFrame, tsCol: String, keys: Seq[String],
+                           horizon: String = "10 minutes"): DataFrame =
+    src.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   def lastWriteWins(input: Dataset[Keyed]): Dataset[Keyed] = {
     import input.sparkSession.implicits._
     input.groupByKey(_.id)

@@ -147,6 +147,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: bounded state, in-horizon dups dropped, " +
+       "keys recur after the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val M = 60L * 1000000 // one minute in micros
+    val base = 3600L * 1000000 // keep event times well above watermark 0
+    val deduped = StreamingJobs.dedupWithinWatermark(
+      input.toDS().toDF("id", "us")
+        .withColumn("ts", timestamp_micros($"us" + base)),
+      "ts", Seq("id"), horizon = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").start()
+    def ids(): Seq[Long] = spark.table("wmdedup_out")
+      .select($"id").as[Long].collect().toSeq.sorted
+    try {
+      // batch 1: duplicate of key 1 inside one batch -> emitted once
+      input.addData((1L, 0L), (1L, 1 * M), (2L, 2 * M))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L))
+      // batch 2: key 1 again WITHIN the horizon -> dropped; key 9 far
+      // ahead advances the watermark past keys 1 and 2's expiry
+      input.addData((1L, 3 * M), (9L, 60 * M))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 9L))
+      // batch 3: key 1 recurs AFTER the horizon -> state was evicted,
+      // so it is re-emitted (the documented bounded-state trade)
+      input.addData((1L, 61 * M))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 1L, 2L, 9L))
+      // state is bounded: only the keys inside the current horizon
+      // remain (9 and the recurred 1); batch-1 keys were evicted
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2, s"state not bounded: $stateRows rows retained")
+    } finally q.stop()
+  }
+
   test("maxFilesPerTrigger bounds micro-batch size without changing results") {
     val dir = Files.createTempDirectory("mfpt_src").toString
     val ev = Tables.events(spark, sf).select($"ts", $"event_type", $"value")
