@@ -53,13 +53,33 @@ class PlanShapeSpec extends SparkSpec {
       s"chunking must stay narrow (scan -> explode -> project):\n$p")
   }
 
-  test("d11: paragraph dedup shuffles exactly twice (content, then doc)") {
+  test("d11: paragraph winner is a partial-aggregable min, no content window") {
     val p = plan("d11_paragraph_dedup")
+    // the round-5 form windowed row_number over the paragraph CONTENT -
+    // a hot banner (10% of a 100 TB corpus) became one task's sort. The
+    // fixed form must keep the winner a map-side-combinable min and
+    // leave NO window keyed on content anywhere in the plan
+    assert(!p.contains("Window"),
+      s"content-keyed window crept back into paragraph dedup:\n$p")
+    assert(p.contains("partial_min"),
+      s"winner min is not partial-aggregable (map-side combine lost):\n$p")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    // one hash exchange keyed on the paragraph (the rank window), one
-    // back on doc_id (reconstruction agg); a third would mean the
-    // window and agg stopped sharing / a stray repartition crept in
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    // one hash exchange for the winner agg on para, one back on doc_id
+    // (reconstruction agg). At spec scale the join-back BROADCASTS the
+    // winner side (no hash exchange); at corpus scale it becomes a
+    // shuffle join AQE can skew-split - either way, never a window
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
+  test("q68: packing derives shard count in-plan (broadcast count), windows per shard") {
+    val p = plan("q68_pack")
+    // the one-row count must join in via broadcast (no driver collect),
+    // and the cumulative sum stays a per-shard window
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"derived shard count is not an in-plan broadcast:\n$p")
+    assert(p.contains("Window"), s"per-shard cumulative sum window missing:\n$p")
+    assert(p.contains("partial_count"),
+      s"doc count for shard derivation is not partial-aggregated:\n$p")
   }
 
   test("q69: both SCD2 window passes share one (user) partition exchange") {
