@@ -817,6 +817,29 @@ object SparkEntry {
         DedupSuite.exact(fresh, "doc_id", "text")
       }),
 
+      // d13's ingest dedup with the anti join's big side BLOOM-PRUNED
+      // (operators/BloomFilter.scala): a bitmap built over the batch's
+      // content digests in one partial-aggregable pass drops every
+      // seen-corpus row that provably matches nothing BEFORE the
+      // exchange — at 100 TB the seen side's shuffle is the whole cost
+      // of d13, and the bloom turns it into a shuffle of candidates
+      // only. Output is bit-identical to the plain anti join (false
+      // positives survive to the exact join and match nothing), so the
+      // oracle is d13's plain NOT IN; pruning effectiveness is an
+      // observe() metric, not a guess.
+      "d14_bloom_prefilter" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(base.filter(col("doc_id") % 4 === 0)
+            .select(cloneId(col("doc_id")).as("doc_id"), col("text")))
+        val seen = base.select(md5(col("text")).as("h")).distinct()
+        val fresh = BloomFilter.prunedLeftAnti(batch, seen,
+          md5(col("text")), col("h"),
+          BloomFilter.sized(expectedKeys = 4096, fpp = 0.01))
+        DedupSuite.exact(fresh, "doc_id", "text")
+      }),
+
       // Rare-token ratio (quality signal): fraction of a doc's tokens
       // whose document frequency across the corpus is < 3. The fixture
       // plants a unique token in every 11th doc so the signal is
@@ -2164,6 +2187,21 @@ object SparkEntry {
          |FROM r CROSS JOIN tot""".stripMargin,
 
     "d13_incremental_ingest" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 4 = 0),
+        |fresh AS (SELECT * FROM batch
+        |          WHERE md5(text) NOT IN (SELECT md5(text) FROM base))
+        |SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM fresh GROUP BY md5(text)""".stripMargin,
+
+    // Identical semantics to d13 BY DESIGN: the bloom filter is a
+    // physical-plan optimization whose exactness the oracle verifies
+    // (same discipline as d8/d9 and q21/q25/q53 — one oracle, two
+    // execution paths).
+    "d14_bloom_prefilter" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
         |          UNION ALL
