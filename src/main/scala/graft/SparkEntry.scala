@@ -253,7 +253,13 @@ object SparkEntry {
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_minhash_fast" -> ((s, dir) =>
       DedupSuite.minhashNearDups(corpusNear(s, dir), "doc_id", "text",
-        n = 3, k = 16, bands = 4, threshold = 0.5)))
+        n = 3, k = 16, bands = 4, threshold = 0.5)),
+    // e7's corpus-scale twin: same graph construction, candidates
+    // restricted to hyperplane-LSH buckets (approximate, so no exact
+    // oracle; recall vs the exact graph is spec-gated in KnnGraphSpec).
+    "x2_knn_bucketed" -> ((s, dir) =>
+      Similarity.knnGraphBucketed(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 4, nPlanes = 4)))
 
   def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1075,6 +1081,16 @@ object SparkEntry {
           k = 5, nCentroids = 16, nProbe = 4)
         Similarity.recallAtK(truth, approx, 5)
       }),
+
+      // Mutual k-NN graph over a sampled vector set (the clustering
+      // input for embedding dedup: mutual edges + components = tight
+      // clusters). Sample side is contract-bounded like e1's queries;
+      // the corpus-scale candidate generation is the bucketed twin
+      // benchmarked as x2_knn_bucketed.
+      "e7_knn_graph" -> ((s, dir) =>
+        Similarity.knnGraph(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 4)),
 
       // ---- salted aggregation (skew path; must equal the plain agg) ----
       "q22_salted_agg" -> ((s, dir) =>
@@ -2872,6 +2888,23 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, neighbor_id, sim, rnk
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "e7_knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |        a.embedding AS av, b.embedding AS bv
+         |      FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+         |sc AS (SELECT src_id, dst_id,
+         |        ${dotSql("av", "bv")} / (sqrt(${dotSql("av", "av")}) * sqrt(${dotSql("bv", "bv")})) AS simd
+         |       FROM s),
+         |r AS (SELECT src_id, dst_id, simd AS sim,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+         |             ORDER BY simd DESC, dst_id ASC) AS INT) AS rnk
+         |      FROM sc),
+         |e AS (SELECT * FROM r WHERE rnk <= 4)
+         |SELECT e.src_id, e.dst_id, e.sim, e.rnk,
+         |       (m.src_id IS NOT NULL) AS mutual
+         |FROM e LEFT JOIN e m ON e.src_id = m.dst_id AND e.dst_id = m.src_id""".stripMargin,
 
     "c2_corpus_prep" ->
       s"""WITH corpus AS (

@@ -295,4 +295,55 @@ object Similarity {
     vectors.select(col(idCol))
       .join(broadcast(dropped), Seq(idCol), "left_anti")
   }
+
+  /** Flags each directed edge whose reverse edge also exists. One
+    * self-join of the edge list on the swapped key pair — the edge
+    * list is k·n rows, so the join shuffles k·n on (src,dst), never
+    * the vectors themselves. */
+  private def withMutualFlag(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("query_id").as("r_dst"),
+      col("neighbor_id").as("r_src"))
+    edges.join(rev,
+        col("query_id") === col("r_src") &&
+          col("neighbor_id") === col("r_dst"), "left")
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
+        col("sim"), col("rnk"), col("r_src").isNotNull.as("mutual"))
+  }
+
+  /** Mutual k-NN graph: every vector's top-k cosine neighbors as
+    * directed edges (src_id, dst_id, sim, rnk), with `mutual` marking
+    * edges whose reverse also exists. The mutual subgraph is the
+    * standard tight-neighborhood structure for embedding-cluster work:
+    * mutual edges + [[Dedup.connectedComponents]] yields clusters with
+    * far fewer false merges than raw threshold pairs (a hub vector
+    * near many clusters rarely makes anyone's RECIPROCAL top-k).
+    * Exact brute-force scoring — the vector set is contract-bounded
+    * (a sample or deduped representative set, like e1's query side);
+    * at corpus scale candidate generation swaps to the bucketed twin
+    * [[knnGraphBucketed]] with the same graph construction on top. */
+  def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame =
+    withMutualFlag(bruteForceTopK(vectors, vectors, idCol, vecCol, k))
+
+  /** The scale path: candidates restricted to the same hyperplane-LSH
+    * bucket before scoring (shuffle key = bucket id, expected bucket
+    * size n/2^nPlanes), then the identical top-k + mutual-flag
+    * construction. Approximate exactly like e2: a true neighbor in a
+    * different bucket is missed; raise nPlanes with corpus size and
+    * measure with [[recallAtK]] against [[knnGraph]] on a sample. */
+  def knnGraphBucketed(vectors: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nPlanes: Int = 4, dims: Int = 64): DataFrame = {
+    val withBucket = vectors.select(col(idCol), col(vecCol))
+      .withColumn("bucket", hyperplaneBucket(col(vecCol), nPlanes, dims))
+    val a = withBucket.select(col("bucket"), col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = a.join(b, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineNative(col("qv"), col("cv")).as("sim"))
+    withMutualFlag(TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k))
+  }
 }
