@@ -803,6 +803,39 @@ object SparkEntry {
               .as("coverage"))
       }),
 
+      // URL canonicalization + dedup (crawl-corpus source dedup): the
+      // fixture synthesizes each logical page under messy surface
+      // variants — case-shifted scheme/host, explicit :443, tracking
+      // params, shuffled param order, trailing slash, fragment — and
+      // canonicalization (functions/TextFunctions.canonicalizeUrl)
+      // must collapse them. Narrow codegen'd regexp/array ops + ONE
+      // hash agg on the canonical key; no join, no window — scales as
+      // a single shuffle keyed by canonical URL.
+      "t13_url_canonical" -> ((s, dir) => {
+        val d = col("doc_id")
+        val u = Tables.documents(s, dir).select(col("doc_id"),
+          concat(
+            when(d % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+            lit("://"),
+            when(d % 3 === 0,
+              concat(lit("WWW."), upper(col("source")), lit(".Example.COM:443")))
+              .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+            lit("/articles/"), (d % 40).cast("string"),
+            when(d % 4 === 0, lit("/")).otherwise(lit("")),
+            when(d % 2 === 0,
+              concat(lit("?utm_source=feed&utm_campaign=fall&ref="),
+                (d % 5).cast("string"), lit("&b=2&a=1")))
+              .otherwise(concat(lit("?a=1&b=2&ref="), (d % 5).cast("string"))),
+            when(d % 6 === 0, lit("#section-2")).otherwise(lit(""))).as("url"))
+        u.select(col("doc_id"), col("url"),
+            graft.functions.TextFunctions.canonicalizeUrl(col("url"))
+              .as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            countDistinct(col("url")).cast("bigint").as("n_variants"),
+            min(col("doc_id")).as("first_doc"))
+      }),
+
       // Incremental corpus ingestion: dedup a NEW batch against the
       // already-ingested corpus by content hash (anti join on md5 —
       // J1's insert-only merge lifted to content identity), then
@@ -2245,6 +2278,40 @@ object SparkEntry {
          |       CAST(SUM(isr) AS BIGINT) AS n_rare,
          |       CAST(SUM(isr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac
          |FROM m GROUP BY doc_id""".stripMargin,
+
+    "t13_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) || '.Example.COM:443'
+        |        ELSE 'www.' || source || '.example.com' END) ||
+        |  '/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN '?utm_source=feed&utm_campaign=fall&ref=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2&a=1'
+        |        ELSE '?a=1&b=2&ref=' || CAST(doc_id % 5 AS VARCHAR) END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |        list_sort(list_filter(
+        |          string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |          q -> q <> '' AND NOT starts_with(q, 'utm_')
+        |               AND NOT starts_with(q, 'fbclid=')
+        |               AND NOT starts_with(q, 'gclid='))) AS plist
+        |      FROM u),
+        |c AS (SELECT doc_id, url,
+        |        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        |        regexp_replace(regexp_replace(
+        |          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |          '^www\.', ''), ':(443|80)$', '') ||
+        |        regexp_replace(regexp_extract(url,
+        |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') ||
+        |        CASE WHEN len(plist) > 0 THEN '?' || array_to_string(plist, '&')
+        |             ELSE '' END AS canonical_url
+        |      FROM p)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+        |       MIN(doc_id) AS first_doc
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q55_map_ops" ->
       """WITH daily AS (

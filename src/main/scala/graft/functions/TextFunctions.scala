@@ -115,4 +115,37 @@ object TextFunctions {
       transform(tokens(text), t => hash32(t)),
       lit(0L),
       (acc, h) => (acc * 31 + h) % 1000000007L)
+
+  /** Tracking query params dropped during URL canonicalization. */
+  val TrackingParamPrefixes: Seq[String] =
+    Seq("utm_", "fbclid=", "gclid=")
+
+  /** Canonical form of a URL for dedup-by-source: crawl corpora carry
+    * the same page under many surface forms (case-shifted scheme/host,
+    * explicit default port, tracking params, param order, trailing
+    * slash, fragment). Canonicalization collapses them so URL-level
+    * dedup actually merges:
+    *   - scheme + host lowercased, leading `www.` and `:443`/`:80` port
+    *     stripped
+    *   - path trailing slashes stripped
+    *   - fragment dropped
+    *   - query params: tracking params removed, the rest sorted
+    * Pure built-in regexp/array combinators — codegen'd, no shuffle —
+    * with an exact DuckDB twin (see t13's oracle). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(hostport), "^www\\.", ""), ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val params = array_sort(filter(
+      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => TrackingParamPrefixes.map(pre => !p.startsWith(pre))
+        .foldLeft(p =!= "")(_ && _)))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
 }
