@@ -1023,6 +1023,31 @@ object SparkEntry {
             element_at(col("qs"), 2).cast("decimal(18,6)").cast("double").as("p50"),
             element_at(col("qs"), 3).cast("decimal(18,6)").cast("double").as("p90"))),
 
+      // Sketch-accuracy gate (e5's recall-gate discipline applied to
+      // cardinality/quantile sketches): the 100-TB profile pass runs
+      // HLL++ (approx_count_distinct) and the quantile sketch
+      // (percentile_approx) — one partial-aggregable pass, no
+      // exact-distinct shuffle. DuckDB cannot reproduce Spark's sketch
+      // internals, so the sketches are validated IN-PLAN against their
+      // exact twins via Checks.gated (job fails if either drifts out
+      // of tolerance) while the oracle gates the exact values.
+      "q67_sketch_gate" -> ((s, dir) => {
+        val agg = Tables.events(s, dir).groupBy(col("event_type")).agg(
+          countDistinct(col("user_id")).cast("bigint").as("n_users"),
+          approx_count_distinct(col("user_id")).as("hll_users"),
+          percentile(col("value"), lit(0.5)).as("p50x"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50s"))
+        val g1 = Checks.gated(agg, "hll_rel_err",
+          abs(col("hll_users") - col("n_users")).cast("double")
+            <= col("n_users").cast("double") * 0.1,
+          concat(lit("hll="), col("hll_users"), lit(" exact="), col("n_users")))
+        Checks.gated(g1, "p50_abs_err",
+          abs(col("p50s") - col("p50x")) <= abs(col("p50x")) * 0.05 + 0.01,
+          concat(lit("sketch="), col("p50s"), lit(" exact="), col("p50x")))
+          .select(col("event_type"), col("n_users"),
+            col("p50x").cast("decimal(18,6)").cast("double").as("p50"))
+      }),
+
       // ---- native session windows (same semantics as composed q21) ----
       "q25_session_window" -> ((s, dir) =>
         Tables.events(s, dir)
@@ -2838,6 +2863,14 @@ object SparkEntry {
         |       CAST(CAST(quantile_cont(value, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
         |       CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
         |       CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // gates the EXACT twins; the sketches themselves are asserted
+    // in-plan (see the query's comment — DuckDB has no HLL++/t-digest
+    // twin to compare against)
+    "q67_sketch_gate" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50
         |FROM events GROUP BY 1""".stripMargin,
 
     "q25_session_window" ->

@@ -107,4 +107,21 @@ object Checks {
     withDate.join(broadcast(lastDay), col("__d") === col("__maxd"))
       .agg(count(lit(1)).cast("bigint").as("n"))
   }
+
+  /** In-plan assertion gate: the frame passes through unchanged, but
+    * the JOB fails (`assert_true` → SparkRuntimeException) if `cond`
+    * is false on any row. This is how sketch accuracy is enforced
+    * (q67): an approximate aggregate whose error cannot be recomputed
+    * by an external oracle is validated against its exact twin inside
+    * the same plan — the e5 recall-gate discipline, generalized. The
+    * `filter(isNull)` is a tautology (assert_true returns NULL on
+    * success) whose only purpose is forcing the assertion to evaluate
+    * before column pruning could drop it. */
+  def gated(df: DataFrame, name: String, cond: org.apache.spark.sql.Column,
+            detail: org.apache.spark.sql.Column): DataFrame = {
+    val g = s"_gate_$name"
+    df.withColumn(g,
+        assert_true(cond, concat(lit(s"gate '$name' failed: "), detail)))
+      .filter(col(g).isNull).drop(g)
+  }
 }
