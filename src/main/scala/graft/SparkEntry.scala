@@ -1798,9 +1798,46 @@ object SparkEntry {
         runEventStream(s, dir, "s3_stream_out", "append") { src =>
           src.select(col("user_id"), col("event_type"))
             .dropDuplicates(Seq("user_id", "event_type"))
-        }.select(col("user_id"), col("event_type")))
+        }.select(col("user_id"), col("event_type"))),
+
+      // Native session_window aggregation as a STREAM — the fourth
+      // streaming state shape (merging session state, distinct from
+      // s1/s2's fixed windows and s3's keyed dedup set): arriving
+      // events extend or merge open sessions in the state store. Same
+      // semantics and SAME ORACLE as batch q25 — the batch/stream
+      // parity the engine promises everywhere. Complete mode keeps
+      // gate determinism (every session emitted at the end); the
+      // watermarked append form is what production would run, shown in
+      // StreamingSpec with statefulSessions as the custom-state twin.
+      "s4_stream_sessions" -> ((s, dir) =>
+        runEventStream(s, dir, "s4_stream_out", "complete") { src =>
+          src.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).cast("bigint").as("n_events"))
+        }.select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events")))
     )
   }
+
+  /** Session-window summary oracle shared by batch q25 and streaming
+    * s4 (identical semantics, two execution paths). */
+  private val sessionWindowOracle =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |-- strict >: verified on this Spark build — session_window MERGES an
+      |-- event at exactly prev+gap into the same session (same boundary
+      |-- rule as the composed q21 operator)
+      |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |                     THEN 1 ELSE 0 END AS new_sess FROM t),
+      |s AS (SELECT user_id, ts_us,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM f)
+      |SELECT user_id, MIN(ts_us) AS start_us, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, session_id""".stripMargin
 
   // Shared oracle fragments (DuckDB SQL twins of TextFunctions).
   private val toksSql =
@@ -2873,23 +2910,11 @@ object SparkEntry {
         |       CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50
         |FROM events GROUP BY 1""".stripMargin,
 
-    "q25_session_window" ->
-      """WITH t AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-        |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
-        |  FROM events),
-        |-- strict >: verified on this Spark build — session_window MERGES an
-        |-- event at exactly prev+gap into the same session (same boundary
-        |-- rule as the composed q21 operator)
-        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-        |                     THEN 1 ELSE 0 END AS new_sess FROM t),
-        |s AS (SELECT user_id, ts_us,
-        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |      FROM f)
-        |SELECT user_id, MIN(ts_us) AS start_us, CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q25_session_window" -> sessionWindowOracle,
+
+    // batch/stream parity: the streaming session_window run is gated
+    // by the SAME oracle as batch q25
+    "s4_stream_sessions" -> sessionWindowOracle,
 
     "q24_incremental_mart" ->
       """SELECT CAST(ts AS DATE) AS metric_date,
