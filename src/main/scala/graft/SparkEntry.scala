@@ -872,7 +872,13 @@ object SparkEntry {
         val batch = docs.filter(col("doc_id") % 2 === 1)
           .unionByName(base.filter(col("doc_id") % 4 === 0)
             .select(cloneId(col("doc_id")).as("doc_id"), col("text")))
-        val seen = base.select(md5(col("text")).as("h")).distinct()
+        // NO distinct on the seen side (d13 needs it to shrink the
+        // join input; anti-join semantics don't) — the bloom filter is
+        // the shrink here, and it applies AT THE SCAN, before any
+        // exchange. Post-filter the survivors are broadcast-sized, so
+        // AQE turns the whole anti join into a broadcast join: the
+        // 100-TB seen side never shuffles at all.
+        val seen = base.select(md5(col("text")).as("h"))
         val fresh = BloomFilter.prunedLeftAnti(batch, seen,
           md5(col("text")), col("h"),
           BloomFilter.sized(expectedKeys = 4096, fpp = 0.01))
