@@ -1207,6 +1207,29 @@ object SparkEntry {
         Dedup.connectedComponents(pairs, localThreshold = 0L)
       }),
 
+      // Embedding-cluster dedup capstone: mutual k-NN graph (e7) →
+      // connected components → per-cluster membership stats. The
+      // mutual restriction is what makes components usable here — raw
+      // threshold pairs chain hub vectors into mega-clusters, while
+      // reciprocal top-k edges keep clusters tight. Every stage is the
+      // already-gated operator (knnGraph, connectedComponents); the
+      // oracle recomputes the whole chain incl. the transitive closure.
+      "d15_embedding_clusters" -> ((s, dir) => {
+        val sample = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+        val g = Similarity.knnGraph(sample, "vec_id", "embedding", k = 4)
+        val comp = Dedup.connectedComponents(
+          g.filter(col("mutual"))
+            .select(col("src_id").as("id_a"), col("dst_id").as("id_b")))
+        sample.select(col("vec_id"))
+          .join(comp.select(col("id").as("vec_id"), col("component")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("cluster"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).cast("bigint").as("n_members"),
+            max(col("vec_id")).as("max_member"))
+      }),
+
       // ---- NULL-semantics suite (coalesce/nullif/null-safe compare) ----
       "q54_null_semantics" -> ((s, dir) =>
         Tables.events(s, dir).select(
@@ -2548,6 +2571,35 @@ object SparkEntry {
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
     "d9_components_distributed" -> d8OracleSql,
+
+    // e7's graph + transitive closure over its MUTUAL edges (the
+    // closure CTE mirrors componentsCtesSql, keyed on vec ids)
+    "d15_embedding_clusters" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |        a.embedding AS av, b.embedding AS bv
+         |      FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+         |sc AS (SELECT src_id, dst_id,
+         |        ${dotSql("av", "bv")} / (sqrt(${dotSql("av", "av")}) * sqrt(${dotSql("bv", "bv")})) AS simd
+         |       FROM s),
+         |r AS (SELECT src_id, dst_id,
+         |        ROW_NUMBER() OVER (PARTITION BY src_id
+         |             ORDER BY simd DESC, dst_id ASC) AS rnk
+         |      FROM sc),
+         |e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 4),
+         |me AS (SELECT e.src_id AS src, e.dst_id AS dst
+         |       FROM e JOIN e m ON e.src_id = m.dst_id AND e.dst_id = m.src_id),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM me
+         |  UNION
+         |  SELECT r2.src, e2.dst FROM reach r2 JOIN me e2 ON r2.dst = e2.src),
+         |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |lab AS (SELECT v.vec_id, COALESCE(c.component, v.vec_id) AS cluster
+         |        FROM v LEFT JOIN comp c USING (vec_id))
+         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       MAX(vec_id) AS max_member
+         |FROM lab GROUP BY 1""".stripMargin,
 
     "q54_null_semantics" ->
       """SELECT event_id,
