@@ -25,7 +25,16 @@ object Sessions {
   def local(cores: Int = 32): SparkSession = {
     val s = tune(SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString))
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      // Single-JVM runs: driver == executor, so the heartbeat can only
+      // KILL a healthy run, never rescue one. A 50M-row soak sort
+      // under full GC + host load was observed to pause >120s, tripping
+      // HeartbeatReceiver into removing the local executor and tearing
+      // down live shuffle state mid-stage. Long timeouts are the
+      // correct local-mode setting; on a real cluster these would stay
+      // at their defaults.
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -64,8 +64,11 @@ object StreamingJobs {
     * protocol as the staging merge. */
   def streamingIncrementalMart(spark: SparkSession, srcDir: String,
                                schema: StructType, martRoot: String,
-                               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    graft.Tables.normalizeNanos(spark.readStream.schema(schema).parquet(srcDir))
+                               checkpoint: String,
+                               maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.Tables.normalizeNanos(reader.parquet(srcDir))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -79,6 +82,7 @@ object StreamingJobs {
         ()
       }
       .start()
+  }
 
   final case class Keyed(id: Long, version: Long, payload: String)
 

@@ -57,4 +57,27 @@ class StreamingMergeSpec extends SparkSpec {
       graft.operators.Marts.dailyPartial(ev))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("maxFilesPerTrigger=1 publishes one combined version per file (s5 shape)") {
+    val root = Files.createTempDirectory("smart3").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val mart = s"$root/mart"; val ckpt = s"$root/ckpt"
+    val raw = Tables.load(spark, sf, "events")
+    (0 to 2).foreach { i =>
+      raw.filter($"event_id" % 3 === i).write.parquet(s"$src/b$i")
+    }
+    val q = graft.streaming.StreamingJobs.streamingIncrementalMart(
+      spark, s"$src/*", raw.schema, mart, ckpt, maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    // one versioned publish per micro-batch, at least one per source
+    // file's worth of data (files may produce >1 part each)
+    val versions = Files.list(Paths.get(mart)).toArray.map(_.toString)
+      .filter(_.matches(".*/v\\d+$"))
+    assert(versions.length >= 3, s"expected >=3 published versions, got ${versions.length}")
+    val got = graft.operators.Marts.finalizeDaily(spark.read.parquet(
+      graft.operators.VersionedStaging.latestComplete(spark, mart).get))
+    val expected = graft.operators.Marts.finalizeDaily(
+      graft.operators.Marts.dailyPartial(Tables.events(spark, sf)))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }
