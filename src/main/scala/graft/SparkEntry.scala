@@ -803,6 +803,22 @@ object SparkEntry {
             sum(col("n_tok")).cast("bigint").as("n_tokens"))
       }),
 
+      // Temperature (alpha=0.5) domain rebalancing — rate-based, not
+      // rank-based: quotas derived on the domain-count frame, broadcast
+      // back, membership by hash threshold. The corpus is scanned once
+      // and never key-shuffled (contrast q66's exact-k rank cap).
+      "q72_temperature_sample" -> ((s, dir) =>
+        Sampling.temperatureSample(
+          Tables.documents(s, dir), "doc_id",
+          Enrich.domainOf(col("source")), targetTotal = 250)),
+
+      // Deterministic per-epoch training shuffle: reproducible order +
+      // derived-shard parallelism (the q68 discipline; gate target 64
+      // docs/shard so the sf fixtures exercise multi-shard paths).
+      "q73_epoch_shuffle" -> ((s, dir) =>
+        Sampling.epochShuffle(Tables.documents(s, dir), "doc_id",
+          epochs = 2, targetDocsPerShard = 64)),
+
       // N-gram novelty score (dataset-diversity signal): the fraction
       // of a doc's distinct 3-gram shingles whose globally FIRST
       // occurrence (by doc id) is this doc — boilerplate-heavy or
@@ -848,6 +864,48 @@ object SparkEntry {
           .select(col("token"), col("n"), col("rank"), col("cum_n"),
             (col("cum_n").cast("double") / col("total").cast("double"))
               .as("coverage"))
+      }),
+
+      // Corpus bigram language-model scoring (the KenLM-style quality
+      // signal, CCNet-fashion: docs whose bigrams are common in the
+      // corpus score high, gibberish scores low). Per-bigram add-V
+      // probability p = c(w1w2) / (c(w1) + V) is computed in FIXED
+      // POINT — (c(w1w2) * 10^6) div (c(w1) + V), pure integer
+      // arithmetic — because ln/exp are libm-dependent and a double
+      // SUM is addition-order-dependent: neither survives a bit-exact
+      // cross-engine hash gate. The doc score sums exact fixed-point
+      // longs and divides ONCE at the end.
+      // Scale: three term-keyed shuffles (bigram counts, unigram
+      // counts, join-back) + one doc-keyed agg, all partial-
+      // aggregable. The count-table joins carry no broadcast hint (the
+      // t9 stance): Catalyst broadcasts them at gate scale where they
+      // are KB-sized and falls back to shuffle joins at corpus scale
+      // where the term dictionary is corpus-sized. V is a one-row
+      // exact distinct count, explicitly broadcast.
+      "t14_lm_score" -> ((s, dir) => {
+        val tk = Tables.documents(s, dir).select(col("doc_id"),
+          tokens(col("text")).as("toks"))
+        val uni = tk.select(explode(col("toks")).as("w"))
+        val vocab = uni.agg(countDistinct(col("w")).cast("long").as("v"))
+        val cu = uni.groupBy(col("w")).agg(count(lit(1)).cast("long").as("cw"))
+        val bg = tk.filter(size(col("toks")) > 1)
+          .select(col("doc_id"), col("toks"), posexplode(slice(col("toks"),
+            lit(1), size(col("toks")) - 1)))
+          .withColumnRenamed("col", "w1")
+          .select(col("doc_id"), col("w1"),
+            concat(col("w1"), lit(" "),
+              element_at(col("toks"), col("pos") + 2)).as("b"))
+        val cb = bg.groupBy(col("b")).agg(count(lit(1)).cast("long").as("cbg"))
+        bg.join(cb, "b").join(cu, col("w1") === col("w"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            expr("(cbg * 1000000) div (cw + v)").as("p_fp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+            sum(col("p_fp")).cast("bigint").as("score_fp"))
+          .select(col("doc_id"), col("n_bigrams"), col("score_fp"),
+            (col("score_fp").cast("double") / col("n_bigrams").cast("double") /
+              1000000.0).as("lm_score"))
       }),
 
       // URL canonicalization + dedup (crawl-corpus source dedup): the
@@ -1633,6 +1691,62 @@ object SparkEntry {
               / lit(100000000.0)).as("avg_quality"))
       }),
 
+      // Full curation funnel capstone: score -> filter (quality, lang,
+      // repetition) -> exact dedup -> domain cap -> per-domain
+      // accounting of what actually ships in the training set. One
+      // linear pipeline over a scan with planted dups (source column
+      // carried for domain attribution).
+      // Scale: the repetition signal is a doc-keyed explode/agg/join
+      // (uniform key, partial-aggregable); BOTH row_number windows keep
+      // only rn=1 / rn<=50 with no other window aggregate, so Spark
+      // pushes a partial WindowGroupLimit below each exchange — mapper
+      // output is capped pre-shuffle and a mega-duplicate content hash
+      // or mega-domain cannot straggle (the q66/d7 discipline; contrast
+      // c1, which pays the full window because it also needs n_copies).
+      "c3_training_corpus" -> ((s, dir) => {
+        val d0 = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val docs = d0.unionByName(d0.filter(col("doc_id") % 5 === 0)
+          .select(cloneId(col("doc_id")).as("doc_id"), col("text"),
+            col("source")))
+        val scored = docs.select(col("doc_id"), col("text"), col("source"),
+          graft.functions.ColUtil.bindOnce(tokens(col("text"))) { toks =>
+            struct(size(toks).cast("long").as("ntok"),
+              qualityScoreFromTokens(toks).as("q"),
+              langId(toks).as("lang"))
+          }.as("s"))
+          .select(col("doc_id"), col("text"), col("source"),
+            col("s.ntok").as("ntok"), col("s.q").as("q"),
+            col("s.lang").as("lang"))
+        // t7's top-token fraction; zero-token docs drop at the inner
+        // join, which is the same fate the quality filter deals them
+        val rep = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg((max(col("c")).cast("double") /
+            sum(col("c")).cast("double")).as("top_frac"))
+        val kept = scored.join(rep, "doc_id")
+          .filter(col("lang") === "en" && col("q") >= 0.2 &&
+            col("top_frac") <= 0.3)
+        val wDedup = Window.partitionBy(md5(col("text")))
+          .orderBy(col("doc_id").asc)
+        val wCap = Window.partitionBy(col("domain"))
+          .orderBy(hash32(col("doc_id").cast("string"), 7).asc,
+            col("doc_id").asc)
+        kept.withColumn("rn", row_number().over(wDedup))
+          .filter(col("rn") === 1)
+          .withColumn("domain", Enrich.domainOf(col("source")))
+          .withColumn("rn2", row_number().over(wCap))
+          .filter(col("rn2") <= 50)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("ntok")).cast("bigint").as("n_tokens"),
+            (sum(floor(col("q") * 100000000L).cast("long")).cast("double") /
+              count(lit(1)).cast("double") / 100000000.0).as("avg_quality"),
+            min(col("doc_id")).as("min_doc"))
+      }),
+
       // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
       "c1_clean_corpus" -> ((s, dir) => {
         val docs = corpusExact(s, dir) // includes planted exact dups
@@ -2380,6 +2494,107 @@ object SparkEntry {
          |       CAST(COUNT(*) AS BIGINT) AS n_examples,
          |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM x GROUP BY 1""".stripMargin,
+
+    "q72_temperature_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN source IS NULL OR source = '' THEN '(no_domain)'
+         |         ELSE lower(split_part(replace(replace(source,'https://',''),'http://',''),'/',1))
+         |    END AS domain
+         |  FROM documents),
+         |c AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_total,
+         |        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576) AS BIGINT) AS f
+         |      FROM d GROUP BY 1),
+         |s AS (SELECT SUM(f) AS f_sum FROM c),
+         |q AS (SELECT domain, n_total,
+         |        LEAST(1048576, CAST(floor(CAST(f AS DOUBLE) * 250.0 * 1048576.0 /
+         |          (CAST(f_sum AS DOUBLE) * CAST(n_total AS DOUBLE))) AS BIGINT)) AS threshold
+         |      FROM c, s),
+         |k AS (SELECT d.domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |             MIN(d.doc_id) AS min_kept_id
+         |      FROM d JOIN q USING (domain)
+         |      WHERE ${hash32Sql(5, "CAST(doc_id AS VARCHAR)")} % 1048576 < threshold
+         |      GROUP BY 1)
+         |SELECT q.domain, q.n_total, q.threshold,
+         |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, k.min_kept_id
+         |FROM q LEFT JOIN k USING (domain)""".stripMargin,
+
+    "q73_epoch_shuffle" ->
+      s"""WITH nn AS (SELECT greatest((COUNT(*) + 63) // 64, 1) AS n_shards
+         |            FROM documents),
+         |e AS (SELECT doc_id, unnest([1, 2]) AS epoch FROM documents),
+         |t AS (SELECT epoch, doc_id,
+         |        ${hash32Sql(6, "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS key
+         |      FROM e)
+         |SELECT epoch, key % (SELECT n_shards FROM nn) AS shard, doc_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, key % (SELECT n_shards FROM nn)
+         |         ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM t""".stripMargin,
+
+    "t14_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+         |vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM u),
+         |cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM u GROUP BY 1),
+         |bg AS (SELECT doc_id,
+         |         unnest(toks[1:len(toks)-1]) AS w1,
+         |         unnest(list_transform(range(len(toks) - 1),
+         |           i -> toks[i+1] || ' ' || toks[i+2])) AS b
+         |       FROM tk WHERE len(toks) > 1),
+         |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1),
+         |j AS (SELECT bg.doc_id,
+         |        (cb.cbg * 1000000) // (cu.cw + (SELECT v FROM vocab)) AS p_fp
+         |      FROM bg JOIN cb USING (b) JOIN cu ON bg.w1 = cu.w),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |             CAST(SUM(p_fp) AS BIGINT) AS score_fp FROM j GROUP BY 1)
+         |SELECT doc_id, n_bigrams, score_fp,
+         |       CAST(score_fp AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
+         |         AS lm_score
+         |FROM a""".stripMargin,
+
+    "c3_training_corpus" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 5 = 0),
+         |t AS (SELECT doc_id, text, source, $toksSql AS toks FROM corpus),
+         |c AS (SELECT doc_id, text, source, len(toks) AS ntok,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS c_en,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS c_es,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS c_de,
+         |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr
+         |  FROM t),
+         |scored AS (SELECT doc_id, text, source, ntok,
+         |  (CAST(LEAST(ntok, 200) AS DOUBLE) / 200.0
+         |   + LEAST(CASE WHEN ntok > 0 THEN CAST(c_en AS DOUBLE) / CAST(ntok AS DOUBLE)
+         |                ELSE 0.0 END, 0.5) * 2.0) / 2.0 AS q,
+         |  CASE WHEN greatest(c_en,c_es,c_de,c_fr) = 0 THEN 'und'
+         |       WHEN c_en = greatest(c_en,c_es,c_de,c_fr) THEN 'en'
+         |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr) THEN 'es'
+         |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr) THEN 'de'
+         |       ELSE 'fr' END AS lang
+         |  FROM c),
+         |rep AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_frac
+         |        FROM (SELECT doc_id, tok, COUNT(*) AS cnt
+         |              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |              GROUP BY 1, 2) GROUP BY 1),
+         |kept AS (SELECT s.*, r.top_frac FROM scored s JOIN rep r USING (doc_id)
+         |         WHERE s.lang = 'en' AND s.q >= 0.2 AND r.top_frac <= 0.3),
+         |dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                   ORDER BY doc_id ASC) AS rn FROM kept),
+         |dom AS (SELECT *,
+         |    CASE WHEN source IS NULL OR source = '' THEN '(no_domain)'
+         |         ELSE lower(split_part(replace(replace(source,'https://',''),'http://',''),'/',1))
+         |    END AS domain
+         |  FROM dd WHERE rn = 1),
+         |cap AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+         |          ORDER BY ${hash32Sql(7, "CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn2
+         |        FROM dom)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CAST(floor(q * 100000000) AS BIGINT)) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) / 100000000.0 AS avg_quality,
+         |       MIN(doc_id) AS min_doc
+         |FROM cap WHERE rn2 <= 50 GROUP BY 1""".stripMargin,
 
     "t11_novelty" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

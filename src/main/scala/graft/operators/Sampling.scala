@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash32
+
+/** Corpus-mix sampling operators for training-data curation.
+  *
+  * Both operators are deterministic (hash-keyed, no RNG state), so the
+  * same inputs produce the same sample on any cluster layout — the
+  * property a training pipeline needs for reproducible data orders and
+  * resumable jobs.
+  */
+object Sampling {
+
+  /** Temperature (power-law) domain rebalancing: sample domain `s`
+    * with expected kept count proportional to `sqrt(n_s)`, normalized
+    * so the expected total is `targetTotal` — the standard alpha=0.5
+    * rebalance that keeps mega-domains from drowning the tail in a
+    * web-scale training mix.
+    *
+    * Scale design: the corpus is touched exactly ONCE and never
+    * key-shuffled. Per-domain counts are a partial-aggregable groupBy
+    * whose output is domain-cardinality-sized; quotas are derived on
+    * that tiny frame and BROADCAST back; membership is a narrow filter
+    * `hash32(doc_id) mod 2^20 < threshold`. No window, no row_number,
+    * no corpus-wide sort — the shape q66's cap (exact-k, needs a
+    * per-group rank) cannot reach. This is the 100-TB form of mixture
+    * rebalancing: rate-based, not rank-based.
+    *
+    * Determinism across engines: `sqrt` is IEEE-754 correctly rounded
+    * (bit-identical in the JVM and DuckDB); the threshold expression
+    * uses a fixed operation order so every intermediate double is
+    * identical; everything else is integer arithmetic. `f_s =
+    * floor(sqrt(n_s) * 2^20)` is an exact fixed-point weight summed as
+    * BIGINT, dodging order-dependent double summation.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, domainCol: Column,
+                        targetTotal: Long, salt: Int = 5): DataFrame = {
+    val Ring = 1L << 20
+    val d = docs.select(col(idCol).as("doc_id"), domainCol.as("domain"))
+    val counts = d.groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_total"))
+      .withColumn("f", floor(sqrt(col("n_total").cast("double")) * (1L << 20))
+        .cast("long"))
+    val s = counts.agg(sum(col("f")).as("f_sum"))
+    // threshold on the 2^20 hash ring; double math in a FIXED order
+    // (f*T*R, then S*n, then one divide) mirrored verbatim in the SQL
+    // oracle, so cross-engine results are bit-identical without the
+    // BIGINT overflow a pure-integer form would hit at corpus scale.
+    val quotas = counts.crossJoin(broadcast(s))
+      .withColumn("threshold",
+        least(lit(Ring),
+          floor(col("f").cast("double") * targetTotal.toDouble * Ring.toDouble /
+            (col("f_sum").cast("double") * col("n_total").cast("double")))
+            .cast("long")))
+      .select(col("domain"), col("n_total"), col("threshold"))
+    val kept = d.join(broadcast(quotas), "domain")
+      .filter(pmod(hash32(col("doc_id").cast("string"), salt), lit(Ring)) <
+        col("threshold"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).cast("bigint").as("n_kept"),
+        min(col("doc_id")).as("min_kept_id"))
+    quotas.join(kept, Seq("domain"), "left")
+      .select(col("domain"), col("n_total"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).cast("bigint").as("n_kept"),
+        col("min_kept_id"))
+  }
+
+  /** Deterministic per-epoch training shuffle + shard assignment: each
+    * (epoch, doc) gets a pseudorandom but reproducible position —
+    * `key = hash32(epoch:doc_id)`, `shard = key mod n_shards`,
+    * `pos = row_number` within (epoch, shard) by key — so every epoch
+    * reads the corpus in a different order, yet any reader (or a
+    * resumed job) reconstructs the exact same order with no stored
+    * shuffle state.
+    *
+    * Scale design: the per-shard position window is the only sort, and
+    * the shard count is DERIVED in-plan from the corpus size
+    * (`ceil(n_docs / targetDocsPerShard)`, the q68/Pack discipline),
+    * so each window is a bounded ~targetDocsPerShard-row task and
+    * parallelism grows with the data. Hash sharding keeps shards
+    * uniform — there is no skewed key to straggle on by construction.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int,
+                   targetDocsPerShard: Long = 1L << 20,
+                   salt: Int = 6): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"))
+    val n = base.agg(count(lit(1)).cast("long").as("n_docs_total"))
+    val t = base.crossJoin(broadcast(n))
+      .withColumn("epoch", explode(sequence(lit(1), lit(epochs))))
+      .withColumn("n_shards",
+        greatest(expr(s"(n_docs_total + ${targetDocsPerShard - 1}) div $targetDocsPerShard"),
+          lit(1L)))
+      .withColumn("key", hash32(
+        concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")), salt))
+      .withColumn("shard", pmod(col("key"), col("n_shards")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+    t.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("pos"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Invariants for the corpus-mix sampling operators (q72/q73) and the
+  * round-6 scoring/curation queries (t14/c3). The cross-engine value
+  * gate is the DuckDB oracle; these specs pin the semantic properties
+  * the oracle cannot express: determinism, rebalance direction,
+  * permutation validity.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewedDocs = {
+    // 1 mega domain (1000 docs), 10 mid (50 each), 100 tail (2 each)
+    spark.range(1700).select(col("id").as("doc_id"),
+      when(col("id") < 1000, "mega.com")
+        .when(col("id") < 1500, concat(lit("mid"), (col("id") % 10).cast("string")))
+        .otherwise(concat(lit("tail"), (col("id") % 100).cast("string")))
+        .as("domain"))
+  }
+
+  test("temperatureSample rebalances toward sqrt: mega-domain rate < tail rate") {
+    val out = Sampling.temperatureSample(skewedDocs, "doc_id", col("domain"),
+      targetTotal = 400).cache()
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val (megaN, megaK) = rows.find(_._1 == "mega.com").map(r => (r._2, r._3)).get
+    val tail = rows.filter(_._1.startsWith("tail"))
+    val tailRate = tail.map(_._3).sum.toDouble / tail.map(_._2).sum
+    assert(megaK.toDouble / megaN < tailRate,
+      "sqrt rebalance must sample the mega domain at a lower rate than the tail")
+    // expected total is targetTotal in expectation; allow hash variance
+    val total = rows.map(_._3).sum
+    assert(total > 150 && total < 800, s"kept $total, expected ~400")
+  }
+
+  test("temperatureSample is deterministic and respects the rate cap") {
+    val a = Sampling.temperatureSample(skewedDocs, "doc_id", col("domain"), 400)
+      .orderBy("domain").collect().toSeq
+    val b = Sampling.temperatureSample(skewedDocs, "doc_id", col("domain"), 400)
+      .orderBy("domain").collect().toSeq
+    assert(a == b)
+    a.foreach { r =>
+      assert(r.getLong(2) <= (1L << 20), "threshold must cap at the ring size")
+      assert(r.getLong(3) <= r.getLong(1), "cannot keep more than exists")
+    }
+  }
+
+  test("epochShuffle emits a valid permutation per epoch with distinct orders") {
+    val docs = spark.range(500).select(col("id").as("doc_id"))
+    val out = Sampling.epochShuffle(docs, "doc_id", epochs = 2,
+      targetDocsPerShard = 64).cache()
+    assert(out.count() == 1000)
+    // every doc appears exactly once per epoch
+    assert(out.groupBy("epoch", "doc_id").count().filter(col("count") =!= 1)
+      .isEmpty)
+    // positions within each (epoch, shard) are contiguous 1..n
+    val bad = out.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.isEmpty, "per-shard positions must be a contiguous 1..n run")
+    // epoch 1 and epoch 2 orders differ (hash keyed by epoch)
+    val o1 = out.filter(col("epoch") === 1).orderBy("shard", "pos")
+      .select("doc_id").as[Long].collect().toSeq
+    val o2 = out.filter(col("epoch") === 2).orderBy("shard", "pos")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(o1 != o2, "epochs must produce different read orders")
+    assert(o1.sorted == o2.sorted)
+  }
+
+  test("t14 lm score: fixed-point probabilities stay in [0, 1e6] and repeated text scores higher") {
+    val out = SparkEntry.queries("t14_lm_score")(spark, sf)
+    val rows = out.select("n_bigrams", "score_fp", "lm_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getLong(1).toDouble / r.getLong(0)
+      assert(mean >= 0 && mean <= 1000000.0, s"mean fixed-point prob $mean")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("c3 funnel: domain caps hold and quality is averaged over kept docs only") {
+    val out = SparkEntry.queries("c3_training_corpus")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) <= 50, "domain cap must bound every domain at 50")
+      val q = r.getDouble(3)
+      assert(q >= 0.2 && q <= 1.0, s"kept docs passed the 0.2 floor, got $q")
+    }
+  }
+}
