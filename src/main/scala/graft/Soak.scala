@@ -321,8 +321,9 @@ object Soak {
     require(bloomFresh == plainFresh && bloomFresh == n / 10,
       s"bloom anti-join drift: $bloomFresh vs $plainFresh vs ${n / 10}")
     val bits = graft.operators.BloomFilter.build(batch, col("k"), bloomP)
+    val bitsBc = spark.sparkContext.broadcast(bits)
     val (keptSeen, tBloomProbe) = time(seen.filter(
-      graft.operators.BloomFilter.mightContain(col("h"), bits, bloomP.k))
+      graft.operators.BloomFilter.mightContain(col("h"), bitsBc, bloomP.k))
       .count())
     // overlap is n/10; allow fpp slack on the remaining 0.8n
     require(keptSeen >= n / 10 && keptSeen < n / 10 + seenN / 20,
@@ -349,6 +350,48 @@ object Soak {
          |"ingest_anti_plain":$tAntiPlain,"ingest_anti_bloom":$tAntiBloom,
          |"bloom_probe":$tBloomProbe}}"""
         .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}
+
+/** Stage-13-only micro-soak: the bloom-pruned ingest anti join at
+  * volume, isolated so the probe-transport fix (array literal → torrent
+  * broadcast, [[graft.plans.BloomMightContain]]) can be measured
+  * without re-running the full 50 M suite. Same fixture and invariants
+  * as [[Soak]] stage 13. */
+object BloomSoak {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val spark = Sessions.local(32)
+    import org.apache.spark.sql.functions._
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val seenN = n * 9 / 10
+    val seen = spark.range(seenN)
+      .select(concat(lit("k"), col("id")).as("h"))
+    val batch = spark.range(n * 8 / 10, n)
+      .select(col("id").as("batch_id"), concat(lit("k"), col("id")).as("k"))
+    val bloomP = graft.operators.BloomFilter.sized(
+      expectedKeys = n / 5, fpp = 0.01)
+    val (plainFresh, tPlain) = time(
+      batch.join(seen, col("k") === col("h"), "left_anti").count())
+    val (bloomFresh, tBloom) = time(
+      graft.operators.BloomFilter.prunedLeftAnti(batch, seen,
+        col("k"), col("h"), bloomP).count())
+    require(bloomFresh == plainFresh && bloomFresh == n / 10,
+      s"bloom anti-join drift: $bloomFresh vs $plainFresh vs ${n / 10}")
+    val bits = graft.operators.BloomFilter.build(batch, col("k"), bloomP)
+    val bitsBc = spark.sparkContext.broadcast(bits)
+    val (keptSeen, tProbe) = time(seen.filter(
+      graft.operators.BloomFilter.mightContain(col("h"), bitsBc, bloomP.k))
+      .count())
+    require(keptSeen >= n / 10 && keptSeen < n / 10 + seenN / 20,
+      s"bloom pruned too little: kept $keptSeen of $seenN")
+    println(s"""{"n":$n,"bloom_words":${bloomP.nWords},"k":${bloomP.k},""" +
+      s""""fresh":$bloomFresh,"seen_kept":$keptSeen,""" +
+      s""""sec":{"anti_plain":$tPlain,"anti_bloom":$tBloom,"probe":$tProbe}}""")
     spark.stop()
   }
 }

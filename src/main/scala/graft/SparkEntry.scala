@@ -949,6 +949,12 @@ object SparkEntry {
       // of those must be anti-joined away. Scale: the existing-corpus
       // side stays a distinct hash set, shuffle-partitioned, never
       // collected; one shuffle per side on the 16-byte digest.
+      // Repeated-span coverage (substring-level dedup signal): see
+      // DedupSuite.spanCoverage. Planted exact clones score 1.0 by
+      // construction.
+      "d16_span_coverage" -> ((s, dir) =>
+        DedupSuite.spanCoverage(corpusExact(s, dir), "doc_id", "text", 5)),
+
       "d13_incremental_ingest" -> ((s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val base = docs.filter(col("doc_id") % 2 === 0)
@@ -2628,6 +2634,34 @@ object SparkEntry {
          |       CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
          |FROM r CROSS JOIN tot""".stripMargin,
 
+    "d16_span_coverage" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sh AS (SELECT doc_id,
+         |         unnest(range(len(toks) - 4)) AS p,
+         |         unnest(list_transform(list_transform(range(len(toks) - 4),
+         |           i -> array_to_string(toks[i+1:i+5], ' ')),
+         |           s -> ${hash32Sql(0, "s")})) AS h
+         |       FROM tk WHERE len(toks) >= 5),
+         |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+         |c AS (SELECT sh.doc_id, sh.p,
+         |        lag(sh.p) OVER (PARTITION BY sh.doc_id ORDER BY sh.p ASC) AS prev
+         |      FROM sh JOIN dup USING (h)),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_starts,
+         |        CAST(SUM(CASE WHEN prev IS NULL THEN 5
+         |                      ELSE LEAST(5, p - prev) END) AS BIGINT) AS n_covered
+         |      FROM c GROUP BY 1),
+         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk)
+         |SELECT b.doc_id, b.n_tokens,
+         |       CAST(COALESCE(a.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+         |       CAST(COALESCE(a.n_covered, 0) AS BIGINT) AS n_covered,
+         |       CASE WHEN b.n_tokens > 0
+         |            THEN CAST(COALESCE(a.n_covered, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+         |            ELSE 0.0 END AS dup_span_frac
+         |FROM b LEFT JOIN a USING (doc_id)""".stripMargin,
     "d13_incremental_ingest" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

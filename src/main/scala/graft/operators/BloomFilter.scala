@@ -32,15 +32,17 @@ import org.apache.spark.sql.functions._
   * xxhash64 hashes. The build side is a typed [[Aggregator]] whose
   * buffer is the bitmap itself — reduce sets bits, merge ORs buffers —
   * so the build is a single partial-aggregable pass (map-side combine,
-  * no shuffle of the keys). The probe side is pure built-in column
-  * arithmetic (`pmod`/`shiftright`/`getbit` over an array literal), so
-  * it stays inside whole-stage codegen.
+  * no shuffle of the keys). The probe side is the native codegen
+  * expression [[graft.plans.BloomMightContain]] over a
+  * torrent-broadcast bitmap (an array-literal variant exists for small
+  * filters), so it stays inside whole-stage codegen without shipping
+  * the bitmap in task binaries.
   */
 object BloomFilter {
 
   /** Bitmap geometry. `nWords` 64-bit words (bitmap = 8*nWords bytes,
-    * broadcast as a literal — capped well under driver/task limits),
-    * `k` probes per key. */
+    * torrent-broadcast to executors — capped well under driver/task
+    * limits), `k` probes per key. */
   final case class Params(nWords: Int, k: Int) {
     require(nWords > 0 && nWords <= (1 << 22), "bitmap capped at 32 MiB")
     require(k >= 1 && k <= 8, "1..8 probes")
@@ -110,8 +112,29 @@ object BloomFilter {
     hashed.select(new OrAgg(p).toColumn).head()
   }
 
-  /** Membership probe as a codegen-friendly boolean column: k AND-ed
-    * bit tests against the bitmap literal. No false negatives. */
+  /** Membership probe against a torrent-broadcast bitmap via the
+    * native codegen expression [[graft.plans.BloomMightContain]] — the
+    * form every large-filter path must use. The array-literal variant
+    * below Java-serializes a 12 MiB bitmap to ~140 MiB of boxed Longs
+    * in EVERY task binary (round-6 soak: pruned anti join 130x slower
+    * than plain, inverting the optimization); the broadcast handle
+    * serializes to bytes and executors fetch the primitive blocks
+    * once. */
+  def mightContain(key: Column,
+                   bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                   k: Int): Column = {
+    val name = s"graft_bloom_${bc.id}_$k"
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name,
+        exprs => graft.plans.BloomMightContain(exprs(0), exprs(1), bc, k),
+        "built-in")
+    call_function(name, h1(key), h2(key))
+  }
+
+  /** Membership probe with the bitmap as an ARRAY LITERAL: k AND-ed
+    * built-in bit tests. No false negatives. Only for small bitmaps
+    * (see the broadcast overload above — a literal bitmap ships with
+    * every task binary). */
   def mightContain(key: Column, bits: Array[Long], k: Int): Column = {
     val mBits = bits.length.toLong * 64L
     val arr = lit(bits)
@@ -134,8 +157,9 @@ object BloomFilter {
                      batchKey: Column, seenKey: Column,
                      p: Params): DataFrame = {
     val bits = build(batch, batchKey, p)
+    val bc = batch.sparkSession.sparkContext.broadcast(bits)
     val candidates = seen
-      .withColumn("_bloom_hit", mightContain(seenKey, bits, p.k))
+      .withColumn("_bloom_hit", mightContain(seenKey, bc, p.k))
       .observe("bloom_prune",
         count(lit(1)).as("seen_rows"),
         sum(when(col("_bloom_hit"), 1L).otherwise(0L)).as("kept_rows"))

@@ -324,4 +324,48 @@ object DedupSuite {
             .otherwise(lit(0L))),
         lit(0L), (acc, v) => acc + v)
     }
+
+  /** Repeated-span coverage (substring-level dedup signal, the
+    * Lee-et-al. "deduplicating training data" family): per doc, the
+    * token count covered by width-`k` shingles occurring more than
+    * once in the corpus, by EXACT interval union — sorted duplicate
+    * start positions, `lag()`: first start contributes k, each next
+    * `min(k, gap)` — not the naive `k * n_starts` that over-counts
+    * overlapping spans. Returns
+    * (doc_id, n_tokens, n_dup_starts, n_covered, dup_span_frac).
+    *
+    * Scale: shingle counts are a partial-aggregable groupBy on the
+    * hash (a boilerplate shingle in billions of docs still emits one
+    * count per mapper); the join-back is hash-keyed with no downstream
+    * agg on h; the interval-union window is doc-keyed, bounded by doc
+    * length. The d10 contamination plan family, pointed inward. */
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val sh = tk.filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(shingleHashesPortableNative(col("toks"), k)))
+      .withColumnRenamed("col", "h").withColumnRenamed("pos", "p")
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+    val covered = sh.join(dup, "h")
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("add", when(col("prev").isNull, lit(k.toLong))
+        .otherwise(least(lit(k.toLong), (col("p") - col("prev")).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_dup_starts"),
+        sum(col("add")).cast("bigint").as("n_covered"))
+    tk.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).cast("bigint").as("n_dup_starts"),
+        coalesce(col("n_covered"), lit(0L)).cast("bigint").as("n_covered"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+  }
 }

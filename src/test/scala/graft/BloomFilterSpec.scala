@@ -69,4 +69,23 @@ class BloomFilterSpec extends SparkSpec {
     val kept = m.getAs[Long]("kept_rows")
     assert(kept >= 100L && kept < 1000L, s"kept=$kept")
   }
+
+  test("broadcast probe agrees with the literal probe bit-for-bit") {
+    val keys = (0 until 1000).map(i => s"key-$i")
+    val bits = BloomFilter.build(keys.toDF("k"), col("k"), p)
+    val bc = spark.sparkContext.broadcast(bits)
+    // mixed members and non-members; the two probe forms must agree on
+    // every row (including false positives - same probe positions)
+    val mixed = spark.range(3000)
+      .select(when(col("id") % 3 === 0, concat(lit("key-"), col("id") / 3))
+        .otherwise(concat(lit("nope-"), col("id"))).as("k"))
+    val disagree = mixed.filter(
+      BloomFilter.mightContain(col("k"), bits, p.k) =!=
+        BloomFilter.mightContain(col("k"), bc, p.k)).count()
+    assert(disagree == 0L)
+    // and no false negatives through the broadcast path either
+    val misses = keys.toDF("k")
+      .filter(!BloomFilter.mightContain(col("k"), bc, p.k)).count()
+    assert(misses == 0L)
+  }
 }

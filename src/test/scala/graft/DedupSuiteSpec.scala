@@ -236,4 +236,34 @@ class DedupSuiteSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == Seq("en", "es", "und"))
   }
+
+  test("spanCoverage counts duplicated spans by exact interval union") {
+    // doc 1 and 2 share an 8-token run -> 4 dup shingle starts each,
+    // overlapping; interval union must count 8 covered tokens, not 20.
+    val run = "one two three four five six seven eight"
+    val sdocs = Seq(
+      (1L, s"$run alpha beta gamma delta epsilon zeta"),
+      (2L, s"$run different tail here entirely now yes"),
+      (3L, "no shared content in this document at all ever")
+    ).toDF("doc_id", "text")
+    val out = DedupSuite.spanCoverage(sdocs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((14L, 4L, 8L, 8.0 / 14.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((14L, 4L, 8L, 8.0 / 14.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((9L, 0L, 0L, 0.0)), s"got ${out(3L)}")
+  }
+
+  test("spanCoverage marks exact clones fully covered") {
+    val sdocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words that appear exactly once only here")
+    ).toDF("doc_id", "text")
+    val out = DedupSuite.spanCoverage(sdocs, "doc_id", "text", 5)
+      .filter($"doc_id" <= 2).collect()
+    out.foreach { r =>
+      assert(r.getDouble(4) == 1.0, s"clone not fully covered: $r")
+    }
+  }
 }
