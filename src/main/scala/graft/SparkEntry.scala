@@ -173,6 +173,27 @@ object SparkEntry {
     * time), removed on JVM exit. */
   private val streamStageDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Hive-partitioned copy of `events` (partitionBy event_type), one
+    * per sf dir per JVM — the q74 fixture. The raw sf fixtures are
+    * single parquet files, so no scan in the suite could demonstrate
+    * PARTITION pruning (`PartitionFilters` was `[]` in every plan);
+    * this staging gives the layout a real 100-TB table would have. */
+  private val partStageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedEventsDir(s: SparkSession, dir: String): String =
+    partStageDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q74_part")
+      Tables.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(tmp.toString)
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      tmp.toString
+    })
   private def stagedEventsDir(dir: String): String =
     streamStageDirs.computeIfAbsent(dir, { d =>
       val tmp = java.nio.file.Files.createTempDirectory("s1_stream")
@@ -818,6 +839,20 @@ object SparkEntry {
       "q73_epoch_shuffle" -> ((s, dir) =>
         Sampling.epochShuffle(Tables.documents(s, dir), "doc_id",
           epochs = 2, targetDocsPerShard = 64)),
+
+      // Partition pruning on a hive-partitioned staging: the scan must
+      // show `PartitionFilters: [event_type IN (...)]` and touch 2 of
+      // 5 directories (PLANS.md evidence) — at 100 TB this is the
+      // difference between reading 40% and 100% of the table before
+      // the first filter runs. The fixture is partitioned once per JVM
+      // by partitionedEventsDir.
+      "q74_partition_prune" -> ((s, dir) =>
+        s.read.parquet(partitionedEventsDir(s, dir))
+          .filter(col("event_type").isin("signup", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))),
 
       // N-gram novelty score (dataset-diversity signal): the fraction
       // of a doc's distinct 3-gram shingles whose globally FIRST
@@ -2039,6 +2074,52 @@ object SparkEntry {
           .latestComplete(s, martRoot)
           .getOrElse(sys.error("s5: no mart version published"))
         Marts.finalizeDaily(s.read.parquet(latest))
+      }),
+
+      // Stream-stream watermarked interval join IN the graded surface
+      // (promoted from StreamingSpec): signup and purchase streams
+      // joined on user within (0, 1h], both sides watermarked so the
+      // join RANGE bounds state retention — without the watermark a
+      // stream-stream join buffers both sides forever, the unbounded-
+      // state failure mode. Inner joins emit on match (append mode);
+      // the post-hoc per-user pair count must equal batch q38, which
+      // is the oracle. Same discipline as s4 (batch-q25) and s5
+      // (batch-q24): the streaming path is gated by its batch twin.
+      "s6_stream_interval_join" -> ((s, dir) => {
+        val tmp = stagedEventsDir(dir)
+        def side(t: String) = Tables.normalizeNanos(
+          s.readStream.schema(eventsStreamSchema).parquet(tmp))
+          .filter(col("event_type") === t)
+        val signups = side("signup").withWatermark("ts", "2 hours")
+          .select(col("user_id"), col("ts").as("s_ts"))
+        val purchases = side("purchase").withWatermark("ts", "2 hours")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val joined = signups.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("interval 1 hour"))
+        val ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s6_ck")
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        val q = try joined.writeStream.format("memory")
+          .queryName("s6_stream_out")
+          .option("checkpointLocation", ck.toString)
+          .outputMode("append").start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        try q.processAllAvailable() finally q.stop()
+        val walk = java.nio.file.Files.walk(ck)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+        s.table("s6_stream_out")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_pairs"))
       })
     )
   }
@@ -2523,6 +2604,12 @@ object SparkEntry {
          |SELECT q.domain, q.n_total, q.threshold,
          |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, k.min_kept_id
          |FROM q LEFT JOIN k USING (domain)""".stripMargin,
+
+    "q74_partition_prune" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type IN ('signup', 'purchase')
+        |GROUP BY 1""".stripMargin,
 
     "q73_epoch_shuffle" ->
       s"""WITH nn AS (SELECT greatest((COUNT(*) + 63) // 64, 1) AS n_shards
@@ -3214,6 +3301,17 @@ object SparkEntry {
          |FROM events GROUP BY 1""".stripMargin,
 
     "q38_interval_join" ->
+      """WITH s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |WHERE p.p_us > s.s_us AND p.p_us <= s.s_us + 3600000000
+        |GROUP BY 1""".stripMargin,
+
+    // streaming twin gated by the SAME batch semantics (s4/s5 pattern)
+    "s6_stream_interval_join" ->
       """WITH s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
         |           FROM events WHERE event_type = 'signup'),
         |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
