@@ -354,6 +354,107 @@ object Soak {
   }
 }
 
+/** Round-6 curation-operator soak over the 100 k-doc text corpus (the
+  * same 20x-replicated fixture [[Soak]] stage 7 builds: 10 exact
+  * copies + 10 near copies of each sf0.1 doc). Exercises the new
+  * operators at ~20x their gate fixtures with invariants:
+  *
+  *  - d16 spanCoverage: the 10-copy exact-replica groups must score
+  *    dup_span_frac == 1.0 (>= 50 k docs), rows conserved;
+  *  - q72 temperatureSample over a planted 30%-mega-domain skew: the
+  *    mega domain's sampling rate must land UNDER the tail's (sqrt
+  *    rebalance) and two runs must be identical (hash determinism);
+  *  - q73 epochShuffle at 3 epochs: exact permutation per epoch,
+  *    per-(epoch, shard) positions contiguous.
+  */
+object CurationSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(32)
+    import org.apache.spark.sql.functions._
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val path = "target/soak/docs.parquet"
+    if (!new java.io.File(path).isDirectory) {
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val replicas = (1 to 19).map { r =>
+        docs0.select((col("doc_id") + r * 1000000L).as("doc_id"),
+          (if (r % 2 == 0) col("text")
+           else concat(col("text"), lit(s" replica suffix $r"))).as("text"))
+      }
+      replicas.foldLeft(docs0)(_ unionByName _)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    val nDocs = docs.count()
+
+    // d16 at 100k docs / ~19M shingle rows
+    val (cov, tCov) = time {
+      val c = operators.DedupSuite.spanCoverage(docs, "doc_id", "text", 5)
+        .persist()
+      val rows = c.count()
+      val full = c.filter(col("dup_span_frac") === 1.0).count()
+      c.unpersist()
+      (rows, full)
+    }
+    require(cov._1 == nDocs, s"span coverage dropped rows: ${cov._1} vs $nDocs")
+    require(cov._2 >= nDocs / 2,
+      s"exact-replica groups not fully covered: ${cov._2} of $nDocs")
+
+    // q72 with a planted mega domain: 30% of docs on one key, the rest
+    // uniform over 1000 — the rate-based sqrt rebalance must sample the
+    // mega domain at a LOWER rate than the tail, deterministically.
+    val domDocs = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) < 3, lit("mega.example"))
+        .otherwise(concat(lit("t"), pmod(col("doc_id"), lit(1000))))
+        .as("domain"))
+    val (sample, tSamp) = time {
+      operators.Sampling.temperatureSample(domDocs, "doc_id",
+        col("domain"), targetTotal = 10000).persist().collect()
+    }
+    val (sample2, _) = time {
+      operators.Sampling.temperatureSample(domDocs, "doc_id",
+        col("domain"), targetTotal = 10000).collect()
+    }
+    require(sample.map(_.toString).sorted.sameElements(
+      sample2.map(_.toString).sorted), "temperature sample not deterministic")
+    val mega = sample.find(_.getString(0) == "mega.example").get
+    val megaRate = mega.getLong(3).toDouble / mega.getLong(1)
+    val tail = sample.filter(_.getString(0).startsWith("t"))
+    val tailRate = tail.map(_.getLong(3)).sum.toDouble / tail.map(_.getLong(1)).sum
+    require(megaRate < tailRate,
+      s"sqrt rebalance failed: mega $megaRate >= tail $tailRate")
+
+    // q73 at 3 epochs over the full corpus, production-style shard
+    // bound (8192 docs/shard -> ~13 shards)
+    val (shuf, tShuf) = time {
+      val e = operators.Sampling.epochShuffle(docs, "doc_id", epochs = 3,
+        targetDocsPerShard = 8192).persist()
+      val rows = e.count()
+      val badPerm = e.groupBy(col("epoch"), col("doc_id")).count()
+        .filter(col("count") =!= 1).count()
+      val badPos = e.groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("nr"), min("pos").as("lo"), max("pos").as("hi"))
+        .filter(col("lo") =!= 1L || col("hi") =!= col("nr")).count()
+      e.unpersist()
+      (rows, badPerm, badPos)
+    }
+    require(shuf._1 == 3 * nDocs && shuf._2 == 0L && shuf._3 == 0L,
+      s"epoch shuffle invariants failed: $shuf")
+
+    println(s"""{"docs":$nDocs,"span_rows":${cov._1},"span_full":${cov._2},""" +
+      s""""sample_domains":${sample.length},""" +
+      s""""sample_kept":${sample.map(_.getLong(3)).sum},""" +
+      s""""mega_rate":$megaRate,"tail_rate":$tailRate,""" +
+      s""""shuffle_rows":${shuf._1},""" +
+      s""""sec":{"span_coverage":$tCov,"temperature_sample":$tSamp,""" +
+      s""""epoch_shuffle":$tShuf}}""")
+    spark.stop()
+  }
+}
+
 /** Stage-13-only micro-soak: the bloom-pruned ingest anti join at
   * volume, isolated so the probe-transport fix (array literal → torrent
   * broadcast, [[graft.plans.BloomMightContain]]) can be measured
