@@ -174,6 +174,36 @@ object SparkEntry {
   private val streamStageDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** JSONL staging with PLANTED CORRUPTION for q75, one per sf dir per
+    * JVM: each document becomes `{"id":N,"text":"<tokens>"}` (token-
+    * joined text, so no JSON escaping ambiguity between engines), and
+    * every 7th line drops its closing brace. Exercises Spark's real
+    * PERMISSIVE-mode JSON parser + `_corrupt_record` quarantine; the
+    * oracle reconstructs the same deterministic corruption rule from
+    * the documents table. */
+  private val corruptStageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corruptJsonDir(s: SparkSession, dir: String): String =
+    corruptStageDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q75_jsonl")
+      val line = concat(lit("{\"id\":"), col("doc_id").cast("string"),
+        lit(",\"text\":\""),
+        concat_ws(" ", graft.functions.TextFunctions.tokens(col("text"))),
+        lit("\"}"))
+      Tables.documents(s, d).withColumn("line", line)
+        .select(when(col("doc_id") % 7 === 0,
+          expr("substring(line, 1, length(line) - 1)"))
+          .otherwise(col("line")).as("value"))
+        .write.mode("overwrite").text(tmp.toString)
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      tmp.toString
+    })
+
   /** Hive-partitioned copy of `events` (partitionBy event_type), one
     * per sf dir per JVM — the q74 fixture. The raw sf fixtures are
     * single parquet files, so no scan in the suite could demonstrate
@@ -839,6 +869,32 @@ object SparkEntry {
       "q73_epoch_shuffle" -> ((s, dir) =>
         Sampling.epochShuffle(Tables.documents(s, dir), "doc_id",
           epochs = 2, targetDocsPerShard = 64)),
+
+      // Corrupt-record quarantine (ingestion robustness, the B1
+      // null-filter discipline applied to malformed input): a JSONL
+      // staging with every 7th line truncated is read through Spark's
+      // PERMISSIVE mode — bad lines land in _corrupt_record with all
+      // data fields null, good lines parse — and the query accounts
+      // both sides. At 100 TB this is the difference between one bad
+      // crawl shard failing the job (FAILFAST) and a quarantine table
+      // plus an accounted drop rate. The oracle reconstructs the same
+      // deterministic corruption rule from the documents table.
+      "q75_corrupt_quarantine" -> ((s, dir) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("text", StringType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema).option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(corruptJsonDir(s, dir))
+          .select(col("id"), col("text"),
+            col("_corrupt_record").isNotNull.as("is_corrupt"))
+          .groupBy(col("is_corrupt"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(when(col("is_corrupt"), lit(0L))
+              .otherwise(length(col("text")))).cast("bigint").as("text_chars"),
+            min(col("id")).as("min_id"))
+      }),
 
       // Partition pruning on a hive-partitioned staging: the scan must
       // show `PartitionFilters: [event_type IN (...)]` and touch 2 of
@@ -2604,6 +2660,16 @@ object SparkEntry {
          |SELECT q.domain, q.n_total, q.threshold,
          |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, k.min_kept_id
          |FROM q LEFT JOIN k USING (domain)""".stripMargin,
+
+    "q75_corrupt_quarantine" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string($toksSql, ' ') AS clean
+         |           FROM documents),
+         |j AS (SELECT doc_id, doc_id % 7 = 0 AS is_corrupt, clean FROM t)
+         |SELECT is_corrupt, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN is_corrupt THEN 0
+         |                     ELSE length(clean) END) AS BIGINT) AS text_chars,
+         |       MIN(CASE WHEN is_corrupt THEN NULL ELSE doc_id END) AS min_id
+         |FROM j GROUP BY 1""".stripMargin,
 
     "q74_partition_prune" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
