@@ -254,6 +254,19 @@ class DedupSuiteSpec extends SparkSpec {
     assert(out(3L) == ((9L, 0L, 0L, 0.0)), s"got ${out(3L)}")
   }
 
+  test("spanCoverage handles docs shorter than the shingle width") {
+    val sdocs = Seq(
+      (1L, "only three tokens"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val short = DedupSuite.spanCoverage(sdocs, "doc_id", "text", 5)
+      .filter($"doc_id" === 1).head()
+    // no width-5 shingle exists -> zero starts, zero coverage, frac 0
+    assert(short.getLong(1) == 3L && short.getLong(2) == 0L &&
+      short.getLong(3) == 0L && short.getDouble(4) == 0.0)
+  }
+
   test("spanCoverage marks exact clones fully covered") {
     val sdocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -80,6 +80,17 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("t14 lm score excludes docs without bigrams (matching its oracle)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val nWithBigrams = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) > 1)
+      .count()
+    val out = SparkEntry.queries("t14_lm_score")(spark, sf)
+    assert(out.count() == nWithBigrams,
+      "every doc with >= 2 tokens must receive a score; shorter docs are excluded by contract")
+  }
+
   test("c3 funnel: domain caps hold and quality is averaged over kept docs only") {
     val out = SparkEntry.queries("c3_training_corpus")(spark, sf).collect()
     assert(out.nonEmpty)
