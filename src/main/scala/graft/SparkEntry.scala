@@ -887,8 +887,16 @@ object SparkEntry {
         s.read.schema(schema).option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .json(corruptJsonDir(s, dir))
+          // `|| id.isNull` is load-bearing: under an outer count() the
+          // grouping key is the only surviving reference, and a scan
+          // whose required schema is ONLY the corrupt column is
+          // disallowed (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+          // COLUMN). Referencing id keeps the scan legal under any
+          // downstream pruning; every planted line has an id, so the
+          // disjunct never changes the value.
           .select(col("id"), col("text"),
-            col("_corrupt_record").isNotNull.as("is_corrupt"))
+            (col("_corrupt_record").isNotNull || col("id").isNull)
+              .as("is_corrupt"))
           .groupBy(col("is_corrupt"))
           .agg(count(lit(1)).cast("bigint").as("n"),
             sum(when(col("is_corrupt"), lit(0L))
