@@ -299,13 +299,56 @@ object Soak {
     require(packStats._1 == expectShards,
       s"derived shard count ${packStats._1} != expected $expectShards")
 
-    // 13. bloom-pruned ingest anti-join at volume (the d14 path):
-    // seen = 0.9n content keys, batch = 0.2n keys of which HALF are
-    // already ingested. The bloom over the batch's keys must prune the
-    // overwhelming majority of the seen side before the exchange
-    // (kept ≈ overlap + fpp·rest), and the pruned anti join must agree
-    // with the plain one exactly. At cluster scale the pruned fraction
-    // is the fraction of the corpus-side shuffle that never happens.
+    // 13. bloom-pruned ingest anti-join at volume (the d14 path) —
+    // fixture + invariants shared with BloomSoak via Soak.bloomStage.
+    val bs = Soak.bloomStage(spark, n)
+    val bloomFresh = bs.fresh; val keptSeen = bs.seenKept
+    val tAntiPlain = bs.tAntiPlain; val tAntiBloom = bs.tAntiBloom
+    val tBloomProbe = bs.tProbe
+
+    println(
+      s"""{"soak_rows":$n,"doc_rows":$nDocs,"dedup_pairs":$nPairs,
+         |"component_nodes":$nNodes,"contaminated_docs":$nContam,
+         |"paragraphs":${paraTotals._1},"distinct_paragraphs":${paraTotals._2},
+         |"mega_paragraphs":${megaTotals._1},"mega_kept":${megaTotals._2},
+         |"pack_shards":${packStats._1},"pack_tokens":${packStats._2},
+         |"bloom_fresh":$bloomFresh,"bloom_seen_kept":$keptSeen,
+         |"bloom_seen_total":${bs.seenTotal},
+         |"daily_rows":$nDaily,"merged_rows":$mergedRows,
+         |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
+         |"salt_check":$tCheck,"sessionize":$tSess,
+         |"session_summaries_plain":$tPlainSess,
+         |"session_summaries_bucketed":$tBucketSess,
+         |"session_summaries_hybrid":$tHybridSess,"topk":$tTopk,"merge":$tMerge,
+         |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
+         |"text_dedup":$tDedup,"connected_components":$tComp,
+         |"contamination":$tContam,"paragraph_dedup":$tPara,
+         |"mega_banner_dedup":$tMega,"pack_derived_shards":$tPack,
+         |"ingest_anti_plain":$tAntiPlain,"ingest_anti_bloom":$tAntiBloom,
+         |"bloom_probe":$tBloomProbe}}"""
+        .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+
+  /** Result of the stage-13 bloom fixture (see [[bloomStage]]). */
+  final case class BloomStageResult(
+      params: graft.operators.BloomFilter.Params,
+      fresh: Long, seenKept: Long, seenTotal: Long,
+      tAntiPlain: Double, tAntiBloom: Double, tProbe: Double)
+
+  /** Stage-13 fixture + invariants, shared by [[Soak]] and
+    * [[BloomSoak]] so the two cannot drift: seen = 0.9n content keys,
+    * batch = 0.2n keys of which HALF are already ingested. The bloom
+    * over the batch's keys must prune the overwhelming majority of
+    * the seen side before the exchange (kept ≈ overlap + fpp·rest),
+    * and the pruned anti join must agree with the plain one exactly.
+    * At cluster scale the pruned fraction is the fraction of the
+    * corpus-side shuffle that never happens. */
+  private[graft] def bloomStage(spark: SparkSession, n: Long): BloomStageResult = {
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
     val seenN = n * 9 / 10
     val seen = spark.range(seenN)
       .select(concat(lit("k"), col("id")).as("h"))
@@ -322,35 +365,14 @@ object Soak {
       s"bloom anti-join drift: $bloomFresh vs $plainFresh vs ${n / 10}")
     val bits = graft.operators.BloomFilter.build(batch, col("k"), bloomP)
     val bitsBc = spark.sparkContext.broadcast(bits)
-    val (keptSeen, tBloomProbe) = time(seen.filter(
+    val (keptSeen, tProbe) = time(seen.filter(
       graft.operators.BloomFilter.mightContain(col("h"), bitsBc, bloomP.k))
       .count())
     // overlap is n/10; allow fpp slack on the remaining 0.8n
     require(keptSeen >= n / 10 && keptSeen < n / 10 + seenN / 20,
       s"bloom pruned too little: kept $keptSeen of $seenN")
-
-    println(
-      s"""{"soak_rows":$n,"doc_rows":$nDocs,"dedup_pairs":$nPairs,
-         |"component_nodes":$nNodes,"contaminated_docs":$nContam,
-         |"paragraphs":${paraTotals._1},"distinct_paragraphs":${paraTotals._2},
-         |"mega_paragraphs":${megaTotals._1},"mega_kept":${megaTotals._2},
-         |"pack_shards":${packStats._1},"pack_tokens":${packStats._2},
-         |"bloom_fresh":$bloomFresh,"bloom_seen_kept":$keptSeen,
-         |"bloom_seen_total":$seenN,
-         |"daily_rows":$nDaily,"merged_rows":$mergedRows,
-         |"sec":{"daily":$tDaily,"plain_agg":$tPlain,"salted_agg":$tSalted,
-         |"salt_check":$tCheck,"sessionize":$tSess,
-         |"session_summaries_plain":$tPlainSess,
-         |"session_summaries_bucketed":$tBucketSess,
-         |"session_summaries_hybrid":$tHybridSess,"topk":$tTopk,"merge":$tMerge,
-         |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
-         |"text_dedup":$tDedup,"connected_components":$tComp,
-         |"contamination":$tContam,"paragraph_dedup":$tPara,
-         |"mega_banner_dedup":$tMega,"pack_derived_shards":$tPack,
-         |"ingest_anti_plain":$tAntiPlain,"ingest_anti_bloom":$tAntiBloom,
-         |"bloom_probe":$tBloomProbe}}"""
-        .stripMargin.replace("\n", ""))
-    spark.stop()
+    BloomStageResult(bloomP, bloomFresh, keptSeen, seenN,
+      tAntiPlain, tAntiBloom, tProbe)
   }
 }
 
@@ -464,35 +486,11 @@ object BloomSoak {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(50000000L)
     val spark = Sessions.local(32)
-    import org.apache.spark.sql.functions._
-    def time[A](body: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = body
-      (a, (System.nanoTime() - t0) / 1e9)
-    }
-    val seenN = n * 9 / 10
-    val seen = spark.range(seenN)
-      .select(concat(lit("k"), col("id")).as("h"))
-    val batch = spark.range(n * 8 / 10, n)
-      .select(col("id").as("batch_id"), concat(lit("k"), col("id")).as("k"))
-    val bloomP = graft.operators.BloomFilter.sized(
-      expectedKeys = n / 5, fpp = 0.01)
-    val (plainFresh, tPlain) = time(
-      batch.join(seen, col("k") === col("h"), "left_anti").count())
-    val (bloomFresh, tBloom) = time(
-      graft.operators.BloomFilter.prunedLeftAnti(batch, seen,
-        col("k"), col("h"), bloomP).count())
-    require(bloomFresh == plainFresh && bloomFresh == n / 10,
-      s"bloom anti-join drift: $bloomFresh vs $plainFresh vs ${n / 10}")
-    val bits = graft.operators.BloomFilter.build(batch, col("k"), bloomP)
-    val bitsBc = spark.sparkContext.broadcast(bits)
-    val (keptSeen, tProbe) = time(seen.filter(
-      graft.operators.BloomFilter.mightContain(col("h"), bitsBc, bloomP.k))
-      .count())
-    require(keptSeen >= n / 10 && keptSeen < n / 10 + seenN / 20,
-      s"bloom pruned too little: kept $keptSeen of $seenN")
-    println(s"""{"n":$n,"bloom_words":${bloomP.nWords},"k":${bloomP.k},""" +
-      s""""fresh":$bloomFresh,"seen_kept":$keptSeen,""" +
-      s""""sec":{"anti_plain":$tPlain,"anti_bloom":$tBloom,"probe":$tProbe}}""")
+    val bs = Soak.bloomStage(spark, n)
+    println(s"""{"n":$n,"bloom_words":${bs.params.nWords},"k":${bs.params.k},""" +
+      s""""fresh":${bs.fresh},"seen_kept":${bs.seenKept},""" +
+      s""""sec":{"anti_plain":${bs.tAntiPlain},"anti_bloom":${bs.tAntiBloom},""" +
+      s""""probe":${bs.tProbe}}}""")
     spark.stop()
   }
 }

@@ -313,31 +313,47 @@ object SparkEntry {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  /** Shared stream-run protocol for every graded streaming query
+    * (s1-s6): tuned shuffle width + no-data batches off for the start,
+    * confs restored immediately after, memory sink, checkpoint temp
+    * dir removed even when the run THROWS (the checkpoint root
+    * prefers /dev/shm — a stranded WAL there is RAM held for the
+    * JVM's lifetime). Exactly one copy of this protocol exists so a
+    * fix lands everywhere at once. */
+  private def runStreamToTable(s: SparkSession, queryName: String,
+                               outputMode: String)
+                              (stream: DataFrame): DataFrame = {
+    val ck = java.nio.file.Files.createTempDirectory(checkpointRoot, queryName)
+    try {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q = try stream.writeStream.format("memory").queryName(queryName)
+        .option("checkpointLocation", ck.toString)
+        .outputMode(outputMode).start()
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      val walk = java.nio.file.Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    s.table(queryName)
+  }
+
   private def runEventStream(s: SparkSession, dir: String, queryName: String,
                              outputMode: String)
                             (build: DataFrame => DataFrame): DataFrame = {
     val tmp = stagedEventsDir(dir)
     val src = Tables.normalizeNanos(
       s.readStream.schema(eventsStreamSchema).parquet(tmp))
-    val ck = java.nio.file.Files.createTempDirectory(checkpointRoot, queryName)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = s.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q = try build(src).writeStream.format("memory").queryName(queryName)
-      .option("checkpointLocation", ck.toString)
-      .outputMode(outputMode).start()
-    finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-    }
-    try q.processAllAvailable() finally q.stop()
-    val walk = java.nio.file.Files.walk(ck)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
-    s.table(queryName)
+    runStreamToTable(s, queryName, outputMode)(build(src))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++ extensionQueries
@@ -1089,9 +1105,15 @@ object SparkEntry {
         // AQE turns the whole anti join into a broadcast join: the
         // 100-TB seen side never shuffles at all.
         val seen = base.select(md5(col("text")).as("h"))
+        // size the filter from a COUNT of the build side, not a
+        // constant: a filter sized for a fixed 4096 keys saturates as
+        // sf grows (fpp -> 1) and silently stops pruning — the build
+        // side's cheap count is exactly what BloomFilter.sized's doc
+        // prescribes (and what Soak stage 13 does with n/5)
         val fresh = BloomFilter.prunedLeftAnti(batch, seen,
           md5(col("text")), col("h"),
-          BloomFilter.sized(expectedKeys = 4096, fpp = 0.01))
+          BloomFilter.sized(expectedKeys = math.max(batch.count(), 1L),
+            fpp = 0.01))
         DedupSuite.exact(fresh, "doc_id", "text")
       }),
 
@@ -2122,18 +2144,28 @@ object SparkEntry {
       // file->batch assignment order cannot change the result).
       "s5_stream_mart" -> ((s, dir) => {
         val src = stagedEventsSplitDir(s, dir)
-        val martRoot = java.nio.file.Files
-          .createTempDirectory("s5_mart").toString
+        val martRootPath = java.nio.file.Files.createTempDirectory("s5_mart")
+        val martRoot = martRootPath.toString
+        def rmTree(root: java.nio.file.Path): Unit = {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        // mart versions are re-published per invocation; reclaim them
+        // on exit like every other staging dir in this file
+        sys.addShutdownHook { if (java.nio.file.Files.exists(martRootPath)) rmTree(martRootPath) }
         val ck = java.nio.file.Files
           .createTempDirectory(checkpointRoot, "s5_ck")
-        val q = graft.streaming.StreamingJobs.streamingIncrementalMart(
-          s, src, eventsStreamSchema, martRoot, ck.toString,
-          maxFilesPerTrigger = Some(1))
-        try q.processAllAvailable() finally q.stop()
-        val walk = java.nio.file.Files.walk(ck)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
+        // checkpoint cleanup must run on FAILURE too: /dev/shm is
+        // RAM-backed, and a throwing processAllAvailable would
+        // otherwise strand the WAL there for the JVM's lifetime
+        try {
+          val q = graft.streaming.StreamingJobs.streamingIncrementalMart(
+            s, src, eventsStreamSchema, martRoot, ck.toString,
+            maxFilesPerTrigger = Some(1))
+          try q.processAllAvailable() finally q.stop()
+        } finally rmTree(ck)
         val latest = graft.operators.VersionedStaging
           .latestComplete(s, martRoot)
           .getOrElse(sys.error("s5: no mart version published"))
@@ -2162,26 +2194,7 @@ object SparkEntry {
           col("user_id") === col("p_user") &&
             col("p_ts") > col("s_ts") &&
             col("p_ts") <= col("s_ts") + expr("interval 1 hour"))
-        val ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s6_ck")
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        val q = try joined.writeStream.format("memory")
-          .queryName("s6_stream_out")
-          .option("checkpointLocation", ck.toString)
-          .outputMode("append").start()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-        }
-        try q.processAllAvailable() finally q.stop()
-        val walk = java.nio.file.Files.walk(ck)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-        s.table("s6_stream_out")
+        runStreamToTable(s, "s6_stream_out", "append")(joined)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).cast("bigint").as("n_pairs"))
       })
@@ -2881,7 +2894,7 @@ object SparkEntry {
         |  FROM documents),
         |p AS (SELECT doc_id, url,
         |        list_sort(list_filter(
-        |          string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |          string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '&'),
         |          q -> q <> '' AND NOT starts_with(q, 'utm_')
         |               AND NOT starts_with(q, 'fbclid=')
         |               AND NOT starts_with(q, 'gclid='))) AS plist

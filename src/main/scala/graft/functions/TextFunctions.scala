@@ -140,8 +140,13 @@ object TextFunctions {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
+    // strip the fragment BEFORE extracting the query: matching "\\?"
+    // on the raw url would catch a '?' living inside the fragment
+    // (SPA routes like "#/route?tab=1") and resurrect it as a query
+    // string even though the fragment is supposed to be dropped
+    val noFrag = regexp_replace(url, "#.*$", "")
     val params = array_sort(filter(
-      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
       p => TrackingParamPrefixes.map(pre => !p.startsWith(pre))
         .foldLeft(p =!= "")(_ && _)))
     concat(scheme, lit("://"), host, path,

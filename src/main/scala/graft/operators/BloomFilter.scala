@@ -123,12 +123,18 @@ object BloomFilter {
   def mightContain(key: Column,
                    bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
                    k: Int): Column = {
-    val name = s"graft_bloom_${bc.id}_$k"
+    // FIXED registry name (the cosineNative/hyperplaneBucket pattern):
+    // the builder closure captures this call's (bc, k) and resolution
+    // happens eagerly when the Column is analyzed, so replacing the
+    // entry on the next call is safe — whereas keying the name by
+    // bc.id would accumulate one registry entry (each strongly
+    // pinning its bitmap broadcast) per call, unbounded in a
+    // long-lived session.
     org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name,
+      .createOrReplaceTempFunction("graft_bloom_probe",
         exprs => graft.plans.BloomMightContain(exprs(0), exprs(1), bc, k),
         "built-in")
-    call_function(name, h1(key), h2(key))
+    call_function("graft_bloom_probe", h1(key), h2(key))
   }
 
   /** Membership probe with the bitmap as an ARRAY LITERAL: k AND-ed

@@ -38,4 +38,13 @@ class UrlCanonicalSpec extends SparkSpec {
       "https://other.org/p?x=1")
     assert(got.distinct.size == 4)
   }
+
+  test("a '?' inside the fragment does not resurrect as a query string") {
+    // SPA-style routes: the fragment is dropped, INCLUDING its '?'
+    assert(canon("https://host.org/p#/route?tab=1") ==
+      Seq("https://host.org/p"))
+    // and it must not collide with a real query page
+    assert(canon("https://host.org/p#a?x=1", "https://host.org/p?x=1")
+      .distinct.size == 2)
+  }
 }
