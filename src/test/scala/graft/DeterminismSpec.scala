@@ -12,7 +12,13 @@ class DeterminismSpec extends SparkSpec {
     // d11 reconstructs documents from collect_list — exactly the shape
     // where partition/arrival order could leak into output if the
     // struct sort were missing; t9's rank must break score ties by term
-    "d11_paragraph_dedup", "t9_tfidf")
+    "d11_paragraph_dedup", "t9_tfidf",
+    // round 6: t14 sums fixed-point longs (exact under any merge
+    // order), d16's interval union lags over a (doc, pos) total order,
+    // c3 stacks two ranking windows, q72's quota math must not leak
+    // partial-aggregation order into the fixed-order double expression
+    "t14_lm_score", "d16_span_coverage", "c3_training_corpus",
+    "q72_temperature_sample")
 
   test("query results are identical at 1x and 8x shuffle parallelism") {
     checked.foreach { name =>
