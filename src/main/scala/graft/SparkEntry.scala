@@ -174,6 +174,34 @@ object SparkEntry {
   private val streamStageDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** s5's mart root: fresh per INVOCATION (a shared root would
+    * double-count — the versioned-staging batchId skip only catches
+    * replay of the batch id recorded on the CURRENT latest version,
+    * not a restarted stream whose ids start over at 0), but the
+    * PREVIOUS invocation's root is deleted eagerly and exactly one
+    * shutdown hook (registered on first use per dir) reclaims the
+    * last one — repeated gate/bench runs no longer accumulate mart
+    * trees and hooks (ADVICE r6). */
+  private val s5MartRoots = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]]()
+  private def s5MartRoot(dir: String): String = {
+    def rmTree(root: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    val ref = s5MartRoots.computeIfAbsent(dir, { _ =>
+      val r = new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
+      sys.addShutdownHook { Option(r.get()).foreach(rmTree) }
+      r
+    })
+    val fresh = java.nio.file.Files.createTempDirectory("s5_mart")
+    Option(ref.getAndSet(fresh)).foreach(rmTree)
+    fresh.toString
+  }
+
   /** JSONL staging with PLANTED CORRUPTION for q75, one per sf dir per
     * JVM: each document becomes `{"id":N,"text":"<tokens>"}` (token-
     * joined text, so no JSON escaping ambiguity between engines), and
@@ -917,7 +945,14 @@ object SparkEntry {
           .agg(count(lit(1)).cast("bigint").as("n"),
             sum(when(col("is_corrupt"), lit(0L))
               .otherwise(length(col("text")))).cast("bigint").as("text_chars"),
-            min(col("id")).as("min_id"))
+            // min over non-corrupt ids ONLY, mirroring the oracle's
+            // CASE: with partial-result JSON parsing
+            // (spark.sql.json.enablePartialResults, default-on in
+            // newer Sparks) a truncated record can retain its
+            // already-parsed id, so min(id) over the corrupt group
+            // would depend on the parser build, not the data
+            min(when(col("is_corrupt"), lit(null)).otherwise(col("id")))
+              .as("min_id"))
       }),
 
       // Partition pruning on a hive-partitioned staging: the scan must
@@ -1105,15 +1140,15 @@ object SparkEntry {
         // AQE turns the whole anti join into a broadcast join: the
         // 100-TB seen side never shuffles at all.
         val seen = base.select(md5(col("text")).as("h"))
-        // size the filter from a COUNT of the build side, not a
-        // constant: a filter sized for a fixed 4096 keys saturates as
-        // sf grows (fpp -> 1) and silently stops pruning — the build
-        // side's cheap count is exactly what BloomFilter.sized's doc
-        // prescribes (and what Soak stage 13 does with n/5)
+        // size the filter from the build side's PLAN STATISTICS, not a
+        // constant and not a count(): a fixed-4096 filter saturates as
+        // sf grows (fpp -> 1) and silently stops pruning, while a
+        // batch.count() is a full extra scan of the build side per run
+        // (ADVICE r6). sizedFor reads the optimizer's row estimate —
+        // a few-x estimation error only moves fpp, never correctness.
         val fresh = BloomFilter.prunedLeftAnti(batch, seen,
           md5(col("text")), col("h"),
-          BloomFilter.sized(expectedKeys = math.max(batch.count(), 1L),
-            fpp = 0.01))
+          BloomFilter.sizedFor(batch, fpp = 0.01))
         DedupSuite.exact(fresh, "doc_id", "text")
       }),
 
@@ -2144,17 +2179,15 @@ object SparkEntry {
       // file->batch assignment order cannot change the result).
       "s5_stream_mart" -> ((s, dir) => {
         val src = stagedEventsSplitDir(s, dir)
-        val martRootPath = java.nio.file.Files.createTempDirectory("s5_mart")
-        val martRoot = martRootPath.toString
+        // fresh mart root per invocation, previous root reclaimed
+        // eagerly, one shutdown hook total — see s5MartRoot
+        val martRoot = s5MartRoot(dir)
         def rmTree(root: java.nio.file.Path): Unit = {
           val walk = java.nio.file.Files.walk(root)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
           finally walk.close()
         }
-        // mart versions are re-published per invocation; reclaim them
-        // on exit like every other staging dir in this file
-        sys.addShutdownHook { if (java.nio.file.Files.exists(martRootPath)) rmTree(martRootPath) }
         val ck = java.nio.file.Files
           .createTempDirectory(checkpointRoot, "s5_ck")
         // checkpoint cleanup must run on FAILURE too: /dev/shm is

@@ -62,6 +62,27 @@ object BloomFilter {
     Params(nWords, math.min(k, 8L).toInt)
   }
 
+  /** Sizing from the build side's PLAN STATISTICS — no extra scan.
+    * d14 originally sized with `batch.count()`, a full second pass
+    * over the build side per run (ADVICE r6); this reads the
+    * optimizer's row estimate instead (exact `rowCount` under CBO,
+    * else `sizeInBytes / row width` — the same estimate Spark's own
+    * `InjectRuntimeFilter` takes). The estimate can be off a few x
+    * either way and that is FINE for bitmap geometry: under-sizing
+    * degrades fpp gracefully (4x under ≈ fpp 0.01 → ~0.3, still
+    * pruning), over-sizing wastes bounded memory (32 MiB cap), and
+    * correctness never depends on fpp at all. Callers that already
+    * hold an exact count should use [[sized]] directly. */
+  def sizedFor(df: DataFrame, fpp: Double): Params = {
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
+    val rows = stats.rowCount.map(_.toLong).getOrElse {
+      val width = math.max(plan.output.map(_.dataType.defaultSize).sum, 1)
+      (stats.sizeInBytes / width).toLong
+    }
+    sized(math.max(rows, 1L), fpp)
+  }
+
   private val Seed2 = "graft-bloom-h2"
 
   /** The two base hashes every probe derives from. Key is hashed as a
@@ -122,20 +143,21 @@ object BloomFilter {
     * once. */
   def mightContain(key: Column,
                    bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
-                   k: Int): Column = {
-    // FIXED registry name (the cosineNative/hyperplaneBucket pattern):
-    // the builder closure captures this call's (bc, k) and resolution
-    // happens eagerly when the Column is analyzed, so replacing the
-    // entry on the next call is safe — whereas keying the name by
-    // bc.id would accumulate one registry entry (each strongly
-    // pinning its bitmap broadcast) per call, unbounded in a
-    // long-lived session.
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_bloom_probe",
-        exprs => graft.plans.BloomMightContain(exprs(0), exprs(1), bc, k),
-        "built-in")
-    call_function("graft_bloom_probe", h1(key), h2(key))
-  }
+                   k: Int): Column =
+    // The Column wraps the expression DIRECTLY — no function-registry
+    // round trip. The registry form used elsewhere is safe only for
+    // STATELESS builders (cosine, shingles); here the builder would
+    // capture this call's (bc, k) under a fixed name, so two probe
+    // Columns built before either is analyzed would both resolve to
+    // the LAST broadcast — silently wrong membership — and concurrent
+    // sessions would race on the shared registry. Direct construction
+    // pins (bc, k) into the Column at build time and needs no session
+    // at all.
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.BloomMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(h1(key)),
+        org.apache.spark.sql.GraftColumnBridge.expression(h2(key)),
+        bc, k))
 
   /** Membership probe with the bitmap as an ARRAY LITERAL: k AND-ed
     * built-in bit tests. No false negatives. Only for small bitmaps
@@ -162,6 +184,9 @@ object BloomFilter {
   def prunedLeftAnti(batch: DataFrame, seen: DataFrame,
                      batchKey: Column, seenKey: Column,
                      p: Params): DataFrame = {
+    require(!seen.columns.contains("_bloom_hit"),
+      "prunedLeftAnti: `seen` already has a _bloom_hit column — the " +
+        "helper column would silently replace it and corrupt the join input")
     val bits = build(batch, batchKey, p)
     val bc = batch.sparkSession.sparkContext.broadcast(bits)
     val candidates = seen

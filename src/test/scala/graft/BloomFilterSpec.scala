@@ -88,4 +88,22 @@ class BloomFilterSpec extends SparkSpec {
       .filter(!BloomFilter.mightContain(col("k"), bc, p.k)).count()
     assert(misses == 0L)
   }
+
+  test("two probe Columns built before analysis keep their own bitmaps") {
+    // regression (ADVICE r6): the registry-based probe resolved BOTH
+    // Columns to the LAST-registered broadcast when neither had been
+    // analyzed yet — silently wrong membership. Direct construction
+    // pins (bc, k) at Column-build time.
+    val aKeys = (0 until 200).map(i => s"a-$i").toDF("k")
+    val bKeys = (0 until 200).map(i => s"b-$i").toDF("k")
+    val bcA = spark.sparkContext.broadcast(BloomFilter.build(aKeys, col("k"), p))
+    val probeA = BloomFilter.mightContain(col("k"), bcA, p.k)
+    val bcB = spark.sparkContext.broadcast(BloomFilter.build(bKeys, col("k"), p))
+    val probeB = BloomFilter.mightContain(col("k"), bcB, p.k) // built before probeA is used
+    assert(aKeys.filter(!probeA).count() == 0L, "probeA lost its bitmap")
+    assert(bKeys.filter(!probeB).count() == 0L, "probeB lost its bitmap")
+    // disjoint key families: cross-membership is fp-rare, not total
+    assert(bKeys.filter(probeA).count() < 50L, "probeA answered with B's bitmap")
+    assert(aKeys.filter(probeB).count() < 50L, "probeB answered with A's bitmap")
+  }
 }
