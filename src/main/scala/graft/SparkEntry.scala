@@ -974,23 +974,38 @@ object SparkEntry {
       // occurrence (by doc id) is this doc — boilerplate-heavy or
       // near-duplicate docs score near 0, fresh content near 1. The
       // deduped-corpus growth curve is the running sum of n_novel.
-      // Scale: one shuffle on the shingle hash for the min-doc agg
-      // (map-side partial min), one join back on the hash, one agg on
-      // doc — the d10 contamination plan with min instead of semi join.
+      // Scale — SINGLE-PASS shape (r6 verdict; the d16 spanCoverage
+      // family): the exploded shingle frame feeds exactly ONE
+      // consumer, the min-doc aggregation; per-doc novelty falls out
+      // of regrouping those winners by their winning doc (each (doc,h)
+      // is distinct, so "#shingles whose first_doc is d" IS d's novel
+      // count) — a second, tiny shuffle over one row per DISTINCT
+      // shingle, not a join that re-runs the explode pipeline and
+      // re-shuffles the full exploded frame (the old plan). The
+      // per-doc denominator needs no explode at all: it is the narrow
+      // expression size(array_distinct(...)) on the document scan —
+      // recomputing that projection is far cheaper at any scale than
+      // shipping the exploded frame through a second exchange.
       "t11_novelty" -> ((s, dir) => {
-        val sh = Tables.documents(s, dir).select(col("doc_id"),
-          explode(array_distinct(
-            DedupSuite.shingleHashesPortableNative(tokens(col("text")), 3)))
-            .as("h"))
-        val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-        sh.join(first, "h")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast("bigint").as("n_shingles"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .cast("bigint").as("n_novel"))
-          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-            (col("n_novel").cast("double") / col("n_shingles").cast("double"))
-              .as("novelty_frac"))
+        val withShingles = Tables.documents(s, dir).select(col("doc_id"),
+          array_distinct(
+            DedupSuite.shingleHashesPortableNative(tokens(col("text")), 3))
+            .as("shs"))
+        val first = withShingles
+          .select(col("doc_id"), explode(col("shs")).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+        val novel = first.groupBy(col("first_doc"))
+          .agg(count(lit(1)).cast("bigint").as("n_novel"))
+        withShingles
+          .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_shingles"))
+          // docs too short to have a shingle produce no exploded rows,
+          // so the old join-based plan (and the oracle) omit them
+          .filter(col("n_shingles") > 0)
+          .join(novel, col("doc_id") === col("first_doc"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).cast("bigint").as("n_novel"),
+            (coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_shingles").cast("double")).as("novelty_frac"))
       }),
 
       // Tokenizer vocabulary construction: top-20 tokens by corpus
@@ -1304,12 +1319,32 @@ object SparkEntry {
       // internals, so the sketches are validated IN-PLAN against their
       // exact twins via Checks.gated (job fails if either drifts out
       // of tolerance) while the oracle gates the exact values.
+      //
+      // BOUNDED exact twins (r6 verdict): the exact percentile's
+      // ObjectHashAggregate buffers the whole per-group value multiset
+      // — under this ~5-value grouping key at 100 TB that is 5 reduce
+      // tasks each holding ~n/5 doubles, an OOM by construction. So:
+      // HLL is gated IN FULL (exact countDistinct partial-aggregates
+      // over (type, user) with O(distinct) state spread across
+      // partitions — scale-safe), and the percentile is gated ON A
+      // DETERMINISTIC HASH-SAMPLE (hash32(event_id) mod 8 == 0 — the
+      // q36 discipline, bit-reproducible by the oracle): BOTH the
+      // sketch and its exact twin aggregate the SAME sampled rows via
+      // percentile's null-skipping `when`, so the gate sees pure
+      // sketch error (tolerance stays tight, no sampling-noise slack)
+      // and only sampled values ever enter the exact buffer — one
+      // scan, the buffer bounded by the sample. At corpus scale the
+      // mod-K keeps a fixed sample-size target by growing K with n;
+      // a q36-style sample is the only place an exact quantile can
+      // exist at 100 TB at all.
       "q67_sketch_gate" -> ((s, dir) => {
+        val sampled = pmod(hash32(col("event_id").cast("string"), 3), lit(8)) === 0
         val agg = Tables.events(s, dir).groupBy(col("event_type")).agg(
           countDistinct(col("user_id")).cast("bigint").as("n_users"),
           approx_count_distinct(col("user_id")).as("hll_users"),
-          percentile(col("value"), lit(0.5)).as("p50x"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50s"))
+          percentile(when(sampled, col("value")), lit(0.5)).as("p50x"),
+          percentile_approx(when(sampled, col("value")), lit(0.5), lit(10000))
+            .as("p50s"))
         val g1 = Checks.gated(agg, "hll_rel_err",
           abs(col("hll_users") - col("n_users")).cast("double")
             <= col("n_users").cast("double") * 0.1,
@@ -3518,9 +3553,11 @@ object SparkEntry {
     // in-plan (see the query's comment — DuckDB has no HLL++/t-digest
     // twin to compare against)
     "q67_sketch_gate" ->
-      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-        |       CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50
-        |FROM events GROUP BY 1""".stripMargin,
+      s"""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(CAST(quantile_cont(value, 0.5)
+         |           FILTER (WHERE ${hash32Sql(3, "CAST(event_id AS VARCHAR)")} % 8 = 0)
+         |         AS DECIMAL(18,6)) AS DOUBLE) AS p50
+         |FROM events GROUP BY 1""".stripMargin,
 
     "q25_session_window" -> sessionWindowOracle,
 

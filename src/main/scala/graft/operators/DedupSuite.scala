@@ -277,10 +277,15 @@ object DedupSuite {
     * equi-join back on the content, which AQE's OptimizeSkewedJoin can
     * split at runtime — a window partition can't be split.
     * Reconstruction is the final shuffle, back on doc id
-    * (high-cardinality, skew-tolerant). To halve the paragraph-shuffle
-    * payload, key both sides on md5(paragraph) instead of the text
-    * (collision-safe at 2^64 paragraphs); kept verbatim here so the
-    * semantics stay visibly content-keyed.
+    * (high-cardinality, skew-tolerant). Both the winner aggregation
+    * and the join-back are keyed on md5(paragraph), not the text: the
+    * winners side then never ships paragraph bodies through the
+    * exchange and the shuffle sorts/compares 16-byte digests instead
+    * of arbitrary-length strings. A 128-bit digest is collision-safe
+    * far past any real corpus (~2^64 distinct paragraphs for a 50%
+    * birthday bound), so the content-keyed SEMANTICS are unchanged —
+    * which is why the oracle still groups by the raw paragraph text
+    * and the outputs hash-match.
     *
     * Returns (doc_id, n_paras, n_kept, clean_text). */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
@@ -288,9 +293,10 @@ object DedupSuite {
     val paras = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    val winners = paras.groupBy(col("para"))
+      .withColumn("ph", unhex(md5(col("para"))))
+    val winners = paras.groupBy(col("ph"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    paras.join(winners, Seq("para"))
+    paras.join(winners, Seq("ph"))
       .withColumn("keep",
         col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos"))
       .groupBy(col("doc_id"))

@@ -33,4 +33,21 @@ class SketchGateSpec extends SparkSpec {
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
     assert(perType == direct)
   }
+
+  test("q67's gate construction trips on a PLANTED sketch error") {
+    // the same gate chain q67 builds, fed a deliberately drifted
+    // sketch value — proves the bounded (hash-sampled) form still
+    // FAILS when a sketch is wrong, i.e. the r6 rework didn't gate
+    // the assertion out of existence
+    val agg = Tables.events(spark, sf).groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.5)).as("p50x"))
+      .withColumn("p50s", col("p50x") * 1.5) // planted: 50% off
+    val boom = Checks.gated(agg, "p50_abs_err",
+      abs(col("p50s") - col("p50x")) <= abs(col("p50x")) * 0.05 + 0.01,
+      concat(lit("sketch="), col("p50s"), lit(" exact="), col("p50x")))
+    val e = intercept[Exception](boom.count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("gate 'p50_abs_err' failed")))
+  }
 }
