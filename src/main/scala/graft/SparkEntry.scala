@@ -396,12 +396,13 @@ object SparkEntry {
     "x1_minhash_fast" -> ((s, dir) =>
       DedupSuite.minhashNearDups(corpusNear(s, dir), "doc_id", "text",
         n = 3, k = 16, bands = 4, threshold = 0.5)),
-    // e7's corpus-scale twin: same graph construction, candidates
-    // restricted to hyperplane-LSH buckets (approximate, so no exact
-    // oracle; recall vs the exact graph is spec-gated in KnnGraphSpec).
+    // e7's corpus-scale twin at FULL table width: the banded form e8
+    // gates on the sample (recall oracle-exact there), timed here over
+    // every vector — same params, so the benched plan is exactly the
+    // gated operator.
     "x2_knn_bucketed" -> ((s, dir) =>
-      Similarity.knnGraphBucketed(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 4, nPlanes = 4)))
+      Similarity.knnGraphBanded(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 4, planesPerTable = 3, nTables = 4)))
 
   def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1458,6 +1459,38 @@ object SparkEntry {
           Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0),
           "vec_id", "embedding", k = 4)),
 
+      // Recall of the banded-LSH k-NN twin against the exact e7 graph,
+      // GATED (r6 verdict item 5 — the bucketed twin was bench-only
+      // with a spec-level recall check; this makes the recall numbers
+      // oracle-exact and the floor an in-plan assertion, the e5/q67
+      // discipline). Same contract-bounded sample as e7: recall
+      // MEASUREMENT needs the exact graph, which only exists on a
+      // sample at corpus scale. Single-table LSH on these near-uniform
+      // synthetic vectors keeps only ~1/2^planes of true neighbors
+      // (measured 0.095 at 4 planes — chance level, by construction of
+      // the fixture, not a bug), which is exactly why the corpus form
+      // is MULTI-TABLE (knnGraphBanded): 4 independent 3-plane tables
+      // union candidates. The one-row avg broadcast-joins back (t12's
+      // total pattern — no single-partition window); the floor catches
+      // recall collapse (broken slicing/union/dedup), not a tuning
+      // constant.
+      "e8_bucketed_recall" -> ((s, dir) => {
+        val sample = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+        val exact = Similarity.knnGraph(sample, "vec_id", "embedding", k = 4)
+        val approx = Similarity.knnGraphBanded(sample, "vec_id", "embedding",
+          k = 4, planesPerTable = 3, nTables = 4)
+        val rec = Similarity.recallAtK(
+          exact.select(col("src_id").as("query_id"),
+            col("dst_id").as("neighbor_id")),
+          approx.select(col("src_id").as("query_id"),
+            col("dst_id").as("neighbor_id")), 4)
+        val overall = rec.agg(avg(col("recall_at_4")).as("avg_recall"))
+        Checks.gated(rec.crossJoin(broadcast(overall)), "knn_recall_floor",
+          col("avg_recall") >= 0.3,
+          concat(lit("avg recall@4="), col("avg_recall")))
+          .select(col("query_id"), col("n_hits"), col("recall_at_4"))
+      }),
+
       // ---- salted aggregation (skew path; must equal the plain agg) ----
       "q22_salted_agg" -> ((s, dir) =>
         Skew.saltedAgg(
@@ -2492,6 +2525,51 @@ object SparkEntry {
        |        / (sqrt(${dotSql("x.embedding", "x.embedding")})
        |           * sqrt(${dotSql("y.embedding", "y.embedding")})) AS simd
        |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  /** e8 oracle: recall@4 of the banded (4 tables × 3 planes) k-NN graph
+    * against the exact graph on the e7 sample. The 12 sign bits come
+    * from the same inlined plane weights as the engine (the e2/d6
+    * mechanism); table keys are the same `(allb >> 3t) & 7` integer
+    * bit-slices; both edge sets ranked (simd DESC, dst ASC) like e7,
+    * so the hit counts are bit-reproducible. */
+  private def e8OracleSql: String = {
+    def planeArr(p: Int): String =
+      (0 until 64).map(d => Similarity.planeWeight(p, d)).mkString("[", ",", "]")
+    val bucketExpr = (0 until 12).map { p =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0,
+         |  list_transform(list_zip(embedding, ${planeArr(p)}),
+         |    pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, b) -> a + b) >= 0
+         |THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    def simd(a: String, b: String): String =
+      s"""${dotSql(s"$a.embedding", s"$b.embedding")}
+         | / (sqrt(${dotSql(s"$a.embedding", s"$a.embedding")})
+         |    * sqrt(${dotSql(s"$b.embedding", s"$b.embedding")}))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding, $bucketExpr AS allb
+       |           FROM embeddings WHERE vec_id % 10 = 0),
+       |sc AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id, ${simd("a", "b")} AS simd
+       |       FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+       |er AS (SELECT src_id, dst_id, ROW_NUMBER() OVER (PARTITION BY src_id
+       |         ORDER BY simd DESC, dst_id ASC) AS rnk FROM sc),
+       |truth AS (SELECT src_id, dst_id FROM er WHERE rnk <= 4),
+       |bt AS (SELECT vec_id, (allb >> (u.t * 3)) & 7 AS bk, u.t
+       |       FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) u),
+       |cand AS (SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS dst_id
+       |         FROM bt x JOIN bt y ON x.t = y.t AND x.bk = y.bk
+       |         WHERE x.vec_id <> y.vec_id),
+       |bsc AS (SELECT c.src_id, c.dst_id, ${simd("a", "b")} AS simd
+       |        FROM cand c JOIN v a ON a.vec_id = c.src_id
+       |                    JOIN v b ON b.vec_id = c.dst_id),
+       |br AS (SELECT src_id, dst_id, ROW_NUMBER() OVER (PARTITION BY src_id
+       |         ORDER BY simd DESC, dst_id ASC) AS rnk FROM bsc),
+       |appx AS (SELECT src_id, dst_id FROM br WHERE rnk <= 4)
+       |SELECT t.src_id AS query_id,
+       |       CAST(COUNT(ax.src_id) AS BIGINT) AS n_hits,
+       |       CAST(COUNT(ax.src_id) AS DOUBLE) / 4.0 AS recall_at_4
+       |FROM truth t LEFT JOIN appx ax
+       |  ON t.src_id = ax.src_id AND t.dst_id = ax.dst_id
+       |GROUP BY 1""".stripMargin
   }
 
   /** e2 oracle: LSH near-dup pairs ≥ 0.95. */
@@ -3676,6 +3754,8 @@ object SparkEntry {
          |SELECT e.src_id, e.dst_id, e.sim, e.rnk,
          |       (m.src_id IS NOT NULL) AS mutual
          |FROM e LEFT JOIN e m ON e.src_id = m.dst_id AND e.dst_id = m.src_id""".stripMargin,
+
+    "e8_bucketed_recall" -> e8OracleSql,
 
     "c2_corpus_prep" ->
       s"""WITH corpus AS (

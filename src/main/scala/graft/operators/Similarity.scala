@@ -346,4 +346,51 @@ object Similarity {
     withMutualFlag(TopK.perGroup(scored, Seq("query_id"),
       Seq(col("sim").desc, col("neighbor_id").asc), k))
   }
+
+  /** Multi-table (banded) LSH k-NN — the recall-bearing corpus form.
+    * One hash TABLE keeps ~(1-θ/π)^planes of each true neighbor pair;
+    * `nTables` independent tables union their candidates, lifting
+    * recall to 1-(1-p)^T — the same band/row trade minhash LSH uses
+    * (d2), applied to hyperplane signatures. All `nTables ×
+    * planesPerTable` sign bits come from ONE evaluation of the native
+    * bucket expression; table t's key is a 3-bit (by default) slice
+    * `(allBits >> t·planes) & mask` — no extra projection passes, and
+    * the oracle reproduces the slices with integer bit ops on the same
+    * inlined weights.
+    *
+    * Scale: the per-table candidate join shuffles on (table, subBucket)
+    * — the corpus is replicated nTables times into the exchange, the
+    * standard multi-table LSH cost, bounded and tunable. A pair caught
+    * by several tables must count once in top-k, so candidates dedup
+    * by (query, neighbor) — that dedup and the final per-query top-k
+    * are both key-shuffles on pair/query ids (high-cardinality,
+    * skew-tolerant). Raise planesPerTable as the corpus grows (bucket
+    * size n/2^planes), raise nTables to buy recall back. */
+  def knnGraphBanded(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, planesPerTable: Int = 3, nTables: Int = 4,
+                     dims: Int = 64): DataFrame = {
+    require(planesPerTable * nTables <= 62, "at most 62 sign bits")
+    val mask = (1L << planesPerTable) - 1
+    val banded = vectors.select(col(idCol), col(vecCol))
+      .withColumn("allb",
+        hyperplaneBucket(col(vecCol), planesPerTable * nTables, dims))
+      .select(col(idCol), col(vecCol), explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          shiftright(col("allb"), t * planesPerTable)
+            .bitwiseAND(lit(mask)).as("bk"))): _*)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val a = banded.select(col("t"), col("bk"), col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val b = banded.select(col("t"), col("bk"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = a.join(b, Seq("t", "bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineNative(col("qv"), col("cv")).as("sim"))
+      // same pair via several tables -> one candidate (sim identical)
+      .dropDuplicates("query_id", "neighbor_id")
+    withMutualFlag(TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k))
+  }
 }

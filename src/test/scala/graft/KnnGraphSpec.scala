@@ -87,4 +87,28 @@ class KnnGraphSpec extends SparkSpec {
     assert(recovered == exactMutual,
       s"missing ${exactMutual.diff(approxEdges)}")
   }
+
+  test("banded twin: tables union candidates and recall dominates one table") {
+    // on the real sf fixture (near-uniform vectors — the hard case for
+    // LSH) the 4x3-plane banded union must recover strictly more of
+    // the exact graph than a single 3-plane table, and pairs caught by
+    // several tables must appear once (dedup before top-k)
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 4)
+      .select(col("src_id").as("query_id"), col("dst_id").as("neighbor_id"))
+    def recall(g: DataFrame): Double =
+      Similarity.recallAtK(exact,
+          g.select(col("src_id").as("query_id"),
+            col("dst_id").as("neighbor_id")), 4)
+        .agg(avg(col("recall_at_4"))).head().getDouble(0)
+    val banded = Similarity.knnGraphBanded(vecs, "vec_id", "embedding",
+      k = 4, planesPerTable = 3, nTables = 4)
+    val single = Similarity.knnGraphBucketed(vecs, "vec_id", "embedding",
+      k = 4, nPlanes = 3)
+    assert(banded.groupBy("src_id", "dst_id").count()
+      .filter(col("count") > 1).isEmpty, "duplicate edges survived banding")
+    val (rb, rs) = (recall(banded), recall(single))
+    assert(rb > rs, s"banded $rb should beat single-table $rs")
+    assert(rb >= 0.3, s"banded recall $rb under the e8 floor")
+  }
 }
