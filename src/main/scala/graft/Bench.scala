@@ -14,6 +14,13 @@ object Bench {
       case Some(names) => all.filter(q => names(q._1))
       case None        => all
     }
+    def readLoadavg(): String = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    // captured BEFORE the session spins up: the only loadavg sample
+    // that reflects background host state rather than the bench itself
+    val loadavgStart = readLoadavg()
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -59,18 +66,32 @@ object Bench {
     // (round 6) measured 0.84x, attributing the drift entirely to
     // background load. Recording 1/5/15-min loadavg with every run
     // makes that attribution data, not archaeology.
-    val loadavg = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ").take(3).mkString(",")
-    } catch { case _: Throwable => "" }
+    val loadavg = readLoadavg()
+    // The streaming entries share one concurrent stream pass per
+    // (JVM, sf dir) and read its materialized results (see
+    // SparkEntry.runStreamPass); min-of-3 strips the pass cost from
+    // the per-query numbers, so report the one-time cost explicitly
+    // instead of letting it hide in whichever entry ran first.
+    val streamPass = SparkEntry.streamSharedPassSeconds.getOrElse(sfDir, 0.0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg":"$loadavg"$subsetField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"loadavg":"$loadavg","loadavg_start":"$loadavgStart"$subsetField}"""
     // stdout goes through sbt's "[info] " prefix, which broke the
     // driver's JSON extraction in round 1 — also land the raw line in a
     // well-known file.
     println(line)
     val outFile = if (only.isDefined) "BENCH_subset.json" else "BENCH.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    // Idle-host artifact (r6 verdict item 6): a full-suite run that
+    // STARTED on a quiet host (1-min loadavg < 0.2 before the session
+    // spun up) also lands as BENCH_idle.json, so round-over-round
+    // comparisons have a committed idle-to-idle baseline instead of
+    // prose. The check uses the PRE-RUN sample; the run itself
+    // obviously loads the host.
+    val idleAtStart = loadavgStart.split(",").headOption
+      .flatMap(_.toDoubleOption).exists(_ < 0.2)
+    if (only.isEmpty && idleAtStart)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_idle.json"), line + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
