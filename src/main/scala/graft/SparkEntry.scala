@@ -944,6 +944,15 @@ object SparkEntry {
       "d11_paragraph_dedup" -> ((s, dir) =>
         DedupSuite.dedupParagraphs(corpusPara(s, dir), "doc_id", "text")),
 
+      // SimHash Hamming-distance pairing over the d1 planted corpus
+      // (exact copies guarantee hamming-0 pairs at every sf; organic
+      // near-dups surface on top). Banding makes the pair set EXACT at
+      // the threshold — pigeonhole over 4×15-bit slices — so the DuckDB
+      // oracle reproduces it bit-for-bit by mirroring the bands.
+      "d12_simhash_pairs" -> ((s, dir) =>
+        DedupSuite.simhashHammingPairs(corpusExact(s, dir), "doc_id", "text",
+          maxHamming = 3, bands = 4)),
+
       // TF-IDF top terms per document. idf is the RAW ratio N/df rather
       // than log(N/df): log is monotone, so top-k ranking is identical,
       // and the ratio form stays bit-portable to the DuckDB oracle
@@ -2861,6 +2870,32 @@ object SparkEntry {
          |       COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
          |                           chr(10) ORDER BY pos), '') AS clean_text
          |FROM r GROUP BY doc_id""".stripMargin,
+
+    // Mirrors the banding exactly: pigeonhole over 4×15-bit slices makes
+    // the pair set EXACT at hamming<=3, so oracle and engine agree
+    // bit-for-bit without an all-pairs join on either side.
+    "d12_simhash_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         |hsrc AS (SELECT doc_id,
+         |  list_transform($toksSql, tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hs
+         |  FROM corpus),
+         |t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(60), i ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sim
+         |  FROM hsrc),
+         |b AS (SELECT doc_id, sim, j AS band, (sim >> (CAST(j AS INT) * 15)) & 32767 AS band_key
+         |      FROM t, range(4) r(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |                a.sim AS sim_a, c.sim AS sim_b
+         |         FROM b a JOIN b c ON a.band = c.band AND a.band_key = c.band_key
+         |                          AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
 
     "t9_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

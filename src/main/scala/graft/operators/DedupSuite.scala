@@ -331,6 +331,50 @@ object DedupSuite {
         lit(0L), (acc, v) => acc + v)
     }
 
+  /** SimHash near-dup PAIRS, exact within `maxHamming` bits, by
+    * pigeonhole banding: the 60-bit simhash is split into `bands`
+    * equal-width slices; two hashes within Hamming distance
+    * `maxHamming` differ in at most `maxHamming` slices, so with
+    * `bands >= maxHamming + 1` they MUST agree on at least one slice
+    * and meet in that band's bucket. Candidates from shared buckets
+    * go through [[candidatePairs]] — the same single-shuffle bucket
+    * expansion, hot-bucket cap, and observe accounting as the MinHash
+    * LSH path — then one xor+popcount verifies the true distance. The
+    * output is therefore the EXACT pair set at the threshold (modulo
+    * capped buckets, which are metric-accounted, never silent), not an
+    * approximation: banding buys recall=1 at O(bands) rows per doc
+    * instead of the O(n²) all-pairs join.
+    *
+    * Scale: one shuffle keyed on (band, 15-bit band value); the verify
+    * join-back ships only (id, one 8-byte long) per side. Boilerplate
+    * corpora are the skew risk — every empty/near-empty doc folds to
+    * simhash 0 and lands in one bucket per band — and hit the same
+    * `maxBucket` guard as d2. At corpus scale, materialize the
+    * (id, sim) frame once (it is 16 bytes/doc) rather than recomputing
+    * the 60 per-bit folds on each of its three references here. */
+  def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          maxBucket: Int = 1000): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(bands >= maxHamming + 1,
+      s"pigeonhole exactness needs bands >= maxHamming+1 ($bands vs $maxHamming)")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sims = docs.select(col(idCol), simhash60(col(textCol)).as("sim"))
+    val bandRows = sims.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), j =>
+          call_function("shiftright", col("sim"), j * lit(width))
+            .bitwiseAND(lit(mask)))))
+      .toDF(idCol, "band", "band_hash")
+    candidatePairs(bandRows, idCol, maxBucket)
+      .join(sims.select(col(idCol).as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col(idCol).as("id_b"), col("sim").as("sim_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Repeated-span coverage (substring-level dedup signal, the
     * Lee-et-al. "deduplicating training data" family): per doc, the
     * token count covered by width-`k` shingles occurring more than

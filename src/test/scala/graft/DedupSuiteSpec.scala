@@ -279,4 +279,45 @@ class DedupSuiteSpec extends SparkSpec {
       assert(r.getDouble(4) == 1.0, s"clone not fully covered: $r")
     }
   }
+
+  test("simhashHammingPairs equals brute-force all-pairs at the threshold") {
+    // Mixed fixture: exact clones (hamming 0), a 1-token edit, and a
+    // spread of pseudo-random docs so some pairs land just above/below
+    // the threshold. Deterministic seed — the assertion is exact set
+    // equality against the O(n²) reference, which is the pigeonhole
+    // recall=1 claim.
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "my", "ny", "xi", "omikron")
+    val base = (1L to 30L).map { i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val fixture = base ++ Seq(
+      (101L, base.head._2),                 // exact clone of doc 1
+      (102L, base.head._2 + " extra")       // near clone of doc 1
+    )
+    val df = fixture.toDF("doc_id", "text")
+    val got = DedupSuite.simhashHammingPairs(df, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val sims = df.select($"doc_id", DedupSuite.simhash60($"text").as("sim"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(want.contains((1L, 101L, 0L)), "fixture lost its planted clone")
+    assert(got == want, s"banding missed/invented pairs: ${got.diff(want)} / ${want.diff(got)}")
+  }
+
+  test("simhashHammingPairs rejects band counts that break pigeonhole exactness") {
+    intercept[IllegalArgumentException] {
+      DedupSuite.simhashHammingPairs(docs, "doc_id", "text",
+        maxHamming = 5, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      DedupSuite.simhashHammingPairs(docs, "doc_id", "text", bands = 7)
+    }
+  }
 }
