@@ -477,6 +477,93 @@ object CurationSoak {
   }
 }
 
+/** d12 soak: [[graft.operators.DedupSuite.simhashHammingPairs]] over
+  * the 100 k-doc replica corpus (the [[CurationSoak]] fixture) PLUS a
+  * planted boilerplate flood — `args(0)` (default 10 000) copies of
+  * one short doc, all folding to the same simhash and therefore one
+  * mega-bucket per band. Invariants:
+  *
+  *  - the flood must be CAPPED, not expanded: with maxBucket=1000 the
+  *    mega-buckets (>= flood size) are dropped and accounted —
+  *    `dropped_buckets >= bands`, `dropped_docs >= bands * flood`,
+  *    `max_bucket_size >= flood` — instead of emitting the
+  *    O(flood²) ≈ 50 M hamming-0 pairs;
+  *  - exact-replica groups (10 identical copies per sf0.1 base doc —
+  *    ordinary buckets, far under the cap) still pair up: >= 45
+  *    hamming-0 pairs per sampled base group, and the total pair
+  *    count stays >= 45 × base-doc count;
+  *  - two runs are bit-identical (hashing is deterministic, no RNG).
+  */
+object SimhashSoak {
+  def main(args: Array[String]): Unit = {
+    val flood = args.headOption.map(_.toInt).getOrElse(10000)
+    val spark = Sessions.local(32)
+    import org.apache.spark.sql.functions._
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val path = "target/soak/docs.parquet"
+    require(new java.io.File(path).isDirectory || {
+      // build the CurationSoak fixture if this runs first
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val replicas = (1 to 19).map { r =>
+        docs0.select((col("doc_id") + r * 1000000L).as("doc_id"),
+          (if (r % 2 == 0) col("text")
+           else concat(col("text"), lit(s" replica suffix $r"))).as("text"))
+      }
+      replicas.foldLeft(docs0)(_ unionByName _)
+        .write.mode("overwrite").parquet(path); true
+    }, s"fixture build failed: $path")
+    val base = spark.read.parquet(path)
+    val boiler = spark.range(flood)
+      .select((col("id") + 90000000L).as("doc_id"),
+        lit("subscribe to our newsletter for updates").as("text"))
+    val docs = base.unionByName(boiler)
+    val nBase = base.count()
+    val baseGroups = nBase / 20 // 20 variants per sf0.1 base doc
+
+    val ((pairs1, metrics), tPairs) = time {
+      val out = operators.DedupSuite.simhashHammingPairs(
+        docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      val rows = out.collect()
+      (rows, out.queryExecution
+        .observedMetrics(operators.DedupSuite.LshBucketMetrics))
+    }
+    val droppedBuckets = metrics.getAs[Long]("dropped_buckets")
+    val droppedDocs = metrics.getAs[Long]("dropped_docs")
+    val maxBucket = metrics.getAs[Long]("max_bucket_size")
+    require(droppedBuckets >= 4L,
+      s"boilerplate flood not capped: dropped_buckets=$droppedBuckets")
+    require(droppedDocs >= 4L * flood,
+      s"flood docs unaccounted: dropped_docs=$droppedDocs vs ${4L * flood}")
+    require(maxBucket >= flood,
+      s"mega-bucket invisible in metrics: max=$maxBucket vs $flood")
+    // no flood-internal pair may survive the cap (ids >= 90M pair only
+    // inside the flood — every such bucket was dropped)
+    val floodPairs = pairs1.count(r => r.getLong(0) >= 90000000L)
+    require(floodPairs == 0, s"capped bucket leaked $floodPairs pairs")
+    // ordinary exact-replica groups still found: >= C(10,2) per group
+    val h0 = pairs1.count(_.getLong(2) == 0L)
+    require(h0 >= 45L * baseGroups,
+      s"replica recall hole: $h0 hamming-0 pairs vs >= ${45L * baseGroups}")
+
+    val (pairs2, _) = time {
+      operators.DedupSuite.simhashHammingPairs(
+        docs, "doc_id", "text", maxHamming = 3, bands = 4).collect()
+    }
+    require(pairs1.map(_.toString).sorted.sameElements(
+      pairs2.map(_.toString).sorted), "simhash pairs not deterministic")
+
+    println(s"""{"docs":${nBase + flood},"flood":$flood,""" +
+      s""""pairs":${pairs1.length},"hamming0":$h0,""" +
+      s""""dropped_buckets":$droppedBuckets,"dropped_docs":$droppedDocs,""" +
+      s""""max_bucket_size":$maxBucket,"sec":{"pairs":$tPairs}}""")
+    spark.stop()
+  }
+}
+
 /** Stage-13-only micro-soak: the bloom-pruned ingest anti join at
   * volume, isolated so the probe-transport fix (array literal → torrent
   * broadcast, [[graft.plans.BloomMightContain]]) can be measured
