@@ -1271,6 +1271,25 @@ object SparkEntry {
       "d16_span_coverage" -> ((s, dir) =>
         DedupSuite.spanCoverage(corpusExact(s, dir), "doc_id", "text", 5)),
 
+      // All-pairs cosine ≥ 0.9 over sparse tf vectors WITHOUT the
+      // naive all-pairs join: Bayardo prefix filtering + partial-score
+      // pruning bound the candidate set, then an integer-exact verify
+      // (100·dot² ≥ 81·‖a‖²·‖b‖²) makes the result — and the naive
+      // DuckDB oracle — bit-identical. The sparse-text sibling of
+      // d6's dense-embedding near-dup. Gate input is a deterministic
+      // bounded slice (doc_id % 3 = 0 AND doc_id < 2500 — the
+      // q36/q67 gate-bounding discipline, with the cap keeping the
+      // gate's pair count SF-independent): the synthetic corpus has a
+      // 31-term vocabulary, so EVERY doc pair shares indexed terms
+      // and no exact algorithm beats Θ(|pairs|) on it — a full-corpus
+      // run is quadratic by data shape, not by plan (see Apss
+      // scaladoc).
+      "d17_apss_cosine" -> ((s, dir) =>
+        Apss.cosinePairs(
+          Tables.documents(s, dir)
+            .filter(col("doc_id") % 3 === 0 && col("doc_id") < 2500),
+          "doc_id", "text", 9, 10)),
+
       "d13_incremental_ingest" -> ((s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val base = docs.filter(col("doc_id") % 2 === 0)
@@ -3167,6 +3186,25 @@ object SparkEntry {
          |            THEN CAST(COALESCE(a.n_covered, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
          |            ELSE 0.0 END AS dup_span_frac
          |FROM b LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // Naive all-pairs form over the same bounded doc slice — the
+    // prefix-filtered Spark plan must reproduce it exactly (the
+    // filters only prune candidates that provably cannot reach τ; the
+    // threshold test is pure BIGINT arithmetic on both engines).
+    "d17_apss_cosine" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |        WHERE doc_id % 3 = 0 AND doc_id < 2500)
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+         |dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         |       FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot, x.n2 AS na, y.n2 AS nb
+         |FROM dp JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
+         |WHERE 100 * dot * dot >= 81 * x.n2 * y.n2""".stripMargin,
     "d13_incremental_ingest" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
