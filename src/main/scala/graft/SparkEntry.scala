@@ -1106,6 +1106,21 @@ object SparkEntry {
               .as("min_id"))
       }),
 
+      // Exact heavy hitters via bounded Misra-Gries summary + exact
+      // recheck — NO full key-space shuffle (pass 1 shuffles only
+      // k-counter buffers, pass 2 only candidate-key rows). The gate
+      // derives a planted-skew key (70% of events into 3 hot keys,
+      // ~1500 cold user keys churning the 64 counters — the corpus's
+      // own keys are uniform, so skew is planted the d12-soak way);
+      // the oracle is the naive GROUP BY + HAVING cnt*64 > n plan,
+      // which the sketch-then-verify result matches bit-for-bit.
+      "q76_heavy_hitters" -> ((s, dir) => {
+        val key = when(col("user_id") % 10 < 7,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("u"), col("user_id").cast("string")))
+        HeavyHitters.frequentItems(Tables.events(s, dir), key, 64, "k")
+      }),
+
       // Partition pruning on a hive-partitioned staging: the scan must
       // show `PartitionFilters: [event_type IN (...)]` and touch 2 of
       // 5 directories (PLANS.md evidence) — at 100 TB this is the
@@ -3008,6 +3023,20 @@ object SparkEntry {
          |                     ELSE length(clean) END) AS BIGINT) AS text_chars,
          |       MIN(CASE WHEN is_corrupt THEN NULL ELSE doc_id END) AS min_id
          |FROM j GROUP BY 1""".stripMargin,
+
+    // Naive full-shuffle plan — the two-pass sketch+recheck must
+    // reproduce it exactly (MG guarantees candidates ⊇ the HAVING
+    // set; the final threshold is integer arithmetic on both sides).
+    "q76_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 10 < 7
+        |              THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events),
+        |c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM keyed GROUP BY 1)
+        |SELECT k, cnt FROM c
+        |WHERE cnt * 64 > (SELECT COUNT(*) FROM keyed)""".stripMargin,
 
     "q74_partition_prune" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters over a high-cardinality key WITHOUT a full
+  * key-space shuffle. Extension operator (SURVEY §7.1): completes the
+  * sketch family (HLL q67, approx-percentile q67, bloom d14) with the
+  * frequent-items summary.
+  *
+  * Two passes, both cheap at scale:
+  *  1. One scan through a bounded Misra–Gries summary (Misra & Gries
+  *     1982; merge rule from Agarwal et al., "Mergeable Summaries",
+  *     PODS'12 — see PAPERS.md): k counters per partial buffer,
+  *     partial-aggregable, so map-side combine and AQE both work. The
+  *     merged summary's undercount is ≤ n/(k+1), so every key with
+  *     true count > n/k is GUARANTEED to be among the ≤ k candidates
+  *     — the sketch can only over-generate, never miss.
+  *  2. Exact counts for the candidate keys via an `isin` filter +
+  *     key-bounded aggregation, keeping only count·k > n. The final
+  *     threshold test is integer arithmetic, so the result is exactly
+  *     the full-shuffle `GROUP BY … HAVING cnt·k > n` set — an
+  *     external engine's naive plan reproduces it bit-for-bit.
+  *
+  * 100-TB design: pass 1 shuffles only k-counter buffers (one per
+  * map task), pass 2 shuffles only rows matching ≤ k keys. The
+  * driver holds the ≤ k candidate keys between passes — the same
+  * decide-and-fetch bound as [[BloomFilter.build]]'s bitmap and the
+  * d8 union-find. Contrast with a full groupBy over, say, a web-scale
+  * token vocabulary: that shuffle is sized by the KEY SPACE; this one
+  * is sized by k. The MG reduce is O(k) per row worst-case (eviction
+  * decrements all counters); k is a user-bounded constant.
+  */
+object HeavyHitters {
+
+  /** Bounded frequent-items summary: ≤ k candidate counts plus the
+    * total row count n (carried so the second pass needs no extra
+    * scan). Immutable map buffer: encodable as a Catalyst MapType,
+    * and summary sizes are ≤ k so per-row copying is k-bounded. */
+  final case class MGSummary(counts: Map[String, Long], n: Long)
+
+  /** Misra–Gries with k counters as a typed Aggregator. */
+  final class MisraGriesAgg(k: Int)
+    extends Aggregator[String, MGSummary, MGSummary] {
+    require(k >= 2, "need k >= 2 counters")
+
+    override def zero: MGSummary = MGSummary(Map.empty, 0L)
+
+    override def reduce(b: MGSummary, key: String): MGSummary = {
+      val c = b.counts
+      val next =
+        if (c.contains(key)) c.updated(key, c(key) + 1L)
+        else if (c.size < k) c.updated(key, 1L)
+        else {
+          // Eviction: decrement every counter, drop zeros. Each of
+          // the k decrements pairs with one distinct arrival (this
+          // one plus k-1 tracked ones), so total decrement weight
+          // ≤ n/(k+1) — the classic undercount bound.
+          c.collect { case (ky, n) if n > 1L => (ky, n - 1L) }
+        }
+      MGSummary(next, b.n + 1L)
+    }
+
+    override def merge(a: MGSummary, b: MGSummary): MGSummary = {
+      val sum = b.counts.foldLeft(a.counts) { case (acc, (ky, n)) =>
+        acc.updated(ky, acc.getOrElse(ky, 0L) + n)
+      }
+      val trimmed =
+        if (sum.size <= k) sum
+        else {
+          // Subtract the (k+1)-th largest counter from all and drop
+          // non-positives (Agarwal et al. §3.2): ≤ k survive and the
+          // total subtracted weight keeps the n/(k+1) bound.
+          val cut = sum.valuesIterator.toArray.sortInPlace()(
+            Ordering[Long].reverse).apply(k)
+          sum.collect { case (ky, n) if n > cut => (ky, n - cut) }
+        }
+      MGSummary(trimmed, a.n + b.n)
+    }
+
+    override def finish(r: MGSummary): MGSummary = r
+    override def bufferEncoder: Encoder[MGSummary] = Encoders.product[MGSummary]
+    override def outputEncoder: Encoder[MGSummary] = Encoders.product[MGSummary]
+  }
+
+  /** All values of `key` (stringified) occurring in strictly more
+    * than 1/k of `df`'s rows, with exact counts. Output columns:
+    * (outName, cnt), bit-identical to the naive full-shuffle
+    * GROUP BY + HAVING cnt·k > n plan.
+    */
+  def frequentItems(df: DataFrame, key: Column, k: Int,
+                    outName: String = "key"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(key.cast("string").as("k")).as[String]
+    // Decide-and-fetch: one row holding ≤ k candidates + n.
+    val summary = keyed.select(new MisraGriesAgg(k).toColumn).head()
+    val candidates = summary.counts.keysIterator.toSeq
+    val exact = df.select(key.cast("string").as(outName))
+      .filter(if (candidates.isEmpty) lit(false)
+              else col(outName).isInCollection(candidates))
+      .groupBy(outName)
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    exact.filter(col("cnt") * k > lit(summary.n))
+  }
+}

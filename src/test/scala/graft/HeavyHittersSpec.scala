@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.HeavyHitters
+
+/** Misra–Gries heavy hitters (q76). The planted fixtures force
+  * counter eviction (cold-key cardinality >> k), and every assertion
+  * compares against the naive full groupBy + HAVING plan — any
+  * sketch false NEGATIVE (a missed heavy hitter) breaks equality. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive reference: full-shuffle GROUP BY + HAVING cnt·k > n. */
+  private def naive(df: DataFrame, k: Int): Set[(String, Long)] = {
+    val n = df.count()
+    df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+      .as[(String, Long)].collect().toSet
+  }
+
+  private def run(df: DataFrame, k: Int): Set[(String, Long)] =
+    HeavyHitters.frequentItems(df, col("k"), k, "k")
+      .as[(String, Long)].collect().toSet
+
+  test("planted zipf: hot keys exact, cold churn evicts without false negatives") {
+    // 3 hot keys with 300/200/150 rows + 400 distinct cold keys with
+    // 1-3 rows each — cold cardinality 400 >> k=16 forces constant
+    // eviction. Deterministic interleaving (i * 131 mod shuffle).
+    val rows = (
+      (0 until 300).map(i => s"hot_a" -> i) ++
+      (0 until 200).map(i => s"hot_b" -> i) ++
+      (0 until 150).map(i => s"hot_c" -> i) ++
+      (0 until 800).map(i => s"cold_${i % 400}" -> i)
+    ).sortBy { case (_, i) => (i * 131) % 1450 }
+    val df = rows.map(_._1).toDF("k").repartition(7)
+    val expected = naive(df, 16)
+    assert(expected.map(_._1) === Set("hot_a", "hot_b", "hot_c"))
+    assert(run(df, 16) === expected)
+  }
+
+  test("result is invariant to partitioning (merge correctness)") {
+    val rows = ((0 until 500).map(i => s"maj") ++
+      (0 until 600).map(i => s"c${i % 300}")).toDF("k")
+    val one = run(rows.repartition(1), 8)
+    val many = run(rows.repartition(13), 8)
+    assert(one === many)
+    assert(one === naive(rows, 8))
+  }
+
+  test("threshold is strict: cnt*k == n is excluded") {
+    // 4 keys x 25 rows each, k=4: every cnt*4 == 100 == n -> empty.
+    val df = (0 until 100).map(i => s"k${i % 4}").toDF("k")
+    assert(run(df, 4) === Set.empty)
+    // One extra row pushes k0 strictly over n/k.
+    val df2 = ("k0" +: (0 until 100).map(i => s"k${i % 4}")).toDF("k")
+    assert(run(df2, 4) === Set(("k0", 26L)))
+  }
+
+  test("degenerate inputs: empty frame and all-unique keys") {
+    assert(run(Seq.empty[String].toDF("k"), 8) === Set.empty)
+    assert(run((0 until 500).map(i => s"u$i").toDF("k"), 8) === Set.empty)
+  }
+}
