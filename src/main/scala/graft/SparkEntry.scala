@@ -1106,6 +1106,22 @@ object SparkEntry {
               .as("min_id"))
       }),
 
+      // Snapshot diff / CDC derivation: classify insert/update/delete
+      // on narrow (key, md5-digest) frames so the unchanged majority
+      // never shuffles its payload, then join row images back only
+      // for changed keys. Snapshots are derived deterministically
+      // from `documents` (the d13 discipline): old drops ids %5=1,
+      // new drops ids %7=3 and rewrites text for ids %11=0.
+      "q77_snapshot_diff" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 3)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"))
+      }),
+
       // Exact heavy hitters via bounded Misra-Gries summary + exact
       // recheck — NO full key-space shuffle (pass 1 shuffles only
       // k-counter buffers, pass 2 only candidate-key rows). The gate
@@ -3023,6 +3039,23 @@ object SparkEntry {
          |                     ELSE length(clean) END) AS BIGINT) AS text_chars,
          |       MIN(CASE WHEN is_corrupt THEN NULL ELSE doc_id END) AS min_id
          |FROM j GROUP BY 1""".stripMargin,
+
+    // Naive value-compare full outer join — the digest-first Spark
+    // plan must reproduce it exactly (digests are compared only
+    // within Spark; the oracle compares the values themselves).
+    "q77_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 1),
+        |new AS (SELECT doc_id,
+        |          CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |        FROM documents WHERE doc_id % 7 != 3),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |             o.text AS ot, n.text AS nt,
+        |             CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |                  WHEN n.doc_id IS NULL THEN 'delete'
+        |                  WHEN o.text IS DISTINCT FROM n.text THEN 'update' END AS op
+        |      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, CASE WHEN op = 'delete' THEN ot ELSE nt END AS text, op
+        |FROM j WHERE op IS NOT NULL""".stripMargin,
 
     // Naive full-shuffle plan — the two-pass sketch+recheck must
     // reproduce it exactly (MG guarantees candidates ⊇ the HAVING

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotDiff
+
+/** Snapshot diff / CDC derivation (q77). Reference oracle inside the
+  * spec is the naive full-outer-join-on-values plan; the digest-first
+  * operator must match it exactly, including NULL payload edges
+  * (to_json keeps NULL distinct from every string). */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def oldSnap = Seq(
+    (1L, Option("alpha"), 10L),   // unchanged
+    (2L, Option("beta"), 20L),    // payload update
+    (3L, Option("gamma"), 30L),   // delete
+    (4L, None: Option[String], 40L), // null -> value update
+    (5L, Option("eps"), 50L)      // value -> null update
+  ).toDF("id", "txt", "v")
+
+  private def newSnap = Seq(
+    (1L, Option("alpha"), 10L),
+    (2L, Option("beta2"), 20L),
+    (4L, Option("delta"), 40L),
+    (5L, None: Option[String], 50L),
+    (6L, Option("zeta"), 60L)     // insert
+  ).toDF("id", "txt", "v")
+
+  test("classifies insert, update (incl. null transitions), delete; drops unchanged") {
+    val got = SnapshotDiff.diff(oldSnap, newSnap, Seq("id"))
+      .as[(Long, Option[String], Long, String)].collect().toSet
+    assert(got === Set(
+      (2L, Some("beta2"), 20L, "update"),
+      (3L, Some("gamma"), 30L, "delete"),
+      (4L, Some("delta"), 40L, "update"),
+      (5L, None, 50L, "update"),
+      (6L, Some("zeta"), 60L, "insert")))
+  }
+
+  test("matches the naive value-compare full outer join on a wider fixture") {
+    val o = (0L until 500L).map(i => (i, s"t$i", i % 7)).toDF("id", "txt", "v")
+    val n = (0L until 520L).filter(_ % 11 != 3)
+      .map(i => (i, if (i % 5 == 0) s"t$i!" else s"t$i", i % 7)).toDF("id", "txt", "v")
+    val got = SnapshotDiff.diff(o, n, Seq("id"))
+      .select("id", "op").as[(Long, String)].collect().toSet
+    val naive = o.as("o").join(n.as("n"), col("o.id") === col("n.id"), "full_outer")
+      .withColumn("op",
+        when(col("o.id").isNull, "insert")
+          .when(col("n.id").isNull, "delete")
+          .when(!(col("o.txt") <=> col("n.txt")) || !(col("o.v") <=> col("n.v")), "update"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("o.id"), col("n.id")).as("id"), col("op"))
+      .as[(Long, String)].collect().toSet
+    assert(got === naive)
+    assert(got.exists(_._2 == "insert") && got.exists(_._2 == "delete") &&
+      got.exists(_._2 == "update"))
+  }
+
+  test("multi-column keys and partitioning invariance") {
+    val o = (0 until 300).map(i => (i % 10, s"p${i / 10}", s"val$i")).toDF("a", "b", "x")
+    val n = (0 until 300).filter(_ % 13 != 0)
+      .map(i => (i % 10, s"p${i / 10}", if (i % 17 == 0) s"VAL$i" else s"val$i"))
+      .toDF("a", "b", "x")
+    val one = SnapshotDiff.diff(o.repartition(1), n.repartition(1), Seq("a", "b"))
+      .as[(Int, String, String, String)].collect().toSet
+    val many = SnapshotDiff.diff(o.repartition(13), n.repartition(7), Seq("a", "b"))
+      .as[(Int, String, String, String)].collect().toSet
+    assert(one === many)
+    assert(one.nonEmpty)
+  }
+
+  test("schema mismatch is rejected") {
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(oldSnap, newSnap.drop("v"), Seq("id"))
+    }
+  }
+}
