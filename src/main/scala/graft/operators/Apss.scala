@@ -56,23 +56,32 @@ import graft.functions.TextFunctions.tokens
   */
 object Apss {
 
-  /** Exact cosine-similar pairs with cos ≥ tauNum/tauDen over
-    * whitespace-family tokens of `textCol`. Output:
-    * (doc_a, doc_b, dot, na, nb) — all integer-exact, doc_a < doc_b.
-    */
-  def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
-                  tauNum: Int, tauDen: Int): DataFrame = {
-    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
-    val tau = tauNum.toDouble / tauDen
-    val margin = 1e-6 // prune slack: rounding keeps candidates, never drops
+  /** Prune slack: float rounding errs toward keeping candidates,
+    * never toward dropping a true pair. */
+  private val Margin = 1e-6
 
-    // Per-(doc, term) integer term frequencies; squared norms as a
-    // plain partial-aggregable hash agg (no window). All downstream
-    // branches reuse tf's exchange (same canonical subplan).
-    val tf = docs
+  /** Per-(doc, term) integer term frequencies of the tokenized text.
+    * Exposed for [[graft.ApssSoak]]'s independent accounting. */
+  private[graft] def termFreqs(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term")
       .agg(count(lit(1)).cast("bigint").as("tf"))
+
+  /** Postings with prefix-filter flags: (id, term, tf, n2, w, df,
+    * cum, pnorm, indexed). In (df desc, term) order a doc indexes a
+    * term once min(Σ w·maxw, ‖prefix‖₂) crosses τ — the Bayardo
+    * bound and the L2AP ℓ² bound respectively. The unindexed prefix
+    * then bounds the similarity mass any partner could draw from it
+    * by < τ, so every qualifying pair shares an indexed term of each
+    * side. Every doc indexes ≥ 1 term (at its last term both bounds
+    * reach ≥ Σw² = 1 ≥ τ). */
+  private[graft] def flaggedPostings(docs: DataFrame, idCol: String,
+                                     textCol: String, tauNum: Int,
+                                     tauDen: Int): DataFrame = {
+    val tau = tauNum.toDouble / tauDen
+    val tf = termFreqs(docs, idCol, textCol)
     val n2 = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
     val wtf = tf.join(n2, "id")
       .withColumn("w", col("tf").cast("double") / sqrt(col("n2").cast("double")))
@@ -83,20 +92,34 @@ object Apss {
     val stats = wtf.groupBy("term")
       .agg(max(col("w")).as("maxw"), count(lit(1)).as("df"))
 
-    // Prefix scan: in (df desc, term) order, a doc indexes a term once
-    // min(Σ w·maxw, ‖prefix‖₂) crosses τ. The unindexed prefix then
-    // bounds the similarity mass any partner could draw from it by
-    // < τ, so every qualifying pair shares an indexed term of each
-    // side. Every doc indexes ≥ 1 term (at its last term both bounds
-    // reach ≥ Σw² = 1 ≥ τ).
     val order = Window.partitionBy("id")
       .orderBy(col("df").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = wtf.join(stats, "term")
+    wtf.join(stats, "term")
       .withColumn("cum", sum(col("w") * col("maxw")).over(order))
       .withColumn("pnorm", sqrt(sum(col("w") * col("w")).over(order)))
       .withColumn("indexed",
-        least(col("cum"), col("pnorm")) >= lit(tau - margin))
+        least(col("cum"), col("pnorm")) >= lit(tau - Margin))
+  }
+
+  /** Exact cosine-similar pairs with cos ≥ tauNum/tauDen over
+    * whitespace-family tokens of `textCol`. Output:
+    * (doc_a, doc_b, dot, na, nb) — all integer-exact, doc_a < doc_b.
+    */
+  def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                  tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val tau = tauNum.toDouble / tauDen
+    val margin = Margin
+
+    // All downstream branches reuse tf's exchange (same canonical
+    // subplan), so the separate builds below don't re-scan.
+    val tf = termFreqs(docs, idCol, textCol)
+    val n2 = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val wtf = tf.join(n2, "id")
+      .withColumn("w", col("tf").cast("double") / sqrt(col("n2").cast("double")))
+
+    val flagged = flaggedPostings(docs, idCol, textCol, tauNum, tauDen)
     val prefix = flagged.filter(!col("indexed"))
 
     // Per-doc prefix bounds for the candidate prune: the Bayardo cum
