@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *     PODS'12 — see PAPERS.md): k counters per partial buffer,
   *     partial-aggregable, so map-side combine and AQE both work. The
   *     merged summary's undercount is ≤ n/(k+1), so every key with
-  *     true count > n/k is GUARANTEED to be among the ≤ k candidates
+  *     true count > n/k is GUARANTEED to be among the ≤ 2k candidates
   *     — the sketch can only over-generate, never miss.
   *  2. Exact counts for the candidate keys via an `isin` filter +
   *     key-bounded aggregation, keeping only count·k > n. The final
@@ -23,60 +23,58 @@ import org.apache.spark.sql.functions._
   *     the full-shuffle `GROUP BY … HAVING cnt·k > n` set — an
   *     external engine's naive plan reproduces it bit-for-bit.
   *
-  * 100-TB design: pass 1 shuffles only k-counter buffers (one per
-  * map task), pass 2 shuffles only rows matching ≤ k keys. The
-  * driver holds the ≤ k candidate keys between passes — the same
+  * 100-TB design: pass 1 shuffles only 2k-counter buffers (one per
+  * map task), pass 2 shuffles only rows matching ≤ 2k keys. The
+  * driver holds the ≤ 2k candidate keys between passes — the same
   * decide-and-fetch bound as [[BloomFilter.build]]'s bitmap and the
   * d8 union-find. Contrast with a full groupBy over, say, a web-scale
   * token vocabulary: that shuffle is sized by the KEY SPACE; this one
-  * is sized by k. The MG reduce is O(k) per row worst-case (eviction
-  * decrements all counters); k is a user-bounded constant.
+  * is sized by k. The MG reduce is O(log k) amortized per row (trims
+  * batch at 2k); k is a user-bounded constant.
   */
 object HeavyHitters {
 
-  /** Bounded frequent-items summary: ≤ k candidate counts plus the
+  /** Bounded frequent-items summary: ≤ 2k candidate counts plus the
     * total row count n (carried so the second pass needs no extra
     * scan). Immutable map buffer: encodable as a Catalyst MapType,
-    * and summary sizes are ≤ k so per-row copying is k-bounded. */
+    * and summary sizes are ≤ 2k so per-row copying is k-bounded. */
   final case class MGSummary(counts: Map[String, Long], n: Long)
 
-  /** Misra–Gries with k counters as a typed Aggregator. */
+  /** Misra–Gries with k counters as a typed Aggregator. The buffer
+    * is allowed to grow to 2k between trims, so a cold-key arrival
+    * costs O(1) and the O(k·log k) trim amortizes to O(log k) per
+    * row — the n/(k+1) bound is indifferent to WHEN trims happen
+    * (each trim subtracts its cut from ≥ k+1 counters, so the cuts
+    * across the whole merge tree still sum to ≤ n/(k+1); Agarwal et
+    * al. §3.2 analyzes exactly this arbitrary-merge-tree case). */
   final class MisraGriesAgg(k: Int)
     extends Aggregator[String, MGSummary, MGSummary] {
     require(k >= 2, "need k >= 2 counters")
+
+    /** Subtract the (k+1)-th largest counter from all and drop
+      * non-positives: ≤ k survive, ≥ (k+1)·cut total weight removed. */
+    private def trim(sum: Map[String, Long]): Map[String, Long] =
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.valuesIterator.toArray.sortInPlace()(
+          Ordering[Long].reverse).apply(k)
+        sum.collect { case (ky, n) if n > cut => (ky, n - cut) }
+      }
 
     override def zero: MGSummary = MGSummary(Map.empty, 0L)
 
     override def reduce(b: MGSummary, key: String): MGSummary = {
       val c = b.counts
-      val next =
-        if (c.contains(key)) c.updated(key, c(key) + 1L)
-        else if (c.size < k) c.updated(key, 1L)
-        else {
-          // Eviction: decrement every counter, drop zeros. Each of
-          // the k decrements pairs with one distinct arrival (this
-          // one plus k-1 tracked ones), so total decrement weight
-          // ≤ n/(k+1) — the classic undercount bound.
-          c.collect { case (ky, n) if n > 1L => (ky, n - 1L) }
-        }
-      MGSummary(next, b.n + 1L)
+      val bumped = c.updated(key, c.getOrElse(key, 0L) + 1L)
+      MGSummary(if (bumped.size <= 2 * k) bumped else trim(bumped),
+        b.n + 1L)
     }
 
     override def merge(a: MGSummary, b: MGSummary): MGSummary = {
       val sum = b.counts.foldLeft(a.counts) { case (acc, (ky, n)) =>
         acc.updated(ky, acc.getOrElse(ky, 0L) + n)
       }
-      val trimmed =
-        if (sum.size <= k) sum
-        else {
-          // Subtract the (k+1)-th largest counter from all and drop
-          // non-positives (Agarwal et al. §3.2): ≤ k survive and the
-          // total subtracted weight keeps the n/(k+1) bound.
-          val cut = sum.valuesIterator.toArray.sortInPlace()(
-            Ordering[Long].reverse).apply(k)
-          sum.collect { case (ky, n) if n > cut => (ky, n - cut) }
-        }
-      MGSummary(trimmed, a.n + b.n)
+      MGSummary(trim(sum), a.n + b.n)
     }
 
     override def finish(r: MGSummary): MGSummary = r
