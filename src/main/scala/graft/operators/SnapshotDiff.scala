@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * 100-TB design: the classification join runs on NARROW frames —
   * key columns plus a 128-bit md5 digest of the payload — so the
-  * unchanged majority of a wide table is never shuffled twice; full
+  * unchanged majority of a wide table is never shuffled; full
   * payload rows are joined back only for keys whose digest says
-  * something changed. With 99% of a snapshot typically unchanged,
-  * the heavy shuffle carries ~1% of the bytes of the naive
-  * full-outer-join-on-everything plan. Digests are compared only
+  * something changed (the changed-key set is small, so AQE
+  * broadcasts it and the join-backs are scan + broadcast-probe, no
+  * payload shuffle either). The trade, measured honestly in
+  * [[graft.SnapshotDiffSoak]]: each side is SCANNED twice (digest
+  * pass + join-back probe), so on a single box where a tmpfs scan
+  * costs the same as a local shuffle the naive full outer join wins
+  * (~5 s vs ~12 s at 20 M × 420-byte rows); the digest plan is for
+  * the cluster regime where the network shuffle of 2× full payload
+  * bytes — not the column-pruned rescan — is the bottleneck, and for
+  * snapshots wider than this fixture. Digests are compared only
   * WITHIN this engine (old side vs new side), never against an
   * external engine, so cross-engine digest portability is not
   * required; an md5 collision between a row's old and new payload
@@ -41,12 +48,27 @@ object SnapshotDiff {
     val payload = oldSnap.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "snapshots have no payload columns")
 
-    // Narrow classification frames: keys + one digest column.
-    // to_json of a struct is deterministic for a fixed schema, and
-    // distinguishes NULL from any string value.
-    def digested(df: DataFrame, as: String): DataFrame =
-      df.select((keys.map(col) :+
-        md5(to_json(struct(payload.map(col): _*))).as(as)): _*)
+    // Narrow classification frames: keys + one digest column. Each
+    // payload field is encoded null-tagged and length-prefixed
+    // ("N" / "V<len>:<value>"), so field boundaries and NULL-vs-empty
+    // are unambiguous; atomic types go through a deterministic cast
+    // (digests are only ever compared within this engine) while
+    // complex types fall back to to_json. All codegen string ops —
+    // no per-row Jackson on the hot path.
+    def digested(df: DataFrame, as: String): DataFrame = {
+      val schema = df.schema
+      val encoded = payload.map { c =>
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val atomic = schema(c).dataType match {
+          case _: ArrayType | _: MapType | _: StructType => false
+          case _ => true
+        }
+        val s = if (atomic) col(c).cast("string") else to_json(col(c))
+        when(col(c).isNull, lit("|N"))
+          .otherwise(concat(lit("|V"), length(s), lit(":"), s))
+      }
+      df.select((keys.map(col) :+ md5(concat(encoded: _*)).as(as)): _*)
+    }
 
     val classified = digested(oldSnap, "_od")
       .join(digested(newSnap, "_nd"), keys, "full_outer")
