@@ -18,7 +18,15 @@ class DeterminismSpec extends SparkSpec {
     // c3 stacks two ranking windows, q72's quota math must not leak
     // partial-aggregation order into the fixed-order double expression
     "t14_lm_score", "d16_span_coverage", "c3_training_corpus",
-    "q72_temperature_sample")
+    "q72_temperature_sample",
+    // round 7: d12's band keys must not depend on partition layout;
+    // d17's prune bounds are float but err only toward keeping
+    // candidates, and its verify is integer — output must be stable
+    // under any partitioning; q76's MG summary DIFFERS by merge tree,
+    // but the exact-recheck output must not; q77's digest + AQE
+    // broadcast path must classify identically at any parallelism
+    "d12_simhash_pairs", "d17_apss_cosine", "q76_heavy_hitters",
+    "q77_snapshot_diff")
 
   test("query results are identical at 1x and 8x shuffle parallelism") {
     checked.foreach { name =>
