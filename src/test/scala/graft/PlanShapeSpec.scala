@@ -88,6 +88,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("d17: APSS plan is all hash joins/aggs - no nested-loop or cartesian anywhere") {
+    val df = SparkEntry.queries("d17_apss_cosine")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point of prefix filtering is that NO stage ever
+    // falls back to comparing all pairs directly
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"APSS plan contains an all-pairs operator:\n$p")
+    assert(p.contains("Window"), s"prefix-scan window missing:\n$p")
+    assert(p.contains("partial_"), s"candidate/dot aggregation lost map-side combine:\n$p")
+  }
+
+  test("q76: heavy-hitter recheck filters by candidate list, no key-space shuffle shape") {
+    val df = SparkEntry.queries("q76_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // pass 2 must be: scan -> In-filter on the <=2k candidates ->
+    // partial agg -> one exchange. A Window or extra exchange means
+    // the sketch structure regressed to a ranking/global plan
+    assert(p.contains(" IN ") || p.contains("In(") || p.contains("INSET"),
+      s"candidate-list filter missing from recheck pass:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in recheck:\n$p")
+    assert(p.contains("partial_count"),
+      s"recheck aggregation lost map-side combine:\n$p")
+  }
+
+  test("q77: snapshot-diff payload join-backs broadcast the changed-key set") {
+    val df = SparkEntry.queries("q77_snapshot_diff")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // at gate scale AQE must broadcast the classified (changed-key)
+    // side, so snapshots are never shuffled for the join-back
+    assert(p.contains("BroadcastHashJoin"),
+      s"changed-key join-back is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in diff plan:\n$p")
+  }
+
   test("hot scan-and-aggregate paths run inside whole-stage codegen") {
     Seq("q1_daily_metrics", "q15_join_agg_nation", "q41_exact_stats")
       .foreach { q =>
