@@ -1106,6 +1106,25 @@ object SparkEntry {
               .as("min_id"))
       }),
 
+      // Edit-distance fuzzy self-match WITHOUT the all-pairs compare:
+      // PassJoin segment blocking (pigeonhole: a <= d partner shares
+      // an untouched segment at a +-d shifted position) generates a
+      // complete candidate superset from one composite-key hash join;
+      // exact levenshtein verifies. Planted dist-1 mutations
+      // (doc_id % 17 = 0 rewrites the first char) give the gate
+      // non-trivial distances on top of the corpus's duplicate
+      // prefixes.
+      "q78_fuzzy_match" -> ((s, dir) => {
+        val prefix = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            lower(substring(col("text"), 1, 24)).as("s0"))
+        val keyed = prefix.select(col("doc_id"),
+          when(col("doc_id") % 17 === 0,
+            concat(lit("z"), substring(col("s0"), 2, 24)))
+            .otherwise(col("s0")).as("s"))
+        FuzzyJoin.editDistancePairs(keyed, "doc_id", "s", 2)
+      }),
+
       // Snapshot diff / CDC derivation: classify insert/update/delete
       // on narrow (key, md5-digest) frames so the unchanged majority
       // never shuffles its payload, then join row images back only
@@ -3039,6 +3058,22 @@ object SparkEntry {
          |                     ELSE length(clean) END) AS BIGINT) AS text_chars,
          |       MIN(CASE WHEN is_corrupt THEN NULL ELSE doc_id END) AS min_id
          |FROM j GROUP BY 1""".stripMargin,
+
+    // Naive all-pairs levenshtein — the segment-blocked Spark plan
+    // must reproduce it exactly (blocking only prunes pairs that
+    // provably exceed d; both engines use unit-cost Levenshtein).
+    "q78_fuzzy_match" ->
+      """WITH s0 AS (SELECT doc_id, lower(substr(text, 1, 24)) AS s0
+        |            FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 0 THEN 'z' || substr(s0, 2)
+        |             ELSE s0 END AS s
+        |      FROM s0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             levenshtein(a.s, b.s) AS dist
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(dist AS INT) AS dist
+        |FROM p WHERE dist <= 2""".stripMargin,
 
     // Naive value-compare full outer join — the digest-first Spark
     // plan must reproduce it exactly (digests are compared only

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join (fuzzy matching / entity resolution) —
+  * exact pairs with levenshtein ≤ d, WITHOUT the all-pairs compare.
+  * Extension operator (SURVEY §7.1): the string-metric member of the
+  * dedup family (exact d1, Jaccard d4, cosine d17), and the engine
+  * form of the reference's keyed-identity assumption (`03_merge.sql`
+  * merges on exact ids; real-world corpora need a tolerant key).
+  *
+  * Algorithm: PassJoin-style segment blocking (Li, Deng, Wang, Feng,
+  * "PASS-JOIN: A Partition-based Method for Similarity Joins",
+  * VLDB'12 — see PAPERS.md). Each string of length L is partitioned
+  * into d+1 near-even segments; by pigeonhole, any partner within
+  * edit distance d leaves ≥ 1 segment untouched, and that segment
+  * occurs in the partner shifted by at most d positions (edits before
+  * it shift it by ≤ d) with total length differing by at most d. So:
+  * the INDEX side emits d+1 (L, segIdx, segment) keys per string; the
+  * PROBE side emits, for each claimed indexed length L' = len ± δ
+  * (|δ| ≤ d) and segment index i, the substrings at positions within
+  * ± d of that segment's nominal start — a CONSTANT ≤ (2d+1)²(d+1)
+  * keys per record after dedup, independent of string length. The
+  * hash join on (L', segIdx, segment) yields a complete candidate
+  * superset; an exact `levenshtein` verify (same unit-cost definition
+  * in Spark and DuckDB, so the oracle reproduces distances
+  * bit-for-bit) keeps true pairs only.
+  *
+  * 100-TB design: candidate generation is one hash join on composite
+  * string keys with constant per-record fan-out — no length-bucket
+  * cross joins, no windows, no driver state; the candidate pair set
+  * is deduped by a partial-aggregable groupBy before the verify
+  * joins. Hot segments (a common prefix shared by millions of
+  * records) behave like any hot join key — AQE skew splitting
+  * applies; the verify is O(d·|s|) per candidate via the banded
+  * levenshtein, and candidates with |len_a − len_b| > d never form
+  * (the length is part of the join key).
+  */
+object FuzzyJoin {
+
+  /** Exact pairs (id_a, id_b, dist) with levenshtein(s_a, s_b) ≤
+    * maxDist and id_a < id_b, over `strCol` of `df`. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4, "supported maxDist: 1..4")
+    val d = maxDist
+    val nSeg = d + 1
+    val recs = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      length(col(strCol)).as("len"))
+
+    // Near-even partition of length L: base = L/(d+1), rem = L%(d+1);
+    // segment i has length base+1 for i<rem else base, and 1-based
+    // start i*base + min(i, rem) + 1.
+    def segLen(lenC: Column, i: Int): Column = {
+      val base = floor(lenC / nSeg).cast("int")
+      val rem = pmod(lenC, lit(nSeg)).cast("int")
+      base + when(lit(i) < rem, 1).otherwise(0)
+    }
+    def segStart(lenC: Column, i: Int): Column = {
+      val base = floor(lenC / nSeg).cast("int")
+      val rem = pmod(lenC, lit(nSeg)).cast("int")
+      lit(i) * base + least(lit(i), rem) + 1
+    }
+
+    // Index side: d+1 segment keys per record. The record's string
+    // rides along (short by contract — titles/names/keys), so the
+    // verify can run INSIDE the candidate join stage instead of
+    // re-joining the corpus twice afterwards.
+    val indexSide = recs.select(col("id").as("iid"), col("s").as("_sa"),
+      col("len").as("_la"), explode(array(
+        (0 until nSeg).map { i =>
+          struct(col("len").as("ilen"), lit(i).as("seg_idx"),
+            col("s").substr(segStart(col("len"), i), segLen(col("len"), i))
+              .as("seg"))
+        }: _*)).as("k"))
+      .select(col("iid"), col("_sa"), col("_la"),
+        col("k.ilen"), col("k.seg_idx"), col("k.seg"))
+
+    // Probe side: for each claimed indexed length len+δ, segment i,
+    // and start shift j, the substring the pigeonhole argument says a
+    // ≤ d partner must contain. Invalid combos (negative lengths,
+    // out-of-range starts) become nulls and are dropped; duplicates
+    // collapse record-locally (array_distinct) before the explode.
+    val probeKeys = for {
+      delta <- -d to d
+      i <- 0 until nSeg
+      j <- -d to d
+    } yield {
+      val la = col("len") + delta
+      val l = segLen(la, i)
+      val p = segStart(la, i) + j
+      when(la >= 0 && l >= 0 && p >= 1 && p + l - lit(1) <= col("len"),
+        struct(la.cast("int").as("ilen"), lit(i).as("seg_idx"),
+          col("s").substr(p, l).as("seg")))
+    }
+    val probeSide = recs.select(col("id").as("pid"), col("s").as("_sb"),
+      col("len").as("_lb"),
+      explode(array_distinct(filter(array(probeKeys: _*), _.isNotNull)))
+        .as("k"))
+      .select(col("pid"), col("_sb"), col("_lb"),
+        col("k.ilen"), col("k.seg_idx"), col("k.seg"))
+
+    // Candidate join with the verify PIPELINED into the join stage:
+    // the pigeonhole guarantee holds in both orientations, so keeping
+    // only (shorter-indexed, or id-ordered at equal length) halves
+    // the candidate occurrences without losing a pair; levenshtein
+    // (unit-cost in both this engine and the DuckDB oracle) filters
+    // before anything shuffles, and one partial-aggregable groupBy
+    // collapses the per-segment duplicate occurrences of each
+    // surviving pair (dist is pair-constant, min() is just the
+    // deterministic pick).
+    indexSide
+      .join(probeSide, Seq("ilen", "seg_idx", "seg"))
+      .filter(col("_la") < col("_lb") ||
+        (col("_la") === col("_lb") && col("iid") < col("pid")))
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("int"))
+      .filter(col("dist") <= d)
+      .select(least(col("iid"), col("pid")).as("id_a"),
+        greatest(col("iid"), col("pid")).as("id_b"), col("dist"))
+      .groupBy("id_a", "id_b").agg(min(col("dist")).cast("int").as("dist"))
+  }
+}
