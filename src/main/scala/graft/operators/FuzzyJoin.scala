@@ -79,27 +79,33 @@ object FuzzyJoin {
 
     // Probe side: for each claimed indexed length len+δ, segment i,
     // and start shift j, the substring the pigeonhole argument says a
-    // ≤ d partner must contain. Invalid combos (negative lengths,
-    // out-of-range starts) become nulls and are dropped; duplicates
-    // collapse record-locally (array_distinct) before the explode.
-    val probeKeys = for {
+    // ≤ d partner must contain. The (δ, i, j) combinations come from
+    // a broadcast literal table rather than a (2d+1)²(d+1)-element
+    // expression array: the fan-out is identical, but each output row
+    // evaluates ONE small substring expression instead of the row
+    // evaluating all 75 — a 75-struct CreateArray blows the generated
+    // method past codegen limits and the whole stage falls back to
+    // interpreted eval (measured at ~2× the query's total runtime).
+    // Duplicate keys from distinct (δ, j) combos are not deduped:
+    // the final pair groupBy absorbs them.
+    import df.sparkSession.implicits._
+    val combos = (for {
       delta <- -d to d
       i <- 0 until nSeg
       j <- -d to d
-    } yield {
-      val la = col("len") + delta
-      val l = segLen(la, i)
-      val p = segStart(la, i) + j
-      when(la >= 0 && l >= 0 && p >= 1 && p + l - lit(1) <= col("len"),
-        struct(la.cast("int").as("ilen"), lit(i).as("seg_idx"),
-          col("s").substr(p, l).as("seg")))
-    }
-    val probeSide = recs.select(col("id").as("pid"), col("s").as("_sb"),
-      col("len").as("_lb"),
-      explode(array_distinct(filter(array(probeKeys: _*), _.isNotNull)))
-        .as("k"))
-      .select(col("pid"), col("_sb"), col("_lb"),
-        col("k.ilen"), col("k.seg_idx"), col("k.seg"))
+    } yield (delta, i, j)).toDF("_delta", "seg_idx", "_j")
+    val ilen = col("len") + col("_delta")
+    val pBase = floor(ilen / nSeg).cast("int")
+    val pRem = pmod(ilen, lit(nSeg)).cast("int")
+    val pLen = pBase + when(col("seg_idx") < pRem, 1).otherwise(0)
+    val pStart = col("seg_idx") * pBase + least(col("seg_idx"), pRem) +
+      1 + col("_j")
+    val probeSide = recs.join(broadcast(combos))
+      .filter(ilen >= 0 && pLen >= 0 && pStart >= 1 &&
+        pStart + pLen - lit(1) <= col("len"))
+      .select(col("id").as("pid"), col("s").as("_sb"),
+        col("len").as("_lb"), ilen.cast("int").as("ilen"),
+        col("seg_idx"), col("s").substr(pStart, pLen).as("seg"))
 
     // Candidate join with the verify PIPELINED into the join stage:
     // the pigeonhole guarantee holds in both orientations, so keeping

@@ -125,6 +125,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in diff plan:\n$p")
   }
 
+  test("q78: fuzzy-match candidates come from an equi join on segment keys") {
+    val df = SparkEntry.queries("q78_fuzzy_match")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only nested-loop allowed is the constant 75-row combo
+    // fan-out; the candidate join itself must be a hash-keyed join
+    assert(!p.contains("CartesianProduct"), s"cartesian in fuzzy plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"segment-key candidate join is not an equi join:\n$p")
+    assert(p.contains("partial_"), s"pair dedup lost map-side combine:\n$p")
+  }
+
   test("hot scan-and-aggregate paths run inside whole-stage codegen") {
     Seq("q1_daily_metrics", "q15_join_agg_nation", "q41_exact_stats")
       .foreach { q =>
