@@ -1106,6 +1106,19 @@ object SparkEntry {
               .as("min_id"))
       }),
 
+      // Per-group heavy hitters (per-domain/lang token-stats shape):
+      // one MG summary per event_type via the udaf form, candidates
+      // joined back in-plan (no driver fetch), exact per-group
+      // threshold. Same planted-skew key as q76; each group's ~1500
+      // cold keys churn its own 64 counters.
+      "q79_group_heavy_hitters" -> ((s, dir) => {
+        val key = when(col("user_id") % 10 < 7,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("u"), col("user_id").cast("string")))
+        HeavyHitters.frequentItemsByGroup(Tables.events(s, dir),
+          col("event_type"), key, 64, "grp", "k")
+      }),
+
       // Edit-distance fuzzy self-match WITHOUT the all-pairs compare:
       // PassJoin segment blocking (pigeonhole: a <= d partner shares
       // an untouched segment at a +-d shifted position) generates a
@@ -3058,6 +3071,22 @@ object SparkEntry {
          |                     ELSE length(clean) END) AS BIGINT) AS text_chars,
          |       MIN(CASE WHEN is_corrupt THEN NULL ELSE doc_id END) AS min_id
          |FROM j GROUP BY 1""".stripMargin,
+
+    // Naive per-group GROUP BY + HAVING — the per-group sketch plan
+    // must reproduce it exactly (per-group MG candidates ⊇ each
+    // group's HAVING set; integer threshold on both sides).
+    "q79_group_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT event_type AS grp,
+        |         CASE WHEN user_id % 10 < 7
+        |              THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events),
+        |c AS (SELECT grp, k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM keyed GROUP BY 1, 2),
+        |t AS (SELECT grp, SUM(cnt) AS n FROM c GROUP BY 1)
+        |SELECT c.grp, c.k, c.cnt FROM c JOIN t USING (grp)
+        |WHERE c.cnt * 64 > t.n""".stripMargin,
 
     // Naive all-pairs levenshtein — the segment-blocked Spark plan
     // must reproduce it exactly (blocking only prunes pairs that

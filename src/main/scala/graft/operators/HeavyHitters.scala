@@ -82,6 +82,34 @@ object HeavyHitters {
     override def outputEncoder: Encoder[MGSummary] = Encoders.product[MGSummary]
   }
 
+  /** Per-group heavy hitters: for every value of `grp`, the keys
+    * occurring in strictly more than 1/k of that group's rows, with
+    * exact counts — the per-domain/per-language token-stats shape.
+    * Unlike [[frequentItems]] this stays fully in-plan: the per-group
+    * summaries frame (groups × ≤ 2k candidates, with each group's row
+    * count riding in the summary) joins back against the keyed rows —
+    * AQE broadcasts it — and an exact (grp, key) aggregation with the
+    * integer threshold reproduces the naive GROUP BY + HAVING plan
+    * bit-for-bit. Output columns: (grpName, outName, cnt). Shuffle
+    * economics per group are those of [[frequentItems]]: sketch
+    * buffers and candidate rows, never the group's key space.
+    */
+  def frequentItemsByGroup(df: DataFrame, grp: Column, key: Column,
+                           k: Int, grpName: String = "grp",
+                           outName: String = "key"): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    val keyed = df.select(grp.cast("string").as(grpName),
+      key.cast("string").as(outName))
+    val summaries = keyed.groupBy(grpName).agg(mg(col(outName)).as("s"))
+    val cand = summaries.select(col(grpName), col("s.n").as("_n"),
+      explode(map_keys(col("s.counts"))).as(outName))
+    keyed.join(cand, Seq(grpName, outName))
+      .groupBy(grpName, outName)
+      .agg(count(lit(1)).cast("bigint").as("cnt"), first(col("_n")).as("_n"))
+      .filter(col("cnt") * k > col("_n"))
+      .select(col(grpName), col(outName), col("cnt"))
+  }
+
   /** All values of `key` (stringified) occurring in strictly more
     * than 1/k of `df`'s rows, with exact counts. Output columns:
     * (outName, cnt), bit-identical to the naive full-shuffle

@@ -26,7 +26,7 @@ class DeterminismSpec extends SparkSpec {
     // but the exact-recheck output must not; q77's digest + AQE
     // broadcast path must classify identically at any parallelism
     "d12_simhash_pairs", "d17_apss_cosine", "q76_heavy_hitters",
-    "q77_snapshot_diff", "q78_fuzzy_match")
+    "q77_snapshot_diff", "q78_fuzzy_match", "q79_group_heavy_hitters")
 
   test("query results are identical at 1x and 8x shuffle parallelism") {
     checked.foreach { name =>

@@ -61,4 +61,29 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(Seq.empty[String].toDF("k"), 8) === Set.empty)
     assert(run((0 until 500).map(i => s"u$i").toDF("k"), 8) === Set.empty)
   }
+
+  test("per-group: each group's hot keys exact, thresholds independent per group") {
+    // Group A: hot key 'a_hot' (40%) + 150 cold; group B: two hot keys
+    // (30%/20%) + 200 cold; group C: uniform (no heavy hitters).
+    val rows =
+      (0 until 200).map(_ => ("A", "a_hot")) ++
+      (0 until 300).map(i => ("A", s"ac${i % 150}")) ++
+      (0 until 150).map(_ => ("B", "b_hot1")) ++
+      (0 until 100).map(_ => ("B", "b_hot2")) ++
+      (0 until 250).map(i => ("B", s"bc${i % 200}")) ++
+      (0 until 240).map(i => ("C", s"cc${i % 12}"))
+    val df = rows.toDF("g", "k").repartition(9)
+    val got = HeavyHitters.frequentItemsByGroup(df, col("g"), col("k"), 8,
+      "grp", "key").as[(String, String, Long)].collect().toSet
+    val naive = {
+      val c = df.groupBy("g", "k").agg(count(lit(1)).as("cnt"))
+      val t = df.groupBy("g").agg(count(lit(1)).as("n"))
+      c.join(t, "g").filter(col("cnt") * 8 > col("n"))
+        .select(col("g"), col("k"), col("cnt"))
+        .as[(String, String, Long)].collect().toSet
+    }
+    assert(got === naive)
+    assert(got === Set(("A", "a_hot", 200L), ("B", "b_hot1", 150L),
+      ("B", "b_hot2", 100L)))
+  }
 }
