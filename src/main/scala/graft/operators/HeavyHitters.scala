@@ -98,8 +98,11 @@ object HeavyHitters {
                            k: Int, grpName: String = "grp",
                            outName: String = "key"): DataFrame = {
     val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    // NULL keys are excluded (documented contract): Catalyst map keys
+    // cannot be null, so a null key can never live in the MG buffer.
     val keyed = df.select(grp.cast("string").as(grpName),
       key.cast("string").as(outName))
+      .filter(col(outName).isNotNull)
     val summaries = keyed.groupBy(grpName).agg(mg(col(outName)).as("s"))
     val cand = summaries.select(col(grpName), col("s.n").as("_n"),
       explode(map_keys(col("s.counts"))).as(outName))
@@ -113,13 +116,18 @@ object HeavyHitters {
   /** All values of `key` (stringified) occurring in strictly more
     * than 1/k of `df`'s rows, with exact counts. Output columns:
     * (outName, cnt), bit-identical to the naive full-shuffle
-    * GROUP BY + HAVING cnt·k > n plan.
+    * GROUP BY + HAVING cnt·k > n plan over the non-null keys.
+    * NULL keys are excluded by contract (Catalyst map keys cannot be
+    * null, so the MG buffer could never track them); `n` counts only
+    * non-null rows, matching that exclusion on both sides of the
+    * threshold.
     */
   def frequentItems(df: DataFrame, key: Column, k: Int,
                     outName: String = "key"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(key.cast("string").as("k")).as[String]
+    val keyed = df.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull).as[String]
     // Decide-and-fetch: one row holding ≤ k candidates + n.
     val summary = keyed.select(new MisraGriesAgg(k).toColumn).head()
     val candidates = summary.counts.keysIterator.toSeq

@@ -62,6 +62,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run((0 until 500).map(i => s"u$i").toDF("k"), 8) === Set.empty)
   }
 
+  test("null keys are excluded and do not count toward n") {
+    // 30 'hot' rows + 60 nulls, k=4: with nulls excluded n=40 and
+    // hot (30) passes 30*4 > 40; if nulls leaked into n (n=100) it
+    // would fail 120 > 100 only barely — and a null key in the MG
+    // map buffer would crash the aggregator outright.
+    val df = ((0 until 30).map(_ => Some("hot")) ++
+      (0 until 60).map(_ => None: Option[String]) ++
+      (0 until 10).map(i => Some(s"c$i"))).toDF("k")
+    assert(run(df, 4) === Set(("hot", 30L)))
+    val grouped = df.withColumn("g", lit("G"))
+    val got = HeavyHitters.frequentItemsByGroup(grouped, col("g"), col("k"),
+      4, "grp", "key").as[(String, String, Long)].collect().toSet
+    assert(got === Set(("G", "hot", 30L)))
+  }
+
   test("per-group: each group's hot keys exact, thresholds independent per group") {
     // Group A: hot key 'a_hot' (40%) + 150 cold; group B: two hot keys
     // (30%/20%) + 200 cold; group C: uniform (no heavy hitters).
