@@ -360,6 +360,15 @@ object DedupSuite {
       s"pigeonhole exactness needs bands >= maxHamming+1 ($bands vs $maxHamming)")
     val width = 60 / bands
     val mask = (1L << width) - 1
+    // sims is consumed by three branches (band derivation + both
+    // verify joins). Measured at gate scale: the simhash fold is
+    // 0.11 s warm for 5k docs and AQE broadcasts the verify sides
+    // (the two broadcast exchanges reuse each other), so d12's
+    // ~2.3 s is per-stage scheduling overhead, not simhash
+    // recompute — an explicit id-repartition was measured a no-op
+    // and reverted. At corpus scale the two verify joins become
+    // id-keyed shuffles whose exchanges canonically match, so the
+    // fold still runs at most twice, band path included.
     val sims = docs.select(col(idCol), simhash60(col(textCol)).as("sim"))
     val bandRows = sims.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), j =>
