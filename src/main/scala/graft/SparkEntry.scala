@@ -366,11 +366,18 @@ object SparkEntry {
     * JVM's lifetime). */
   private val streamPassResults =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
-  @volatile private var streamPassSecsMap: Map[String, Double] = Map.empty
+  // ConcurrentHashMap (not a volatile immutable Map): two concurrent
+  // passes for different sf dirs would race a read-modify-write and
+  // could lose one dir's timing entry.
+  private val streamPassSecsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
   /** Wall seconds the shared streaming pass took, keyed by sf dir —
     * reported by Bench as stream_shared_pass_sec. */
-  def streamSharedPassSeconds: Map[String, Double] = streamPassSecsMap
+  def streamSharedPassSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    streamPassSecsMap.asScala.toMap
+  }
 
   private def rmTreeQuiet(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
@@ -445,7 +452,7 @@ object SparkEntry {
         try s.catalog.dropTempView(j.table) catch { case _: Throwable => () })
       cks.foreach(rmTreeQuiet)
     }
-    streamPassSecsMap += dir -> ((System.nanoTime() - t0) / 1e9)
+    streamPassSecsMap.put(dir, (System.nanoTime() - t0) / 1e9)
     results
   }
 
@@ -3081,9 +3088,11 @@ object SparkEntry {
         |         CASE WHEN user_id % 10 < 7
         |              THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
         |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
-        |  FROM events),
+        |  FROM events
+        |  WHERE event_type IS NOT NULL),
+        |nn AS (SELECT grp, k FROM keyed WHERE k IS NOT NULL),
         |c AS (SELECT grp, k, CAST(COUNT(*) AS BIGINT) AS cnt
-        |      FROM keyed GROUP BY 1, 2),
+        |      FROM nn GROUP BY 1, 2),
         |t AS (SELECT grp, SUM(cnt) AS n FROM c GROUP BY 1)
         |SELECT c.grp, c.k, c.cnt FROM c JOIN t USING (grp)
         |WHERE c.cnt * 64 > t.n""".stripMargin,
@@ -3130,10 +3139,11 @@ object SparkEntry {
         |              THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
         |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
         |  FROM events),
+        |nn AS (SELECT k FROM keyed WHERE k IS NOT NULL),
         |c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt
-        |      FROM keyed GROUP BY 1)
+        |      FROM nn GROUP BY 1)
         |SELECT k, cnt FROM c
-        |WHERE cnt * 64 > (SELECT COUNT(*) FROM keyed)""".stripMargin,
+        |WHERE cnt * 64 > (SELECT COUNT(*) FROM nn)""".stripMargin,
 
     "q74_partition_prune" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -3330,7 +3340,8 @@ object SparkEntry {
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, dot, x.n2 AS na, y.n2 AS nb
          |FROM dp JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
-         |WHERE 100 * dot * dot >= 81 * x.n2 * y.n2""".stripMargin,
+         |WHERE CAST(100 AS HUGEINT) * dot * dot
+         |      >= CAST(81 AS HUGEINT) * x.n2 * y.n2""".stripMargin,
     "d13_incremental_ingest" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.tokens
@@ -171,9 +171,18 @@ object Apss {
 
     val na = n2.select(col("id").as("doc_a"), col("n2").as("na"))
     val nb = n2.select(col("id").as("doc_b"), col("n2").as("nb"))
+    // Threshold compare in DECIMAL(38,0): q²·dot² and p²·na·nb exceed
+    // Long for ~1e9-Σtf² docs, and non-ANSI bigint arithmetic would
+    // WRAP silently there (an external oracle errors instead — the
+    // engines would diverge exactly where exactness is claimed).
+    // Decimal keeps the compare integer-exact while q²·na·nb < 10³⁸,
+    // i.e. per-doc Σtf² < 10¹⁷/q — a ≥ 10⁸-token single document
+    // before the bound is approachable. Beyond it Spark yields null
+    // (row dropped) rather than a wrapped wrong answer.
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     dots.join(na, "doc_a").join(nb, "doc_b")
-      .filter(lit(tauDen.toLong * tauDen) * col("dot") * col("dot") >=
-        lit(tauNum.toLong * tauNum) * col("na") * col("nb"))
+      .filter(d38(lit(tauDen.toLong * tauDen)) * d38(col("dot")) * d38(col("dot")) >=
+        d38(lit(tauNum.toLong * tauNum)) * d38(col("na")) * d38(col("nb")))
       .select(col("doc_a"), col("doc_b"), col("dot"), col("na"), col("nb"))
   }
 }

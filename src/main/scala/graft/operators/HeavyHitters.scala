@@ -82,10 +82,14 @@ object HeavyHitters {
     override def outputEncoder: Encoder[MGSummary] = Encoders.product[MGSummary]
   }
 
-  /** Per-group heavy hitters: for every value of `grp`, the keys
-    * occurring in strictly more than 1/k of that group's rows, with
-    * exact counts — the per-domain/per-language token-stats shape.
-    * Unlike [[frequentItems]] this stays fully in-plan: the per-group
+  /** Per-group heavy hitters: for every NON-NULL value of `grp`, the
+    * non-null keys occurring in strictly more than 1/k of that group's
+    * non-null-keyed rows, with exact counts — the per-domain /
+    * per-language token-stats shape. Null groups and null keys are
+    * excluded by contract (null keys cannot live in a Catalyst map
+    * buffer, and the candidate join-back is null-unsafe — so the
+    * exclusion is made explicit here rather than left to join
+    * semantics). Unlike [[frequentItems]] this stays fully in-plan: the per-group
     * summaries frame (groups × ≤ 2k candidates, with each group's row
     * count riding in the summary) joins back against the keyed rows —
     * AQE broadcasts it — and an exact (grp, key) aggregation with the
@@ -98,11 +102,14 @@ object HeavyHitters {
                            k: Int, grpName: String = "grp",
                            outName: String = "key"): DataFrame = {
     val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
-    // NULL keys are excluded (documented contract): Catalyst map keys
-    // cannot be null, so a null key can never live in the MG buffer.
+    // NULL keys and NULL groups are excluded (documented contract):
+    // Catalyst map keys cannot be null, so a null key can never live
+    // in the MG buffer; null groups would silently vanish in the
+    // null-unsafe candidate join-back, so they are filtered up front
+    // where the contract is visible.
     val keyed = df.select(grp.cast("string").as(grpName),
       key.cast("string").as(outName))
-      .filter(col(outName).isNotNull)
+      .filter(col(outName).isNotNull && col(grpName).isNotNull)
     val summaries = keyed.groupBy(grpName).agg(mg(col(outName)).as("s"))
     val cand = summaries.select(col(grpName), col("s.n").as("_n"),
       explode(map_keys(col("s.counts"))).as(outName))

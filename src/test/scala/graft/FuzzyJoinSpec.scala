@@ -68,6 +68,28 @@ class FuzzyJoinSpec extends SparkSpec {
     for (d <- 1 to 2) assert(fast(df, d) === naive(df, d), s"d=$d")
   }
 
+  test("long strings (~1k chars): bounded verify stays exact") {
+    // The regime the 3-arg bounded levenshtein exists for: candidates
+    // whose unbounded DP is O(|s|²) on ~1k-char strings. Planted
+    // structure: 8 base documents, each with a dist-1 substitution
+    // twin and an exact dist-2 twin (two substitutions to 'z', a char
+    // outside the alphabet), plus one unrelated long string per base
+    // that blocking must not pair. (The naive oracle here pays the
+    // full unbounded DP per pair — which is exactly why the string
+    // length is capped at 1k in this spec.)
+    val mk = (seed: Long) => (0 until 1000)
+      .map(j => ('a' + ((seed * 31 + j * j) % 7)).toChar).mkString
+    val rows = (0L until 8L).flatMap { b =>
+      val s = mk(b)
+      Seq((b * 4, s),
+        (b * 4 + 1, s.updated(497, if (s(497) == 'a') 'b' else 'a')),
+        (b * 4 + 2, s.updated(200, 'z').updated(801, 'z')),
+        (b * 4 + 3, mk(b + 1000)))
+    }
+    val df = rows.toDF("id", "s").repartition(5)
+    for (d <- 1 to 2) assert(fast(df, d) === naive(df, d), s"d=$d")
+  }
+
   test("partitioning invariance") {
     val df = (0L until 200L).map(i => (i, s"v${i % 40}_${"ab" * (i % 3).toInt}"))
       .toDF("id", "s")
