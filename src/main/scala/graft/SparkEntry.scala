@@ -323,6 +323,17 @@ object SparkEntry {
       StructField("value", DoubleType), StructField("props", StringType)))
   }
 
+  /** Planted-skew heavy-hitter key shared by q76 / q79 / s8: the
+    * corpus's own user keys are uniform (TESTDATA degeneracy), so 70%
+    * of events land on 3 hot keys and the rest churn ~1500 cold user
+    * keys through the 64 MG counters. Null user_id ⇒ null key,
+    * excluded by the operators' documented non-null contract (and by
+    * the oracles' IS NOT NULL filters). */
+  private def plantedSkewKey: Column =
+    when(col("user_id") % 10 < 7,
+      concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+      .otherwise(concat(lit("u"), col("user_id").cast("string")))
+
   /** Checkpoint root: /dev/shm when writable (gate runs need no
     * durability past the JVM; the WAL fsyncs per batch). */
   private def checkpointRoot: java.nio.file.Path = {
@@ -509,6 +520,26 @@ object SparkEntry {
         },
         t => t.groupBy(col("user_id"))
           .agg(count(lit(1)).cast("bigint").as("n_pairs"))),
+
+      StreamJob("s8_stream_heavy_hitters", "s8_stream_out", "update",
+        () => {
+          import s.implicits._
+          // 3 ordered micro-batches (the s5/s7 staging) so the MG
+          // state genuinely carries across batch boundaries
+          val src = s.readStream.schema(eventsStreamSchema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stagedEventsSplitDir(s, dir))
+          graft.streaming.StreamingJobs.streamingHeavyHitterSketch(
+            src.select(plantedSkewKey.as("k"))
+              .filter(col("k").isNotNull).as[String],
+            k = 64, nGroups = 8).toDF()
+        },
+        // Finalize: identical two-pass contract to q76, with pass 1
+        // replaced by the continuously-maintained stream state — see
+        // StreamingJobs.finalizeHeavyHitters.
+        t => graft.streaming.StreamingJobs.finalizeHeavyHitters(
+          t, Tables.events(s, dir).select(plantedSkewKey.as("k"))
+            .filter(col("k").isNotNull), 64)),
 
       StreamJob("s7_stream_dedup_watermark", "s7_stream_out", "append",
         () => {
@@ -1118,13 +1149,9 @@ object SparkEntry {
       // joined back in-plan (no driver fetch), exact per-group
       // threshold. Same planted-skew key as q76; each group's ~1500
       // cold keys churn its own 64 counters.
-      "q79_group_heavy_hitters" -> ((s, dir) => {
-        val key = when(col("user_id") % 10 < 7,
-          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
-          .otherwise(concat(lit("u"), col("user_id").cast("string")))
+      "q79_group_heavy_hitters" -> ((s, dir) =>
         HeavyHitters.frequentItemsByGroup(Tables.events(s, dir),
-          col("event_type"), key, 64, "grp", "k")
-      }),
+          col("event_type"), plantedSkewKey, 64, "grp", "k")),
 
       // Edit-distance fuzzy self-match WITHOUT the all-pairs compare:
       // PassJoin segment blocking (pigeonhole: a <= d partner shares
@@ -1169,12 +1196,9 @@ object SparkEntry {
       // own keys are uniform, so skew is planted the d12-soak way);
       // the oracle is the naive GROUP BY + HAVING cnt*64 > n plan,
       // which the sketch-then-verify result matches bit-for-bit.
-      "q76_heavy_hitters" -> ((s, dir) => {
-        val key = when(col("user_id") % 10 < 7,
-          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
-          .otherwise(concat(lit("u"), col("user_id").cast("string")))
-        HeavyHitters.frequentItems(Tables.events(s, dir), key, 64, "k")
-      }),
+      "q76_heavy_hitters" -> ((s, dir) =>
+        HeavyHitters.frequentItems(Tables.events(s, dir),
+          plantedSkewKey, 64, "k")),
 
       // Partition pruning on a hive-partitioned staging: the scan must
       // show `PartitionFilters: [event_type IN (...)]` and touch 2 of
@@ -2513,7 +2537,21 @@ object SparkEntry {
       // keys are evicted and RE-EMITTED on recurrence — both paths of
       // the horizon rule are exercised and hash-gated.
       "s7_stream_dedup_watermark" -> ((s, dir) =>
-        streamResult(s, dir, "s7_stream_dedup_watermark"))
+        streamResult(s, dir, "s7_stream_dedup_watermark")),
+
+      // Streaming heavy hitters: the q76 Misra–Gries sketch maintained
+      // incrementally in mapGroupsWithState (state = 8 hash groups ×
+      // ≤ 2k counters — NEVER the key space), candidates exact-
+      // rechecked against cold storage at finalization. The output is
+      // exact and deterministic even though in-flight candidate sets
+      // vary with arrival order: candidates ⊇ the true heavy hitters
+      // in every run (per-group undercount ≤ n_g/(k+1); a key lives in
+      // exactly one hash group), and the integer threshold prunes them
+      // to the same set the batch q76 plan — and the same oracle —
+      // produce. StreamingMergeSpec gates the sketch across 1×/8×
+      // shuffle parallelism against the batch twin.
+      "s8_stream_heavy_hitters" -> ((s, dir) =>
+        streamResult(s, dir, "s8_stream_heavy_hitters"))
     )
   }
 
@@ -3278,6 +3316,22 @@ object SparkEntry {
         |em AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1
         |       UNION ALL SELECT * FROM e2)
         |SELECT k, epoch_us(ts) AS ts_us FROM em""".stripMargin,
+
+    // s8: same naive full-shuffle plan as q76 — the streaming sketch +
+    // batch exact-recheck must reproduce it exactly (the MG candidate
+    // union is a superset of the HAVING set in every run; the final
+    // threshold is integer arithmetic on both sides).
+    "s8_stream_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 10 < 7
+        |              THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events),
+        |nn AS (SELECT k FROM keyed WHERE k IS NOT NULL),
+        |c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM nn GROUP BY 1)
+        |SELECT k, cnt FROM c
+        |WHERE cnt * 64 > (SELECT COUNT(*) FROM nn)""".stripMargin,
 
     "t12_vocab" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

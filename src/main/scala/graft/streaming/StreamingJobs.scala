@@ -163,6 +163,84 @@ object StreamingJobs {
     src.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** One streaming Misra–Gries summary update: the sketch group's
+    * partition id, its non-null-keyed row count so far, and its
+    * current ≤ 2k candidate keys (sorted — the array is state, not
+    * output, but deterministic encoding keeps sink tables stable for
+    * same-order replays). */
+  final case class HHUpdate(pgrp: Int, n: Long, keys: Array[String])
+
+  /** Streaming heavy-hitter SKETCH: the q76 Misra–Gries summary
+    * maintained incrementally inside `mapGroupsWithState` — the
+    * streaming half of the two-pass exact-frequent-items contract
+    * ([[graft.operators.HeavyHitters.frequentItems]]).
+    *
+    * Keys are spread over `nGroups` hash groups; each group's state is
+    * one bounded [[graft.operators.HeavyHitters.MGSummary]] (≤ 2k
+    * counters + the group's row count), folded forward every
+    * micro-batch with the SAME reduce the batch Aggregator uses. A key
+    * lives in exactly one hash group, so its undercount is bounded by
+    * that group's n_g/(k+1) ≤ n/(k+1) — the merged candidate union
+    * therefore contains every key with global count > n/k, the same
+    * guarantee the batch sketch gives, regardless of batch boundaries
+    * or arrival order (Agarwal et al.'s mergeable-summaries analysis
+    * covers arbitrary merge trees, and a stream is just a deep one).
+    *
+    * Each update emits the group's CURRENT (n, candidates); the
+    * finalization (take each group's last update, union candidates,
+    * exact-recheck against cold storage with the integer threshold
+    * cnt·k > Σn) runs as a batch step — see the s8 entry. The exact
+    * recheck makes the final output deterministic even though the
+    * in-flight candidate sets vary with arrival order: candidates are
+    * a superset of the true heavy hitters in every run, and the exact
+    * threshold prunes them to the same set.
+    *
+    * 100-TB design: state is nGroups × ≤ 2k counters TOTAL — the
+    * stream shuffles rows to nGroups state partitions but the STATE
+    * STORE never grows with key cardinality (contrast a streaming
+    * groupBy(key).count(), whose state is the key space). nGroups
+    * spreads the per-row state-update cost; k bounds memory.
+    */
+  def streamingHeavyHitterSketch(keys: Dataset[String], k: Int,
+                                 nGroups: Int): Dataset[HHUpdate] = {
+    import keys.sparkSession.implicits._
+    val agg = new graft.operators.HeavyHitters.MisraGriesAgg(k)
+    keys
+      .groupByKey(s => math.floorMod(s.##, nGroups))
+      .mapGroupsWithState[graft.operators.HeavyHitters.MGSummary, HHUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (pgrp: Int, rows: Iterator[String],
+         state: GroupState[graft.operators.HeavyHitters.MGSummary]) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(agg.zero))(agg.reduce)
+          state.update(next)
+          HHUpdate(pgrp, next.n, next.counts.keysIterator.toArray.sorted)
+      }
+  }
+
+  /** Finalize a [[streamingHeavyHitterSketch]] run: `updates` is the
+    * update-mode sink table (every emitted [[HHUpdate]]), `keyed` the
+    * batch view of the SAME rows the stream consumed (one string
+    * column `k`, nulls already excluded). Takes each group's last
+    * update (n strictly increases per update, so max-n is unique),
+    * unions the candidates, and exact-rechecks with the integer
+    * threshold cnt·k > Σn — output (k, cnt) is exactly the batch
+    * [[graft.operators.HeavyHitters.frequentItems]] / naive
+    * GROUP BY + HAVING set. */
+  def finalizeHeavyHitters(updates: DataFrame, keyed: DataFrame,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pgrp")).orderBy(col("n").desc)
+    val fin = updates.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val tot = fin.agg(sum(col("n")).as("_n"))
+    val cand = fin.select(explode(col("keys")).as("k")).distinct()
+    keyed.join(cand, "k")
+      .groupBy("k").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * k > col("_n"))
+      .select(col("k"), col("cnt"))
+  }
+
   def lastWriteWins(input: Dataset[Keyed]): Dataset[Keyed] = {
     import input.sparkSession.implicits._
     input.groupByKey(_.id)

@@ -252,4 +252,51 @@ class StreamingSpec extends SparkSpec {
       .map(k => (k.id, k.version, k.payload)).toSet
     assert(rows == Set((1L, 10L, "a"), (2L, 5L, "b"), (2L, 6L, "newer"), (3L, 1L, "new")))
   }
+
+  test("streaming MG sketch + exact recheck == batch twin at 1x and 8x parallelism") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // Planted counts around the strict threshold cnt·16 > n (n = 6000,
+    // cutoff 375): 3 hot keys at 1200, "just" at 376 (in), "edge" at
+    // exactly 375 (OUT — strict), 1649 cold rows churning 400 keys
+    // through the 16 counters.
+    val keys: Seq[String] =
+      (0 until 1200).flatMap(_ => Seq("hot_0", "hot_1", "hot_2")) ++
+        Seq.fill(376)("just") ++ Seq.fill(375)("edge") ++
+        (0 until 1649).map(i => s"cold_${i % 400}")
+    val df = keys.zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val dir = Files.createTempDirectory("hh_stream").toString
+    // 5 part files -> 5 micro-batches with maxFilesPerTrigger=1; batch
+    // MEMBERSHIP and ORDER are arbitrary here on purpose: the final
+    // exact output must not depend on them
+    df.select($"k").repartition(5).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val batchTwin = graft.operators.HeavyHitters
+      .frequentItems(df, $"k", 16, "k")
+      .as[(String, Long)].collect().toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val results = Seq("1", "8").map { par =>
+        spark.conf.set("spark.sql.shuffle.partitions", par)
+        val ck = Files.createTempDirectory(s"hh_ck_$par").toString
+        val sink = s"hh_out_$par"
+        val updates = StreamingJobs.streamingHeavyHitterSketch(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir)
+            .select($"k").as[String],
+          k = 16, nGroups = 4)
+        val q = updates.writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ck).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        StreamingJobs.finalizeHeavyHitters(
+          spark.table(sink), df.select($"k"), 16)
+          .as[(String, Long)].collect().toSet
+      }
+      assert(results(0) == batchTwin && results(1) == batchTwin,
+        s"stream=$results batch=$batchTwin")
+      assert(batchTwin.map(_._1) ==
+        Set("hot_0", "hot_1", "hot_2", "just"))
+      assert(batchTwin.contains(("just", 376L)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
