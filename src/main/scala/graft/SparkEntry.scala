@@ -1153,6 +1153,36 @@ object SparkEntry {
         HeavyHitters.frequentItemsByGroup(Tables.events(s, dir),
           col("event_type"), plantedSkewKey, 64, "grp", "k")),
 
+      // Multi-field entity resolution: per-field blocking (PassJoin
+      // segments for the fuzzy name/city fields, a hash join on the
+      // value for the exact code field), union of candidate sets,
+      // weighted per-field score verify — the corpus-scale form of
+      // the reference merge's exact-id identity. Fields derive from
+      // documents with planted mutations (doc_id%13 rewrites the
+      // name's first char; doc_id%19 appends to the city), so pairs
+      // qualify through every combination: exact name alone (0.5),
+      // code+city without the name (0.3+0.2), fuzzy name+code
+      // (0.333+0.3). Oracle is the naive all-pairs scored join — the
+      // same fixed-order double expression, so scores match
+      // bit-for-bit.
+      "q80_entity_resolution" -> ((s, dir) => {
+        val baseName = lower(substring(col("text"), 1, 20))
+        val baseCity = substring(lower(col("text")), 30, 12)
+        val recs = Tables.documents(s, dir).select(
+          col("doc_id").as("id"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit("z"), substring(baseName, 2, 19)))
+            .otherwise(baseName).as("name"),
+          concat(lit("c"), (col("doc_id") % 50).cast("string")).as("code"),
+          when(col("doc_id") % 19 === 0, concat(baseCity, lit("q")))
+            .otherwise(baseCity).as("city"))
+        EntityResolution.entityPairs(recs, "id",
+          Seq(EntityResolution.ErField("name", 2, 0.5),
+            EntityResolution.ErField("code", 0, 0.3),
+            EntityResolution.ErField("city", 1, 0.2)),
+          minScore = 0.4)
+      }),
+
       // Edit-distance fuzzy self-match WITHOUT the all-pairs compare:
       // PassJoin segment blocking (pigeonhole: a <= d partner shares
       // an untouched segment at a +-d shifted position) generates a
@@ -3134,6 +3164,37 @@ object SparkEntry {
         |t AS (SELECT grp, SUM(cnt) AS n FROM c GROUP BY 1)
         |SELECT c.grp, c.k, c.cnt FROM c JOIN t USING (grp)
         |WHERE c.cnt * 64 > t.n""".stripMargin,
+
+    // Naive all-pairs weighted-score join — the per-field-blocked
+    // Spark plan must reproduce it exactly (the candidate union is
+    // complete for score > 0; both engines evaluate the SAME
+    // fixed-order double expression from integer distances, so the
+    // score column matches bit-for-bit).
+    "q80_entity_resolution" ->
+      """WITH r AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN 'z' || substr(lower(substr(text, 1, 20)), 2)
+        |         ELSE lower(substr(text, 1, 20)) END AS name,
+        |    'c' || CAST(doc_id % 50 AS VARCHAR) AS code,
+        |    CASE WHEN doc_id % 19 = 0
+        |         THEN substr(lower(text), 30, 12) || 'q'
+        |         ELSE substr(lower(text), 30, 12) END AS city
+        |  FROM documents),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        levenshtein(a.name, b.name) AS dn,
+        |        CASE WHEN a.code IS NOT NULL AND a.code = b.code
+        |             THEN 1 ELSE 0 END AS mc,
+        |        levenshtein(a.city, b.city) AS dc
+        |      FROM r a JOIN r b ON a.id < b.id),
+        |s AS (SELECT id_a, id_b,
+        |        (CASE WHEN dn <= 2 THEN 0.5 * (1 - CAST(dn AS DOUBLE) / 3.0)
+        |              ELSE 0.0 END)
+        |      + (CASE WHEN mc = 1 THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN dc <= 1 THEN 0.2 * (1 - CAST(dc AS DOUBLE) / 2.0)
+        |              ELSE 0.0 END) AS score
+        |      FROM p)
+        |SELECT id_a, id_b, score FROM s WHERE score >= 0.4""".stripMargin,
 
     // Naive all-pairs levenshtein — the segment-blocked Spark plan
     // must reproduce it exactly (blocking only prunes pairs that

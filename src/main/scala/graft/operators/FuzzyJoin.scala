@@ -39,12 +39,18 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Exact pairs (id_a, id_b, dist) with levenshtein(s_a, s_b) ≤
-    * maxDist and id_a < id_b, over `strCol` of `df`. */
-  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 4, "supported maxDist: 1..4")
-    val d = maxDist
+  /** PassJoin segment-blocked candidate join over `df`'s (idCol,
+    * strCol): one row per candidate OCCURRENCE (not yet deduped) with
+    * columns (iid, pid, _sa, _sb, _la, _lb), keeping only the
+    * orientation where the indexed side is shorter (or smaller-id at
+    * equal length) — the pigeonhole guarantee holds in both
+    * orientations, so this halves occurrences without losing a pair.
+    * Complete for levenshtein ≤ d: every qualifying pair appears at
+    * least once. Shared by [[editDistancePairs]] (verify pipelined
+    * in-join) and [[EntityResolution]] (per-field candidate sets). */
+  private[operators] def segmentJoin(df: DataFrame, idCol: String,
+                                     strCol: String, d: Int): DataFrame = {
+    require(d >= 1 && d <= 4, "supported maxDist: 1..4")
     val nSeg = d + 1
     val recs = df.select(col(idCol).as("id"), col(strCol).as("s"),
       length(col(strCol)).as("len"))
@@ -107,29 +113,45 @@ object FuzzyJoin {
         col("len").as("_lb"), ilen.cast("int").as("ilen"),
         col("seg_idx"), col("s").substr(pStart, pLen).as("seg"))
 
-    // Candidate join with the verify PIPELINED into the join stage:
-    // the pigeonhole guarantee holds in both orientations, so keeping
-    // only (shorter-indexed, or id-ordered at equal length) halves
-    // the candidate occurrences without losing a pair; levenshtein
-    // (unit-cost in both this engine and the DuckDB oracle) filters
-    // before anything shuffles, and one partial-aggregable groupBy
-    // collapses the per-segment duplicate occurrences of each
-    // surviving pair (dist is pair-constant, min() is just the
-    // deterministic pick).
     indexSide
       .join(probeSide, Seq("ilen", "seg_idx", "seg"))
       .filter(col("_la") < col("_lb") ||
         (col("_la") === col("_lb") && col("iid") < col("pid")))
+  }
+
+  /** Exact pairs (id_a, id_b, dist) with levenshtein(s_a, s_b) ≤
+    * maxDist and id_a < id_b, over `strCol` of `df`. The verify is
+    * PIPELINED into the candidate join stage: levenshtein (unit-cost
+    * in both this engine and the DuckDB oracle) filters before
+    * anything shuffles, and one partial-aggregable groupBy collapses
+    * the per-segment duplicate occurrences of each surviving pair
+    * (dist is pair-constant, min() is just the deterministic pick). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame =
+    segmentJoin(df, idCol, strCol, maxDist)
       // 3-arg bounded levenshtein: the DP early-exits once the band
       // exceeds d (O(d·|s|) per candidate, not O(|s|²)) and returns -1
       // over threshold — so the keep-filter is dist >= 0, and [0, d]
       // distances are bit-identical to the unbounded form the oracle
       // computes. Immaterial at 24-char gate strings; the win is real
       // on long-string corpora (FuzzyJoinSpec's 2k-char case).
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), d).cast("int"))
+      .withColumn("dist",
+        levenshtein(col("_sa"), col("_sb"), maxDist).cast("int"))
       .filter(col("dist") >= 0)
       .select(least(col("iid"), col("pid")).as("id_a"),
         greatest(col("iid"), col("pid")).as("id_b"), col("dist"))
       .groupBy("id_a", "id_b").agg(min(col("dist")).cast("int").as("dist"))
-  }
+
+  /** Deduped candidate PAIRS (id_a < id_b) whose `strCol` values MAY
+    * be within edit distance d — the blocking half of
+    * [[editDistancePairs]] without the verify, for callers (entity
+    * resolution) that verify a multi-field score instead. Complete:
+    * contains every pair with levenshtein ≤ d; Catalyst prunes the
+    * ridden-along strings before the distinct's shuffle. */
+  def candidatePairs(df: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int): DataFrame =
+    segmentJoin(df, idCol, strCol, maxDist)
+      .select(least(col("iid"), col("pid")).as("id_a"),
+        greatest(col("iid"), col("pid")).as("id_b"))
+      .distinct()
 }
