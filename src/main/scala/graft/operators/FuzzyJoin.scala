@@ -48,8 +48,8 @@ object FuzzyJoin {
     * Complete for levenshtein ≤ d: every qualifying pair appears at
     * least once. Shared by [[editDistancePairs]] (verify pipelined
     * in-join) and [[EntityResolution]] (per-field candidate sets). */
-  private[operators] def segmentJoin(df: DataFrame, idCol: String,
-                                     strCol: String, d: Int): DataFrame = {
+  private[graft] def segmentJoin(df: DataFrame, idCol: String,
+                                 strCol: String, d: Int): DataFrame = {
     require(d >= 1 && d <= 4, "supported maxDist: 1..4")
     val nSeg = d + 1
     val recs = df.select(col(idCol).as("id"), col(strCol).as("s"),

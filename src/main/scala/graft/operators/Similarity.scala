@@ -154,10 +154,16 @@ object Similarity {
   }
 
   /** Query a [[buildIvfIndex]] layout: pick each query's `nProbe`
-    * nearest centroids, then scan ONLY those centroid partitions (the
-    * probe set is collected — it is ≤ queries × nProbe ids — and pushed
-    * as an IN filter, which parquet partition pruning turns into a
-    * directory-level skip). Same ranking semantics as [[ivfTopK]]. */
+    * nearest centroids, then scan ONLY those centroid partitions.
+    * The skip is DYNAMIC PARTITION PRUNING, not a collected filter
+    * (r7 verdict item 6): the probe side of the list join is
+    * broadcast, and Catalyst turns the reused broadcast into a
+    * runtime `dynamicpruning` filter on the scan's `centroid_id`
+    * partition column — the same directory-level skip the old
+    * collect-and-isin push produced, but fully lazy and driver-free,
+    * so the plan also holds when the query side is itself a large
+    * frame. AnnSkewSpec asserts the pruning subquery is present in
+    * the executed plan. Same ranking semantics as [[ivfTopK]]. */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     centroids: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
@@ -168,17 +174,13 @@ object Similarity {
             cosineNative(col("qv"), col("centroid_vec")).as("csim")),
         Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
-    val probedIds = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0))
     val lists = spark.read.parquet(path)
-      .filter(col("centroid_id").isin(probedIds.toIndexedSeq: _*))
-    val scored = probes.join(lists, "centroid_id")
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineNative(col("qv"), col("cv")).as("sim"))
     TopK.perGroup(scored.distinct(), Seq("query_id"),
         Seq(col("sim").desc, col("neighbor_id").asc), k)
-      
   }
 
   /** One Lloyd (k-means) iteration over the IVF centroids: assign every

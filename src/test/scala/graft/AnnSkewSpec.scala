@@ -81,7 +81,15 @@ class AnnSkewSpec extends SparkSpec {
     val inline = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
       k = 5, nCentroids = 16, nProbe = 4)
     assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty)
-    // the probe scan must prune at the partition level, not post-filter
+    // The scan must prune partitions DYNAMICALLY from the broadcast
+    // probe side (r7 verdict item 6) — no collected isin, no full scan:
+    // the executed plan's FileScan carries a dynamicpruning partition
+    // filter on centroid_id.
+    val servedPlan = served.queryExecution.executedPlan.toString
+    assert(servedPlan.toLowerCase.contains("dynamicpruning"),
+      s"probe-side dynamic partition pruning did not fire:\n$servedPlan")
+    // and a static isin probe still prunes at the partition level (the
+    // layout contract buildIvfIndex promises)
     val probedIds = cent.limit(4).collect().map(_.getLong(0)) // any subset
     val prunedScan = spark.read.parquet(path)
       .filter($"centroid_id".isin(probedIds.toIndexedSeq: _*))
