@@ -101,11 +101,57 @@ object ApssSoak {
     require(found == nPlant,
       s"planted near-dup recall hole: $found of $nPlant found")
 
+    // 4. Incremental invariant (d18): index-probe pairs against a new
+    // batch == full-corpus pairs over corpus ∪ batch restricted to
+    // (corpus, batch) — checked on the slice, where the full run is
+    // cheap and section 1 already proved the full run itself naive-
+    // exact. Batch = near-dup clones of every 3rd slice doc (kept
+    // pairs guaranteed) at collision-free ids.
+    val incBatch = slice.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"),
+        concat(col("text"), lit(" zzzinc")).as("text"))
+    val incPairs = Apss.incrementalPairs(
+        Apss.buildIndex(slice, "doc_id", "text", 9, 10),
+        incBatch, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fullRestricted = Apss.cosinePairs(slice.unionByName(incBatch),
+        "doc_id", "text", 9, 10)
+      .filter((col("doc_a") >= 40000000L) =!= (col("doc_b") >= 40000000L))
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a < 40000000L) (a, b, r.getLong(2)) else (b, a, r.getLong(2))
+      }.toSet
+    require(incPairs == fullRestricted,
+      s"incremental invariant broken: inc=${incPairs.size} " +
+        s"full=${fullRestricted.size} " +
+        s"missing=${(fullRestricted -- incPairs).take(3)} " +
+        s"extra=${(incPairs -- fullRestricted).take(3)}")
+    require(incPairs.nonEmpty, "incremental slice fixture found no pairs")
+
+    // 5. Incremental at full scale: probe the 50k-doc corpus index
+    // with 500 planted near-dup clones — recall must be total, and
+    // the probe should cost a small fraction of a full-corpus run.
+    val bigBatch = base.filter(col("doc_id") < nPlant)
+      .select((col("doc_id") + 40000000L).as("doc_id"),
+        concat(col("text"), lit(" zzzinc")).as("text"))
+    val bigIndex = Apss.buildIndex(docs, "doc_id", "text", 9, 10)
+      .persist()
+    bigIndex.count() // index build paid once, as a persisted corpus epoch
+    val (incFound, tInc) = time {
+      Apss.incrementalPairs(bigIndex, bigBatch, "doc_id", "text", 9, 10)
+        .filter(col("doc_b") === col("doc_a") + 40000000L)
+        .count()
+    }
+    require(incFound == nPlant,
+      s"incremental planted recall hole: $incFound of $nPlant found")
+    bigIndex.unpersist()
+
     println(s"""{"docs":${nDocs + nPlant},"vocab":$vocab,""" +
       s""""naive_join_rows":$naiveRows,"cand_join_rows":$candRows,""" +
       s""""prune_ratio":${candRows.toDouble / naiveRows},""" +
       s""""pairs":${pairs1.size},"planted_found":$found,""" +
-      s""""sec":{"run1":$t1,"run2":$t2}}""")
+      s""""inc_slice_pairs":${incPairs.size},"inc_planted_found":$incFound,""" +
+      s""""sec":{"run1":$t1,"run2":$t2,"inc_probe":$tInc}}""")
     spark.stop()
   }
 }

@@ -1414,6 +1414,29 @@ object SparkEntry {
             .filter(col("doc_id") % 3 === 0 && col("doc_id") < 2500),
           "doc_id", "text", 9, 10)),
 
+      // Incremental APSS (the d13 ingest shape for d17): a persisted
+      // open-world index over the corpus — flagged by the
+      // partner-independent ℓ²-prefix bound ONLY, because the Bayardo
+      // Σw·maxw bound is relative to corpus weights and a future
+      // batch doc can exceed them — probed by a new batch's postings.
+      // The corpus is never re-tokenized. Gate plants guaranteed
+      // cross pairs the d13 way: the batch carries near-dup clones
+      // (text + ' v2') of every corpus doc with doc_id % 4 = 0, so
+      // the oracle's naive corpus × batch join is non-empty at every
+      // SF. Same bounded slice + integer-exact verify as d17.
+      "d18_incremental_apss" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") < 2500)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(corpus.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" v2")).as("text")))
+        val index = Apss.buildIndex(corpus, "doc_id", "text", 9, 10)
+        Apss.incrementalPairs(index, batch, "doc_id", "text", 9, 10)
+      }),
+
       "d13_incremental_ingest" -> ((s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val base = docs.filter(col("doc_id") % 2 === 0)
@@ -3455,6 +3478,35 @@ object SparkEntry {
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, dot, x.n2 AS na, y.n2 AS nb
          |FROM dp JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
+         |WHERE CAST(100 AS HUGEINT) * dot * dot
+         |      >= CAST(81 AS HUGEINT) * x.n2 * y.n2""".stripMargin,
+
+    // Naive corpus × batch join over the same planted ingest fixture
+    // — the index-probe plan must reproduce it exactly (the
+    // open-world prefix filter only prunes candidates that provably
+    // cannot reach τ against ANY partner).
+    "d18_incremental_apss" ->
+      s"""WITH sl AS (SELECT doc_id, text FROM documents
+         |            WHERE doc_id % 3 = 0 AND doc_id < 2500),
+         |corpus AS (SELECT doc_id, text FROM sl WHERE doc_id % 2 = 0),
+         |batch AS (SELECT doc_id, text FROM sl WHERE doc_id % 2 = 1
+         |          UNION ALL
+         |          SELECT doc_id + 1000000, text || ' v2'
+         |          FROM corpus WHERE doc_id % 4 = 0),
+         |tfa AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, unnest($toksSql) AS tok FROM corpus)
+         |        GROUP BY 1, 2),
+         |tfb AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, unnest($toksSql) AS tok FROM batch)
+         |        GROUP BY 1, 2),
+         |nra AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tfa GROUP BY 1),
+         |nrb AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tfb GROUP BY 1),
+         |dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         |       FROM tfa a JOIN tfb b ON a.term = b.term
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot, x.n2 AS na, y.n2 AS nb
+         |FROM dp JOIN nra x ON doc_a = x.doc_id JOIN nrb y ON doc_b = y.doc_id
          |WHERE CAST(100 AS HUGEINT) * dot * dot
          |      >= CAST(81 AS HUGEINT) * x.n2 * y.n2""".stripMargin,
     "d13_incremental_ingest" ->

@@ -102,6 +102,124 @@ object Apss {
         least(col("cum"), col("pnorm")) >= lit(tau - Margin))
   }
 
+  /** Reusable open-world APSS index over a corpus, for incremental
+    * batch-vs-corpus probing ([[incrementalPairs]], the d13 ingest
+    * shape). Columns: (id, term, tf, n2, w, pnorm, indexed).
+    *
+    * The indexing decision here uses ONLY the ℓ²-prefix bound
+    * (`pnorm ≥ τ`), NOT the Bayardo `Σ w·maxw` bound that
+    * [[flaggedPostings]] also exploits: `maxw` is the max unit weight
+    * seen IN THIS CORPUS, so a bound built from it is valid only
+    * against partners drawn from the same corpus — a future batch
+    * document may weight a term above the corpus max, and a
+    * cum-justified skip would then silently drop a true pair. The ℓ²
+    * bound is partner-independent (dot over the prefix ≤ ‖prefix‖₂
+    * by Cauchy–Schwarz, any partner being unit-norm), so an index
+    * flagged by it stays sound against ARBITRARY future batches.
+    * pnorm-only indexing starts indexing no later than the
+    * least(cum, pnorm) rule, so this index is a superset of the
+    * closed-world one — the cost of open-world safety is candidates,
+    * never recall. Term order stays (df desc, term): the corpus's
+    * frequent terms are the first skipped, which is what keeps the
+    * candidate join off the head postings lists.
+    *
+    * 100-TB design: built once per corpus epoch (every stage a hash
+    * join / partial-agg, as [[cosinePairs]]), persisted columnar, and
+    * reused across ingest batches — per-batch work is then bounded by
+    * the batch's postings joined against the pruned index, not by a
+    * corpus re-index.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+                 tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val tau = tauNum.toDouble / tauDen
+    val tf = termFreqs(corpus, idCol, textCol)
+    val n2 = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val wtf = tf.join(n2, "id")
+      .withColumn("w", col("tf").cast("double") / sqrt(col("n2").cast("double")))
+    val df = wtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val order = Window.partitionBy("id")
+      .orderBy(col("df").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtf.join(df, "term")
+      .withColumn("pnorm", sqrt(sum(col("w") * col("w")).over(order)))
+      .withColumn("indexed", col("pnorm") >= lit(tau - Margin))
+      .select("id", "term", "tf", "n2", "w", "pnorm", "indexed")
+  }
+
+  /** Incremental APSS: exact cosine pairs (corpus doc, batch doc)
+    * with cos ≥ tauNum/tauDen, probing a persisted [[buildIndex]]
+    * frame with a NEW batch — the corpus is never re-tokenized or
+    * re-indexed. Output: (doc_a, doc_b, dot, na, nb) with doc_a from
+    * the corpus and doc_b from the batch, integer-exact as
+    * [[cosinePairs]]. Batch-internal pairs are [[cosinePairs]] on the
+    * batch alone; `index` must have been built with the SAME τ (a
+    * looser-τ index is also sound — more indexed terms, never fewer).
+    *
+    * Completeness: a qualifying pair must share an indexed term of
+    * the CORPUS side — the corpus doc's unindexed prefix has
+    * ‖prefix‖₂ < τ (the [[buildIndex]] flag), which bounds any
+    * unit-norm partner's dot with it below τ. So joining batch
+    * postings (unpruned — the batch side needs no prefix argument)
+    * against the pruned index loses nothing. The candidate prune uses
+    * only the partner-independent Cauchy–Schwarz residual
+    * `prefnorm·√(1−sb)` — the corpus-relative Bayardo bound is
+    * deliberately absent (see [[buildIndex]]).
+    */
+  def incrementalPairs(index: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val tau = tauNum.toDouble / tauDen
+
+    val btf = termFreqs(batch, idCol, textCol)
+    val bn2 = btf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val probe = btf.join(bn2, "id")
+      .withColumn("pw", col("tf").cast("double") / sqrt(col("n2").cast("double")))
+      .select(col("id").as("pid"), col("term"), col("pw"),
+        col("tf").as("ptf"))
+
+    val idx = index.filter(col("indexed"))
+      .select(col("id"), col("term"), col("w"), col("tf"))
+    val prefix = index.filter(!col("indexed"))
+    val prefixUb = prefix.groupBy("id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("prefnorm"))
+
+    val candidates = idx.join(probe, "term")
+      .groupBy(col("id").as("doc_a"), col("pid").as("doc_b"))
+      .agg(sum(col("w") * col("pw")).as("shared_mass"),
+        sum(col("tf") * col("ptf")).as("sdot"),
+        sum(col("pw") * col("pw")).as("sb"))
+      .join(prefixUb.withColumnRenamed("id", "doc_a"), Seq("doc_a"), "left")
+      .filter(col("shared_mass") +
+        coalesce(col("prefnorm"), lit(0.0)) *
+          sqrt(greatest(lit(0.0), lit(1.0) - col("sb"))) >=
+        lit(tau - Margin))
+      .select(col("doc_a"), col("doc_b"), col("sdot"))
+
+    // Completion over the corpus side's unindexed prefix ∩ batch
+    // terms — candidate-bounded fan-out, no corpus re-tokenization.
+    val prefA = prefix.select(col("id").as("doc_a"), col("term"),
+      col("tf").as("tfa"))
+    val tb = btf.select(col("id").as("doc_b"), col("term"),
+      col("tf").as("tfb"))
+    val rdots = candidates.join(prefA, Seq("doc_a"))
+      .join(tb, Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("tfa") * col("tfb")).as("rdot"))
+    val dots = candidates.join(rdots, Seq("doc_a", "doc_b"), "left")
+      .withColumn("dot", col("sdot") + coalesce(col("rdot"), lit(0L)))
+
+    val na = index.groupBy("id").agg(max(col("n2")).as("na"))
+      .withColumnRenamed("id", "doc_a")
+    val nb = bn2.select(col("id").as("doc_b"), col("n2").as("nb"))
+    // Same decimal(38,0) exact threshold as cosinePairs.
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    dots.join(na, "doc_a").join(nb, "doc_b")
+      .filter(d38(lit(tauDen.toLong * tauDen)) * d38(col("dot")) * d38(col("dot")) >=
+        d38(lit(tauNum.toLong * tauNum)) * d38(col("na")) * d38(col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("na"), col("nb"))
+  }
+
   /** Exact cosine-similar pairs with cos ≥ tauNum/tauDen over
     * whitespace-family tokens of `textCol`. Output:
     * (doc_a, doc_b, dot, na, nb) — all integer-exact, doc_a < doc_b.

@@ -88,4 +88,69 @@ class ApssSpec extends SparkSpec {
     assert(fast === brute)
     assert(brute.nonEmpty) // fixture actually exercises the threshold
   }
+
+  // Same deterministic 40-doc corpus as the brute-force test, split
+  // by parity into a persisted-index corpus and a probing batch.
+  private def wideDocs = {
+    val vocab = Array("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7")
+    (0 until 40).map { i =>
+      val words = (0 until 12).map(j => vocab((i * 7 + j * j) % 8))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("incremental: index probe equals full-corpus pairs restricted to cross pairs") {
+    // The raw fixture's near-identical docs repeat with period 8
+    // (same parity), so cross-parity pairs are planted: odd-id
+    // near-dup clones of the even docs (12-token docs, so appending
+    // one token keeps cos ≥ √(12/13) ≈ 0.96).
+    val corpus = wideDocs.filter(col("doc_id") % 2 === 0)
+    val clones = corpus.select((col("doc_id") + 101L).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    val batch = wideDocs.filter(col("doc_id") % 2 === 1).unionByName(clones)
+    val index = Apss.buildIndex(corpus, "doc_id", "text", 9, 10)
+    val inc = Apss.incrementalPairs(index, batch, "doc_id", "text", 9, 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (a, b, dot, na, nb) =>
+        if (a < b) (a, b, dot, na, nb) else (b, a, dot, nb, na)
+      }.toSet
+    val cross = Apss.cosinePairs(wideDocs.unionByName(clones),
+        "doc_id", "text", 9, 10)
+      .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(inc === cross)
+    assert(cross.nonEmpty) // fixture actually crosses the split
+  }
+
+  test("open-world index keeps a pair the corpus-relative Bayardo bound would drop") {
+    // Corpus doc 1 = x⁹y⁴: ‖x-prefix‖² = 81/97 ≈ 0.835, so the
+    // closed-world flag (least(cum, pnorm) with cum = Σw·maxw ≈
+    // 0.835 < 0.9) SKIPS x, while the open-world ℓ² flag (pnorm =
+    // √0.835 ≈ 0.914 ≥ 0.9) indexes it. Batch doc 10 = "x" puts ALL
+    // its mass on x — cos(1,10) = 9/√97 ≈ 0.914 ≥ 0.9 is a true pair
+    // reachable ONLY through x, so a cum-flagged index would lose it.
+    val corpus = Seq(
+      (1L, Array.fill(9)("x").mkString(" ") + " y y y y"),
+      (2L, "x q q q q"), // second x carrier: df(x)=2 orders x first
+      (3L, "p p p")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, "x")).toDF("doc_id", "text")
+
+    // The scenario is real: the closed-world flag on this corpus
+    // does NOT index x for doc 1, the open-world flag does.
+    val closed = Apss.flaggedPostings(corpus, "doc_id", "text", 9, 10)
+      .filter(col("id") === 1 && col("term") === "x")
+      .select("indexed").as[Boolean].head()
+    assert(!closed)
+    val index = Apss.buildIndex(corpus, "doc_id", "text", 9, 10)
+    val open = index.filter(col("id") === 1 && col("term") === "x")
+      .select("indexed").as[Boolean].head()
+    assert(open)
+
+    val inc = Apss.incrementalPairs(index, batch, "doc_id", "text", 9, 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // dot = 9, na = 97, nb = 1: 100·81 = 8100 ≥ 81·97 = 7857 ✓;
+    // doc 2 vs batch has cos = 1/√5 < 0.9, doc 3 shares nothing.
+    assert(inc === Set((1L, 10L, 9L, 97L, 1L)))
+  }
 }
