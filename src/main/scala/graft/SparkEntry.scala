@@ -1218,6 +1218,30 @@ object SparkEntry {
         SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"))
       }),
 
+      // q77 with the partition short-circuit: per-partition rollup
+      // signatures (count + order-independent digest sums) eliminate
+      // unchanged partitions BEFORE the row-level classification
+      // join. Mutations are confined to partitions {3, 7, 11} of 16,
+      // so 13 of 16 partitions skip even the narrow digest join —
+      // the daily-snapshot regime where a 100-TB diff touches only
+      // the dates that moved. Output is identical to a full diff
+      // (SnapshotDiffSpec proves the identity; the oracle here is
+      // the same naive full-outer value compare as q77's).
+      "q81_snapshot_diff_partitioned" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 16).as("p"), col("text"))
+        val oldSnap = docs
+          .filter(!(col("p") === 7 && col("doc_id") % 3 === 0))
+        val newSnap = docs
+          .filter(!(col("p") === 3 && col("doc_id") % 5 === 0))
+          .withColumn("text",
+            when(col("p") === 11 && col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        SnapshotDiff.diffPartitioned(oldSnap, newSnap,
+          Seq("doc_id"), Seq("p"))
+      }),
+
       // Exact heavy hitters via bounded Misra-Gries summary + exact
       // recheck — NO full key-space shuffle (pass 1 shuffles only
       // k-counter buffers, pass 2 only candidate-key rows). The gate
@@ -3250,6 +3274,27 @@ object SparkEntry {
         |                  WHEN o.text IS DISTINCT FROM n.text THEN 'update' END AS op
         |      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
         |SELECT doc_id, CASE WHEN op = 'delete' THEN ot ELSE nt END AS text, op
+        |FROM j WHERE op IS NOT NULL""".stripMargin,
+
+    // Same naive value-compare oracle as q77 — the partition
+    // short-circuit is a physical pruning whose exactness the oracle
+    // verifies (one oracle, two execution paths, the d13/d14
+    // discipline).
+    "q81_snapshot_diff_partitioned" ->
+      """WITH docs AS (SELECT doc_id, doc_id % 16 AS p, text FROM documents),
+        |old AS (SELECT * FROM docs WHERE NOT (p = 7 AND doc_id % 3 = 0)),
+        |new AS (SELECT doc_id, p,
+        |          CASE WHEN p = 11 AND doc_id % 3 = 0 THEN text || ' v2'
+        |               ELSE text END AS text
+        |        FROM docs WHERE NOT (p = 3 AND doc_id % 5 = 0)),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |             COALESCE(o.p, n.p) AS p,
+        |             o.text AS ot, n.text AS nt,
+        |             CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |                  WHEN n.doc_id IS NULL THEN 'delete'
+        |                  WHEN o.text IS DISTINCT FROM n.text THEN 'update' END AS op
+        |      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, p, CASE WHEN op = 'delete' THEN ot ELSE nt END AS text, op
         |FROM j WHERE op IS NOT NULL""".stripMargin,
 
     // Naive full-shuffle plan — the two-pass sketch+recheck must

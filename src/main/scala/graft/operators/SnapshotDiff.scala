@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot differencing — derive a change-data-capture stream
@@ -48,27 +48,9 @@ object SnapshotDiff {
     val payload = oldSnap.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "snapshots have no payload columns")
 
-    // Narrow classification frames: keys + one digest column. Each
-    // payload field is encoded null-tagged and length-prefixed
-    // ("N" / "V<len>:<value>"), so field boundaries and NULL-vs-empty
-    // are unambiguous; atomic types go through a deterministic cast
-    // (digests are only ever compared within this engine) while
-    // complex types fall back to to_json. All codegen string ops —
-    // no per-row Jackson on the hot path.
-    def digested(df: DataFrame, as: String): DataFrame = {
-      val schema = df.schema
-      val encoded = payload.map { c =>
-        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-        val atomic = schema(c).dataType match {
-          case _: ArrayType | _: MapType | _: StructType => false
-          case _ => true
-        }
-        val s = if (atomic) col(c).cast("string") else to_json(col(c))
-        when(col(c).isNull, lit("|N"))
-          .otherwise(concat(lit("|V"), length(s), lit(":"), s))
-      }
-      df.select((keys.map(col) :+ md5(concat(encoded: _*)).as(as)): _*)
-    }
+    // Narrow classification frames: keys + one digest column.
+    def digested(df: DataFrame, as: String): DataFrame =
+      df.select((keys.map(col) :+ rowDigest(df, payload).as(as)): _*)
 
     val classified = digested(oldSnap, "_od")
       .join(digested(newSnap, "_nd"), keys, "full_outer")
@@ -88,5 +70,95 @@ object SnapshotDiff {
       .unionByName(
         classified.filter(col("op") === "delete").join(oldSnap, keys)
           .select(out: _*))
+  }
+
+  /** md5 row digest over `cols`. Each field is encoded null-tagged
+    * and length-prefixed ("N" / "V<len>:<value>"), so field
+    * boundaries and NULL-vs-empty are unambiguous; atomic types go
+    * through a deterministic cast (digests are only ever compared
+    * within this engine) while complex types fall back to to_json.
+    * All codegen string ops — no per-row Jackson on the hot path. */
+  private def rowDigest(df: DataFrame, cols: Seq[String]): Column = {
+    val schema = df.schema
+    val encoded = cols.map { c =>
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val atomic = schema(c).dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }
+      val s = if (atomic) col(c).cast("string") else to_json(col(c))
+      when(col(c).isNull, lit("|N"))
+        .otherwise(concat(lit("|V"), length(s), lit(":"), s))
+    }
+    md5(concat(encoded: _*))
+  }
+
+  /** Per-partition rollup signature: row count plus two order-
+    * independent sums of 60-bit halves of the full-row digest (keys
+    * AND payload, so inserts/deletes move the signature, not just
+    * updates). Sums are decimal(38,0) — commutative, partial-
+    * aggregable, overflow-free below ~10²⁰ rows per partition. Equal
+    * signatures ⇒ equal row multisets, under the same hash-collision
+    * assumption [[diff]] already accepts for md5. Partition columns
+    * are aliased with `p` so old/new signatures can join. */
+  private def partitionSignature(df: DataFrame, partCols: Seq[String],
+                                 p: String): DataFrame = {
+    val d60 = (c: Column, off: Int) =>
+      conv(substring(c, off, 15), 16, 10).cast("decimal(38,0)")
+    val rd = rowDigest(df, df.columns.toSeq)
+    df.select((partCols.map(col) :+ rd.as("_rd")): _*)
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as(p + "n"),
+        sum(d60(col("_rd"), 1)).as(p + "s1"),
+        sum(d60(col("_rd"), 17)).as(p + "s2"))
+      .select(partCols.map(c => col(c).as(p + c)) ++
+        Seq(col(p + "n"), col(p + "s1"), col(p + "s2")): _*)
+  }
+
+  /** Partitions whose content differs between the snapshots — absent
+    * on one side, or any rollup signature component unequal. Joins
+    * are null-safe (`<=>`) so a NULL partition value is a matchable
+    * partition like any other, not a permanently-changed one. Output:
+    * the `partCols` of each changed partition. */
+  def changedPartitions(oldSnap: DataFrame, newSnap: DataFrame,
+                        partCols: Seq[String]): DataFrame = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    val os = partitionSignature(oldSnap, partCols, "_o_")
+    val ns = partitionSignature(newSnap, partCols, "_n_")
+    val on = partCols.map(c => os(s"_o_$c") <=> ns(s"_n_$c")).reduce(_ && _)
+    os.join(ns, on, "full_outer")
+      .filter(!(col("_o_n") <=> col("_n_n") &&
+        col("_o_s1") <=> col("_n_s1") && col("_o_s2") <=> col("_n_s2")))
+      .select(partCols.map(c =>
+        coalesce(col(s"_o_$c"), col(s"_n_$c")).as(c)): _*)
+  }
+
+  /** [[diff]] with a partition short-circuit: unchanged partitions of
+    * a partition-keyed snapshot (e.g. the date-partitioned layouts
+    * [[VersionedStaging]] publishes) are eliminated by a rollup-
+    * signature compare BEFORE the row-level classification join, so
+    * their rows are never shuffled — at 100 TB a daily snapshot diff
+    * touches the handful of recent partitions that actually moved,
+    * not every historical date. The signature pass is a narrow scan +
+    * partial-agg per side (count + digest sums per partition), and
+    * the changed-partition set is small by assumption, so AQE
+    * broadcasts it and the semi-joins are scan + broadcast-probe.
+    *
+    * Identity: output == [[diff]](oldSnap, newSnap, keys) — a key can
+    * only appear in the diff if some row bearing it changed, and any
+    * such row perturbs its partition's signature on at least one side
+    * (rows that move BETWEEN partitions perturb both). `partCols` may
+    * overlap `keys` and/or payload; both snapshots must share one
+    * schema (the [[diff]] contract).
+    */
+  def diffPartitioned(oldSnap: DataFrame, newSnap: DataFrame,
+                      keys: Seq[String], partCols: Seq[String]): DataFrame = {
+    require(partCols.forall(oldSnap.columns.contains),
+      s"partition cols $partCols not all present in ${oldSnap.columns.toSeq}")
+    val changed = changedPartitions(oldSnap, newSnap, partCols)
+    def onlyChanged(df: DataFrame): DataFrame =
+      df.join(changed, partCols.map(c => df(c) <=> changed(c)).reduce(_ && _),
+        "left_semi")
+    diff(onlyChanged(oldSnap), onlyChanged(newSnap), keys)
   }
 }

@@ -74,4 +74,60 @@ class SnapshotDiffSpec extends SparkSpec {
       SnapshotDiff.diff(oldSnap, newSnap.drop("v"), Seq("id"))
     }
   }
+
+  // Partitioned fixture: 16 partitions, mutations confined to p ∈
+  // {3 (deletes), 7 (inserts), 11 (updates)}; the other 13 must be
+  // signature-identical and short-circuit.
+  private def partOld = (0L until 800L)
+    .filter(i => !(i % 16 == 7 && i % 3 == 0))
+    .map(i => (i, i % 16, s"t$i")).toDF("id", "p", "txt")
+  private def partNew = (0L until 800L)
+    .filter(i => !(i % 16 == 3 && i % 5 == 0))
+    .map(i => (i, i % 16, if (i % 16 == 11 && i % 3 == 0) s"t$i!" else s"t$i"))
+    .toDF("id", "p", "txt")
+
+  test("partition short-circuit: changed set is exactly the mutated partitions") {
+    val changed = SnapshotDiff.changedPartitions(partOld, partNew, Seq("p"))
+      .as[Long].collect().toSet
+    assert(changed === Set(3L, 7L, 11L))
+  }
+
+  test("diffPartitioned equals the full diff") {
+    val full = SnapshotDiff.diff(partOld, partNew, Seq("id"))
+      .as[(Long, Long, String, String)].collect().toSet
+    val pruned = SnapshotDiff.diffPartitioned(partOld, partNew,
+        Seq("id"), Seq("p"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(pruned === full)
+    assert(full.exists(_._4 == "insert") && full.exists(_._4 == "delete") &&
+      full.exists(_._4 == "update"))
+  }
+
+  test("rows moving between partitions flag both partitions") {
+    val o = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "p", "txt")
+    val n = Seq((1L, 20L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "p", "txt") // id 1 moved p 10 -> 20
+    val changed = SnapshotDiff.changedPartitions(o, n, Seq("p"))
+      .as[Long].collect().toSet
+    assert(changed === Set(10L, 20L))
+    val got = SnapshotDiff.diffPartitioned(o, n, Seq("id"), Seq("p"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got === Set((1L, 20L, "a", "update")))
+  }
+
+  test("NULL partition values are matchable (skip when unchanged, diff when changed)") {
+    val o = Seq((1L, Option(1L), "a"), (2L, None: Option[Long], "b"),
+      (3L, None: Option[Long], "c")).toDF("id", "p", "txt")
+    val same = Seq((1L, Option(1L), "a"), (2L, None: Option[Long], "b"),
+      (3L, None: Option[Long], "c")).toDF("id", "p", "txt")
+    assert(SnapshotDiff.changedPartitions(o, same, Seq("p")).isEmpty)
+    val mut = Seq((1L, Option(1L), "a"), (2L, None: Option[Long], "B"),
+      (3L, None: Option[Long], "c")).toDF("id", "p", "txt")
+    assert(SnapshotDiff.changedPartitions(o, mut, Seq("p"))
+      .as[Option[Long]].collect().toSet === Set(None))
+    val got = SnapshotDiff.diffPartitioned(o, mut, Seq("id"), Seq("p"))
+      .as[(Long, Option[Long], String, String)].collect().toSet
+    assert(got === Set((2L, None, "B", "update")))
+  }
 }
