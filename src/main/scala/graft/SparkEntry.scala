@@ -1461,6 +1461,27 @@ object SparkEntry {
         Apss.incrementalPairs(index, batch, "doc_id", "text", 9, 10)
       }),
 
+      // Incremental MinHash-LSH near-dup (the d18 ingest shape for
+      // the near-dup family): the corpus's shingle hashes + band
+      // hashes are a persisted index (minhashIndex), and a new batch
+      // — the corpusNear clones, arriving as an ingest delta — probes
+      // it via shared (band, band_hash) buckets + exact-Jaccard
+      // verify. The corpus is never re-shingled or re-signed. The
+      // hot-bucket cap counts the union bucket population, so the
+      // result equals the full d2 pipeline over corpus ∪ batch
+      // restricted to cross pairs (DedupSuiteSpec proves it); the
+      // oracle replicates both sides' portable pipelines in SQL.
+      "d19_incremental_minhash" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+          .select(cloneId(col("doc_id")).as("doc_id"),
+            concat(col("text"), lit(" nearly duplicate suffix")).as("text"))
+        val index = DedupSuite.minhashIndex(docs, "doc_id", "text",
+          n = 3, k = 16, bands = 4)
+        DedupSuite.incrementalMinhashNearDups(index, batch, "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+      }),
+
       "d13_incremental_ingest" -> ((s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val base = docs.filter(col("doc_id") % 2 === 0)
@@ -2781,6 +2802,50 @@ object SparkEntry {
        |SELECT id_a, id_b, jaccard
        |FROM j WHERE jaccard >= 0.5""".stripMargin
 
+  /** d19 oracle: the portable pipeline run on EACH side (corpus,
+    * ingest batch), candidates from shared (band, band_hash) buckets
+    * capped on the union population, exact-Jaccard verify — the SQL
+    * mirror of minhashIndex + incrementalMinhashNearDups. */
+  private def d19OracleSql: String = {
+    val sigList = DedupSuite.affineConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (x * $a + $b) % ${DedupSuite.MinhashP}))"
+    }.mkString("[", ",\n    ", "]")
+    def side(src: String, sfx: String): String =
+      s"""tk$sfx AS (SELECT doc_id, $toksSql AS toks FROM $src),
+         |f$sfx AS (SELECT * FROM tk$sfx WHERE len(toks) >= 3),
+         |sh$sfx AS (SELECT doc_id, $shinglesSql AS sh FROM f$sfx),
+         |h$sfx AS (SELECT doc_id, list_transform(sh, s -> ${hash32Sql(0, "s")}) AS hs FROM sh$sfx),
+         |sig$sfx AS (SELECT doc_id, hs, $sigList AS sig FROM h$sfx),
+         |bnd$sfx AS (SELECT doc_id, j AS band,
+         |    md5(array_to_string(sig[j*4+1 : j*4+4], ',')) AS band_hash
+         |  FROM sig$sfx CROSS JOIN (SELECT unnest(range(4)) AS j))""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |batchd AS (SELECT doc_id + 1000000 AS doc_id,
+       |             text || ' nearly duplicate suffix' AS text
+       |           FROM documents WHERE doc_id % 7 = 0),
+       |${side("corpus", "a")},
+       |${side("batchd", "b")},
+       |sized AS (SELECT band, band_hash, COUNT(*) AS bucket_n
+       |          FROM (SELECT band, band_hash FROM bnda
+       |                UNION ALL SELECT band, band_hash FROM bndb)
+       |          GROUP BY 1, 2),
+       |ok AS (SELECT band, band_hash FROM sized WHERE bucket_n <= 1000),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM bnda a
+       |          JOIN ok o ON a.band = o.band AND a.band_hash = o.band_hash
+       |          JOIN bndb b ON a.band = b.band AND a.band_hash = b.band_hash),
+       |j AS (SELECT p.id_a, p.id_b,
+       |        CASE WHEN len(list_distinct(list_concat(x.hs, y.hs))) > 0
+       |             THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |                  / CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
+       |             ELSE 0.0 END AS jaccard
+       |      FROM pairs p
+       |      JOIN ha x ON x.doc_id = p.id_a
+       |      JOIN hb y ON y.doc_id = p.id_b)
+       |SELECT id_a, id_b, jaccard
+       |FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
   /** Recursive-CTE transitive closure of the near-dup pairs, appended
     * after a [[minhashPairsPrefixSql]] — ends with `comp(doc_id,
     * component)` = ground-truth connected-component labels. */
@@ -3796,6 +3861,7 @@ object SparkEntry {
 
     "d2_minhash_pairs" -> d2OracleSql,
     "d5_minhash_portable" -> d5OracleSql,
+    "d19_incremental_minhash" -> d19OracleSql,
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
     "d9_components_distributed" -> d8OracleSql,

@@ -258,6 +258,90 @@ object DedupSuite {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Persisted MinHash-LSH index over a corpus — the d13/d18 ingest
+    * shape for the near-dup family. One row per doc: (id, hs, bands)
+    * where `hs` is the engine-portable hashed shingle set (the verify
+    * operand) and `bands` the b LSH band hashes in band order. Built
+    * once per corpus epoch, persisted columnar, reused across ingest
+    * batches — probing never re-shingles or re-signs the corpus. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    docs
+      .select(col(idCol).as("id"),
+        shingleHashesPortableNative(tokens(col(textCol)), n).as("hs"))
+      .select(col("id"), col("hs"),
+        graft.functions.ColUtil.bindOnce(
+          minhashSignatureNative(col("hs"), k)) { sig =>
+          transform(sequence(lit(0), lit(bands - 1)),
+            j => md5(concat_ws(",", slice(sig, j * r + 1, lit(r)))))
+        }.as("bands"))
+  }
+
+  /** Metric group for [[incrementalMinhashNearDups]]'s hot-bucket
+    * accounting (the [[LshBucketMetrics]] discipline). */
+  val IncLshBucketMetrics = "graft_inc_lsh_buckets"
+
+  /** Incremental MinHash-LSH near-dup: new-batch docs against a
+    * persisted [[minhashIndex]] — candidates from shared (band,
+    * band_hash) buckets, exact-Jaccard verify ≥ `threshold` over the
+    * stored hashed shingle sets. Output: (id_a, id_b, jaccard) with
+    * id_a from the corpus, id_b from the batch. Semantics equal the
+    * full [[minhashNearDupsPortable]] run over corpus ∪ batch
+    * restricted to cross pairs (band hashes are deterministic, and
+    * the hot-bucket cap counts the UNION bucket population so the
+    * cap bites identically) — DedupSuiteSpec proves the identity.
+    *
+    * 100-TB design: per-batch work is the batch's own shingle/sign
+    * pass plus hash joins against the index; the bucket-size guard is
+    * a narrow (band, band_hash) partial-agg over index + batch band
+    * rows (at a fixed corpus, precompute the index side's counts once
+    * and union only the batch deltas). Dropped hot buckets are
+    * `observe`-accounted under [[IncLshBucketMetrics]], never silent. */
+  def incrementalMinhashNearDups(index: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 3, k: Int = 16, bands: Int = 4,
+                                 threshold: Double = 0.5,
+                                 maxBucket: Int = 1000): DataFrame = {
+    val bhs = batch.select(col(idCol).as("id"),
+      shingleHashesPortableNative(tokens(col(textCol)), n).as("hs"))
+    val bsig = bhs.select(col("id"), minhashSignatureNative(col("hs"), k).as("sig"))
+    val bBands = lshBands(bsig, "id", "sig", bands, k / bands)
+      .select(col("id").as("id_b"), col("band"), col("band_hash"))
+    val iBands = index
+      .select(col("id").as("id_a"), posexplode(col("bands"))
+        .as(Seq("band", "band_hash")))
+
+    // Union bucket population (so the cap equals the full run's) with
+    // the candidatePairs accounting riding the same aggregation.
+    val ok = iBands.select(col("band"), col("band_hash"))
+      .unionByName(bBands.select(col("band"), col("band_hash")))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe(IncLshBucketMetrics,
+        sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(col("bucket_n") > maxBucket, col("bucket_n")).otherwise(0L))
+          .as("dropped_docs"),
+        max(col("bucket_n")).as("max_bucket_size"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_hash"))
+
+    val cand = iBands.join(ok, Seq("band", "band_hash"), "left_semi")
+      .join(bBands.join(ok, Seq("band", "band_hash"), "left_semi"),
+        Seq("band", "band_hash"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    cand
+      .join(index.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(bhs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** C4-style paragraph-level exact dedup: split every document on
     * `sep`, keep only the globally-FIRST occurrence of each distinct
     * paragraph (ordered by (doc id, position)), and reconstruct each

@@ -61,6 +61,40 @@ class DedupSuiteSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("incremental minhash probe equals the full portable run restricted to cross pairs") {
+    // Corpus = a deterministic 60-doc mix with internal near-dups;
+    // batch = near-dup clones of every 4th doc plus two fresh docs.
+    // The identity must hold pair-for-pair INCLUDING jaccard values.
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0L until 60L).map { i =>
+      val toks = (0 until 14).map(j => words((((i / 7) * 3).toInt + j * j) % 10))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      .unionByName(Seq((2000L, "wholly unrelated fresh content here notably"),
+        (2001L, "another novel document with separate words entirely"))
+        .toDF("doc_id", "text"))
+
+    val index = DedupSuite.minhashIndex(corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    val inc = DedupSuite.incrementalMinhashNearDups(index, batch,
+        "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val full = DedupSuite.minhashNearDupsPortable(
+        corpus.unionByName(batch), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .filter((col("id_a") >= 1000L) =!= (col("id_b") >= 1000L))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => if (a < 1000L) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(inc === full)
+    assert(inc.nonEmpty) // planted clones actually cross the split
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated far") {
     val h = docs.select($"doc_id", DedupSuite.simhash60($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
