@@ -313,6 +313,88 @@ object SparkEntry {
       tmp.toString
     })
 
+  private val cdcSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q77 snapshot-diff change set staged as THREE ordered parquet
+    * files (doc_id mod 3) — the s9 CDC stream source. Each diff row
+    * is one key's change, so the mod-3 split keeps every key's changes
+    * in a single micro-batch and the applies commute (see
+    * [[graft.streaming.StreamingJobs.applyCdcStream]]); mod times are
+    * strictly increasing like [[stagedEventsSplitDir]] so the file
+    * source delivers a deterministic batch order anyway. One staging
+    * per (JVM, dir). */
+  private def stagedCdcSplitDir(s: SparkSession, dir: String): String =
+    cdcSplitDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("s9_cdc")
+      val (oldSnap, newSnap) = q77Fixture(s, d)
+      val changes = graft.operators.SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"))
+      val mtBase = System.currentTimeMillis() - 60000
+      (0 to 2).foreach { i =>
+        val slice = tmp.resolve(s"slice$i")
+        changes.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(slice.toString)
+        val part = {
+          val l = java.nio.file.Files.list(slice)
+          try l.filter(p => p.getFileName.toString.startsWith("part-")
+              && p.getFileName.toString.endsWith(".parquet"))
+            .findFirst.get
+          finally l.close()
+        }
+        val dst = tmp.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtBase + i * 2000L))
+        val w = java.nio.file.Files.walk(slice)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+      sys.addShutdownHook {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+      tmp.toString
+    })
+
+  /** The q77 old/new snapshot pair — shared by the q77 diff gate and
+    * the s9 CDC-apply roundtrip (whose source stream IS q77's diff). */
+  private def q77Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    (docs.filter(col("doc_id") % 5 =!= 1),
+      docs.filter(col("doc_id") % 7 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))
+  }
+
+  /** Fresh s9 CDC state root per stream pass (same lifecycle discipline
+    * as [[s5MartRoot]]: one live root per (JVM, dir), prior roots
+    * removed on replacement, last one removed at exit). */
+  private val s9StateRoots = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]]()
+  private def s9StateRoot(dir: String): String = {
+    val ref = s9StateRoots.computeIfAbsent(dir, { _ =>
+      val r = new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
+      sys.addShutdownHook { Option(r.get()).foreach(rmTreeQuiet) }
+      r
+    })
+    val fresh = java.nio.file.Files.createTempDirectory("s9_state")
+    Option(ref.getAndSet(fresh)).foreach(rmTreeQuiet)
+    fresh.toString
+  }
+
+  /** CDC change-row schema as the s9 file stream source sees it (the
+    * [[graft.operators.SnapshotDiff.diff]] output shape for q77). */
+  private val cdcStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("op", StringType)))
+  }
+
   /** Raw events schema as the file stream source sees it (ts = long
     * nanos pre-normalization; see [[Tables.normalizeNanos]]). */
   private val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
@@ -419,6 +501,7 @@ object SparkEntry {
     val started =
       scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
     val martRoot = s5MartRoot(dir)
+    val s9Root = s9StateRoot(dir)
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -440,6 +523,15 @@ object SparkEntry {
         started += graft.streaming.StreamingJobs.streamingIncrementalMart(
           s, stagedEventsSplitDir(s, dir), eventsStreamSchema, martRoot,
           s5ck.toString, maxFilesPerTrigger = Some(1))
+        // s9: foreachBatch CDC apply — state root seeded with the q77
+        // OLD snapshot, the diff stream converges it to the NEW one
+        graft.operators.VersionedStaging.publish(s, s9Root,
+          q77Fixture(s, dir)._1)
+        val s9ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s9_ck")
+        cks += s9ck
+        started += graft.streaming.StreamingJobs.applyCdcStream(
+          s, stagedCdcSplitDir(s, dir), cdcStreamSchema, s9Root,
+          Seq("doc_id"), s9ck.toString, maxFilesPerTrigger = Some(1))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -454,7 +546,12 @@ object SparkEntry {
         .getOrElse(sys.error("stream pass: no mart version published"))
       val s5out = outRoot.resolve("s5_stream_mart")
       Marts.finalizeDaily(s.read.parquet(latest)).write.parquet(s5out.toString)
-      memResults + ("s5_stream_mart" -> s5out.toString)
+      val s9latest = graft.operators.VersionedStaging.latestComplete(s, s9Root)
+        .getOrElse(sys.error("stream pass: no s9 CDC state published"))
+      val s9out = outRoot.resolve("s9_stream_cdc_apply")
+      s.read.parquet(s9latest).write.parquet(s9out.toString)
+      memResults ++ Map("s5_stream_mart" -> s5out.toString,
+        "s9_stream_cdc_apply" -> s9out.toString)
     } finally {
       started.foreach(q => try q.stop() catch { case _: Throwable => () })
       // sink tables were materialized above; drop them so the memory
@@ -1209,12 +1306,7 @@ object SparkEntry {
       // from `documents` (the d13 discipline): old drops ids %5=1,
       // new drops ids %7=3 and rewrites text for ids %11=0.
       "q77_snapshot_diff" -> ((s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
-        val newSnap = docs.filter(col("doc_id") % 7 =!= 3)
-          .withColumn("text",
-            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-              .otherwise(col("text")))
+        val (oldSnap, newSnap) = q77Fixture(s, dir)
         SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"))
       }),
 
@@ -2649,7 +2741,20 @@ object SparkEntry {
       // produce. StreamingMergeSpec gates the sketch across 1×/8×
       // shuffle parallelism against the batch twin.
       "s8_stream_heavy_hitters" -> ((s, dir) =>
-        streamResult(s, dir, "s8_stream_heavy_hitters"))
+        streamResult(s, dir, "s8_stream_heavy_hitters")),
+
+      // Streaming CDC apply — the consumer half of q77/q81: the q77
+      // diff staged as three micro-batches and applied (upsert +
+      // DELETE, the op the reference's merge lacks) to a versioned-
+      // staging state seeded with the OLD snapshot. The gate checks
+      // the roundtrip identity apply(old, diff(old,new)) == new: the
+      // oracle is the new snapshot computed directly, no diff at all.
+      // Deterministic under any batch split: diff emits ≤ 1 row per
+      // key, so per-batch applies commute. Per batch the state table
+      // is broadcast-probed (anti-join + union), never shuffled — see
+      // StreamingJobs.applyCdcStream for the 100-TB notes.
+      "s9_stream_cdc_apply" -> ((s, dir) =>
+        streamResult(s, dir, "s9_stream_cdc_apply"))
     )
   }
 
@@ -3526,6 +3631,14 @@ object SparkEntry {
         |      FROM nn GROUP BY 1)
         |SELECT k, cnt FROM c
         |WHERE cnt * 64 > (SELECT COUNT(*) FROM nn)""".stripMargin,
+
+    // s9: the roundtrip identity apply(old, diff(old,new)) == new, so
+    // the oracle is the NEW snapshot computed directly from the
+    // fixture's definition — no diff, no apply on the oracle side.
+    "s9_stream_cdc_apply" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 != 3""".stripMargin,
 
     "t12_vocab" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

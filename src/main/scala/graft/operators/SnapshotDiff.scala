@@ -72,6 +72,31 @@ object SnapshotDiff {
           .select(out: _*))
   }
 
+  /** Apply a change set (the [[diff]] output shape: key columns,
+    * payload columns, `op` ∈ ('insert','update','delete')) to a
+    * snapshot — the inverse of [[diff]]:
+    * `applyChanges(old, diff(old, new, keys), keys) == new`.
+    *
+    * Keys named in the change set are REPLACED wholesale (anti-join
+    * removes the old row; non-delete changes supply the new image), so
+    * insert and update are the same upsert path and a delete is just
+    * removal — one shuffle-free-on-the-big-side plan: the change set
+    * is small by the CDC premise, so AQE broadcasts it and both the
+    * anti-join and the union are scan + broadcast-probe over the
+    * snapshot; the snapshot itself is never shuffled. Contract: at
+    * most one change row per key (the [[diff]] output guarantees it).
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(changes.columns.contains("op"),
+      s"change set needs an 'op' column, got ${changes.columns.toSeq}")
+    snapshot.join(changes.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(
+        changes.filter(col("op") =!= "delete").drop("op")
+          .select(snapshot.columns.map(col): _*))
+  }
+
   /** md5 row digest over `cols`. Each field is encoded null-tagged
     * and length-prefixed ("N" / "V<len>:<value>"), so field
     * boundaries and NULL-vs-empty are unambiguous; atomic types go

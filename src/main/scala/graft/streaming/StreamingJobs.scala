@@ -84,6 +84,52 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming CDC APPLY — the consumer half of the q77/q81 snapshot
+    * diff: a stream of change rows (key cols + payload cols + `op` ∈
+    * ('insert','update','delete'), the [[graft.operators.SnapshotDiff.diff]]
+    * output shape) is applied micro-batch by micro-batch to a keyed
+    * table held in versioned staging, so
+    * `applyCdcStream(diff(old, new))` over a root seeded with `old`
+    * converges to `new` — the roundtrip identity the s9 gate checks.
+    *
+    * Each batch is one [[graft.operators.SnapshotDiff.applyChanges]]
+    * (anti-join removal + upsert union: the change batch is small by
+    * the CDC premise, so AQE broadcasts it and the table is never
+    * shuffled) published as a NEW version — the same atomic,
+    * replay-idempotent protocol as [[streamingMerge]], extended with
+    * delete semantics the reference's merge lacks
+    * (`/root/reference/sql/load/03_merge.sql:1-33` only upserts).
+    * Deterministic under any batch split that keeps each key's changes
+    * in one batch: diff emits ≤ 1 row per key, so batches commute.
+    *
+    * 100-TB design: per batch the work is O(batch) + one broadcast-
+    * probe pass over the snapshot — at scale the rewrite cost says
+    * "partition the staging layout and rewrite only changed
+    * partitions", which is exactly [[graft.operators.SnapshotDiff
+    * .changedPartitions]] composed with this loop; the gate keeps the
+    * unpartitioned form for oracle exactness. */
+  def applyCdcStream(spark: SparkSession, srcDir: String, schema: StructType,
+                     stateRoot: String, keys: Seq[String],
+                     checkpoint: String,
+                     maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val current = graft.operators.VersionedStaging.latestComplete(s, stateRoot)
+          .map(p => s.read.parquet(p))
+          .getOrElse(sys.error(s"applyCdcStream: $stateRoot not seeded"))
+        graft.operators.VersionedStaging.publish(s, stateRoot,
+          graft.operators.SnapshotDiff.applyChanges(current, batch.toDF(), keys),
+          batchId = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   final case class Keyed(id: Long, version: Long, payload: String)
 
   /** Last-write-wins keyed state — the streaming form of the batch merge

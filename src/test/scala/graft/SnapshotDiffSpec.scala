@@ -116,6 +116,36 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got === Set((1L, 20L, "a", "update")))
   }
 
+  test("applyChanges roundtrip: apply(old, diff(old, new)) == new") {
+    val changes = SnapshotDiff.diff(oldSnap, newSnap, Seq("id"))
+    val got = SnapshotDiff.applyChanges(oldSnap, changes, Seq("id"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    val want = newSnap.as[(Long, Option[String], Long)].collect().toSet
+    assert(got === want)
+    // batched apply (keys split across batches) commutes to the same
+    // final state — the s9 stream's determinism argument
+    val b0 = changes.filter(col("id") % 2 === 0)
+    val b1 = changes.filter(col("id") % 2 === 1)
+    val viaB01 = SnapshotDiff.applyChanges(
+      SnapshotDiff.applyChanges(oldSnap, b0, Seq("id")), b1, Seq("id"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    val viaB10 = SnapshotDiff.applyChanges(
+      SnapshotDiff.applyChanges(oldSnap, b1, Seq("id")), b0, Seq("id"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    assert(viaB01 === want && viaB10 === want)
+  }
+
+  test("applyChanges roundtrip on the wider fixture, multi-column keys") {
+    val o = (0 until 300).map(i => (i % 10, s"p${i / 10}", s"val$i")).toDF("a", "b", "x")
+    val n = (0 until 300).filter(_ % 13 != 0)
+      .map(i => (i % 10, s"p${i / 10}", if (i % 17 == 0) s"VAL$i" else s"val$i"))
+      .toDF("a", "b", "x")
+    val got = SnapshotDiff.applyChanges(o,
+        SnapshotDiff.diff(o, n, Seq("a", "b")), Seq("a", "b"))
+      .as[(Int, String, String)].collect().toSet
+    assert(got === n.as[(Int, String, String)].collect().toSet)
+  }
+
   test("NULL partition values are matchable (skip when unchanged, diff when changed)") {
     val o = Seq((1L, Option(1L), "a"), (2L, None: Option[Long], "b"),
       (3L, None: Option[Long], "c")).toDF("id", "p", "txt")
