@@ -1334,6 +1334,32 @@ object SparkEntry {
           Seq("doc_id"), Seq("p"))
       }),
 
+      // Link-graph centrality (operators/Graph.scala): integer-exact
+      // damped PageRank, 4 fixed iterations, over the symmetrized
+      // customer↔supplier interaction graph (distinct trade edges from
+      // orders⋈lineitem; node ids disambiguated as custkey*2 /
+      // suppkey*2+1). Corpus curation gates on exactly this signal
+      // family — host-graph centrality decides which crawl segments
+      // are worth text-filtering at all. BIGINT recurrence end to end
+      // (rank div outdeg, (85*m) div 100), so the unrolled-CTE oracle
+      // matches hash-exactly with no float-sum-order hazard, and the
+      // per-iteration work is one edges⋈ranks shuffle + one
+      // partial-aggregable sum — the edge list is persisted once and
+      // never recomputed (see Graph.pageRank scale notes).
+      "q82_pagerank" -> ((s, dir) => {
+        val edges0 = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = edges0.unionByName(
+          edges0.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iters = 4)
+          .select(col("node_id").cast("bigint").as("node_id"),
+            col("pr").cast("bigint").as("pr"))
+      }),
+
       // Exact heavy hitters via bounded Misra-Gries summary + exact
       // recheck — NO full key-space shuffle (pass 1 shuffles only
       // k-counter buffers, pass 2 only candidate-key rows). The gate
@@ -3148,6 +3174,34 @@ object SparkEntry {
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
        |GROUP BY b.query_id""".stripMargin
 
+  /** q82's unrolled-iteration oracle: r{t+1} from r{t} as one CTE per
+    * round, all-BIGINT (`//` floor division == Spark DIV on the
+    * non-negative ranks). */
+  private def pageRankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""m$t AS (SELECT e.dst AS node_id, SUM(r.pr // d.outd) AS m
+         |        FROM r${t - 1} r
+         |        JOIN edges e ON r.node_id = e.src
+         |        JOIN deg d ON d.src = e.src
+         |        GROUP BY e.dst),
+         |r$t AS (SELECT r.node_id,
+         |          150000000000 + (85 * COALESCE(m.m, 0)) // 100 AS pr
+         |        FROM r${t - 1} r LEFT JOIN m$t m USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |              l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0
+       |          UNION SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node_id FROM edges
+       |          UNION SELECT dst AS node_id FROM edges),
+       |r0 AS (SELECT node_id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+       |$iterCtes
+       |SELECT CAST(node_id AS BIGINT) AS node_id, CAST(pr AS BIGINT) AS pr
+       |FROM r$iters""".stripMargin
+  }
+
   def extensionOracles: Map[String, String] = Map(
     "t7_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -3445,6 +3499,12 @@ object SparkEntry {
         |      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
         |SELECT doc_id, CASE WHEN op = 'delete' THEN ot ELSE nt END AS text, op
         |FROM j WHERE op IS NOT NULL""".stripMargin,
+
+    // The same BIGINT recurrence unrolled as one CTE per iteration:
+    // DuckDB's `//` is floor division and every operand is
+    // non-negative, so it coincides with Spark's truncating DIV and
+    // the comparison is hash-exact — no float tolerance anywhere.
+    "q82_pagerank" -> pageRankOracleSql(iters = 4),
 
     // Same naive value-compare oracle as q77 — the partition
     // short-circuit is a physical pruning whose exactness the oracle
