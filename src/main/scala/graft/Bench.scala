@@ -34,6 +34,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture drift guard (round-8 postmortem): one readable failure up
+    // front beats 63 retried AnalysisExceptions spread over the run.
+    Tables.assertContract(spark, sfDir)
     // Warm-up pass: first use of some expression classes (e.g. Spark 4's
     // collation-aware string functions) pays a multi-second one-time JVM
     // init that would otherwise be billed to an arbitrary query.

@@ -395,15 +395,20 @@ object SparkEntry {
       StructField("op", StringType)))
   }
 
-  /** Raw events schema as the file stream source sees it (ts = long
-    * nanos pre-normalization; see [[Tables.normalizeNanos]]). */
-  private val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-  }
+  /** Raw events schema as the file stream source sees it — derived from
+    * the fixture's own parquet footer (one read per dir, cached), NOT
+    * hardcoded: the driver has shipped `ts` as both TIMESTAMP(NANOS)
+    * (arrives long under `nanosAsLong`) and TIMESTAMP(MICROS) (arrives
+    * TIMESTAMP_NTZ), and a hardcoded LongType broke every stream for a
+    * round when the encoding flipped. [[Tables.normalizeNanos]]
+    * dispatches on whichever dtype this reports. The staged copies
+    * (verbatim file copy; Spark re-write of the same read) preserve the
+    * source encoding, so one footer read covers both staging shapes. */
+  private val eventsStreamSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def eventsStreamSchema(s: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    eventsStreamSchemas.computeIfAbsent(dir,
+      d => s.read.parquet(s"$d/events.parquet").schema)
 
   /** Planted-skew heavy-hitter key shared by q76 / q79 / s8: the
     * corpus's own user keys are uniform (TESTDATA degeneracy), so 70%
@@ -521,7 +526,7 @@ object SparkEntry {
         val s5ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s5_ck")
         cks += s5ck
         started += graft.streaming.StreamingJobs.streamingIncrementalMart(
-          s, stagedEventsSplitDir(s, dir), eventsStreamSchema, martRoot,
+          s, stagedEventsSplitDir(s, dir), eventsStreamSchema(s, dir), martRoot,
           s5ck.toString, maxFilesPerTrigger = Some(1))
         // s9: foreachBatch CDC apply — state root seeded with the q77
         // OLD snapshot, the diff stream converges it to the NEW one
@@ -570,7 +575,7 @@ object SparkEntry {
   private def streamJobs(s: SparkSession, dir: String): Seq[StreamJob] = {
     import graft.operators.Marts.dec2
     def events: DataFrame = Tables.normalizeNanos(
-      s.readStream.schema(eventsStreamSchema).parquet(stagedEventsDir(dir)))
+      s.readStream.schema(eventsStreamSchema(s, dir)).parquet(stagedEventsDir(dir)))
     Seq(
       StreamJob("s1_stream_tumbling", "s1_stream_out", "complete",
         () => events.withWatermark("ts", "2 hours")
@@ -623,7 +628,7 @@ object SparkEntry {
           import s.implicits._
           // 3 ordered micro-batches (the s5/s7 staging) so the MG
           // state genuinely carries across batch boundaries
-          val src = s.readStream.schema(eventsStreamSchema)
+          val src = s.readStream.schema(eventsStreamSchema(s, dir))
             .option("maxFilesPerTrigger", 1)
             .parquet(stagedEventsSplitDir(s, dir))
           graft.streaming.StreamingJobs.streamingHeavyHitterSketch(
@@ -646,7 +651,7 @@ object SparkEntry {
           // 12 — so the stored expiry never depends on within-batch
           // arrival order and the watermark schedule is a pure
           // function of the data (see the s7 entry notes)
-          val src = s.readStream.schema(eventsStreamSchema)
+          val src = s.readStream.schema(eventsStreamSchema(s, dir))
             .option("maxFilesPerTrigger", 1)
             .parquet(stagedEventsSplitDir(s, dir))
           src.select(pmod(coalesce(col("user_id"), lit(0L)), lit(40)).as("k"),

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture drift guard (round-8 postmortem): fail the run with ONE
+    // readable message if the driver tables' schema drifted, instead of
+    // per-query AnalysisException noise.
+    Tables.assertContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter, mirroring Bench (full dump when unset —
     // the driver always runs the full dump)
