@@ -37,17 +37,41 @@ object Multimodal {
                                  content_sha: String, width: Int, height: Int,
                                  n_frames: Int, features: Array[Float])
 
-  /** ??? — REAL DECODER GOES HERE. Stub: deterministic pseudo-decode
-    * from SHA-1 of the bytes (width/height/frame-count/8-dim feature
-    * vector). Signature matches what a JNI/FFI codec binding needs:
-    * bytes in, dimensioned raster + features out. */
-  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
-    decodeFromDigest(kind,
-      java.security.MessageDigest.getInstance("SHA-1").digest(bytes))
+  /** Pluggable codec boundary: a real JNI/FFI codec binding implements
+    * this and drops into [[extractFeatures]] unchanged; [[StubDecoder]]
+    * is the deterministic test implementation (this container ships no
+    * image/audio libraries). Implementations must be `Serializable` —
+    * instances ship to executors; a real binding holds its native
+    * handle `@transient lazy` so each executor re-opens it locally. */
+  trait Decoder extends Serializable {
+    /** Decode one blob: (width, height, n_frames, feature vector). */
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+    /** Digest-aware variant: the pipeline SHA-1s each blob exactly once
+      * for `content_sha` and passes the digest through so no decoder is
+      * forced to hash the (dominant-cost) bytes a second time. Default
+      * ignores it; [[StubDecoder]] decodes from it directly. */
+    def decode(kind: String, bytes: Array[Byte],
+               sha1: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      decode(kind, bytes)
+  }
 
-  /** Stub decode from a pre-computed digest — the pipeline hashes each
-    * blob once for `content_sha` and reuses the digest here (blobs are
-    * the dominant per-record cost; don't digest them twice). */
+  /** Deterministic pseudo-codec: dims/frame-count/8-dim feature vector
+    * derived from the content's SHA-1, so specs assert exact values and
+    * re-runs are bit-identical. Stands in where a real decoder goes. */
+  object StubDecoder extends Decoder {
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      decodeFromDigest(kind,
+        java.security.MessageDigest.getInstance("SHA-1").digest(bytes))
+    override def decode(kind: String, bytes: Array[Byte],
+                        sha1: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      decodeFromDigest(kind, sha1)
+  }
+
+  /** The stub codec under its historical name (specs, docs). */
+  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    StubDecoder.decode(kind, bytes)
+
+  /** Stub decode from a pre-computed digest. */
   def decodeFromDigest(kind: String, sha: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     def u(i: Int): Int = sha(i) & 0xff
     val width = 1 + ((u(0) << 8 | u(1)) % 1024)
@@ -62,10 +86,12 @@ object Multimodal {
   }
 
   /** Decode + feature-extract stage. `batchSize` is the per-call batch
-    * the (stubbed) codec sees — the knob a real codec uses to amortize
-    * init cost, identical in role to Arrow's batch size for Pandas UDFs. */
+    * the codec sees — the knob a real codec uses to amortize init cost,
+    * identical in role to Arrow's batch size for Pandas UDFs. The
+    * `decoder` is the pluggable codec ([[StubDecoder]] by default). */
   def extractFeatures(media: Dataset[MediaRecord], partitions: Int = 0,
-                      batchSize: Int = 32): Dataset[MediaFeatures] = {
+                      batchSize: Int = 32,
+                      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     val spread = if (partitions > 0) media.repartition(partitions, col("media_id"))
                  else media
@@ -77,7 +103,7 @@ object Multimodal {
           val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
           val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
           val sha = digest.map("%02x".format(_)).mkString
-          val (w, h, f, feat) = decodeFromDigest(r.kind, digest)
+          val (w, h, f, feat) = decoder.decode(r.kind, bytes, digest)
           MediaFeatures(r.media_id, r.kind, bytes.length.toLong, sha, w, h, f, feat)
         }
       }

@@ -29,6 +29,55 @@ class SchemaContractSpec extends SparkSpec {
     assert(v.contains(("null_constraint", "score", 1L)))
   }
 
+  test("normalizeNanos dispatches on the actual ts dtype") {
+    // The fixture generator has shipped ts as long nanos AND as
+    // timestamp micros across rounds; both must normalize to the same
+    // UTC microsecond timestamp, and anything else must fail loudly.
+    import org.apache.spark.sql.functions._
+    val us = 1704067200123456L // 2024-01-01T00:00:00.123456Z
+    val fromLong = Tables.normalizeNanos(
+      Seq(us * 1000 + 789).toDF("ts")) // extra ns truncate, never round
+    val fromNtz = Tables.normalizeNanos(
+      Seq(us).toDF("us").select(timestamp_micros($"us").cast("timestamp_ntz").as("ts")))
+    val fromTs = Tables.normalizeNanos(
+      Seq(us).toDF("us").select(timestamp_micros($"us").as("ts")))
+    for (df <- Seq(fromLong, fromNtz, fromTs)) {
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(df.select(unix_micros($"ts")).as[Long].head() == us)
+    }
+    val e = intercept[IllegalStateException] {
+      Tables.normalizeNanos(Seq("2024").toDF("ts"))
+    }
+    assert(e.getMessage.contains("events.ts"))
+  }
+
+  test("fixture contract guard: real tables pass; a drifted dtype names the column") {
+    Tables.assertContract(spark, sf) // the real fixtures must conform
+    // A drifted copy must produce ONE readable failure naming the
+    // column (the round-8 failure mode was 63 opaque per-query errors).
+    val tmp = java.nio.file.Files.createTempDirectory("contract_drift")
+    try {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")) {
+        val df = spark.read.parquet(s"$sf/$t.parquet")
+        val out =
+          if (t == "events") df.withColumn("value", $"value".cast("string"))
+          else df
+        out.coalesce(1).write.parquet(s"$tmp/$t.parquet")
+      }
+      val e = intercept[IllegalStateException] {
+        Tables.assertContract(spark, tmp.toString)
+      }
+      assert(e.getMessage.contains("events.value"))
+      assert(e.getMessage.contains("STRING"))
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("contract holds for the real contract tables") {
     val ev = Tables.events(spark, sf)
     val exp = StructType(Seq(
