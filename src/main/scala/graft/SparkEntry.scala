@@ -1205,6 +1205,19 @@ object SparkEntry {
         Sampling.epochShuffle(Tables.documents(s, dir), "doc_id",
           epochs = 2, targetDocsPerShard = 64)),
 
+      // Priority sampling (Duffield–Lunde–Thorup): k docs per language
+      // with the largest priority n_chars/u — weighted stratum
+      // sampling with deterministic Lehmer-hash uniforms. Ranking is
+      // integer arithmetic plus ONE IEEE division, so it is
+      // bit-portable to the oracle; the per-group rank plans as
+      // WindowGroupLimit (≤k rows per group per mapper reach the
+      // shuffle — the exchange never carries the corpus).
+      "q83_priority_sample" -> ((s, dir) =>
+        Sampling.prioritySample(
+          Tables.documents(s, dir)
+            .select(col("lang"), col("doc_id"), col("n_chars")),
+          Seq("lang"), col("doc_id"), col("n_chars"), k = 5)),
+
       // Corrupt-record quarantine (ingestion robustness, the B1
       // null-filter discipline applied to malformed input): a JSONL
       // staging with every 7th line truncated is read through Spark's
@@ -3389,6 +3402,21 @@ object SparkEntry {
          |       CAST(COUNT(*) AS BIGINT) AS n_examples,
          |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM x GROUP BY 1""".stripMargin,
+
+    // Priority-sampling oracle: the Lehmer step is BIGINT-exact
+    // (intermediates < 2^48) and the priority is one correctly-rounded
+    // IEEE division of integer-exact doubles, so both engines rank
+    // identically; doc_id breaks ties into a total order.
+    "q83_priority_sample" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+        |    1 + ((doc_id % 2147483646) * 48271) % 2147483647 AS u
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (SELECT lang, doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE) AS priority FROM d),
+        |r AS (SELECT lang, doc_id, n_chars, priority,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY priority DESC, doc_id ASC) AS INT) AS rnk FROM p)
+        |SELECT lang, doc_id, n_chars, priority, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
     "q72_temperature_sample" ->
       s"""WITH d AS (SELECT doc_id,

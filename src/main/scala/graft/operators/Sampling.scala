@@ -102,4 +102,38 @@ object Sampling {
     t.withColumn("pos", row_number().over(w).cast("long"))
       .select(col("epoch"), col("shard"), col("doc_id"), col("pos"))
   }
+
+  /** Priority sampling (Duffield–Lunde–Thorup, JACM 2007): keep the k
+    * items per group with the largest priority `w/u`, `u` uniform on
+    * (0,1] — a weighted sample whose subset-sum estimators are
+    * near-optimal, the standard one-pass weighted-sampling scheme for
+    * picking k representative documents per stratum proportional to a
+    * quality/size weight.
+    *
+    * Determinism across engines: `u` is a Lehmer step on the item id
+    * (`1 + ((id mod M-1) * 48271) mod M`, M = 2^31-1) — pure BIGINT
+    * arithmetic with intermediates < 2^48, identical in Spark and
+    * DuckDB — and the priority is ONE correctly-rounded IEEE division
+    * of two integer-exact doubles (< 2^53), so the ranking is
+    * bit-portable with no libm dependency (the t14/q72 discipline:
+    * ln/pow are not cross-engine-safe; +,*,/ and sqrt are). The id
+    * tie-break makes the order total.
+    *
+    * Scale design: priorities are computed scan-side; the per-group
+    * rank goes through [[TopK.perGroup]], which Spark plans with
+    * WindowGroupLimit — each mapper ships at most k rows per group
+    * into the single group-key shuffle, so the exchange carries
+    * O(groups × k × mappers), never the corpus. Rows with
+    * non-positive weight can never be sampled (priority ≤ 0) and are
+    * excluded up front where the contract is visible.
+    */
+  def prioritySample(df: DataFrame, groupKeys: Seq[String], idCol: Column,
+                     weightCol: Column, k: Int): DataFrame = {
+    val M = 2147483647L // 2^31 - 1 (Lehmer modulus)
+    val u = lit(1L) + pmod(pmod(idCol.cast("long"), lit(M - 1)) * 48271L, lit(M))
+    val pr = weightCol.cast("double") / u.cast("double")
+    val keyed = df.filter(weightCol > 0)
+      .withColumn("priority", pr)
+    TopK.perGroup(keyed, groupKeys, Seq(col("priority").desc, idCol.asc), k)
+  }
 }

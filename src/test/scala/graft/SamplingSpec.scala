@@ -91,6 +91,46 @@ class SamplingSpec extends SparkSpec {
       "every doc with >= 2 tokens must receive a score; shorter docs are excluded by contract")
   }
 
+  test("priority sample: matches the naive per-group rank and excludes non-positive weights") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("en", 1L, 100L), ("en", 2L, 5000L), ("en", 3L, 40L), ("en", 4L, 900L),
+      ("de", 5L, 10L), ("de", 6L, 10L), ("de", 7L, 0L), ("fr", 8L, -3L))
+    val df = rows.toDF("lang", "doc_id", "w")
+    val out = Sampling.prioritySample(df, Seq("lang"), col("doc_id"), col("w"), k = 2)
+      .select("lang", "doc_id", "rnk").as[(String, Long, Int)].collect().toSet
+    // naive recomputation of the same deterministic priorities
+    val M = 2147483647L
+    def pr(id: Long, w: Long): Double =
+      w.toDouble / (1L + ((id % (M - 1)) * 48271) % M).toDouble
+    val expect = rows.filter(_._3 > 0).groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-pr(r._2, r._3), r._2)).take(2).zipWithIndex
+        .map { case (r, i) => (g, r._2, i + 1) }
+    }.toSet
+    assert(out == expect)
+    assert(!out.exists(_._2 == 7L) && !out.exists(_._2 == 8L),
+      "zero/negative weight rows can never be sampled")
+  }
+
+  test("priority sample: identical across shuffle parallelism and plans a group-limit") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    def run() = Sampling.prioritySample(docs, Seq("lang"), col("doc_id"),
+      col("n_chars"), k = 5)
+    val a = run().orderBy("lang", "rnk").collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run().orderBy("lang", "rnk").collect().toSeq
+      assert(a == b, "sample must not depend on cluster layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the rank-limit must sit below the exchange: only <=k rows per
+    // group per mapper may reach the shuffle at 100 TB
+    val plan = run().queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("c3 funnel: domain caps hold and quality is averaged over kept docs only") {
     val out = SparkEntry.queries("c3_training_corpus")(spark, sf).collect()
     assert(out.nonEmpty)
