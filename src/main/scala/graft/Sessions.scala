@@ -19,6 +19,18 @@ object Sessions {
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet columns (the
+    // current fixture encoding of events.ts, orders.o_orderdate,
+    // lineitem.l_shipdate) arrive as plain TIMESTAMP instead of
+    // TIMESTAMP_NTZ. With the session TZ pinned to UTC the values are
+    // identical either way, but the dtype matters at scale: reading as
+    // TIMESTAMP keeps the column a raw scan column, so time-range
+    // predicates push into the parquet reader (row-group min/max
+    // pruning — the dominant pruning axis for an events table at
+    // 100 TB); reading as NTZ would force a cast-on-top
+    // ([[Tables.normalizeNanos]]'s fallback branch) that no predicate
+    // can push through.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
 
