@@ -662,7 +662,30 @@ object SparkEntry {
             .withWatermark("ts7", "2 hours")
             .dropDuplicatesWithinWatermark(Seq("k"))
         },
-        t => t.select(col("k"), unix_micros(col("ts7")).as("ts_us"))))
+        t => t.select(col("k"), unix_micros(col("ts7")).as("ts_us"))),
+
+      StreamJob("s10_stream_enrich", "s10_stream_out", "append",
+        () => {
+          // Stream-STATIC broadcast enrichment — the most common
+          // production streaming shape (per-event dimension lookup),
+          // distinct from s6's stream-stream join. The dim side is a
+          // bounded static table broadcast to every task, so the
+          // stream side stays stateless and shuffle-free: no state
+          // store, no watermark, each micro-batch joins map-side.
+          // That is exactly the 100 TB/day shape — enrichment never
+          // rekeys the stream. Null user_id ⇒ null key dropped by the
+          // inner join (mirrored by the oracle's IS NOT NULL).
+          val dim = broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").cast("long").as("nk"),
+              col("n_name")))
+          events.withColumn("nk", pmod(col("user_id"), lit(25L)))
+            .join(dim, "nk")
+        },
+        t => t.groupBy(col("n_name"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
+          .select(col("n_name"), col("event_type"), col("n"),
+            col("total").cast("double").as("total"))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++ extensionQueries
@@ -2798,7 +2821,14 @@ object SparkEntry {
       // is broadcast-probed (anti-join + union), never shuffled — see
       // StreamingJobs.applyCdcStream for the 100-TB notes.
       "s9_stream_cdc_apply" -> ((s, dir) =>
-        streamResult(s, dir, "s9_stream_cdc_apply"))
+        streamResult(s, dir, "s9_stream_cdc_apply")),
+
+      // Stream-static broadcast enrichment (the per-event dimension
+      // lookup shape; see the s10 StreamJob notes) gated against the
+      // equivalent batch join+rollup. Stateless on the stream side:
+      // no state store, no watermark, no rekeying of the stream.
+      "s10_stream_enrich" -> ((s, dir) =>
+        streamResult(s, dir, "s10_stream_enrich"))
     )
   }
 
@@ -3732,6 +3762,17 @@ object SparkEntry {
       """SELECT doc_id,
         |       CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
         |FROM documents WHERE doc_id % 7 != 3""".stripMargin,
+
+    // s10: the streamed broadcast-enriched rollup must equal the batch
+    // join + GROUP BY computed directly on the fixture.
+    "s10_stream_enrich" ->
+      """WITH e AS (SELECT user_id % 25 AS nk, event_type, value
+        |           FROM events WHERE user_id IS NOT NULL),
+        |j AS (SELECT n.n_name, e.event_type, e.value
+        |      FROM e JOIN nation n ON e.nk = n.n_nationkey)
+        |SELECT n_name, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     "t12_vocab" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
