@@ -232,6 +232,34 @@ object SparkEntry {
       tmp.toString
     })
 
+  private val evolStageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Two-generation corpus staging for q84: generation v1 (even doc
+    * ids) was "written before the `lang`/`n_chars` columns existed";
+    * v2 (odd ids) carries the full schema. A corpus accumulated over
+    * months of pipeline evolution ALWAYS has this shape at 100 TB —
+    * re-writing history on every schema change is a full-corpus
+    * rewrite, so the reader must take the union. One staging per
+    * (JVM, dir), like [[corruptJsonDir]]. */
+  private def evolvedCorpusDir(s: SparkSession, dir: String): String =
+    evolStageDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q84_evol")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .write.parquet(tmp.resolve("gen=v1").toString)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.parquet(tmp.resolve("gen=v2").toString)
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      tmp.toString
+    })
+
   /** Hive-partitioned copy of `events` (partitionBy event_type), one
     * per sf dir per JVM — the q74 fixture. The raw sf fixtures are
     * single parquet files, so no scan in the suite could demonstrate
@@ -2823,6 +2851,22 @@ object SparkEntry {
       "s9_stream_cdc_apply" -> ((s, dir) =>
         streamResult(s, dir, "s9_stream_cdc_apply")),
 
+      // Schema-evolution read: mergeSchema=true unions the column sets
+      // of the v1/v2 generations (v1 rows surface NULL for columns that
+      // postdate them; `gen` is the inferred partition column), and the
+      // accounting rollup makes the missing-data boundary explicit.
+      // Schema union happens at FOOTER level — no rewrite of v1 bytes,
+      // the only evolution shape that scales. The oracle reconstructs
+      // the generation split from doc_id parity on the raw fixture.
+      "q84_schema_evolution" -> ((s, dir) =>
+        s.read.option("mergeSchema", "true")
+          .parquet(evolvedCorpusDir(s, dir))
+          .groupBy(col("gen").cast("string").as("gen"),
+            coalesce(col("lang"), lit("(pre_schema)")).as("lang_bucket"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(coalesce(col("n_chars"), lit(0L))).cast("bigint").as("chars_known"),
+            sum(length(col("text"))).cast("bigint").as("text_chars"))),
+
       // Stream-static broadcast enrichment (the per-event dimension
       // lookup shape; see the s10 StreamJob notes) gated against the
       // equivalent batch join+rollup. Stateless on the stream side:
@@ -3762,6 +3806,21 @@ object SparkEntry {
       """SELECT doc_id,
         |       CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
         |FROM documents WHERE doc_id % 7 != 3""".stripMargin,
+
+    // q84: the merged-schema read must equal the union reconstructed
+    // from the raw fixture (v1 = even ids with lang/n_chars nulled).
+    "q84_schema_evolution" ->
+      """WITH g AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS gen,
+        |    CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars,
+        |    text
+        |  FROM documents)
+        |SELECT gen, COALESCE(lang, '(pre_schema)') AS lang_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS chars_known,
+        |       CAST(SUM(length(text)) AS BIGINT) AS text_chars
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     // s10: the streamed broadcast-enriched rollup must equal the batch
     // join + GROUP BY computed directly on the fixture.
