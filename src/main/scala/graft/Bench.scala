@@ -45,6 +45,34 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Host-speed calibration probe: a fixed single-thread arithmetic
+    // loop (xorshift64*, 2e8 steps, min of 3) timed in the same JVM.
+    // Round-over-round query-time comparisons on this shared host have
+    // repeatedly shown uniform ~2x swings with identical plans and
+    // near-zero loadavg (rounds 5-9) — consistent with co-tenant CPU
+    // contention/steal that loadavg cannot see. A deterministic probe
+    // turns "probably host drift" into arithmetic: if calib_sec moved
+    // by the same factor as the query total, the host moved, not the
+    // plans. Runs BEFORE and AFTER the query loop (a single post-run
+    // sample measures post-run host speed, not speed during the run);
+    // both are reported, min is the headline. Cost: ~1-2 s per probe
+    // (3 x 2e8 steps), outside the query totals either way.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L; var i = 0; var acc = 0L
+        while (i < 200000000) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          acc += x * 0x2545f4914f6cdd1dL; i += 1
+        }
+        // fold acc into the timing decision so the loop cannot be
+        // dead-code-eliminated by the JIT
+        if (acc == 42L) System.err.println("calib sentinel")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => once()).min
+    }
+    val calibPre = calibrate()
     // best-of-3: single-shot timings at this scale carry ±20% scheduler/
     // GC noise and the host shows sustained background load; min-of-n
     // is the standard steady-state report and three samples cut the
@@ -78,31 +106,14 @@ object Bench {
     // background load. Recording 1/5/15-min loadavg with every run
     // makes that attribution data, not archaeology.
     val loadavg = readLoadavg()
-    // Host-speed calibration probe: a fixed single-thread arithmetic
-    // loop (xorshift64*, 2e8 steps, min of 3) timed in the same JVM.
-    // Round-over-round query-time comparisons on this shared host have
-    // repeatedly shown uniform ~2x swings with identical plans and
-    // near-zero loadavg (rounds 5-9) — consistent with co-tenant CPU
-    // contention/steal that loadavg cannot see. A deterministic probe
-    // turns "probably host drift" into arithmetic: if calib_sec moved
-    // by the same factor as the query total, the host moved, not the
-    // plans. Nominal cost well under a second.
-    def calibrate(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        var x = 0x9e3779b97f4a7c15L; var i = 0; var acc = 0L
-        while (i < 200000000) {
-          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-          acc += x * 0x2545f4914f6cdd1dL; i += 1
-        }
-        // fold acc into the timing decision so the loop cannot be
-        // dead-code-eliminated by the JIT
-        if (acc == 42L) System.err.println("calib sentinel")
-        (System.nanoTime() - t0) / 1e9
-      }
-      (1 to 3).map(_ => once()).min
-    }
-    val calibSec = calibrate()
+    val calibPost = calibrate()
+    // Headline calib: the faster of the pre/post probes — the best
+    // estimate of unloaded host speed bracketing the run. value_norm
+    // (total / calib_sec) is the round-over-round comparison number:
+    // host-speed-free, so a 2x bar on it needs no prose attribution
+    // (BASELINE.md states the bar in these units).
+    val calibSec = math.min(calibPre, calibPost)
+    val valueNorm = if (calibSec > 0) total / calibSec else 0.0
     // The streaming entries share one concurrent stream pass per
     // (JVM, sf dir) and read its materialized results (see
     // SparkEntry.runStreamPass); min-of-3 strips the pass cost from
@@ -110,7 +121,7 @@ object Bench {
     // instead of letting it hide in whichever entry ran first.
     val streamPass = SparkEntry.streamSharedPassSeconds.getOrElse(sfDir, 0.0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"calib_sec":$calibSec,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"calib_sec":$calibSec,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
     // stdout goes through sbt's "[info] " prefix, which broke the
     // driver's JSON extraction in round 1 — also land the raw line in a
     // well-known file.

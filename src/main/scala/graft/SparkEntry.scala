@@ -435,8 +435,29 @@ object SparkEntry {
   private val eventsStreamSchemas =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
   private def eventsStreamSchema(s: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
-    eventsStreamSchemas.computeIfAbsent(dir,
-      d => s.read.parquet(s"$d/events.parquet").schema)
+    eventsStreamSchemas.computeIfAbsent(dir, { d =>
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      // Validate at cache-fill (the single guard point) instead of
+      // letting a fourth ts encoding surface later inside
+      // normalizeNanos per-stream: ts must be one of the three
+      // encodings the dispatch accepts, and the contract columns the
+      // stream jobs select must be present (additive extras are fine —
+      // Tables.assertContract's discipline).
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val tsType = schema.fields.find(_.name == "ts").map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"events stream schema under $d has no ts column"))
+      if (!Set[org.apache.spark.sql.types.DataType](
+          LongType, TimestampType, TimestampNTZType).contains(tsType))
+        throw new IllegalStateException(
+          s"events.ts footer dtype $tsType under $d; expected long nanos, " +
+            "timestamp_ntz, or timestamp - did the fixture change encoding again?")
+      val missing = Seq("event_id", "user_id", "event_type", "value")
+        .filterNot(schema.fieldNames.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"events stream schema under $d is missing ${missing.mkString(", ")}")
+      schema
+    })
 
   /** Planted-skew heavy-hitter key shared by q76 / q79 / s8: the
     * corpus's own user keys are uniform (TESTDATA degeneracy), so 70%
@@ -3823,9 +3844,12 @@ object SparkEntry {
         |FROM g GROUP BY 1, 2""".stripMargin,
 
     // s10: the streamed broadcast-enriched rollup must equal the batch
-    // join + GROUP BY computed directly on the fixture.
+    // join + GROUP BY computed directly on the fixture. The key is the
+    // NON-NEGATIVE modulo ((x%25)+25)%25 so both engines agree even if
+    // a future fixture ships negative user_id (Spark's pmod is always
+    // non-negative; DuckDB's % takes the dividend's sign).
     "s10_stream_enrich" ->
-      """WITH e AS (SELECT user_id % 25 AS nk, event_type, value
+      """WITH e AS (SELECT ((user_id % 25) + 25) % 25 AS nk, event_type, value
         |           FROM events WHERE user_id IS NOT NULL),
         |j AS (SELECT n.n_name, e.event_type, e.value
         |      FROM e JOIN nation n ON e.nk = n.n_nationkey)

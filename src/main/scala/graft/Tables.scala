@@ -69,7 +69,15 @@ object Tables {
     * Encoding variation the loaders already normalize is accepted —
     * temporal columns may arrive as long nanos, TIMESTAMP, TIMESTAMP_NTZ
     * or DATE; integer keys as int or long. Anything else throws with
-    * `table.column: got <dtype>`. Cost: 10 parquet footer reads. */
+    * `table.column: got <dtype>`.
+    *
+    * ADDITIVE columns only WARN (stderr): a column this contract does
+    * not know about breaks nothing — every consumer selects its columns
+    * explicitly — and additive append is the one schema-evolution shape
+    * a long-lived corpus is guaranteed to hit (q84's whole premise).
+    * Hard failure is reserved for missing or mistyped contract columns,
+    * which DO cascade into downstream AnalysisExceptions.
+    * Cost: 10 parquet footer reads. */
   def assertContract(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.types._
     val intLike: DataType => Boolean =
@@ -105,20 +113,25 @@ object Tables {
         "source" -> str, "n_chars" -> intLike),
       "embeddings" -> Seq("vec_id" -> intLike, "embedding" -> floatVec,
         "label" -> intLike))
-    val problems = contract.flatMap { case (table, cols) =>
+    val checked = contract.map { case (table, cols) =>
       val actual = load(spark, dir, table).schema
       val actualNames = actual.fieldNames.toSet
       val expectedNames = cols.map(_._1).toSet
       val missing = (expectedNames -- actualNames).toSeq.sorted
         .map(c => s"$table.$c: missing")
-      val extra = (actualNames -- expectedNames).toSeq.sorted
-        .map(c => s"$table.$c: unexpected (${actual(c).dataType.sql})")
+      val additive = (actualNames -- expectedNames).toSeq.sorted
+        .map(c => s"$table.$c: additive (${actual(c).dataType.sql})")
       val mistyped = cols.collect {
         case (c, ok) if actualNames(c) && !ok(actual(c).dataType) =>
           s"$table.$c: got ${actual(c).dataType.sql}"
       }
-      missing ++ extra ++ mistyped
+      (missing ++ mistyped, additive)
     }
+    val additive = checked.flatMap(_._2)
+    if (additive.nonEmpty) System.err.println(
+      s"fixture contract: tolerating additive columns under $dir -> " +
+        additive.mkString("; "))
+    val problems = checked.flatMap(_._1)
     if (problems.nonEmpty) throw new IllegalStateException(
       s"fixture contract violated under $dir -> ${problems.mkString("; ")}")
   }

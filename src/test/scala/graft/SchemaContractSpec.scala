@@ -55,21 +55,35 @@ class SchemaContractSpec extends SparkSpec {
     Tables.assertContract(spark, sf) // the real fixtures must conform
     // A drifted copy must produce ONE readable failure naming the
     // column (the round-8 failure mode was 63 opaque per-query errors).
+    // An ADDITIVE column must NOT fail — additive append is the benign
+    // evolution shape q84 exists for; region carries one here to prove
+    // the guard warns instead of killing the run.
     val tmp = java.nio.file.Files.createTempDirectory("contract_drift")
     try {
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")) {
         val df = spark.read.parquet(s"$sf/$t.parquet")
         val out =
-          if (t == "events") df.withColumn("value", $"value".cast("string"))
+          if (t == "region") df.withColumn("added_later", $"r_regionkey" * 2)
           else df
         out.coalesce(1).write.parquet(s"$tmp/$t.parquet")
       }
+      Tables.assertContract(spark, tmp.toString) // additive-only: no throw
+      // now drift a contract column's dtype in the same dir
+      val evDrift = spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("value", $"value".cast("string"))
+      val walk0 = java.nio.file.Files.walk(tmp.resolve("events.parquet"))
+      try walk0.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk0.close()
+      evDrift.coalesce(1).write.parquet(s"$tmp/events.parquet")
       val e = intercept[IllegalStateException] {
         Tables.assertContract(spark, tmp.toString)
       }
       assert(e.getMessage.contains("events.value"))
       assert(e.getMessage.contains("STRING"))
+      // the additive column must not appear in the FAILURE message
+      assert(!e.getMessage.contains("added_later"))
     } finally {
       val walk = java.nio.file.Files.walk(tmp)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
