@@ -52,6 +52,26 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    val (contribEdges, nodes, ranks0) = pageRankSetup(edges, srcCol, dstCol, scale)
+    var ranks = ranks0
+    var t = 0
+    while (t < iters) {
+      ranks = pageRankStep(contribEdges, nodes, ranks, scale).localCheckpoint()
+      t += 1
+    }
+    contribEdges.unpersist(blocking = false)
+    ranks
+  }
+
+  /** The loop inputs of [[pageRank]]: `(contribEdges, nodes, ranks0)`
+    * — the persisted edge list with its contribution divisor attached,
+    * the checkpointed node set, and the checkpointed uniform initial
+    * ranks. Exposed (with [[pageRankStep]]) so plan evidence —
+    * GraphSpec's exchange-count assertion, PlanDump's q82 iteration
+    * entry — inspects EXACTLY the plan the production loop runs, not a
+    * reconstruction. */
+  def pageRankSetup(edges: DataFrame, srcCol: String, dstCol: String,
+                    scale: Long = 1000000000000L): (DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("bigint").as("outd"))
@@ -63,30 +83,44 @@ object Graph {
     val nodes = e.select(col("src").as("node_id"))
       .unionByName(e.select(col("dst").as("node_id")))
       .distinct()
-    // `a DIV b`, NOT `a / b`: Spark's `/` on BIGINT routes through
-    // DOUBLE, whose 53-bit mantissa mis-floors quotients once the
-    // damped sums pass 2^53 (~9e15 — reachable at graph sizes this
-    // targets). DIV is true integral division, exact at any magnitude.
-    var ranks = nodes.select(col("node_id"), lit(scale).as("pr"))
       .localCheckpoint()
-    var t = 0
-    while (t < iters) {
-      val inbound = contribEdges
-        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
-        .select(col("dst").as("node_id"),
-          expr("pr div outd").as("c"))
-        .groupBy(col("node_id"))
-        .agg(sum(col("c")).as("m"))
-      // left join: a node with no in-edges keeps only the base term
-      ranks = ranks.select(col("node_id"))
-        .join(inbound, Seq("node_id"), "left")
-        .select(col("node_id"),
-          (lit(15L * scale / 100L) +
-            expr("(85 * coalesce(m, 0L)) div 100")).as("pr"))
-        .localCheckpoint()
-      t += 1
-    }
-    contribEdges.unpersist(blocking = false)
-    ranks
+    (contribEdges, nodes,
+      nodes.select(col("node_id"), lit(scale).as("pr")).localCheckpoint())
+  }
+
+  /** ONE synchronous iteration of the recurrence, as an UNCHECKPOINTED
+    * plan over the loop state — the exact loop body of [[pageRank]].
+    *
+    * The per-iteration shape that must hold at any scale — pinned by
+    * GraphSpec ("loop body plans exactly one shuffle") and PLANS.md's
+    * q82 iteration entry: ONE hash exchange total, the contribution
+    * sum's, fed by a map-side partial `sum`; the edge side joins from
+    * the persisted cache and is never re-shuffled (ranks is the small
+    * O(|V|) side — broadcast locally, co-partitioned SMJ at cluster
+    * scale). Nodes with no in-edges are handled by UNIONING a zero
+    * contribution row per node into the aggregation, NOT by a second
+    * join back to the node set: `sum(0 ∪ contribs) = sum(contribs)`
+    * bit-exactly in BIGINT, every node is guaranteed a group, and the
+    * join-back's own rank-sized exchange (the checkpointed ranks scan
+    * has unknown partitioning, so the join could never reuse one)
+    * disappears — measured, that removed 1 of 2 per-iteration
+    * exchanges without changing a single output bit.
+    *
+    * `a DIV b`, NOT `a / b`: Spark's `/` on BIGINT routes through
+    * DOUBLE, whose 53-bit mantissa mis-floors quotients once the
+    * damped sums pass 2^53 (~9e15 — reachable at graph sizes this
+    * targets). DIV is true integral division, exact at any magnitude. */
+  def pageRankStep(contribEdges: DataFrame, nodes: DataFrame, ranks: DataFrame,
+                   scale: Long = 1000000000000L): DataFrame = {
+    val contribs = contribEdges
+      .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+      .select(col("dst").as("node_id"),
+        expr("pr div outd").as("c"))
+    nodes.select(col("node_id"), lit(0L).as("c"))
+      .unionByName(contribs)
+      .groupBy(col("node_id"))
+      .agg(sum(col("c")).as("m"))
+      .select(col("node_id"),
+        (lit(15L * scale / 100L) + expr("(85 * m) div 100")).as("pr"))
   }
 }

@@ -46,6 +46,44 @@ class GraphSpec extends SparkSpec {
     assert(got == refPageRank(edges, 3))
   }
 
+  test("loop body plans exactly one shuffle, partial-aggregated, keyed on the node") {
+    // THE 100×-scale property of q82 (r9 verdict item 1): each
+    // iteration's only exchange is the contribution sum's — the edge
+    // cache is never re-shuffled and the former join-back exchange is
+    // gone (zero-contribution union instead). A second exchange
+    // appearing here means the iteration cost doubled at cluster scale.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val edges = (0L until 200L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 200L), (i, (i * 13 + 11) % 200L))).distinct
+    val (contrib, nodes, ranks0) =
+      Graph.pageRankSetup(edges.toDF("src", "dst"), "src", "dst")
+    val step = Graph.pageRankStep(contrib, nodes, ranks0)
+    step.collect() // AQE: final plan exists only after execution
+    // recursive walk that crosses AQE/query-stage boundaries but NOT
+    // into the cached relation (its internal exchange is setup cost,
+    // paid once — the loop reads the materialized cache)
+    def shuffleCount(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self + kids.map(shuffleCount).sum
+    }
+    val n = shuffleCount(step.queryExecution.executedPlan)
+    val planStr = step.queryExecution.executedPlan.toString
+    assert(n == 1, s"expected exactly 1 shuffle in the loop body, got $n:\n$planStr")
+    assert(planStr.contains("partial_sum"),
+      s"contribution sum lost map-side combine:\n$planStr")
+    assert(planStr.linesIterator
+      .exists(l => l.contains("Exchange hashpartitioning") && l.contains("node_id")),
+      s"the one exchange is not the node-keyed contribution sum:\n$planStr")
+    contrib.unpersist(blocking = false)
+  }
+
   test("ranks are identical across shuffle parallelism (BIGINT associativity)") {
     val edges = (0L until 200L).flatMap(i =>
       Seq((i, (i * 7 + 3) % 200L), (i, (i * 13 + 11) % 200L))).distinct
