@@ -1476,6 +1476,28 @@ object SparkEntry {
             sum(col("value").cast("decimal(18,2)")).cast("double")
               .as("total_value"))),
 
+      // Time-slice scan: a ts-range predicate that must reach the
+      // parquet reader as PushedFilters [GreaterThanOrEqual(ts,...),
+      // LessThan(ts,...)] — row-group min/max pruning, the dominant
+      // pruning axis for a time-ordered 100 TB events table (a day's
+      // slice touches ~1/30 of the row groups WITHOUT partition
+      // columns). This works ONLY because Sessions.tune reads
+      // MICROS-NTZ parquet as TIMESTAMP (inferTimestampNTZ=false):
+      // an NTZ read would put a cast above the scan that no predicate
+      // can push through. PlanShapeSpec pins the PushedFilters line;
+      // PLANS.md carries the scan as evidence.
+      "q85_time_slice" -> ((s, dir) => {
+        import graft.operators.Marts.dec2
+        Tables.events(s, dir)
+          .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(dec2(col("value"))).cast("decimal(18,2)").as("total"))
+          .select(col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+      }),
+
       // N-gram novelty score (dataset-diversity signal): the fraction
       // of a doc's distinct 3-gram shingles whose globally FIRST
       // occurrence (by doc id) is this doc — boilerplate-heavy or
@@ -3674,6 +3696,14 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM events WHERE event_type IN ('signup', 'purchase')
+        |GROUP BY 1""".stripMargin,
+
+    "q85_time_slice" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1""".stripMargin,
 
     "q73_epoch_shuffle" ->

@@ -14,6 +14,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
 
+  test("q85: ts-range predicate reaches the parquet reader as a pushed filter") {
+    // Row-group min/max pruning on the timestamp is the dominant
+    // pruning axis for a time-ordered 100 TB events table. It only
+    // works while the scan column IS a raw TIMESTAMP — Sessions.tune
+    // reads MICROS-NTZ parquet as TIMESTAMP (inferTimestampNTZ=false);
+    // if that config is lost, normalizeNanos falls back to a cast above
+    // the scan and the range predicate silently stops pushing. NOTES_r9
+    // verified this ad hoc; this spec pins it (r9 verdict item 2).
+    val p = plan("q85_time_slice")
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse(
+      fail(s"no FileScan with PushedFilters in plan:\n$p"))
+    assert(scanLine.contains("GreaterThanOrEqual(ts"),
+      s"ts lower bound not pushed to the scan:\n$scanLine")
+    assert(scanLine.contains("LessThan(ts"),
+      s"ts upper bound not pushed to the scan:\n$scanLine")
+  }
+
   test("q2: column pruning excludes the document text from the scan") {
     val p = plan("q2_domain_daily")
     val scanLine = p.linesIterator.find(_.contains("FileScan")).get
