@@ -71,6 +71,105 @@ object Multimodal {
   def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
     StubDecoder.decode(kind, bytes)
 
+  /** A REAL pure-JVM codec for one trivial format — RIFF/WAVE PCM —
+    * proving the [[Decoder]] trait boundary is honest: it parses the
+    * actual byte stream (chunked RIFF header walk, little-endian PCM
+    * samples) and derives features from the signal, no hashes involved.
+    * Field mapping for audio (the schema's raster fields are reused,
+    * documented here): `width` = sample rate in Hz, `height` = channel
+    * count, `n_frames` = PCM sample frames in the data chunk.
+    *
+    * Features (8 floats, all in [-1, 1], exact given exact input):
+    * 0: global RMS, 1: peak |sample|, 2: zero-crossing rate,
+    * 3: DC offset (mean), 4–7: per-quarter RMS of the frame sequence
+    * (a stationary signal yields four equal values — the spec's
+    * invariant). Samples normalized by 2^(bits-1); 8/16-bit PCM only,
+    * multi-channel frames averaged before stats.
+    *
+    * Malformed bytes throw IllegalArgumentException — a real codec
+    * fails loudly on corrupt input; quarantine is the CALLER's policy
+    * (the q75 corrupt-input discipline), not silent fake output. */
+  object WavPcmDecoder extends Decoder {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      require(kind == "audio", s"WavPcmDecoder decodes audio, got $kind")
+      require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        "not a RIFF/WAVE stream")
+      // chunk walk: fmt and data may appear in any order, with padding
+      var off = 12
+      var sampleRate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
+        val id = tag(bytes, off); val sz = le32(bytes, off + 4)
+        require(sz >= 0 && off.toLong + 8 + sz <= bytes.length,
+          s"truncated $id chunk")
+        if (id == "fmt ") {
+          require(sz >= 16, "fmt chunk too short")
+          val fmt = le16(bytes, off + 8)
+          require(fmt == 1, s"only PCM (format 1) supported, got $fmt")
+          channels = le16(bytes, off + 10)
+          sampleRate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+          require(channels >= 1 && sampleRate >= 1, "bad fmt fields")
+          require(bits == 8 || bits == 16, s"only 8/16-bit PCM, got $bits")
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      }
+      require(sampleRate > 0, "no fmt chunk")
+      require(dataOff >= 0, "no data chunk")
+      val bytesPerSample = bits / 8
+      val blockAlign = bytesPerSample * channels
+      val nFrames = dataLen / blockAlign
+      val norm = (1 << (bits - 1)).toFloat // 128 or 32768
+      // frame-averaged mono signal, normalized to [-1, 1)
+      def frame(i: Int): Float = {
+        var c = 0; var acc = 0.0f
+        while (c < channels) {
+          val o = dataOff + i * blockAlign + c * bytesPerSample
+          val s = if (bits == 16) le16(bytes, o).toShort.toInt
+                  else (bytes(o) & 0xff) - 128 // 8-bit WAV is unsigned
+          acc += s / norm; c += 1
+        }
+        acc / channels
+      }
+      var sumSq = 0.0; var sum = 0.0; var peak = 0.0f; var zc = 0
+      var prevSign = 0
+      val qSumSq = new Array[Double](4)
+      var i = 0
+      while (i < nFrames) {
+        val v = frame(i)
+        sumSq += v.toDouble * v; sum += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        val sign = if (v > 0f) 1 else if (v < 0f) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
+        qSumSq(math.min(i * 4 / math.max(nFrames, 1), 3)) += v.toDouble * v
+        i += 1
+      }
+      val n = math.max(nFrames, 1)
+      // exact population of quarter q under the i*4/n bucketing:
+      // i ∈ [ceil(qn/4), ceil((q+1)n/4)) — ceil, not floor, or a
+      // stationary signal's "four equal quarters" invariant drifts
+      // whenever n % 4 != 0
+      val qn = Array.tabulate(4)(q =>
+        math.max(((q + 1) * n + 3) / 4 - (q * n + 3) / 4, 1))
+      val feat = Array(
+        math.sqrt(sumSq / n).toFloat, peak,
+        if (nFrames > 1) zc.toFloat / (nFrames - 1) else 0f,
+        (sum / n).toFloat,
+        math.sqrt(qSumSq(0) / qn(0)).toFloat, math.sqrt(qSumSq(1) / qn(1)).toFloat,
+        math.sqrt(qSumSq(2) / qn(2)).toFloat, math.sqrt(qSumSq(3) / qn(3)).toFloat)
+      (sampleRate, channels, nFrames, feat)
+    }
+  }
+
   /** Stub decode from a pre-computed digest. */
   def decodeFromDigest(kind: String, sha: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     def u(i: Int): Int = sha(i) & 0xff
