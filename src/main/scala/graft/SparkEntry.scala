@@ -387,6 +387,83 @@ object SparkEntry {
       tmp.toString
     })
 
+  private val nearDupSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The s11 ingest stream staged as THREE ordered parquet files: two
+    * clone families of the documents corpus — every doc_id % 7 = 0 as
+    * id+1e6 with a near-dup suffix, every doc_id % 14 = 0 AGAIN as
+    * id+2e6 with a different near-dup suffix — split by clone id mod 3.
+    * The two clones of the same doc land in DIFFERENT micro-batches by
+    * construction ((d+1e6) % 3 != (d+2e6) % 3 always), so their pair is
+    * discoverable ONLY if the index genuinely grew between batches —
+    * the invariant that separates s11 from a fixed-index probe (d19).
+    * Mod times strictly increase so the file source delivers batches
+    * 0,1,2 in order (the index-growth schedule the oracle simulates).
+    * One staging per (JVM, dir). */
+  private def stagedNearDupSplitDir(s: SparkSession, dir: String): String =
+    nearDupSplitDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("s11_docs")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val clones = docs.filter(col("doc_id") % 7 === 0)
+        .select(cloneId(col("doc_id")).as("doc_id"),
+          concat(col("text"), lit(" nearly duplicate suffix")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 14 === 0)
+          .select(cloneId(col("doc_id"), 2000000L).as("doc_id"),
+            concat(col("text"), lit(" v2 nearly duplicate suffix")).as("text")))
+      val mtBase = System.currentTimeMillis() - 60000
+      (0 to 2).foreach { i =>
+        val slice = tmp.resolve(s"slice$i")
+        clones.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(slice.toString)
+        val part = {
+          val l = java.nio.file.Files.list(slice)
+          try l.filter(p => p.getFileName.toString.startsWith("part-")
+              && p.getFileName.toString.endsWith(".parquet"))
+            .findFirst.get
+          finally l.close()
+        }
+        val dst = tmp.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtBase + i * 2000L))
+        val w = java.nio.file.Files.walk(slice)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+      sys.addShutdownHook {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+      tmp.toString
+    })
+
+  /** Doc-stream schema for s11 (what minhashIndex/incremental probing
+    * consume). */
+  private val nearDupStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+  }
+
+  /** Fresh s11 index root + pairs root per stream pass (the s9
+    * lifecycle discipline). */
+  private val s11Roots = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]]()
+  private def s11Root(dir: String, which: String): String = {
+    val ref = s11Roots.computeIfAbsent(dir + "#" + which, { _ =>
+      val r = new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
+      sys.addShutdownHook { Option(r.get()).foreach(rmTreeQuiet) }
+      r
+    })
+    val fresh = java.nio.file.Files.createTempDirectory(s"s11_$which")
+    Option(ref.getAndSet(fresh)).foreach(rmTreeQuiet)
+    fresh.toString
+  }
+
   /** The q77 old/new snapshot pair — shared by the q77 diff gate and
     * the s9 CDC-apply roundtrip (whose source stream IS q77's diff). */
   private def q77Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -556,6 +633,8 @@ object SparkEntry {
       scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
     val martRoot = s5MartRoot(dir)
     val s9Root = s9StateRoot(dir)
+    val s11Index = s11Root(dir, "index")
+    val s11Pairs = s11Root(dir, "pairs")
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -586,6 +665,18 @@ object SparkEntry {
         started += graft.streaming.StreamingJobs.applyCdcStream(
           s, stagedCdcSplitDir(s, dir), cdcStreamSchema, s9Root,
           Seq("doc_id"), s9ck.toString, maxFilesPerTrigger = Some(1))
+        // s11: foreachBatch incremental near-dup — index root seeded
+        // with the corpus MinHash index, the clone stream probes AND
+        // grows it batch by batch (see streamingIncrementalNearDup)
+        graft.operators.VersionedStaging.publish(s, s11Index,
+          DedupSuite.minhashIndex(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "doc_id", "text", n = 3, k = 16, bands = 4))
+        val s11ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s11_ck")
+        cks += s11ck
+        started += graft.streaming.StreamingJobs.streamingIncrementalNearDup(
+          s, stagedNearDupSplitDir(s, dir), nearDupStreamSchema, s11Index,
+          s11Pairs, s11ck.toString, maxFilesPerTrigger = Some(1))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -604,8 +695,15 @@ object SparkEntry {
         .getOrElse(sys.error("stream pass: no s9 CDC state published"))
       val s9out = outRoot.resolve("s9_stream_cdc_apply")
       s.read.parquet(s9latest).write.parquet(s9out.toString)
+      // s11: the accumulated pair output across the three probes (the
+      // partition column `batch` is harness plumbing, not output)
+      val s11out = outRoot.resolve("s11_stream_near_dup")
+      s.read.parquet(s11Pairs)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .write.parquet(s11out.toString)
       memResults ++ Map("s5_stream_mart" -> s5out.toString,
-        "s9_stream_cdc_apply" -> s9out.toString)
+        "s9_stream_cdc_apply" -> s9out.toString,
+        "s11_stream_near_dup" -> s11out.toString)
     } finally {
       started.foreach(q => try q.stop() catch { case _: Throwable => () })
       // sink tables were materialized above; drop them so the memory
@@ -2915,7 +3013,19 @@ object SparkEntry {
       // equivalent batch join+rollup. Stateless on the stream side:
       // no state store, no watermark, no rekeying of the stream.
       "s10_stream_enrich" -> ((s, dir) =>
-        streamResult(s, dir, "s10_stream_enrich"))
+        streamResult(s, dir, "s10_stream_enrich")),
+
+      // Streaming incremental near-dup (the d19 index maintained FROM
+      // a stream): three clone micro-batches probe the persisted
+      // corpus MinHash index and grow it batch over batch — the
+      // same-doc clone pairs planted in different batches are found
+      // ONLY via the grown index, so a broken index append fails the
+      // hash. Oracle: three chained instances of the d19 pipeline
+      // with index_i = corpus ∪ batches<i, exactly the engine's
+      // sequential semantics (including the per-probe union bucket
+      // cap).
+      "s11_stream_near_dup" -> ((s, dir) =>
+        streamResult(s, dir, "s11_stream_near_dup"))
     )
   }
 
@@ -3110,6 +3220,60 @@ object SparkEntry {
        |      JOIN hb y ON y.doc_id = p.id_b)
        |SELECT id_a, id_b, jaccard
        |FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** s11 oracle: the d19 pipeline applied SEQUENTIALLY — batch i (clone
+    * ids ≡ i mod 3) probes index_i = corpus ∪ batches<i, with the
+    * union-population bucket cap evaluated per probe exactly as the
+    * engine's growing persisted index sees it. Three suffixed CTE
+    * blocks, one per micro-batch, unioned. */
+  private def s11OracleSql: String = {
+    val sigList = DedupSuite.affineConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (x * $a + $b) % ${DedupSuite.MinhashP}))"
+    }.mkString("[", ",\n    ", "]")
+    def side(src: String, sfx: String): String =
+      s"""tk$sfx AS (SELECT doc_id, $toksSql AS toks FROM $src),
+         |f$sfx AS (SELECT * FROM tk$sfx WHERE len(toks) >= 3),
+         |sh$sfx AS (SELECT doc_id, $shinglesSql AS sh FROM f$sfx),
+         |h$sfx AS (SELECT doc_id, list_transform(sh, s -> ${hash32Sql(0, "s")}) AS hs FROM sh$sfx),
+         |sig$sfx AS (SELECT doc_id, hs, $sigList AS sig FROM h$sfx),
+         |bnd$sfx AS (SELECT doc_id, j AS band,
+         |    md5(array_to_string(sig[j*4+1 : j*4+4], ',')) AS band_hash
+         |  FROM sig$sfx CROSS JOIN (SELECT unnest(range(4)) AS j))""".stripMargin
+    def block(i: Int): String =
+      s"""${side(s"(SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM allb WHERE doc_id % 3 < $i)", s"a$i")},
+         |${side(s"(SELECT doc_id, text FROM allb WHERE doc_id % 3 = $i)", s"b$i")},
+         |sized$i AS (SELECT band, band_hash, COUNT(*) AS bucket_n
+         |          FROM (SELECT band, band_hash FROM bnda$i
+         |                UNION ALL SELECT band, band_hash FROM bndb$i)
+         |          GROUP BY 1, 2),
+         |ok$i AS (SELECT band, band_hash FROM sized$i WHERE bucket_n <= 1000),
+         |pairs$i AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bnda$i a
+         |          JOIN ok$i o ON a.band = o.band AND a.band_hash = o.band_hash
+         |          JOIN bndb$i b ON a.band = b.band AND a.band_hash = b.band_hash),
+         |j$i AS (SELECT p.id_a, p.id_b,
+         |        CASE WHEN len(list_distinct(list_concat(x.hs, y.hs))) > 0
+         |             THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |                  / CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
+         |             ELSE 0.0 END AS jaccard
+         |      FROM pairs$i p
+         |      JOIN ha$i x ON x.doc_id = p.id_a
+         |      JOIN hb$i y ON y.doc_id = p.id_b)""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |allb AS (SELECT doc_id + 1000000 AS doc_id,
+       |           text || ' nearly duplicate suffix' AS text
+       |         FROM documents WHERE doc_id % 7 = 0
+       |         UNION ALL
+       |         SELECT doc_id + 2000000 AS doc_id,
+       |           text || ' v2 nearly duplicate suffix' AS text
+       |         FROM documents WHERE doc_id % 14 = 0),
+       |${block(0)},
+       |${block(1)},
+       |${block(2)}
+       |SELECT id_a, id_b, jaccard FROM j0 WHERE jaccard >= 0.5
+       |UNION ALL SELECT id_a, id_b, jaccard FROM j1 WHERE jaccard >= 0.5
+       |UNION ALL SELECT id_a, id_b, jaccard FROM j2 WHERE jaccard >= 0.5""".stripMargin
   }
 
   /** Recursive-CTE transitive closure of the near-dup pairs, appended
@@ -4222,6 +4386,7 @@ object SparkEntry {
     "d2_minhash_pairs" -> d2OracleSql,
     "d5_minhash_portable" -> d5OracleSql,
     "d19_incremental_minhash" -> d19OracleSql,
+    "s11_stream_near_dup" -> s11OracleSql,
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
     "d9_components_distributed" -> d8OracleSql,

@@ -130,6 +130,67 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming incremental MinHash-LSH near-dup — the ingest-dedup
+    * production shape (r9 verdict item 6): a persisted
+    * [[graft.operators.DedupSuite.minhashIndex]] over the corpus is
+    * PROBED and GROWN from a document stream via `foreachBatch`. Per
+    * micro-batch: (1) probe the current index with
+    * [[graft.operators.DedupSuite.incrementalMinhashNearDups]] — the
+    * batch is shingled/signed once, candidates come from shared (band,
+    * band_hash) buckets, exact-Jaccard verified; (2) append the found
+    * pairs under `pairsDir/batch=<id>`; (3) publish index ∪
+    * minhashIndex(batch) as the next version. Docs arriving in batch
+    * t are therefore deduped against the corpus AND every earlier
+    * batch — the cross-batch pairs are the part a fixed-index probe
+    * (d19) cannot see, and the s11 gate plants clone pairs split
+    * across batches to make exactly that observable.
+    *
+    * Replay safety: a crash between the index publish and the
+    * checkpoint commit replays the batch; the `_BATCH` marker on the
+    * latest version detects it and the whole step is SKIPPED —
+    * re-probing against the already-grown index would emit wrong
+    * pairs (self-matches of the batch against its own index rows).
+    * The pairs write is per-batch-dir overwrite, so the
+    * crash-before-publish replay (which recomputes against the same
+    * index) is idempotent too.
+    *
+    * 100-TB design: per-batch cost is the batch's own shingle/sign
+    * pass plus hash joins against the index — the corpus is never
+    * re-shingled (the d19 invariant, now maintained continuously).
+    * The index append is a metadata-cheap versioned publish; at real
+    * scale the union-write becomes an append-only table partition
+    * plus periodic [[graft.operators.VersionedStaging.compact]]. */
+  def streamingIncrementalNearDup(spark: SparkSession, srcDir: String,
+                                  schema: StructType, indexRoot: String,
+                                  pairsDir: String, checkpoint: String,
+                                  maxFilesPerTrigger: Option[Int] = None,
+                                  n: Int = 3, k: Int = 16, bands: Int = 4,
+                                  threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val current = graft.operators.VersionedStaging.latestComplete(s, indexRoot)
+          .getOrElse(sys.error(s"streamingIncrementalNearDup: $indexRoot not seeded"))
+        if (!graft.operators.VersionedStaging.batchIdOf(s, current).contains(batchId)) {
+          val index = s.read.parquet(current)
+          val b = batch.toDF()
+          graft.operators.DedupSuite.incrementalMinhashNearDups(
+            index, b, "doc_id", "text", n, k, bands, threshold)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          graft.operators.VersionedStaging.publish(s, indexRoot,
+            index.unionByName(
+              graft.operators.DedupSuite.minhashIndex(b, "doc_id", "text", n, k, bands)),
+            batchId = Some(batchId))
+        }
+        ()
+      }
+      .start()
+  }
+
   final case class Keyed(id: Long, version: Long, payload: String)
 
   /** Last-write-wins keyed state — the streaming form of the batch merge
