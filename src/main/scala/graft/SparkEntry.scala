@@ -2697,6 +2697,38 @@ object SparkEntry {
           (lit(1) + hash32(col("text")) % 1024).cast("int").as("fake_width"),
           (lit(1) + hash32(col("text"), 1) % 30).cast("int").as("fake_frames"))),
 
+      // ---- REAL codec through the Decoder boundary, oracle-gated ----
+      // m1-m3 gate the binary *plumbing* with a stub codec; m4 gates an
+      // actual byte-stream parser: each doc gets a RIFF/WAVE PCM blob
+      // synthesized from doc_id alone (Multimodal.synthWavPcm), decoded
+      // by WavPcmDecoder (chunk walk + little-endian sample decode —
+      // it sees only the bytes), and the oracle recomputes every output
+      // in closed form from doc_id. A header-offset or sample-sign bug
+      // anywhere in the codec breaks the hash. All features are exact
+      // (power-of-two denominators, even frame counts), so the float
+      // compare is bit-for-bit, no tolerance. Scale shape: synth+decode
+      // run in one mapPartitions pass — the archetypal CPU-bound
+      // embarrassingly-parallel decode stage; nothing shuffles.
+      "m4_wav_features" -> ((s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = Multimodal.synthWavPcm(id)
+            val (sr, ch, nf, feat) =
+              Multimodal.WavPcmDecoder.decode("audio", bytes)
+            (id, bytes.length, sr, ch, nf, feat(0).toDouble,
+              feat(1).toDouble, feat(2).toDouble, feat(3).toDouble,
+              feat(5).toDouble)
+          })
+          .toDF("doc_id", "byte_len", "sr", "channels", "n_frames",
+            "rms", "peak", "zcr", "dc", "q2_rms")
+          .select(col("doc_id"), col("byte_len").cast("int").as("byte_len"),
+            col("sr").cast("int").as("sr"),
+            col("channels").cast("int").as("channels"),
+            col("n_frames").cast("int").as("n_frames"),
+            col("rms"), col("peak"), col("zcr"), col("dc"), col("q2_rms"))
+      }),
+
       // ---- map-typed column suite (map build/lookup/filter/fold) ----
       "q55_map_ops" -> ((s, dir) => {
         val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
@@ -5004,7 +5036,32 @@ object SparkEntry {
          |  md5(text) AS content_md5,
          |  CAST(1 + ${hash32Sql(0, "text")} % 1024 AS INT) AS fake_width,
          |  CAST(1 + ${hash32Sql(1, "text")} % 30 AS INT) AS fake_frames
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // m4: closed-form inverse of Multimodal.synthWavPcm — every value
+    // the REAL WavPcmDecoder must recover from the byte stream, derived
+    // from doc_id by pure integer arithmetic plus one float-exact
+    // division (amp/32768: power-of-two denominator, amp < 2^15, so
+    // DOUBLE-divide → REAL-round is bit-identical to the decoder's
+    // float math; zcr is exactly 1, dc exactly 0 by construction).
+    "m4_wav_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         1 + doc_id % 2 AS ch,
+        |         64 + 2 * (doc_id % 96) AS nf,
+        |         256 + (doc_id % 1024) * 16 AS amp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(44 + nf * 2 * ch AS INT) AS byte_len,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sr,
+        |  CAST(ch AS INT) AS channels,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(CAST(CAST(amp AS DOUBLE) / 32768 AS REAL) AS DOUBLE) AS rms,
+        |  CAST(CAST(CAST(amp AS DOUBLE) / 32768 AS REAL) AS DOUBLE) AS peak,
+        |  CAST(1.0 AS DOUBLE) AS zcr,
+        |  CAST(0.0 AS DOUBLE) AS dc,
+        |  CAST(CAST(CAST(amp AS DOUBLE) / 32768 AS REAL) AS DOUBLE) AS q2_rms
+        |FROM p""".stripMargin
   )
 
   def parityOracles: Map[String, String] = Map(

@@ -170,6 +170,41 @@ object Multimodal {
     }
   }
 
+  /** Deterministic RIFF/WAVE synthesizer for the m4 gate: an
+    * alternating-sign constant-amplitude 16-bit PCM square tone whose
+    * every parameter is a pure function of `docId`, so an oracle can
+    * recompute [[WavPcmDecoder]]'s outputs in closed form without
+    * parsing a byte: rms = peak = quarter-rms = amp/32768 exactly
+    * (power-of-two denominator → float-exact), zero-crossing rate = 1,
+    * DC offset = 0 (frame count always even, so +amp/−amp pairs cancel
+    * exactly in the decoder's double accumulator). The decoder sees
+    * only the bytes — a header-parse or sample-decode bug breaks the
+    * m4 hash, which is what makes the codec-trait boundary honest. */
+  def synthWavPcm(docId: Long): Array[Byte] = {
+    val sr = 8000 + (docId % 8).toInt * 1000
+    val channels = 1 + (docId % 2).toInt
+    val nFrames = 64 + 2 * (docId % 96).toInt // even, 64..254
+    val amp = 256 + (docId % 1024).toInt * 16 // 256..16624 < 2^15
+    val dataLen = nFrames * 2 * channels
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+    buf.putShort(1).putShort(channels.toShort).putInt(sr)
+    buf.putInt(sr * 2 * channels).putShort((2 * channels).toShort).putShort(16)
+    buf.put("data".getBytes(ascii)).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      val s = (if (i % 2 == 0) amp else -amp).toShort
+      var c = 0
+      while (c < channels) { buf.putShort(s); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Stub decode from a pre-computed digest. */
   def decodeFromDigest(kind: String, sha: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     def u(i: Int): Int = sha(i) & 0xff

@@ -166,4 +166,26 @@ class MultimodalSpec extends SparkSpec {
     // and the per-id amplitudes genuinely differ (content-sensitive)
     assert(real.map(_.features(1)).distinct.length == 7)
   }
+
+  test("m4 fixture: synthWavPcm decodes to its closed form, bit-exact") {
+    // ids chosen to wrap every parameter: channel parity, nFrames mod
+    // 96, amp mod 1024, sample-rate mod 8
+    val ids = (0L to 10L) ++ Seq(95L, 96L, 97L, 1023L, 1024L, 1025L, 12345L)
+    ids.foreach { id =>
+      val bytes = Multimodal.synthWavPcm(id)
+      val (sr, ch, nf, feat) = Multimodal.WavPcmDecoder.decode("audio", bytes)
+      val expCh = 1 + (id % 2).toInt
+      val expNf = 64 + 2 * (id % 96).toInt
+      val amp = 256 + (id % 1024).toInt * 16
+      val x = (amp.toDouble / 32768).toFloat // float-exact
+      assert(sr == 8000 + (id % 8).toInt * 1000, s"sr for $id")
+      assert(ch == expCh && nf == expNf, s"dims for $id")
+      assert(bytes.length == 44 + expNf * 2 * expCh, s"byte_len for $id")
+      assert(feat(0) == x, s"rms for $id")          // constant |sample|
+      assert(feat(1) == x, s"peak for $id")
+      assert(feat(2) == 1.0f, s"zcr for $id")       // alternating signs
+      assert(feat(3) == 0.0f, s"dc for $id")        // even +/- pairs
+      assert((4 to 7).forall(q => feat(q) == x), s"quarter rms for $id")
+    }
+  }
 }
