@@ -1388,6 +1388,15 @@ object SparkEntry {
             .select(col("lang"), col("doc_id"), col("n_chars")),
           Seq("lang"), col("doc_id"), col("n_chars"), k = 5)),
 
+      // DSIR-style target-conditioned data selection (hashed n-gram
+      // importance weights, integer-exact surrogate score — scale
+      // analysis and the log-free portability argument in
+      // Sampling.dsirSelect's scaladoc). Target = English docs; the
+      // top-100 most target-like documents of the raw pool win.
+      "q86_dsir_select" -> ((s, dir) =>
+        Sampling.dsirSelect(Tables.documents(s, dir),
+          "doc_id", col("text"), col("lang") === "en", k = 100)),
+
       // Corrupt-record quarantine (ingestion robustness, the B1
       // null-filter discipline applied to malformed input): a JSONL
       // staging with every 7th line truncated is read through Spark's
@@ -1808,6 +1817,20 @@ object SparkEntry {
           n = 3, k = 16, bands = 4)
         DedupSuite.incrementalMinhashNearDups(index, batch, "doc_id", "text",
           n = 3, k = 16, bands = 4, threshold = 0.5)
+      }),
+
+      // ---- semantic dedup (SemDeDup, arXiv:2303.09540: cluster the
+      // embedding corpus, then dedup ONLY within clusters — the
+      // quadratic pairwise step is bounded per cluster, never corpus-
+      // wide; scale analysis in Similarity.semDedup's scaladoc). The
+      // d6 planting (exact clones of every 10th vector, ids +1e6)
+      // guarantees tau-passing pairs at any sf; keep-lowest-id drops
+      // each clone while natural vectors survive.
+      "d20_semdedup" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select(cloneId(col("vec_id")).as("vec_id"), col("embedding")))
+        Similarity.semDedup(planted, "vec_id", "embedding", tau = 0.98)
       }),
 
       "d13_incremental_ingest" -> ((s, dir) => {
@@ -3731,6 +3754,26 @@ object SparkEntry {
         |      ORDER BY priority DESC, doc_id ASC) AS INT) AS rnk FROM p)
         |SELECT lang, doc_id, n_chars, priority, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
+    // DSIR surrogate: identical hashed-bucket features (md5-based
+    // hash32 twin), identical integer weight algebra, same top-k
+    // tiebreak. SUM over BIGINT products stays within int64 (DuckDB
+    // widens to HUGEINT internally; the final CAST pins the schema).
+    "q86_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt,
+         |              unnest($toksSql) AS tok FROM documents),
+         |tb AS (SELECT doc_id, tgt, ${hash32Sql(0, "tok")} % 64 AS b FROM tk),
+         |st AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc,
+         |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+         |       FROM tb GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS n_raw,
+         |               CAST(SUM(tc) AS BIGINT) AS n_tgt FROM st),
+         |w AS (SELECT st.b, st.tc * tot.n_raw - st.rc * tot.n_tgt AS w
+         |      FROM st CROSS JOIN tot),
+         |sc AS (SELECT tb.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+         |       FROM tb JOIN w USING (b) GROUP BY 1)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin,
+
     "q72_temperature_sample" ->
       s"""WITH d AS (SELECT doc_id,
          |    CASE WHEN source IS NULL OR source = '' THEN '(no_domain)'
@@ -4422,6 +4465,34 @@ object SparkEntry {
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
     "d9_components_distributed" -> d8OracleSql,
+
+    // SemDeDup: same planted corpus as the Spark side, deterministic
+    // lowest-id centroid seed (the e3/e5 discipline), assignment and
+    // pair cosines in the identical left-fold double order, drop rule
+    // keep-lowest-id within cluster.
+    "d20_semdedup" ->
+      s"""WITH planted AS (SELECT vec_id, embedding FROM embeddings
+         |                 UNION ALL
+         |                 SELECT vec_id + 1000000, embedding
+         |                 FROM embeddings WHERE vec_id % 10 = 0),
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |         FROM planted ORDER BY vec_id ASC LIMIT 16),
+         |assign AS (SELECT p.vec_id, p.embedding AS v, c.centroid_id,
+         |             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |               ORDER BY ${dotSql("p.embedding", "c.cvec")}
+         |                 / (sqrt(${dotSql("p.embedding", "p.embedding")})
+         |                    * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+         |               c.centroid_id ASC) AS rn
+         |           FROM planted p CROSS JOIN cent c),
+         |members AS (SELECT vec_id, v, centroid_id FROM assign WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id AS id_b
+         |            FROM members a JOIN members b
+         |              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |            WHERE ${dotSql("a.v", "b.v")}
+         |                / (sqrt(${dotSql("a.v", "a.v")})
+         |                   * sqrt(${dotSql("b.v", "b.v")})) >= 0.98)
+         |SELECT m.vec_id, m.centroid_id FROM members m
+         |WHERE m.vec_id NOT IN (SELECT id_b FROM dropped)""".stripMargin,
 
     // e7's graph + transitive closure over its MUTUAL edges (the
     // closure CTE mirrors componentsCtesSql, keyed on vec ids)

@@ -136,4 +136,57 @@ object Sampling {
       .withColumn("priority", pr)
     TopK.perGroup(keyed, groupKeys, Seq(col("priority").desc, idCol.asc), k)
   }
+
+  /** DSIR-style data selection (Xie et al., NeurIPS 2023,
+    * arXiv:2302.03169): score every raw document by how target-like
+    * its hashed n-gram feature profile is, keep the top `k`. The
+    * published method ranks by Σ_buckets log(p_target(b)/p_raw(b));
+    * this implementation ranks by the integer-exact surrogate
+    *
+    *   score(doc) = Σ_tokens [ tc(b)·N_raw − rc(b)·N_target ]
+    *
+    * — per bucket the cross-multiplied numerator of
+    * p_target(b) − p_raw(b) — preserving the method's structure
+    * (hashed bucket features, importance weights from target-vs-raw
+    * frequency, rank and select) while staying BIGINT-exact in every
+    * engine: no libm log, whose last-ULP rounding the IEEE standard
+    * does not pin down across implementations (the q72/t14/q83
+    * portability discipline).
+    *
+    * Scale design: the corpus is tokenized ONCE. Bucket statistics are
+    * one partial-aggregable groupBy onto `nBuckets` keys (tiny output,
+    * map-side combined); the weight table (`nBuckets` rows) is
+    * BROADCAST back onto the token stream, so the only corpus-sized
+    * shuffle is the per-doc score sum — itself partial-aggregable on
+    * doc_id. The final top-k plans as TakeOrderedAndProject
+    * (per-partition heads, never a global sort materialization). At
+    * 100 TB raise `nBuckets` toward the paper's 10^4 — every cost
+    * above is unchanged, only the broadcast grows by rows.
+    *
+    * Overflow bound: |score| ≤ n_doc_tokens · N_tgt · N_raw; safe in
+    * BIGINT while total corpus tokens stay under ~2^31 per stats
+    * partition — at larger corpora compute the weights on a fixed-rate
+    * hash sample of tokens (the paper itself estimates distributions
+    * from a sample), which rescales both products identically. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: Column,
+                 isTarget: Column, k: Int, nBuckets: Int = 64,
+                 salt: Int = 0): DataFrame = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("tok"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(hash32(col("tok"), salt), lit(nBuckets.toLong)).as("b"))
+    val stats = tk.groupBy(col("b")).agg(
+      count(lit(1)).cast("long").as("rc"),
+      sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tc"))
+    val tot = stats.agg(sum(col("rc")).as("n_raw"), sum(col("tc")).as("n_tgt"))
+    val w = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (col("tc") * col("n_raw") - col("rc") * col("n_tgt")).as("w"))
+    tk.join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

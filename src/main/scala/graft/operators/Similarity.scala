@@ -395,4 +395,54 @@ object Similarity {
     withMutualFlag(TopK.perGroup(scored, Seq("query_id"),
       Seq(col("sim").desc, col("neighbor_id").asc), k))
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding corpus, then dedup ONLY within clusters —
+    * a pair (a, b), id_a < id_b, with cosine ≥ `tau` drops b. The
+    * clustering is exactly what makes this viable at corpus scale:
+    * the pairwise step is quadratic PER CLUSTER, never over the
+    * corpus, so the cost is Σ n_c² with n_c ≈ N / nCentroids — at
+    * 100 TB you grow nCentroids with N (the paper runs 50k clusters
+    * over LAION) so cluster size, and with it the per-reducer pair
+    * count, stays constant. Plan shape: one broadcast assignment pass
+    * (no shuffle of the corpus beyond its centroid key), then a
+    * self-join partitioned by centroid_id — each cluster's pairs are
+    * produced inside one shuffle partition's sort-merge bucket, and a
+    * skewed mega-cluster is visible as ONE hot key (fixable by
+    * raising nCentroids, the paper's own knob, not by salting).
+    *
+    * Centroids default to the deterministic lowest-id seed (the
+    * [[ivfTopK]] discipline) so a DuckDB oracle reproduces membership
+    * bit-for-bit; pass [[kmeans]] output for refined clusters in
+    * serving (better balance, but float means are not cross-engine
+    * stable). Drop rule is keep-lowest-id (any pair ≥ tau drops the
+    * higher id) — deterministic and single-pass, the same contract as
+    * [[lshDedup]]; the paper's keep-farthest-from-centroid variant
+    * would only change the ORDER BY inside the pair filter.
+    *
+    * Output: survivors as (vec_id, centroid_id). */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               tau: Double, nCentroids: Int = 16,
+               centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      vectors.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
+    val assigned = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("vid"), col("v"), col("centroid_id"),
+        cosineNative(col("v"), col("centroid_vec")).as("csim"))
+    val members = TopK.perGroup(assigned, Seq("vid"),
+        Seq(col("csim").desc, col("centroid_id").asc), 1)
+      .select(col("vid"), col("v"), col("centroid_id"))
+    val a = members.select(col("centroid_id"), col("vid").as("id_a"),
+      col("v").as("va"))
+    val b = members.select(col("centroid_id"), col("vid").as("id_b"),
+      col("v").as("vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineNative(col("va"), col("vb")) >= tau)
+      .select(col("id_b")).distinct()
+    members.join(dropped, col("vid") === col("id_b"), "left_anti")
+      .select(col("vid").as("vec_id"), col("centroid_id"))
+  }
 }

@@ -131,6 +131,47 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("dsirSelect ranks target-vocabulary docs above off-target docs") {
+    // target docs speak vocabulary A, raw-only docs vocabulary B, and
+    // a few candidate docs mix both: the A-heavy candidate must
+    // outscore the B-heavy one, because A-buckets carry positive
+    // weight (over-represented in target) and B-buckets negative.
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", true),
+      (1L, "alpha gamma beta beta gamma", true),
+      (2L, "delta epsilon zeta delta zeta", false),
+      (3L, "delta zeta epsilon epsilon", false),
+      (10L, "alpha beta gamma", false), // A-heavy candidate
+      (11L, "delta epsilon zeta", false), // B-heavy candidate
+      (12L, "alpha delta", false)) // mixed
+      .toDF("doc_id", "text", "tgt")
+    val out = Sampling.dsirSelect(docs, "doc_id", col("text"), col("tgt"),
+      k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(10L) > out(12L) && out(12L) > out(11L),
+      s"A-heavy > mixed > B-heavy expected, got $out")
+    assert(out(0L) > 0 && out(11L) < 0,
+      s"target-vocab scores positive, off-target negative, got $out")
+  }
+
+  test("dsirSelect: top-k contract, determinism, and layout independence") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"),
+      (col("lang") === "en").as("tgt"))
+    def run() = Sampling.dsirSelect(docs, "doc_id", col("text"), col("tgt"),
+      k = 25)
+    val a = run().collect().toSeq
+    assert(a.size == 25)
+    // scores arrive non-increasing with doc_id tiebreak
+    val pairs = a.map(r => (r.getLong(1), r.getLong(0)))
+    assert(pairs.sliding(2).forall { case Seq((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) },
+      "top-k must be ordered by score desc, doc_id asc")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run().collect().toSeq == a, "selection must not depend on layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("c3 funnel: domain caps hold and quality is averaged over kept docs only") {
     val out = SparkEntry.queries("c3_training_corpus")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Semantic dedup (d20): cluster-then-dedup semantics the DuckDB value
+  * gate cannot express — keep-lowest-id within cluster, cross-cluster
+  * blindness, determinism, and the survivor contract on clone-planted
+  * corpora. */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64
+
+  /** Three tight axis clusters; ids 100+ are exact clones of ids 0-2
+    * (one per cluster), id 50 is a lone far vector. Within a cluster,
+    * cosine(original, clone) = 1; across clusters cosine = 0. */
+  private def fixture: DataFrame = {
+    def vec(axis: Int, wiggle: Float): Array[Float] = {
+      val a = new Array[Float](dims)
+      a(axis) = 1f
+      a(axis + 10) = wiggle
+      a
+    }
+    val rows = Seq(
+      (0L, vec(0, 0f)), (1L, vec(1, 0f)), (2L, vec(2, 0f)),
+      // near members: same axis, small wiggle -> cosine ~0.9999
+      (10L, vec(0, 0.01f)), (11L, vec(1, 0.01f)),
+      // exact clones of 0, 1, 2
+      (100L, vec(0, 0f)), (101L, vec(1, 0f)), (102L, vec(2, 0f)),
+      // lone far vector
+      (50L, vec(7, 0f)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("exact clones drop, lowest id survives, lone vectors always survive") {
+    val out = Similarity.semDedup(fixture, "vec_id", "embedding",
+      tau = 0.999, nCentroids = 4).cache()
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(100L) && !kept.contains(101L) && !kept.contains(102L),
+      s"clones must drop, kept=$kept")
+    assert(kept.contains(0L) && kept.contains(1L) && kept.contains(2L),
+      "lowest-id originals must survive")
+    assert(kept.contains(50L), "the lone vector has no tau-neighbor")
+    // id 10 is itself a centroid (4 lowest ids = 0,1,2,10) so it owns
+    // its cluster and its tau-pair with 0 is cross-cluster — blind by
+    // design; id 11 lands in cluster 1 beside vec 1 and drops
+    assert(kept.contains(10L) && !kept.contains(11L), s"kept=$kept")
+  }
+
+  test("tau above the near-member similarity keeps near members") {
+    val out = Similarity.semDedup(fixture, "vec_id", "embedding",
+      tau = 0.99999, nCentroids = 4)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(10L) && kept.contains(11L),
+      "wiggled members are below the tighter tau and must survive")
+    assert(!kept.contains(100L), "exact clones are above any tau < 1")
+  }
+
+  test("survivors carry their cluster id and the result is deterministic") {
+    val a = Similarity.semDedup(fixture, "vec_id", "embedding",
+      tau = 0.999, nCentroids = 4).orderBy("vec_id").collect().toSeq
+    val b = Similarity.semDedup(fixture, "vec_id", "embedding",
+      tau = 0.999, nCentroids = 4).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+    // centroid ids come from the deterministic lowest-id seed
+    val cids = a.map(_.getLong(1)).toSet
+    assert(cids.subsetOf(Set(0L, 1L, 2L, 10L)),
+      s"centroid ids must be the 4 lowest vec_ids, got $cids")
+  }
+
+  test("dedup is cluster-local: a tau-pair split across clusters never drops") {
+    // SemDeDup's documented blindness: a similar pair whose members
+    // land in DIFFERENT clusters is never compared (the paper accepts
+    // this; raising nCentroids shrinks cluster diameter, not recall
+    // of cross-cluster pairs). v0 sits on axis 3; v1 leans 0.2 toward
+    // axis 4; centroid c1 leans 0.3 — so v1's nearest centroid is c1
+    // while v0 stays on c0, yet cos(v0, v1) ≈ 0.98 >= tau.
+    def lean(w4: Float): Array[Float] = {
+      val a = new Array[Float](dims); a(3) = 1f; a(4) = w4; a
+    }
+    val vecs = Seq((0L, lean(0f)), (1L, lean(0.2f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, lean(0f)), (1L, lean(0.3f))).toDF("centroid_id", "centroid_vec")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", tau = 0.9,
+        nCentroids = 2, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(0L, 1L), s"split pair must both survive, got $out")
+    assert(out(0L) == 0L && out(1L) == 1L, s"expected split assignment, got $out")
+  }
+
+  test("equal-cosine assignment tiebreaks to the lowest centroid id") {
+    def unit(axis: Int): Array[Float] = {
+      val a = new Array[Float](dims); a(axis) = 1f; a
+    }
+    val vecs = Seq((0L, unit(3)), (1L, unit(3))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, unit(3)), (1L, unit(3))).toDF("centroid_id", "centroid_vec")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding", tau = 0.9,
+        nCentroids = 2, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // both score cosine 1 on both centroids -> both assigned to c0,
+    // the pair IS seen, and keep-lowest-id drops vec 1
+    assert(kept.toSeq == Seq((0L, 0L)),
+      s"equal-cosine rows must co-locate on centroid 0 and dedup, got ${kept.toSeq}")
+  }
+}
