@@ -2125,6 +2125,16 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
       }),
 
+      // ---- product quantization ANN (the compressed-codes serving
+      // layout: vectors become m subspace codes; queries score via an
+      // ADC lookup table — scale analysis and the fixed-point BIGINT
+      // distance discipline in Similarity.pqTopK's scaladoc) ----
+      "e9_pq" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      }),
+
       // Int8 embedding quantization (min/max affine, the storage layout
       // for vectors at corpus scale): per-vector range stats + the
       // quantized-value checksum. Exact float min/max and correctly-
@@ -3146,6 +3156,18 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"
+
+  /** DuckDB twin of [[Similarity.l2Fixed]]: 10-bit fixed-point
+    * component quantization, then a BIGINT sum of squared diffs —
+    * order-independent, so engine fold order cannot perturb it. */
+  private def l2FixSql(a: String, b: String): String = {
+    def q(x: String) =
+      s"CAST(floor(CAST($x AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_zip($a, $b), " +
+      s"p -> (${q("p[1]")} - ${q("p[2]")}) * (${q("p[1]")} - ${q("p[2]")}))), " +
+      "(a, b) -> a + b)"
+  }
 
   /** Corpus CTE chains for the minhash oracles (each ends defining
     * `corpus(doc_id, text)`), mirroring the Spark fixtures above. */
@@ -4561,6 +4583,41 @@ object SparkEntry {
     "d6_embedding_dedup" -> d6OracleSql,
     "e3_ann_ivf" -> e3OracleSql,
     "e5_recall" -> e5OracleSql,
+
+    // PQ/ADC: identical subspace slicing, fixed-point BIGINT
+    // distances (l2Fixed's 10-bit quantization), argmin tiebreak cid
+    // asc, and the same top-k order — every number is integer-exact.
+    "e9_pq" ->
+      s"""WITH js AS (SELECT unnest(range(8)) AS j),
+         |cent AS (SELECT c.vec_id AS cid, js.j,
+         |           list_slice(c.embedding, js.j*8+1, js.j*8+8) AS csub
+         |         FROM (SELECT vec_id, embedding FROM embeddings
+         |               ORDER BY vec_id ASC LIMIT 16) c CROSS JOIN js),
+         |sv AS (SELECT e.vec_id AS neighbor_id, js.j,
+         |         list_slice(e.embedding, js.j*8+1, js.j*8+8) AS sv
+         |       FROM embeddings e CROSS JOIN js),
+         |cd AS (SELECT sv.neighbor_id, sv.j, cent.cid,
+         |         ${l2FixSql("sv.sv", "cent.csub")} AS d
+         |       FROM sv JOIN cent ON sv.j = cent.j),
+         |codes AS (SELECT neighbor_id, j, cid AS code FROM (
+         |            SELECT neighbor_id, j, cid,
+         |              ROW_NUMBER() OVER (PARTITION BY neighbor_id, j
+         |                ORDER BY d ASC, cid ASC) AS rn FROM cd) WHERE rn = 1),
+         |qs AS (SELECT e.vec_id AS query_id, js.j,
+         |         list_slice(e.embedding, js.j*8+1, js.j*8+8) AS qsv
+         |       FROM embeddings e CROSS JOIN js WHERE e.vec_id < 8),
+         |qt AS (SELECT qs.query_id, qs.j, cent.cid,
+         |         ${l2FixSql("qs.qsv", "cent.csub")} AS qd
+         |       FROM qs JOIN cent ON qs.j = cent.j),
+         |sc AS (SELECT qt.query_id, codes.neighbor_id,
+         |         CAST(SUM(qt.qd) AS BIGINT) AS adist
+         |       FROM codes JOIN qt ON codes.j = qt.j AND codes.code = qt.cid
+         |       WHERE qt.query_id <> codes.neighbor_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
     "e6_quantize" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
