@@ -2125,6 +2125,24 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
       }),
 
+      // ---- incremental IVF ingest (the d13/d19 incremental family
+      // applied to ANN serving): build the partitioned index from the
+      // BASE corpus, append a clone batch against the frozen
+      // centroids WITHOUT touching the corpus, then serve from the
+      // grown index. The oracle is a full IVF pipeline over
+      // corpus ∪ batch with the same centroid seed — frozen centroids
+      // make append and rebuild bit-identical, which is the gate.
+      "e10_incremental_ivf" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val batch = emb.filter(col("vec_id") % 10 === 0)
+          .select(cloneId(col("vec_id")).as("vec_id"), col("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("e10_ivf").toString
+        val cent = Similarity.buildIvfIndex(emb, root, "vec_id", "embedding", 16)
+        Similarity.appendToIvfIndex(batch, root, cent, "vec_id", "embedding")
+        Similarity.queryIvfIndex(s, root, cent, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      }),
+
       // ---- product quantization ANN (the compressed-codes serving
       // layout: vectors become m subspace codes; queries score via an
       // ADC lookup table — scale analysis and the fixed-point BIGINT
@@ -2227,6 +2245,28 @@ object SparkEntry {
           .select(col("event_type"), col("n").cast("bigint").as("n"),
             col("total").cast("decimal(18,2)").cast("double").as("total"),
             col("first_us"), col("last_us"))),
+
+      // ---- salted fact-dim join (the join-side skew path beside
+      // q22's agg salting: hot fact keys spread over saltBuckets
+      // reducers, dim rows replicate — cost model and the
+      // when-not-to-use-this note in Skew.saltedJoin's scaladoc).
+      // events.user_id is 150 distinct keys over 10k+ rows — every
+      // key is hot relative to the reducer count, the exact shape a
+      // plain shuffle join serializes on. Result must equal the
+      // plain join bit-for-bit, which is the oracle.
+      "q87_salted_join" -> ((s, dir) =>
+        Skew.saltedJoin(
+          Tables.events(s, dir)
+            .filter(col("user_id").isNotNull)
+            .select(col("user_id").cast("long").as("c_custkey"),
+              col("event_type"), Marts.dec2(col("value")).as("val")),
+          Tables.customer(s, dir)
+            .select(col("c_custkey").cast("long").as("c_custkey"),
+              col("c_mktsegment")),
+          "c_custkey", saltBuckets = 8)
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("val")).cast("decimal(18,2)").cast("double").as("total"))),
 
       // ---- streaming (micro-batch over the events file; same oracle as q18;
       // runs in the shared concurrent pass — see runStreamPass/streamJobs) ----
@@ -3489,18 +3529,20 @@ object SparkEntry {
        |WHERE vec_id NOT IN (SELECT id_b FROM dropped)""".stripMargin
 
   /** IVF pipeline CTE chain (assignment, probe selection, list scoring,
-    * ranking) shared by the e3 and e5 oracles — ends with `r` =
-    * (query_id, neighbor_id, sim, rnk). */
-  private val ivfCtesSql: String =
+    * ranking) shared by the e3/e5/e10 oracles — ends with `r` =
+    * (query_id, neighbor_id, sim, rnk). `corpus` is the relation the
+    * index covers (queries always come from the base `embeddings`
+    * table, so an e10-planted corpus reuses the e3 query set). */
+  private def ivfCtes(corpus: String): String =
     s"""cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
-       |              FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+       |              FROM $corpus ORDER BY vec_id ASC LIMIT 16),
        |assign AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
        |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |               ORDER BY ${dotSql("e.embedding", "c.cvec")}
        |                 / (sqrt(${dotSql("e.embedding", "e.embedding")})
        |                    * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
        |               c.centroid_id ASC) AS rn
-       |           FROM embeddings e CROSS JOIN cent c),
+       |           FROM $corpus e CROSS JOIN cent c),
        |lists AS (SELECT neighbor_id, cv, centroid_id FROM assign WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
        |probes AS (SELECT query_id, qv, centroid_id FROM (
@@ -3522,6 +3564,8 @@ object SparkEntry {
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY simd DESC, neighbor_id ASC) AS INT) AS rnk
        |      FROM scored)""".stripMargin
+
+  private val ivfCtesSql: String = ivfCtes("embeddings")
 
   /** e3 oracle: the full IVF pipeline (assignment, probe selection,
     * list scoring, final top-k) as window queries. */
@@ -4584,6 +4628,19 @@ object SparkEntry {
     "e3_ann_ivf" -> e3OracleSql,
     "e5_recall" -> e5OracleSql,
 
+    // e10: the full IVF pipeline over the planted union corpus —
+    // centroid seed from the union's 16 lowest ids, which EQUALS the
+    // base corpus's (clone ids sit at +1e6), so the oracle reproduces
+    // the frozen-centroid append exactly.
+    "e10_incremental_ivf" ->
+      s"""WITH planted AS (SELECT vec_id, embedding FROM embeddings
+         |                 UNION ALL
+         |                 SELECT vec_id + 1000000, embedding
+         |                 FROM embeddings WHERE vec_id % 10 = 0),
+         |${ivfCtes("planted")}
+         |SELECT query_id, neighbor_id, sim, rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
     // PQ/ADC: identical subspace slicing, fixed-point BIGINT
     // distances (l2Fixed's 10-bit quantization), argmin tiebreak cid
     // asc, and the same top-k order — every number is integer-exact.
@@ -5150,6 +5207,16 @@ object SparkEntry {
         |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
         |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q87's contract IS the plain join: salting must be invisible in
+    // the result (dim rows replicate once per salt, each fact row
+    // matches exactly its one salt copy).
+    "q87_salted_join" ->
+      """SELECT c.c_mktsegment, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "s1_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,

@@ -153,6 +153,29 @@ object Similarity {
     cent
   }
 
+  /** Incremental ingest for a [[buildIvfIndex]] layout: assign ONLY
+    * the new batch against the FROZEN centroid set and APPEND its
+    * rows into the partitioned index. The existing corpus is never
+    * re-read, re-assigned, or re-shuffled — the d13/d19 incremental
+    * discipline applied to ANN serving, and the only ingest shape
+    * that holds when the index is 100 TB and the daily batch is
+    * 0.1% of it. Because the centroids are frozen, the grown index
+    * is bit-identical to a full rebuild over corpus ∪ batch with the
+    * same seed (e10's gate); production would periodically re-refine
+    * centroids ([[refineCentroids]]) and rebuild — the classic
+    * merge-policy tradeoff, orthogonal to this append path. */
+  def appendToIvfIndex(batch: DataFrame, path: String, centroids: DataFrame,
+                       idCol: String, vecCol: String): Unit = {
+    val assigned = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"),
+        cosineNative(col("cv"), col("centroid_vec")).as("csim"))
+    TopK.perGroup(assigned, Seq("neighbor_id"),
+        Seq(col("csim").desc, col("centroid_id").asc), 1)
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   /** Query a [[buildIvfIndex]] layout: pick each query's `nProbe`
     * nearest centroids, then scan ONLY those centroid partitions.
     * The skip is DYNAMIC PARTITION PRUNING, not a collected filter

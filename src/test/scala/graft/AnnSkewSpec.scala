@@ -124,6 +124,57 @@ class AnnSkewSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("incremental IVF append equals a full rebuild over the union corpus") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val batch = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val queries = emb.filter($"vec_id" < 8)
+    // grown index: base build + frozen-centroid append
+    val grown = java.nio.file.Files.createTempDirectory("ivf_inc").toString + "/index"
+    val cent = Similarity.buildIvfIndex(emb, grown, "vec_id", "embedding", 16)
+    Similarity.appendToIvfIndex(batch, grown, cent, "vec_id", "embedding")
+    val served = Similarity.queryIvfIndex(spark, grown, cent, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    // rebuild: one index over corpus ∪ batch (same centroid seed —
+    // batch ids are all higher, so lowest-16 is unchanged)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivf_full").toString + "/index"
+    val cent2 = Similarity.buildIvfIndex(emb.unionByName(batch), rebuilt,
+      "vec_id", "embedding", 16)
+    val full = Similarity.queryIvfIndex(spark, rebuilt, cent2, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(served.exceptAll(full).isEmpty && full.exceptAll(served).isEmpty,
+      "frozen-centroid append must be indistinguishable from a rebuild")
+    // the appended rows landed INSIDE the centroid partitions (one
+    // directory layout, not a second index generation)
+    val dirs = new java.io.File(grown).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("centroid_id=")).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("centroid_id=")))
+    val appended = spark.read.parquet(grown)
+      .filter($"neighbor_id" >= 1000000L).count()
+    assert(appended == batch.count(), "every batch row must be in the index")
+  }
+
+  test("salted join equals the plain join and executes as a sort-merge on (key, salt)") {
+    val fact = Tables.events(spark, sf)
+      .filter($"user_id".isNotNull)
+      .select($"user_id".cast("long").as("c_custkey"), $"event_type",
+        graft.operators.Marts.dec2($"value").as("val"))
+    val dim = Tables.customer(spark, sf)
+      .select($"c_custkey".cast("long").as("c_custkey"), $"c_mktsegment")
+    val salted = Skew.saltedJoin(fact, dim, "c_custkey", saltBuckets = 8)
+    // salting must be result-invisible: row-for-row equal to plain join
+    val plain = fact.join(dim, "c_custkey")
+    val cols = Seq($"c_custkey", $"event_type", $"val", $"c_mktsegment")
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty &&
+      plain.select(cols: _*).exceptAll(salted.select(cols: _*)).isEmpty)
+    // and the executed plan must be the salted SHAPE: a sort-merge
+    // join whose keys include __salt (a silent broadcast would make
+    // the salt dead weight — the scaladoc's warning)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("__salt"),
+      s"expected sort-merge on (key, __salt):\n${plan.take(3000)}")
+  }
+
   test("approx_percentile is within 10% of exact (100TB-scale quantile path)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val row = ev.agg(
