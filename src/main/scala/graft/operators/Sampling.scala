@@ -179,10 +179,16 @@ object Sampling {
     val stats = tk.groupBy(col("b")).agg(
       count(lit(1)).cast("long").as("rc"),
       sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tc"))
-    val tot = stats.agg(sum(col("rc")).as("n_raw"), sum(col("tc")).as("n_tgt"))
-    val w = stats.crossJoin(broadcast(tot))
-      .select(col("b"),
-        (col("tc") * col("n_raw") - col("rc") * col("n_tgt")).as("w"))
+    // corpus totals as a GLOBAL window over the already-aggregated
+    // stats frame — bounded by nBuckets rows, so the single-partition
+    // window is safe, and it keeps this a TWO-scan plan (one stats
+    // pass + one scoring pass, the paper's inherent two-pass shape);
+    // a separate `stats.agg` would recompute stats from a third
+    // corpus scan
+    val allRows = Window.partitionBy()
+    val w = stats.select(col("b"),
+      (col("tc") * sum(col("rc")).over(allRows)
+        - col("rc") * sum(col("tc")).over(allRows)).as("w"))
     tk.join(broadcast(w), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).cast("long").as("score"))
