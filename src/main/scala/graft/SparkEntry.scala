@@ -2153,6 +2153,15 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
       }),
 
+      // ---- IVF+PQ composition (coarse probe layer over compressed
+      // codes — the billion-vector serving shape; scale analysis and
+      // the residual-encoding caveat in Similarity.ivfPqTopK) ----
+      "e11_ivfpq" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      }),
+
       // Int8 embedding quantization (min/max affine, the storage layout
       // for vectors at corpus scale): per-vector range stats + the
       // quantized-value checksum. Exact float min/max and correctly-
@@ -3208,6 +3217,32 @@ object SparkEntry {
       s"p -> (${q("p[1]")} - ${q("p[2]")}) * (${q("p[1]")} - ${q("p[2]")}))), " +
       "(a, b) -> a + b)"
   }
+
+  /** PQ CTE fragment shared by the e9 and e11 oracles: subspace index
+    * `js`, codebook `cent`, per-vector codes `codes`, and the
+    * per-query ADC lookup table `qt`. */
+  private def pqCodeCtes: String =
+    s"""js AS (SELECT unnest(range(8)) AS j),
+       |cent AS (SELECT c.vec_id AS cid, js.j,
+       |           list_slice(c.embedding, js.j*8+1, js.j*8+8) AS csub
+       |         FROM (SELECT vec_id, embedding FROM embeddings
+       |               ORDER BY vec_id ASC LIMIT 16) c CROSS JOIN js),
+       |sv AS (SELECT e.vec_id AS neighbor_id, js.j,
+       |         list_slice(e.embedding, js.j*8+1, js.j*8+8) AS sv
+       |       FROM embeddings e CROSS JOIN js),
+       |cd AS (SELECT sv.neighbor_id, sv.j, cent.cid,
+       |         ${l2FixSql("sv.sv", "cent.csub")} AS d
+       |       FROM sv JOIN cent ON sv.j = cent.j),
+       |codes AS (SELECT neighbor_id, j, cid AS code FROM (
+       |            SELECT neighbor_id, j, cid,
+       |              ROW_NUMBER() OVER (PARTITION BY neighbor_id, j
+       |                ORDER BY d ASC, cid ASC) AS rn FROM cd) WHERE rn = 1),
+       |qs AS (SELECT e.vec_id AS query_id, js.j,
+       |         list_slice(e.embedding, js.j*8+1, js.j*8+8) AS qsv
+       |       FROM embeddings e CROSS JOIN js WHERE e.vec_id < 8),
+       |qt AS (SELECT qs.query_id, qs.j, cent.cid,
+       |         ${l2FixSql("qs.qsv", "cent.csub")} AS qd
+       |       FROM qs JOIN cent ON qs.j = cent.j)""".stripMargin
 
   /** Corpus CTE chains for the minhash oracles (each ends defining
     * `corpus(doc_id, text)`), mirroring the Spark fixtures above. */
@@ -4645,31 +4680,50 @@ object SparkEntry {
     // distances (l2Fixed's 10-bit quantization), argmin tiebreak cid
     // asc, and the same top-k order — every number is integer-exact.
     "e9_pq" ->
-      s"""WITH js AS (SELECT unnest(range(8)) AS j),
-         |cent AS (SELECT c.vec_id AS cid, js.j,
-         |           list_slice(c.embedding, js.j*8+1, js.j*8+8) AS csub
-         |         FROM (SELECT vec_id, embedding FROM embeddings
-         |               ORDER BY vec_id ASC LIMIT 16) c CROSS JOIN js),
-         |sv AS (SELECT e.vec_id AS neighbor_id, js.j,
-         |         list_slice(e.embedding, js.j*8+1, js.j*8+8) AS sv
-         |       FROM embeddings e CROSS JOIN js),
-         |cd AS (SELECT sv.neighbor_id, sv.j, cent.cid,
-         |         ${l2FixSql("sv.sv", "cent.csub")} AS d
-         |       FROM sv JOIN cent ON sv.j = cent.j),
-         |codes AS (SELECT neighbor_id, j, cid AS code FROM (
-         |            SELECT neighbor_id, j, cid,
-         |              ROW_NUMBER() OVER (PARTITION BY neighbor_id, j
-         |                ORDER BY d ASC, cid ASC) AS rn FROM cd) WHERE rn = 1),
-         |qs AS (SELECT e.vec_id AS query_id, js.j,
-         |         list_slice(e.embedding, js.j*8+1, js.j*8+8) AS qsv
-         |       FROM embeddings e CROSS JOIN js WHERE e.vec_id < 8),
-         |qt AS (SELECT qs.query_id, qs.j, cent.cid,
-         |         ${l2FixSql("qs.qsv", "cent.csub")} AS qd
-         |       FROM qs JOIN cent ON qs.j = cent.j),
+      s"""WITH $pqCodeCtes,
          |sc AS (SELECT qt.query_id, codes.neighbor_id,
          |         CAST(SUM(qt.qd) AS BIGINT) AS adist
          |       FROM codes JOIN qt ON codes.j = qt.j AND codes.code = qt.cid
          |       WHERE qt.query_id <> codes.neighbor_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // e11: coarse IVF probe layer (cosine, the e3 discipline) over
+    // the SAME PQ code/lookup-table CTEs as e9 — candidates are the
+    // probed lists only, ADC arithmetic unchanged.
+    "e11_ivfpq" ->
+      s"""WITH $pqCodeCtes,
+         |coarse AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |           FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+         |lassign AS (SELECT e.vec_id AS neighbor_id, c.centroid_id,
+         |              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                ORDER BY ${dotSql("e.embedding", "c.cvec")}
+         |                  / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |                     * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+         |                c.centroid_id ASC) AS rn
+         |            FROM embeddings e CROSS JOIN coarse c),
+         |lists AS (SELECT neighbor_id, centroid_id FROM lassign WHERE rn = 1),
+         |qprobe AS (SELECT query_id, centroid_id FROM (
+         |             SELECT q.vec_id AS query_id, c.centroid_id,
+         |               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                 ORDER BY ${dotSql("q.embedding", "c.cvec")}
+         |                   / (sqrt(${dotSql("q.embedding", "q.embedding")})
+         |                      * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+         |                 c.centroid_id ASC) AS rn
+         |             FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 8)
+         |           WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, l.neighbor_id
+         |         FROM lists l JOIN qprobe p USING (centroid_id)
+         |         WHERE p.query_id <> l.neighbor_id),
+         |sc AS (SELECT cand.query_id, cand.neighbor_id,
+         |         CAST(SUM(qt.qd) AS BIGINT) AS adist
+         |       FROM cand
+         |       JOIN codes ON cand.neighbor_id = codes.neighbor_id
+         |       JOIN qt ON qt.query_id = cand.query_id
+         |              AND qt.j = codes.j AND qt.cid = codes.code
          |       GROUP BY 1, 2),
          |r AS (SELECT query_id, neighbor_id, adist,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id

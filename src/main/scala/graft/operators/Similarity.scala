@@ -485,6 +485,84 @@ object Similarity {
       (xi - yi) * (xi - yi)
     }), lit(0L), (acc, v) => acc + v)
 
+  /** IVF + PQ composition (the FAISS IVFPQ serving shape, minus
+    * residual encoding): a coarse IVF layer restricts each query to
+    * its `nProbe` nearest inverted lists, and candidates inside those
+    * lists are scored by PQ ADC lookups — so query cost is
+    * (corpus/nCentroids)·nProbe candidates × m table lookups, and the
+    * corpus-sized serving state is ONLY (centroid_id, m codes) per
+    * vector: the raw floats are never read at query time. This is the
+    * layout that serves billion-vector indexes from RAM; at 100 TB
+    * the (lists ⋈ codes) table is written partitioned by centroid_id
+    * (the [[buildIvfIndex]] layout) so a probe's scan prunes to its
+    * partitions.
+    *
+    * Honest divergence from the paper: codes quantize the VECTOR, not
+    * the residual (vector − coarse centroid). Residual PQ needs
+    * per-cell or shared residual codebooks — plan-identical (one more
+    * broadcast join subtracting the coarse centroid before encoding),
+    * better recall, but float subtraction before quantization would
+    * still be exact here, so it is deferred, not dodged.
+    *
+    * Determinism: coarse assignment is cosine (the [[ivfTopK]]
+    * discipline), codes and ADC sums are [[l2Fixed]] BIGINT — every
+    * stage reproducible by the SQL oracle bit-for-bit. */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCentroids: Int = 16,
+                nProbe: Int = 4, m: Int = 8, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    def subvecs(v: Column) = array((0 until m).map(j =>
+      struct(lit(j).as("j"), slice(v, j * sub + 1, sub).as("sv"))): _*)
+    // coarse layer: nearest centroid per corpus vector (broadcast)
+    val coarse = vectors.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val lists = TopK.perGroup(
+        vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+          .crossJoin(broadcast(coarse))
+          .select(col("neighbor_id"), col("centroid_id"),
+            cosineNative(col("cv"), col("centroid_vec")).as("csim")),
+        Seq("neighbor_id"), Seq(col("csim").desc, col("centroid_id").asc), 1)
+      .select(col("neighbor_id"), col("centroid_id"))
+    // PQ layer: subspace codebook + per-vector codes (the e9 encoder)
+    val cent = vectors.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("cid"), explode(subvecs(col(vecCol))).as("e"))
+      .select(col("cid"), col("e.j").as("j"), col("e.sv").as("csub"))
+    val codes = vectors
+      .select(col(idCol).as("neighbor_id"), explode(subvecs(col(vecCol))).as("e"))
+      .select(col("neighbor_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+      .join(broadcast(cent), "j")
+      .select(col("neighbor_id"), col("j"), col("cid"),
+        l2Fixed(col("sv"), col("csub")).as("d"))
+      .groupBy(col("neighbor_id"), col("j"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+    // query side: coarse probes + ADC lookup table
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = TopK.perGroup(
+        q.crossJoin(broadcast(coarse))
+          .select(col("query_id"), col("centroid_id"),
+            cosineNative(col("qv"), col("centroid_vec")).as("csim")),
+        Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val qtab = q
+      .select(col("query_id"), explode(subvecs(col("qv"))).as("e"))
+      .select(col("query_id"), col("e.j").as("j"), col("e.sv").as("qsv"))
+      .join(broadcast(cent), "j")
+      .select(col("query_id"), col("j"), col("cid"),
+        l2Fixed(col("qsv"), col("csub")).as("qd"))
+    // probe ∩ lists = candidates; ADC-score only those
+    val cand = lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand.join(codes, Seq("neighbor_id"))
+      .join(broadcast(qtab),
+        Seq("query_id", "j")).filter(col("code") === col("cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd")).cast("long").as("adist"))
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("adist").asc, col("neighbor_id").asc), k)
+  }
+
   /** Product quantization ANN (Jégou et al., PAMI 2011 — the layout
     * behind FAISS's IVFPQ): split each `dims`-dim vector into `m`
     * subvectors; per subspace, snap the subvector to its nearest of

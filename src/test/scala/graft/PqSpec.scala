@@ -75,6 +75,27 @@ class PqSpec extends SparkSpec {
       s"encoding argmin should aggregate, not window-rank:\n${plan.take(3000)}")
   }
 
+  test("IVFPQ with all lists probed equals plain PQ; fewer probes shrink candidates only") {
+    val vecs = fixture(60)
+    val q = vecs.filter(col("vec_id") < 4)
+    // nProbe = nCentroids -> every list probed -> candidate set is the
+    // whole corpus, so the composition must reproduce e9 exactly
+    val full = Similarity.ivfPqTopK(vecs, q, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 16)
+    val pq = Similarity.pqTopK(vecs, q, "vec_id", "embedding", k = 5)
+    assert(full.exceptAll(pq).isEmpty && pq.exceptAll(full).isEmpty,
+      "all-probes IVFPQ must equal plain PQ")
+    // restricted probes: every returned pair keeps its EXACT PQ adist
+    // (the coarse layer prunes candidates, never perturbs scores)
+    val pruned = Similarity.ivfPqTopK(vecs, q, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("adist"))
+    val pqAll = Similarity.pqTopK(vecs, q, "vec_id", "embedding", k = 60)
+      .select(col("query_id"), col("neighbor_id"), col("adist"))
+    assert(pruned.join(pqAll, Seq("query_id", "neighbor_id", "adist"), "left_anti")
+      .isEmpty, "IVFPQ adist must match PQ adist pair-for-pair")
+  }
+
   test("dims must split evenly into subspaces") {
     val vecs = fixture(16)
     intercept[IllegalArgumentException] {
