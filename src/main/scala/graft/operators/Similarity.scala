@@ -509,12 +509,16 @@ object Similarity {
     * stage reproducible by the SQL oracle bit-for-bit. */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCentroids: Int = 16,
-                nProbe: Int = 4, m: Int = 8, dims: Int = 64): DataFrame = {
+                nProbe: Int = 4, m: Int = 8, dims: Int = 64,
+                nCodes: Int = 16): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
     def subvecs(v: Column) = array((0 until m).map(j =>
       struct(lit(j).as("j"), slice(v, j * sub + 1, sub).as("sv"))): _*)
-    // coarse layer: nearest centroid per corpus vector (broadcast)
+    // coarse layer: nearest centroid per corpus vector (broadcast).
+    // nCentroids sizes THIS layer only; the PQ codebook is nCodes per
+    // subspace — at scale the two move independently (coarse cells
+    // grow with the corpus, the codebook stays 2^bits).
     val coarse = vectors.orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
     val lists = TopK.perGroup(
@@ -524,18 +528,9 @@ object Similarity {
             cosineNative(col("cv"), col("centroid_vec")).as("csim")),
         Seq("neighbor_id"), Seq(col("csim").desc, col("centroid_id").asc), 1)
       .select(col("neighbor_id"), col("centroid_id"))
-    // PQ layer: subspace codebook + per-vector codes (the e9 encoder)
-    val cent = vectors.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).as("cid"), explode(subvecs(col(vecCol))).as("e"))
-      .select(col("cid"), col("e.j").as("j"), col("e.sv").as("csub"))
-    val codes = vectors
-      .select(col(idCol).as("neighbor_id"), explode(subvecs(col(vecCol))).as("e"))
-      .select(col("neighbor_id"), col("e.j").as("j"), col("e.sv").as("sv"))
-      .join(broadcast(cent), "j")
-      .select(col("neighbor_id"), col("j"), col("cid"),
-        l2Fixed(col("sv"), col("csub")).as("d"))
-      .groupBy(col("neighbor_id"), col("j"))
-      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+    // PQ layer: the e9 codebook/encoder/lookup-table, shared code
+    val cent = pqCodebook(vectors, idCol, vecCol, m, dims, nCodes)
+    val codes = pqEncode(vectors, cent, idCol, vecCol, m, dims)
     // query side: coarse probes + ADC lookup table
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = TopK.perGroup(
@@ -544,12 +539,7 @@ object Similarity {
             cosineNative(col("qv"), col("centroid_vec")).as("csim")),
         Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
       .select(col("query_id"), col("centroid_id"))
-    val qtab = q
-      .select(col("query_id"), explode(subvecs(col("qv"))).as("e"))
-      .select(col("query_id"), col("e.j").as("j"), col("e.sv").as("qsv"))
-      .join(broadcast(cent), "j")
-      .select(col("query_id"), col("j"), col("cid"),
-        l2Fixed(col("qsv"), col("csub")).as("qd"))
+    val qtab = pqQueryTable(queries, cent, idCol, vecCol, m, dims)
     // probe ∩ lists = candidates; ADC-score only those
     val cand = lists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -595,30 +585,65 @@ object Similarity {
              vecCol: String, k: Int, m: Int = 8, dims: Int = 64,
              nCentroids: Int = 16): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
-    val sub = dims / m
-    def subvecs(v: Column) = array((0 until m).map(j =>
+    val cb = pqCodebook(vectors, idCol, vecCol, m, dims, nCentroids)
+    pqScore(pqEncode(vectors, cb, idCol, vecCol, m, dims),
+      pqQueryTable(queries, cb, idCol, vecCol, m, dims), k)
+  }
+
+  /** Subspace decomposition shared by the PQ family. */
+  private def pqSubvecs(v: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(j =>
       struct(lit(j).as("j"), slice(v, j * sub + 1, sub).as("sv"))): _*)
-    val cent = vectors.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).as("cid"), explode(subvecs(col(vecCol))).as("e"))
+
+  /** Per-subspace PQ codebook from the deterministic lowest-id seed:
+    * (cid, j, csub) — m rows per codebook entry. */
+  def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+                 m: Int, dims: Int, nCodes: Int): DataFrame = {
+    val sub = dims / m
+    vectors.orderBy(col(idCol).asc).limit(nCodes)
+      .select(col(idCol).as("cid"),
+        explode(pqSubvecs(col(vecCol), m, sub)).as("e"))
       .select(col("cid"), col("e.j").as("j"), col("e.sv").as("csub"))
-    // encode: nearest subspace centroid per (vector, subspace) —
-    // min_by is a partial-aggregable agg (no rank window), and the
-    // (d, cid) struct order makes the argmin tiebreak total
-    val codes = vectors
-      .select(col(idCol).as("neighbor_id"), explode(subvecs(col(vecCol))).as("e"))
+  }
+
+  /** PQ encoder: (neighbor_id, j, code) — the corpus-sized serving
+    * state, m small codes per vector. PERSIST THIS ONCE: queries
+    * never read the raw vectors again, and at 100 TB the build-once /
+    * query-many split is where PQ's economics live (AnnServingSoak
+    * times the two phases separately). The argmin is min_by — a
+    * partial-aggregable agg, no rank window — with a total (d, cid)
+    * tiebreak. */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
+               vecCol: String, m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    vectors
+      .select(col(idCol).as("neighbor_id"),
+        explode(pqSubvecs(col(vecCol), m, sub)).as("e"))
       .select(col("neighbor_id"), col("e.j").as("j"), col("e.sv").as("sv"))
-      .join(broadcast(cent), "j")
+      .join(broadcast(codebook), "j")
       .select(col("neighbor_id"), col("j"), col("cid"),
         l2Fixed(col("sv"), col("csub")).as("d"))
       .groupBy(col("neighbor_id"), col("j"))
       .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
-    // per-query ADC lookup table: m × nCentroids exact subdistances
-    val qtab = queries
-      .select(col(idCol).as("query_id"), explode(subvecs(col(vecCol))).as("e"))
+  }
+
+  /** Per-query ADC lookup table: (query_id, j, cid, qd) — m × nCodes
+    * exact subdistances per query. */
+  def pqQueryTable(queries: DataFrame, codebook: DataFrame, idCol: String,
+                   vecCol: String, m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    queries
+      .select(col(idCol).as("query_id"),
+        explode(pqSubvecs(col(vecCol), m, sub)).as("e"))
       .select(col("query_id"), col("e.j").as("j"), col("e.sv").as("qsv"))
-      .join(broadcast(cent), "j")
+      .join(broadcast(codebook), "j")
       .select(col("query_id"), col("j"), col("cid"),
         l2Fixed(col("qsv"), col("csub")).as("qd"))
+  }
+
+  /** ADC scoring of a (possibly persisted) code table against a query
+    * lookup table — the query-time half of PQ serving. */
+  def pqScore(codes: DataFrame, qtab: DataFrame, k: Int): DataFrame = {
     val scored = codes
       .join(broadcast(qtab),
         codes("j") === qtab("j") && col("code") === col("cid"))
