@@ -2143,6 +2143,16 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nProbe = 4)
       }),
 
+      // ---- residual IVFPQ (the paper's IVFADC: codes quantize the
+      // vector MINUS its coarse centroid, closing the recall gap
+      // e11's scaladoc defers — per-cell query lookup tables, shared
+      // residual codebook; see Similarity.ivfPqResidualTopK) ----
+      "e12_ivfpq_residual" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      }),
+
       // ---- product quantization ANN (the compressed-codes serving
       // layout: vectors become m subspace codes; queries score via an
       // ADC lookup table — scale analysis and the fixed-point BIGINT
@@ -4684,6 +4694,67 @@ object SparkEntry {
          |sc AS (SELECT qt.query_id, codes.neighbor_id,
          |         CAST(SUM(qt.qd) AS BIGINT) AS adist
          |       FROM codes JOIN qt ON codes.j = qt.j AND codes.code = qt.cid
+         |       WHERE qt.query_id <> codes.neighbor_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // e12: residual IVFADC — corpus and query residuals are
+    // float-minus-float in DOUBLE (exact in both engines), the shared
+    // residual codebook comes from the 16 lowest-id residuals, and
+    // all code/ADC arithmetic is the same fixed-point BIGINT as e9.
+    "e12_ivfpq_residual" ->
+      s"""WITH js AS (SELECT unnest(range(8)) AS j),
+         |coarse AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |           FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+         |lassign AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv,
+         |              c.centroid_id,
+         |              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                ORDER BY ${dotSql("e.embedding", "c.cvec")}
+         |                  / (sqrt(${dotSql("e.embedding", "e.embedding")})
+         |                     * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+         |                c.centroid_id ASC) AS rn
+         |            FROM embeddings e CROSS JOIN coarse c),
+         |lists AS (SELECT neighbor_id, centroid_id, cv FROM lassign WHERE rn = 1),
+         |res AS (SELECT l.neighbor_id, l.centroid_id,
+         |          list_transform(list_zip(l.cv, c.cvec),
+         |            z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS r
+         |        FROM lists l JOIN coarse c USING (centroid_id)),
+         |cb AS (SELECT s.neighbor_id AS cid, js.j,
+         |         list_slice(s.r, js.j*8+1, js.j*8+8) AS csub
+         |       FROM (SELECT neighbor_id, r FROM res
+         |             WHERE neighbor_id NOT IN (SELECT centroid_id FROM coarse)
+         |             ORDER BY neighbor_id ASC LIMIT 16) s CROSS JOIN js),
+         |cd AS (SELECT res.neighbor_id, res.centroid_id, cb.j, cb.cid,
+         |         ${l2FixSql("list_slice(res.r, cb.j*8+1, cb.j*8+8)", "cb.csub")} AS d
+         |       FROM res CROSS JOIN cb),
+         |codes AS (SELECT neighbor_id, centroid_id, j, cid AS code FROM (
+         |            SELECT neighbor_id, centroid_id, j, cid,
+         |              ROW_NUMBER() OVER (PARTITION BY neighbor_id, j
+         |                ORDER BY d ASC, cid ASC) AS rn FROM cd) WHERE rn = 1),
+         |qprobe AS (SELECT query_id, centroid_id, qv FROM (
+         |             SELECT q.vec_id AS query_id, q.embedding AS qv,
+         |               c.centroid_id,
+         |               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                 ORDER BY ${dotSql("q.embedding", "c.cvec")}
+         |                   / (sqrt(${dotSql("q.embedding", "q.embedding")})
+         |                      * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+         |                 c.centroid_id ASC) AS rn
+         |             FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 8)
+         |           WHERE rn <= 4),
+         |qres AS (SELECT p.query_id, p.centroid_id,
+         |           list_transform(list_zip(p.qv, c.cvec),
+         |             z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
+         |         FROM qprobe p JOIN coarse c USING (centroid_id)),
+         |qt AS (SELECT qres.query_id, qres.centroid_id, cb.j, cb.cid,
+         |         ${l2FixSql("list_slice(qres.qr, cb.j*8+1, cb.j*8+8)", "cb.csub")} AS qd
+         |       FROM qres CROSS JOIN cb),
+         |sc AS (SELECT qt.query_id, codes.neighbor_id,
+         |         CAST(SUM(qt.qd) AS BIGINT) AS adist
+         |       FROM codes JOIN qt ON qt.centroid_id = codes.centroid_id
+         |                         AND qt.j = codes.j AND qt.cid = codes.code
          |       WHERE qt.query_id <> codes.neighbor_id
          |       GROUP BY 1, 2),
          |r AS (SELECT query_id, neighbor_id, adist,

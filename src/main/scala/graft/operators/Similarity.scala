@@ -553,6 +553,93 @@ object Similarity {
       Seq(col("adist").asc, col("neighbor_id").asc), k)
   }
 
+  /** Residual-encoded IVF+PQ — the paper's actual IVFADC: codes
+    * quantize (vector − its coarse centroid), not the vector, so the
+    * codebook spends its 2^bits on the WITHIN-CELL spread instead of
+    * re-describing cell positions the coarse layer already paid for —
+    * the recall gap [[ivfPqTopK]]'s scaladoc defers is closed here.
+    * The residual codebook is SHARED across cells (IVFADC's standard
+    * memory/recall tradeoff, one table instead of nCentroids of
+    * them); the query side builds one lookup table PER PROBED CELL
+    * (m × nCodes × nProbe rows per query — still broadcast-sized),
+    * because the query's residual differs per cell.
+    *
+    * Determinism: residuals are float-minus-float in double (exact),
+    * then [[l2Fixed]]'s power-of-two scaling — every code and ADC sum
+    * stays exact BIGINT, reproducible by the SQL oracle. Residual
+    * codebook seed: the residuals of the `nCodes` lowest-id vectors
+    * (the centroid-seed discipline, one level down). */
+  def ivfPqResidualTopK(vectors: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nCentroids: Int = 16, nProbe: Int = 4,
+                        m: Int = 8, dims: Int = 64,
+                        nCodes: Int = 16): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    def residual(v: Column, c: Column) =
+      zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+    val coarse = vectors.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    // corpus residuals: one assignment pass, then v − centroid
+    val lists = TopK.perGroup(
+        vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+          .crossJoin(broadcast(coarse))
+          .select(col("neighbor_id"), col("cv"), col("centroid_id"),
+            cosineNative(col("cv"), col("centroid_vec")).as("csim")),
+        Seq("neighbor_id"), Seq(col("csim").desc, col("centroid_id").asc), 1)
+      .join(broadcast(coarse), Seq("centroid_id"))
+      .select(col("neighbor_id"), col("centroid_id"),
+        residual(col("cv"), col("centroid_vec")).as("r"))
+    // shared residual codebook from the nCodes lowest-id residuals of
+    // NON-CENTROID vectors: a coarse-seed vector is its own nearest
+    // centroid, so its residual is identically zero — seeding from
+    // them would collapse the whole codebook to zero entries and ADC
+    // could no longer separate candidates within a cell
+    val cb = lists
+      .join(broadcast(coarse.select(col("centroid_id").as("seed_id"))),
+        col("neighbor_id") === col("seed_id"), "left_anti")
+      .orderBy(col("neighbor_id").asc).limit(nCodes)
+      .select(col("neighbor_id").as("cid"),
+        explode(pqSubvecs(col("r"), m, sub)).as("e"))
+      .select(col("cid"), col("e.j").as("j"), col("e.sv").as("csub"))
+    val codes = lists
+      .select(col("neighbor_id"), col("centroid_id"),
+        explode(pqSubvecs(col("r"), m, sub)).as("e"))
+      .select(col("neighbor_id"), col("centroid_id"),
+        col("e.j").as("j"), col("e.sv").as("sv"))
+      .join(broadcast(cb), "j")
+      .select(col("neighbor_id"), col("centroid_id"), col("j"), col("cid"),
+        l2Fixed(col("sv"), col("csub")).as("d"))
+      .groupBy(col("neighbor_id"), col("centroid_id"), col("j"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+    // query: nProbe cells, one residual + lookup table per cell
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qprobes = TopK.perGroup(
+        q.crossJoin(broadcast(coarse))
+          .select(col("query_id"), col("qv"), col("centroid_id"),
+            col("centroid_vec"),
+            cosineNative(col("qv"), col("centroid_vec")).as("csim")),
+        Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
+      .select(col("query_id"), col("centroid_id"),
+        residual(col("qv"), col("centroid_vec")).as("qr"))
+    val qtab = qprobes
+      .select(col("query_id"), col("centroid_id"),
+        explode(pqSubvecs(col("qr"), m, sub)).as("e"))
+      .select(col("query_id"), col("centroid_id"),
+        col("e.j").as("j"), col("e.sv").as("qsv"))
+      .join(broadcast(cb), "j")
+      .select(col("query_id"), col("centroid_id"), col("j"), col("cid"),
+        l2Fixed(col("qsv"), col("csub")).as("qd"))
+    val scored = codes
+      .join(broadcast(qtab), Seq("centroid_id", "j"))
+      .filter(col("code") === col("cid") &&
+        col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd")).cast("long").as("adist"))
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("adist").asc, col("neighbor_id").asc), k)
+  }
+
   /** Product quantization ANN (Jégou et al., PAMI 2011 — the layout
     * behind FAISS's IVFPQ): split each `dims`-dim vector into `m`
     * subvectors; per subspace, snap the subvector to its nearest of

@@ -96,6 +96,36 @@ class PqSpec extends SparkSpec {
       .isEmpty, "IVFPQ adist must match PQ adist pair-for-pair")
   }
 
+  test("residual IVFADC resolves within-cell structure: query clone wins at distance 0") {
+    // 4 well-separated cells (centers = ids 0-3, magnitude 10); every
+    // member is its center plus a small axis offset, so the WHOLE
+    // within-cell signal lives in the residual. The codebook seeds
+    // from non-centroid residuals (a centroid's own residual is zero
+    // — seeding from it would collapse the codebook), and member 20's
+    // residual is itself a seed: its clone must encode loss-free and
+    // win at ADC distance exactly 0.
+    def member(id: Long): Array[Float] = {
+      val a = new Array[Float](dims)
+      if (id < 4) a(id.toInt) = 10f
+      else { a((id % 4).toInt) = 10f; a(10 + (id % 13).toInt) = 0.1f }
+      a
+    }
+    val rows = (0L until 4L).map(i => (i, member(i))) ++
+      (16L until 68L).map(i => (i, member(i))) ++ Seq((1000L, member(20L)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 20)
+    val out = Similarity.ivfPqResidualTopK(vecs, q, "vec_id", "embedding",
+        k = 3, nCentroids = 4, nProbe = 2)
+      .orderBy("rnk").collect()
+    assert(out.head.getLong(1) == 1000L && out.head.getLong(2) == 0L,
+      s"clone must win at adist 0, got ${out.toSeq}")
+    assert(out(1).getLong(2) > 0L,
+      s"non-clone cell-mates must score > 0, got ${out.toSeq}")
+    val again = Similarity.ivfPqResidualTopK(vecs, q, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 2).orderBy("rnk").collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("dims must split evenly into subspaces") {
     val vecs = fixture(16)
     intercept[IllegalArgumentException] {
