@@ -307,38 +307,44 @@ object SparkEntry {
     * associative) but s7's watermark-eviction oracle simulates batches
     * 0,1,2 IN ORDER and needs the source to deliver them that way.
     * One staging per (JVM, dir), like [[stagedEventsDir]]. */
+  /** Stage `df` as THREE ordered single-file parquet batches (split
+    * by `key` mod 3) with strictly increasing modification times, so
+    * a maxFilesPerTrigger=1 file source delivers batches 0,1,2 as
+    * deterministic micro-batches. Shared by every staged stream
+    * source (s5/s7/s8/s9/s11/s12). Caller owns caching per (JVM,
+    * dir); the directory is removed on JVM exit. */
+  private def stageOrderedSplit(tmpPrefix: String,
+                                df: DataFrame, key: Column): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix)
+    val mtBase = System.currentTimeMillis() - 60000
+    (0 to 2).foreach { i =>
+      val slice = tmp.resolve(s"slice$i")
+      df.filter(pmod(key, lit(3)) === i)
+        .coalesce(1).write.parquet(slice.toString)
+      val part = {
+        val l = java.nio.file.Files.list(slice)
+        try l.filter(p => p.getFileName.toString.startsWith("part-")
+            && p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        finally l.close()
+      }
+      val dst = tmp.resolve(s"batch$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtBase + i * 2000L))
+      val w = java.nio.file.Files.walk(slice)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+    sys.addShutdownHook { rmTreeQuiet(tmp) }
+    tmp.toString
+  }
+
   private def stagedEventsSplitDir(s: SparkSession, dir: String): String =
     streamSplitDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory("s5_stream")
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val mtBase = System.currentTimeMillis() - 60000
-      (0 to 2).foreach { i =>
-        val slice = tmp.resolve(s"slice$i")
-        raw.filter(pmod(col("event_id"), lit(3)) === i)
-          .coalesce(1).write.parquet(slice.toString)
-        val part = {
-          val l = java.nio.file.Files.list(slice)
-          try l.filter(p => p.getFileName.toString.startsWith("part-")
-              && p.getFileName.toString.endsWith(".parquet"))
-            .findFirst.get
-          finally l.close()
-        }
-        val dst = tmp.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtBase + i * 2000L))
-        val w = java.nio.file.Files.walk(slice)
-        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
-      }
-      sys.addShutdownHook {
-        val w = java.nio.file.Files.walk(tmp)
-        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
-      }
-      tmp.toString
+      stageOrderedSplit("s5_stream",
+        s.read.parquet(s"$d/events.parquet"), col("event_id"))
     })
 
   private val cdcSplitDirs =
@@ -354,37 +360,10 @@ object SparkEntry {
     * per (JVM, dir). */
   private def stagedCdcSplitDir(s: SparkSession, dir: String): String =
     cdcSplitDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory("s9_cdc")
       val (oldSnap, newSnap) = q77Fixture(s, d)
-      val changes = graft.operators.SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"))
-      val mtBase = System.currentTimeMillis() - 60000
-      (0 to 2).foreach { i =>
-        val slice = tmp.resolve(s"slice$i")
-        changes.filter(pmod(col("doc_id"), lit(3)) === i)
-          .coalesce(1).write.parquet(slice.toString)
-        val part = {
-          val l = java.nio.file.Files.list(slice)
-          try l.filter(p => p.getFileName.toString.startsWith("part-")
-              && p.getFileName.toString.endsWith(".parquet"))
-            .findFirst.get
-          finally l.close()
-        }
-        val dst = tmp.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtBase + i * 2000L))
-        val w = java.nio.file.Files.walk(slice)
-        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
-      }
-      sys.addShutdownHook {
-        val w = java.nio.file.Files.walk(tmp)
-        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
-      }
-      tmp.toString
+      stageOrderedSplit("s9_cdc",
+        graft.operators.SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id")),
+        col("doc_id"))
     })
 
   private val nearDupSplitDirs =
@@ -403,7 +382,6 @@ object SparkEntry {
     * One staging per (JVM, dir). */
   private def stagedNearDupSplitDir(s: SparkSession, dir: String): String =
     nearDupSplitDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory("s11_docs")
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val clones = docs.filter(col("doc_id") % 7 === 0)
         .select(cloneId(col("doc_id")).as("doc_id"),
@@ -411,34 +389,7 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 14 === 0)
           .select(cloneId(col("doc_id"), 2000000L).as("doc_id"),
             concat(col("text"), lit(" v2 nearly duplicate suffix")).as("text")))
-      val mtBase = System.currentTimeMillis() - 60000
-      (0 to 2).foreach { i =>
-        val slice = tmp.resolve(s"slice$i")
-        clones.filter(pmod(col("doc_id"), lit(3)) === i)
-          .coalesce(1).write.parquet(slice.toString)
-        val part = {
-          val l = java.nio.file.Files.list(slice)
-          try l.filter(p => p.getFileName.toString.startsWith("part-")
-              && p.getFileName.toString.endsWith(".parquet"))
-            .findFirst.get
-          finally l.close()
-        }
-        val dst = tmp.resolve(s"batch$i.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtBase + i * 2000L))
-        val w = java.nio.file.Files.walk(slice)
-        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
-      }
-      sys.addShutdownHook {
-        val w = java.nio.file.Files.walk(tmp)
-        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
-      }
-      tmp.toString
+      stageOrderedSplit("s11_docs", clones, col("doc_id"))
     })
 
   /** Doc-stream schema for s11 (what minhashIndex/incremental probing
@@ -459,9 +410,30 @@ object SparkEntry {
       sys.addShutdownHook { Option(r.get()).foreach(rmTreeQuiet) }
       r
     })
-    val fresh = java.nio.file.Files.createTempDirectory(s"s11_$which")
+    val fresh = java.nio.file.Files.createTempDirectory(s"stream_$which")
     Option(ref.getAndSet(fresh)).foreach(rmTreeQuiet)
     fresh.toString
+  }
+
+  private val annQuerySplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** s12 query stream: the 24 lowest-id embedding vectors staged as
+    * three ordered batches (vec_id mod 3, 8 queries per micro-batch)
+    * — each query arrives whole in one batch, so per-batch top-k is
+    * the batch answer and the accumulated stream output equals the
+    * one-shot batch run (the oracle). */
+  private def stagedAnnQuerySplitDir(s: SparkSession, dir: String): String =
+    annQuerySplitDirs.computeIfAbsent(dir, { d =>
+      stageOrderedSplit("s12_queries",
+        Tables.embeddings(s, d).filter(col("vec_id") < 24)
+          .select(col("vec_id"), col("embedding")), col("vec_id"))
+    })
+
+  private val annStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
   }
 
   /** The q77 old/new snapshot pair — shared by the q77 diff gate and
@@ -635,6 +607,7 @@ object SparkEntry {
     val s9Root = s9StateRoot(dir)
     val s11Index = s11Root(dir, "index")
     val s11Pairs = s11Root(dir, "pairs")
+    val s12Out = s11Root(dir, "s12_out")
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -677,6 +650,21 @@ object SparkEntry {
         started += graft.streaming.StreamingJobs.streamingIncrementalNearDup(
           s, stagedNearDupSplitDir(s, dir), nearDupStreamSchema, s11Index,
           s11Pairs, s11ck.toString, maxFilesPerTrigger = Some(1))
+        // s12: foreachBatch ANN serving — query stream scored against
+        // a STATIC PQ index precomputed from the corpus (the e9
+        // codebook/encoder); stream stateless, index never reshuffled
+        val s12emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val s12cb = Similarity.pqCodebook(
+          s12emb, "vec_id", "embedding", m = 8, dims = 64, nCodes = 16)
+        val s12codes = Similarity.pqEncode(
+          s12emb, s12cb, "vec_id", "embedding", m = 8, dims = 64)
+        val s12ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s12_ck")
+        cks += s12ck
+        started += graft.streaming.StreamingJobs.streamingAnnServe(
+          s, stagedAnnQuerySplitDir(s, dir), annStreamSchema, s12cb,
+          s12codes, s12Out, s12ck.toString, k = 5, m = 8, dims = 64,
+          maxFilesPerTrigger = Some(1))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -701,9 +689,15 @@ object SparkEntry {
       s.read.parquet(s11Pairs)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .write.parquet(s11out.toString)
+      // s12: accumulated per-batch top-k (batch partition = plumbing)
+      val s12out = outRoot.resolve("s12_stream_ann_serve")
+      s.read.parquet(s12Out)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rnk"))
+        .write.parquet(s12out.toString)
       memResults ++ Map("s5_stream_mart" -> s5out.toString,
         "s9_stream_cdc_apply" -> s9out.toString,
-        "s11_stream_near_dup" -> s11out.toString)
+        "s11_stream_near_dup" -> s11out.toString,
+        "s12_stream_ann_serve" -> s12out.toString)
     } finally {
       started.foreach(q => try q.stop() catch { case _: Throwable => () })
       // sink tables were materialized above; drop them so the memory
@@ -3149,7 +3143,16 @@ object SparkEntry {
       // sequential semantics (including the per-probe union bucket
       // cap).
       "s11_stream_near_dup" -> ((s, dir) =>
-        streamResult(s, dir, "s11_stream_near_dup"))
+        streamResult(s, dir, "s11_stream_near_dup")),
+
+      // Streaming ANN serving: micro-batched query vectors scored
+      // against a static precomputed PQ index (StreamingJobs.
+      // streamingAnnServe — the s10 broadcast-enrichment shape
+      // pointed at a vector index). Oracle = the e9 pipeline with
+      // the stream's 24-query set; the stream holds no state, so
+      // accumulated per-batch top-k must equal the one-shot batch.
+      "s12_stream_ann_serve" -> ((s, dir) =>
+        streamResult(s, dir, "s12_stream_ann_serve"))
     )
   }
 
@@ -3231,7 +3234,8 @@ object SparkEntry {
   /** PQ CTE fragment shared by the e9 and e11 oracles: subspace index
     * `js`, codebook `cent`, per-vector codes `codes`, and the
     * per-query ADC lookup table `qt`. */
-  private def pqCodeCtes: String =
+  private def pqCodeCtes: String = pqCodeCtes("e.vec_id < 8")
+  private def pqCodeCtes(queryPred: String): String =
     s"""js AS (SELECT unnest(range(8)) AS j),
        |cent AS (SELECT c.vec_id AS cid, js.j,
        |           list_slice(c.embedding, js.j*8+1, js.j*8+8) AS csub
@@ -3249,7 +3253,7 @@ object SparkEntry {
        |                ORDER BY d ASC, cid ASC) AS rn FROM cd) WHERE rn = 1),
        |qs AS (SELECT e.vec_id AS query_id, js.j,
        |         list_slice(e.embedding, js.j*8+1, js.j*8+8) AS qsv
-       |       FROM embeddings e CROSS JOIN js WHERE e.vec_id < 8),
+       |       FROM embeddings e CROSS JOIN js WHERE $queryPred),
        |qt AS (SELECT qs.query_id, qs.j, cent.cid,
        |         ${l2FixSql("qs.qsv", "cent.csub")} AS qd
        |       FROM qs JOIN cent ON qs.j = cent.j)""".stripMargin
@@ -4573,6 +4577,19 @@ object SparkEntry {
     "d5_minhash_portable" -> d5OracleSql,
     "d19_incremental_minhash" -> d19OracleSql,
     "s11_stream_near_dup" -> s11OracleSql,
+
+    // s12 = e9's ADC pipeline over the staged 24-query stream set
+    "s12_stream_ann_serve" ->
+      s"""WITH ${pqCodeCtes("e.vec_id < 24")},
+         |sc AS (SELECT qt.query_id, codes.neighbor_id,
+         |         CAST(SUM(qt.qd) AS BIGINT) AS adist
+         |       FROM codes JOIN qt ON codes.j = qt.j AND codes.code = qt.cid
+         |       WHERE qt.query_id <> codes.neighbor_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
     "d9_components_distributed" -> d8OracleSql,

@@ -191,6 +191,36 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming ANN serving (s12): a stream of query vectors scored
+    * per micro-batch against a STATIC precomputed PQ index (codebook
+    * + code table) — the online form of e9. Each batch runs the exact
+    * batch pqScore, so the accumulated output equals the batch run
+    * over all queries (each query arrives whole in one batch; top-k
+    * is per-query, so batching cannot change it). The stream holds NO
+    * state and never shuffles the code table — at 100 TB/day of
+    * queries this is the s10 broadcast-enrichment shape pointed at a
+    * vector index; index refresh is a VersionedStaging republish,
+    * orthogonal to the stream. */
+  def streamingAnnServe(spark: SparkSession, srcDir: String,
+                        schema: StructType, codebook: org.apache.spark.sql.DataFrame,
+                        codes: org.apache.spark.sql.DataFrame, outDir: String,
+                        checkpoint: String, k: Int, m: Int, dims: Int,
+                        maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val qtab = graft.operators.Similarity.pqQueryTable(
+          batch.toDF(), codebook, "vec_id", "embedding", m, dims)
+        graft.operators.Similarity.pqScore(codes, qtab, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   final case class Keyed(id: Long, version: Long, payload: String)
 
   /** Last-write-wins keyed state — the streaming form of the batch merge
