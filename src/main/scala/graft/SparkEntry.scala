@@ -1926,6 +1926,29 @@ object SparkEntry {
           .agg(count(lit(1)).cast("bigint").as("n_pairs"))
       }),
 
+      // ---- binned PURE range join (q38 has a user_id equi-key; this
+      // is the keyless case Spark plans as a nested loop — binning
+      // turns it into a bucket equi-join; see RangeJoin scaladoc).
+      // Ranges: 25 overlapping 3h windows spaced 2h from the corpus
+      // min ts (derived, so any fixture regeneration still overlaps).
+      "q88_binned_range_join" -> ((s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+          .select(unix_micros(col("ts")).as("ts_us"),
+            Marts.dec2(col("value")).as("val"))
+        val ranges = Tables.nation(s, dir)
+          .select(col("n_nationkey").cast("long").as("range_id"))
+          .crossJoin(broadcast(ev.agg(min(col("ts_us")).as("t0"))))
+          .select(col("range_id"),
+            (col("t0") + col("range_id") * 7200000000L).as("start_us"),
+            (col("t0") + col("range_id") * 7200000000L + 10800000000L)
+              .as("end_us"))
+        RangeJoin.binnedRangeJoin(ev, "ts_us", ranges,
+            "start_us", "end_us", binUs = 3600000000L)
+          .groupBy(col("range_id"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("val")).cast("decimal(18,2)").cast("double").as("total"))
+      }),
+
       // ---- funnel + cohort retention (event-analytics staples) ----
       "q34_funnel" -> ((s, dir) => {
         val ev = Tables.events(s, dir)
@@ -5063,6 +5086,23 @@ object SparkEntry {
         |SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM s JOIN p ON s.user_id = p.user_id
         |WHERE p.p_us > s.s_us AND p.p_us <= s.s_us + 3600000000
+        |GROUP BY 1""".stripMargin,
+
+    // q88's contract IS the naive inequality join — binning must be
+    // result-invisible (each event meets each matching range once)
+    "q88_binned_range_join" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |           FROM events WHERE ts IS NOT NULL),
+        |t0 AS (SELECT MIN(ts_us) AS t0 FROM e),
+        |r AS (SELECT CAST(n_nationkey AS BIGINT) AS range_id,
+        |        t0.t0 + CAST(n_nationkey AS BIGINT) * 7200000000 AS start_us,
+        |        t0.t0 + CAST(n_nationkey AS BIGINT) * 7200000000
+        |          + 10800000000 AS end_us
+        |      FROM nation CROSS JOIN t0)
+        |SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2)))
+        |         AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM e JOIN r ON e.ts_us >= r.start_us AND e.ts_us < r.end_us
         |GROUP BY 1""".stripMargin,
 
     // streaming twin gated by the SAME batch semantics (s4/s5 pattern)
