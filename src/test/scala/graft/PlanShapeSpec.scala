@@ -155,6 +155,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), s"pair dedup lost map-side combine:\n$p")
   }
 
+  test("q86: DSIR stays a two-scan plan with broadcast weights and top-k project") {
+    val p = plan("q86_dsir_select")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    // stats pass + scoring pass; a third scan means the corpus-totals
+    // global window regressed to a separate aggregate (r10 fix)
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"64-row weight table is not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k regressed to a global sort:\n$p")
+  }
+
+  test("d20: SemDeDup pair join rides the centroid key - no cartesian") {
+    val p = plan("d20_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pair join fell back to a cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"member assignment lost the partial group-limit:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor anti join missing:\n$p")
+  }
+
+  test("e9: PQ encoder aggregates (min_by), never rank-windows the code argmin") {
+    val p = plan("e9_pq")
+    assert(p.contains("min_by") || p.contains("partial_min_by"),
+      s"encoder argmin is not the partial-aggregable min_by:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PQ plan:\n$p")
+  }
+
   test("hot scan-and-aggregate paths run inside whole-stage codegen") {
     Seq("q1_daily_metrics", "q15_join_agg_nation", "q41_exact_stats")
       .foreach { q =>
