@@ -2304,6 +2304,23 @@ object SparkEntry {
           .agg(count(lit(1)).cast("bigint").as("n"),
             sum(col("val")).cast("decimal(18,2)").cast("double").as("total"))),
 
+      // ---- bucketed as-of carry (q20's mega-key mitigation: the
+      // same two-pass bucket trick q53 applies to sessions — see
+      // Windows.asOfCarryBucketed). Semantics are bit-identical to
+      // q20, so it shares q20's oracle; AsofSoak holds the equality
+      // at 20M rows under a planted 10% hot user.
+      "q89_bucketed_asof" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+        Windows.asOfCarryBucketed(ev, Seq("user_id"),
+            unix_micros(col("ts")), col("event_id"),
+            when(col("event_type") === "signup", unix_micros(col("ts"))),
+            "last_signup_us", bucketUs = 6L * 3600 * 1000000)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("last_signup_us"), lit(-1L)).as("last_signup_us"))
+      }),
+
       // ---- streaming (micro-batch over the events file; same oracle as q18;
       // runs in the shared concurrent pass — see runStreamPass/streamJobs) ----
       "s1_stream_tumbling" -> ((s, dir) =>
@@ -3695,6 +3712,9 @@ object SparkEntry {
   }
 
   def extensionOracles: Map[String, String] = Map(
+    // q89 is q20 computed the bucketed way — same contract, same oracle
+    "q89_bucketed_asof" -> parityOracles("q20_asof_join"),
+
     "t7_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |t AS (SELECT doc_id, unnest(toks) AS tok FROM tk),

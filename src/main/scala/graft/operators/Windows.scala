@@ -34,6 +34,54 @@ object Windows {
     df.withColumn(as, last(marked, ignoreNulls = true).over(w))
   }
 
+  /** Two-pass bucketed as-of carry — the mega-key mitigation for
+    * [[asOfCarry]], same playbook as [[bucketedSessionSummaries]]: a
+    * hot key funnels its entire history into ONE task's window sort
+    * under the single-window form; bucketing by (keys, time-bucket)
+    * restores parallelism.
+    *
+    * Pass 1 carries within each (key, bucket) — the hot key's rows
+    * spread across its time buckets. Pass 2 computes each bucket's
+    * FINAL marker value (a partial-aggregable max over a conditional
+    * struct — no window over the events) and carries it across the
+    * per-key bucket summary (rows per key = buckets spanned,
+    * thousands of times fewer than events). Each event resolves to
+    * its within-bucket carry, falling back to the latest prior
+    * bucket's final value. Bit-identical to [[asOfCarry]] with order
+    * (tsUs, tieBreak) — q89 gates that equality against the q20
+    * oracle, and AsofSoak holds it at 20 M rows with a planted 10%
+    * hot key. */
+  def asOfCarryBucketed(df: DataFrame, partKeys: Seq[String], tsUs: Column,
+                        tieBreak: Column, marked: Column, as: String,
+                        bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val keyCols = partKeys.map(col)
+    val withBucket = df
+      .withColumn("__b", floor(tsUs / bucketUs).cast("long"))
+      .withColumn("__m", marked)
+    val wIn = Window.partitionBy(keyCols :+ col("__b"): _*)
+      .orderBy(tsUs.asc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = withBucket
+      .withColumn("__in", last(col("__m"), ignoreNulls = true).over(wIn))
+    // bucket-final marker: max over (ts, tie, value) structs of MARKED
+    // rows only (max skips the null struct of unmarked rows) — plain
+    // partial-aggregable agg, never a window over the events
+    val bucketLast = withBucket
+      .groupBy(keyCols :+ col("__b"): _*)
+      .agg(max(when(col("__m").isNotNull,
+        struct(tsUs.as("t"), tieBreak.as("i"), col("__m").as("v"))))
+        .getField("v").as("__last"))
+    val wPrev = Window.partitionBy(keyCols: _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevCarry = bucketLast
+      .withColumn("__prev", last(col("__last"), ignoreNulls = true).over(wPrev))
+      .select(keyCols :+ col("__b") :+ col("__prev"): _*)
+    inBucket.join(prevCarry, partKeys :+ "__b")
+      .withColumn(as, coalesce(col("__in"), col("__prev")))
+      .drop("__b", "__m", "__in", "__prev")
+  }
+
   /** Gap-based sessionization: a new session starts after STRICTLY MORE
     * than `gapMicros` of inactivity — the same boundary rule as Spark's
     * native `session_window` (verified on this build: an event at

@@ -56,6 +56,40 @@ class BucketedSessionSpec extends SparkSpec {
     }
   }
 
+  test("bucketed as-of carry equals the single-window form on a skewed fixture") {
+    // hot user 0 owns half the rows; markers sparse and irregular so
+    // many buckets carry nothing and the cross-bucket fallback is
+    // exercised (including events BEFORE any marker -> null carry)
+    val base = 1700000000000000L
+    val rows = (0L until 4000L).map { i =>
+      val user = if (i % 2 == 0) 0L else 1L + (i % 7)
+      val ts = base + i * 300000000L + (i % 11) * 7L
+      val marker = i % 53 == 0
+      (i, user, ts, if (marker) "signup" else "view")
+    }
+    val df = rows.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    def marked = when($"event_type" === "signup", unix_micros($"ts"))
+    val plain = Windows.asOfCarry(df, Seq("user_id"),
+      Seq($"ts".asc, $"event_id".asc), marked, "carry")
+    val bucketed = Windows.asOfCarryBucketed(df, Seq("user_id"),
+      unix_micros($"ts"), $"event_id", marked, "carry",
+      bucketUs = 3600000000L)
+    val cols = Seq($"event_id", $"user_id", $"carry")
+    assert(bucketed.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty &&
+      plain.select(cols: _*).exceptAll(bucketed.select(cols: _*)).isEmpty,
+      "bucketed carry must be bit-identical to the single window")
+    // the events-level window must partition on the bucket too — the
+    // whole point; only the per-key BUCKET SUMMARY may window by key
+    // alone, and the bucket-final value is a partial-aggregable max
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max"),
+      s"bucket-final marker lost map-side combine:\n${p.take(3000)}")
+    assert("windowspecdefinition\\(user_id#\\d+L, __b".r
+      .findFirstIn(p).isDefined,
+      s"pass-1 window is not bucket-partitioned:\n${p.take(3000)}")
+  }
+
   test("events exactly gap-apart merge; gap+1us splits (boundary rule parity)") {
     val base = 1700000000000000L
     val df = Seq(
