@@ -1391,6 +1391,29 @@ object SparkEntry {
         Sampling.dsirSelect(Tables.documents(s, dir),
           "doc_id", col("text"), col("lang") === "en", k = 100)),
 
+      // Incremental DSIR (the d13/d19 discipline for data selection):
+      // bucket stats are ADDITIVE, so an ingest batch folds into the
+      // persisted corpus stats without rescanning the corpus. The
+      // oracle recomputes the full pipeline over corpus ∪ batch —
+      // additivity makes incremental and full bit-identical, which
+      // is the gate. Batch = every 7th doc cloned with extra text
+      // (ids +1e6, lang preserved), so the weights genuinely move.
+      "q90_incremental_dsir" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+          .select(cloneId(col("doc_id")).as("doc_id"),
+            concat(col("text"), lit(" freshly ingested alpha text")).as("text"),
+            col("lang"))
+        val corpusStats = Sampling.dsirStats(docs, col("text"),
+          col("lang") === "en")
+        val batchStats = Sampling.dsirStats(batch, col("text"),
+          col("lang") === "en")
+        Sampling.dsirSelectWithStats(docs.unionByName(batch), "doc_id",
+          col("text"), Sampling.combineDsirStats(corpusStats, batchStats),
+          k = 100)
+      }),
+
       // Corrupt-record quarantine (ingestion robustness, the B1
       // null-filter discipline applied to malformed input): a JSONL
       // staging with every 7th line truncated is read through Spark's
@@ -3919,6 +3942,30 @@ object SparkEntry {
     "q86_dsir_select" ->
       s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt,
          |              unnest($toksSql) AS tok FROM documents),
+         |tb AS (SELECT doc_id, tgt, ${hash32Sql(0, "tok")} % 64 AS b FROM tk),
+         |st AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc,
+         |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+         |       FROM tb GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS n_raw,
+         |               CAST(SUM(tc) AS BIGINT) AS n_tgt FROM st),
+         |w AS (SELECT st.b, st.tc * tot.n_raw - st.rc * tot.n_tgt AS w
+         |      FROM st CROSS JOIN tot),
+         |sc AS (SELECT tb.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+         |       FROM tb JOIN w USING (b) GROUP BY 1)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // q90: the q86 pipeline recomputed in FULL over corpus ∪ batch —
+    // stat additivity makes the Spark side's incremental fold equal
+    // this bit-for-bit
+    "q90_incremental_dsir" ->
+      s"""WITH corpus AS (SELECT doc_id, text, lang FROM documents
+         |                UNION ALL
+         |                SELECT doc_id + 1000000,
+         |                  text || ' freshly ingested alpha text', lang
+         |                FROM documents WHERE doc_id % 7 = 0),
+         |tk AS (SELECT doc_id, lang = 'en' AS tgt,
+         |              unnest($toksSql) AS tok FROM corpus),
          |tb AS (SELECT doc_id, tgt, ${hash32Sql(0, "tok")} % 64 AS b FROM tk),
          |st AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc,
          |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc

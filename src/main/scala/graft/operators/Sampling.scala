@@ -170,26 +170,54 @@ object Sampling {
     * from a sample), which rescales both products identically. */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: Column,
                  isTarget: Column, k: Int, nBuckets: Int = 64,
-                 salt: Int = 0): DataFrame = {
-    val tk = docs
-      .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+                 salt: Int = 0): DataFrame =
+    dsirSelectWithStats(docs, idCol, textCol,
+      dsirStats(docs, textCol, isTarget, nBuckets, salt), k, nBuckets, salt)
+
+  /** DSIR bucket statistics: (b, rc, tc) — raw and target token
+    * counts per hashed bucket. Plain sums, so stats are ADDITIVE:
+    * `stats(A ∪ B) = stats(A) ⊎ stats(B)` (union + groupBy-sum on
+    * `nBuckets` keys). That additivity is the d13/d19 incremental
+    * discipline for data selection — persist the corpus stats once
+    * and fold each ingest batch's stats in WITHOUT rescanning the
+    * corpus; q90 gates the whole incremental path against a full
+    * recompute over the union. */
+  def dsirStats(docs: DataFrame, textCol: Column, isTarget: Column,
+                nBuckets: Int = 64, salt: Int = 0): DataFrame =
+    docs
+      .select(isTarget.as("tgt"),
         explode(graft.functions.TextFunctions.tokens(textCol)).as("tok"))
-      .select(col("doc_id"), col("tgt"),
+      .select(col("tgt"),
         pmod(hash32(col("tok"), salt), lit(nBuckets.toLong)).as("b"))
-    val stats = tk.groupBy(col("b")).agg(
-      count(lit(1)).cast("long").as("rc"),
-      sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tc"))
-    // corpus totals as a GLOBAL window over the already-aggregated
-    // stats frame — bounded by nBuckets rows, so the single-partition
-    // window is safe, and it keeps this a TWO-scan plan (one stats
-    // pass + one scoring pass, the paper's inherent two-pass shape);
-    // a separate `stats.agg` would recompute stats from a third
-    // corpus scan
+      .groupBy(col("b")).agg(
+        count(lit(1)).cast("long").as("rc"),
+        sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tc"))
+
+  /** Fold one batch's stats into existing stats (bucket-wise sums). */
+  def combineDsirStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("b"))
+      .agg(sum(col("rc")).as("rc"), sum(col("tc")).as("tc"))
+
+  /** Score `docs` against a given stats frame and keep the top `k` —
+    * the query half of [[dsirSelect]] (same integer-exact surrogate,
+    * same plan shape: broadcast weights, partial-aggregable per-doc
+    * sum, TakeOrderedAndProject). Corpus totals ride a GLOBAL window
+    * over the `nBuckets`-row stats frame — bounded, and it keeps the
+    * end-to-end plan at two corpus scans (a separate `stats.agg`
+    * would add a third). */
+  def dsirSelectWithStats(docs: DataFrame, idCol: String, textCol: Column,
+                          stats: DataFrame, k: Int, nBuckets: Int = 64,
+                          salt: Int = 0): DataFrame = {
     val allRows = Window.partitionBy()
     val w = stats.select(col("b"),
       (col("tc") * sum(col("rc")).over(allRows)
         - col("rc") * sum(col("tc")).over(allRows)).as("w"))
-    tk.join(broadcast(w), "b")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("tok"))
+      .select(col("doc_id"),
+        pmod(hash32(col("tok"), salt), lit(nBuckets.toLong)).as("b"))
+      .join(broadcast(w), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)

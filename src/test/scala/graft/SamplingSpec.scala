@@ -172,6 +172,25 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("DSIR stats are additive: incremental fold equals full recompute") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"),
+      (col("lang") === "en").as("tgt"))
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 =!= 0)
+    val folded = Sampling.combineDsirStats(
+      Sampling.dsirStats(a, col("text"), col("tgt")),
+      Sampling.dsirStats(b, col("text"), col("tgt")))
+    val full = Sampling.dsirStats(docs, col("text"), col("tgt"))
+    assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+      "stats(A) ⊎ stats(B) must equal stats(A ∪ B) bucket-for-bucket")
+    // and the selection driven by folded stats equals the full one
+    val selFolded = Sampling.dsirSelectWithStats(docs, "doc_id",
+      col("text"), folded, k = 25).collect().toSeq
+    val selFull = Sampling.dsirSelectWithStats(docs, "doc_id",
+      col("text"), full, k = 25).collect().toSeq
+    assert(selFolded == selFull)
+  }
+
   test("c3 funnel: domain caps hold and quality is averaged over kept docs only") {
     val out = SparkEntry.queries("c3_training_corpus")(spark, sf).collect()
     assert(out.nonEmpty)
