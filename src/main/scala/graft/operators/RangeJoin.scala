@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.ColUtil.floorDiv
 
 /** Pure range joins (no shared equi-key) at scale.
   *
@@ -26,17 +27,39 @@ object RangeJoin {
     * (`endUs <= startUs`) match nothing, exactly like the naive
     * predicate. `binUs` trades replication (wide ranges × narrow
     * bins) against residual filtering (narrow ranges × wide bins);
-    * pick it near the median range width. */
+    * pick it near the median range width — or pass `binUs = 0` and
+    * the operator derives exactly that default itself (see
+    * [[medianRangeWidth]]). Bucket assignment is exact integer floor
+    * division ([[graft.functions.ColUtil.floorDiv]]) — correct for
+    * arbitrary 64-bit microsecond values, not just |ts| < 2^53. */
   def binnedRangeJoin(events: DataFrame, tsUs: String, ranges: DataFrame,
                       startUs: String, endUs: String, binUs: Long): DataFrame = {
-    require(binUs > 0, "binUs must be positive")
-    val e = events.withColumn("__bin", floor(col(tsUs) / binUs).cast("long"))
+    require(binUs >= 0, "binUs must be positive (or 0 to derive from stats)")
+    val bin = if (binUs > 0) binUs else medianRangeWidth(ranges, startUs, endUs)
+    val e = events.withColumn("__bin", floorDiv(col(tsUs), bin))
     val r = ranges.filter(col(endUs) > col(startUs))
       .withColumn("__bin", explode(sequence(
-        floor(col(startUs) / binUs).cast("long"),
-        floor((col(endUs) - 1) / binUs).cast("long"))))
+        floorDiv(col(startUs), bin),
+        floorDiv(col(endUs) - 1, bin))))
     e.join(r, Seq("__bin"))
       .filter(col(tsUs) >= col(startUs) && col(tsUs) < col(endUs))
       .drop("__bin")
+  }
+
+  /** The stats-driven `binUs` default: the approximate median range
+    * width, from ONE cheap aggregation over the (small relative to
+    * events) ranges side — a bin near the median width keeps both
+    * costs linear: a typical range replicates onto ~2 buckets, and a
+    * bucket's residual filter sees ~1 bin of events. One bounded
+    * driver-side collect of a single row (the q9 scalar-subquery
+    * economics); `approx_percentile` is a fixed-size sketch, never a
+    * sort. Empty/degenerate range inputs fall back to one second. */
+  def medianRangeWidth(ranges: DataFrame, startUs: String,
+                       endUs: String): Long = {
+    val row = ranges.filter(col(endUs) > col(startUs))
+      .agg(percentile_approx((col(endUs) - col(startUs)).cast("long"),
+        lit(0.5), lit(10000)).as("m"))
+      .head()
+    if (row.isNullAt(0)) 1000000L else math.max(row.getLong(0), 1L)
   }
 }

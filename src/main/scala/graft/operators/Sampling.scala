@@ -165,9 +165,11 @@ object Sampling {
     *
     * Overflow bound: |score| ≤ n_doc_tokens · N_tgt · N_raw; safe in
     * BIGINT while total corpus tokens stay under ~2^31 per stats
-    * partition — at larger corpora compute the weights on a fixed-rate
-    * hash sample of tokens (the paper itself estimates distributions
-    * from a sample), which rescales both products identically. */
+    * partition, and ENFORCED by an in-plan gate (see
+    * [[dsirSelectWithStats]]) — at larger corpora compute the weights
+    * on a fixed-rate hash sample of tokens (the paper itself estimates
+    * distributions from a sample), which rescales both products
+    * identically. */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: Column,
                  isTarget: Column, k: Int, nBuckets: Int = 64,
                  salt: Int = 0): DataFrame =
@@ -204,22 +206,50 @@ object Sampling {
     * sum, TakeOrderedAndProject). Corpus totals ride a GLOBAL window
     * over the `nBuckets`-row stats frame — bounded, and it keeps the
     * end-to-end plan at two corpus scans (a separate `stats.agg`
-    * would add a third). */
+    * would add a third).
+    *
+    * Candidate-set contract (ADVICE r10): scoring is an INNER join on
+    * bucket, so a doc with zero tokens — or whose tokens all hash to
+    * buckets absent from a foreign `stats` frame (possible in the
+    * incremental use, where stats may predate the scored docs) —
+    * produces no score rows and CANNOT be selected; it does not
+    * compete with score 0. That matches DSIR's intent (a doc sharing
+    * no features with the reference distributions carries no evidence
+    * of being target-like), and zero-token docs have no defined score
+    * at all; callers wanting them selectable must left-join survivors
+    * back with a default score themselves.
+    *
+    * Overflow is LOUD, not silent (ADVICE r10): |score| ≤
+    * n_doc_tokens · max|w|, and that bound is asserted in-plan
+    * against 2^62 (double-precision product with 2× headroom for
+    * rounding), so a corpus past the scaladoc'd ~2^31-token stats
+    * bound fails the job with a gate message instead of wrapping
+    * BIGINT — on such corpora compute the weights on a fixed-rate
+    * token sample (the paper itself estimates distributions from a
+    * sample), which rescales both products identically. */
   def dsirSelectWithStats(docs: DataFrame, idCol: String, textCol: Column,
                           stats: DataFrame, k: Int, nBuckets: Int = 64,
                           salt: Int = 0): DataFrame = {
     val allRows = Window.partitionBy()
     val w = stats.select(col("b"),
-      (col("tc") * sum(col("rc")).over(allRows)
-        - col("rc") * sum(col("tc")).over(allRows)).as("w"))
-    docs
+        (col("tc") * sum(col("rc")).over(allRows)
+          - col("rc") * sum(col("tc")).over(allRows)).as("w"))
+      .withColumn("maxw", max(abs(col("w"))).over(allRows))
+    val scored = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.tokens(textCol)).as("tok"))
       .select(col("doc_id"),
         pmod(hash32(col("tok"), salt), lit(nBuckets.toLong)).as("b"))
       .join(broadcast(w), "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("w")).cast("long").as("score"))
+      .agg(sum(col("w")).cast("long").as("score"),
+        count(lit(1)).cast("long").as("ntok"), max(col("maxw")).as("maxw"))
+    Checks.gated(scored, "dsir_score_overflow",
+        col("ntok").cast("double") * col("maxw").cast("double")
+          < lit(math.pow(2, 62)),
+        concat(lit("ntok="), col("ntok").cast("string"),
+          lit(" max|w|="), col("maxw").cast("string")))
+      .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

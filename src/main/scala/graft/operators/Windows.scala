@@ -57,7 +57,7 @@ object Windows {
     require(bucketUs > 0, "bucketUs must be positive")
     val keyCols = partKeys.map(col)
     val withBucket = df
-      .withColumn("__b", floor(tsUs / bucketUs).cast("long"))
+      .withColumn("__b", graft.functions.ColUtil.floorDiv(tsUs, bucketUs))
       .withColumn("__m", marked)
     val wIn = Window.partitionBy(keyCols :+ col("__b"): _*)
       .orderBy(tsUs.asc, tieBreak.asc)
@@ -130,7 +130,8 @@ object Windows {
       s"bucket width $bucketMicros must exceed the session gap $gapMicros")
     val keyCols = partKeys.map(col)
     val withUs = df.select(keyCols :+ unix_micros(col(tsCol)).as("__us"): _*)
-      .withColumn("__bucket", floor(col("__us") / bucketMicros))
+      .withColumn("__bucket",
+        graft.functions.ColUtil.floorDiv(col("__us"), bucketMicros))
     val w1 = Window.partitionBy(keyCols :+ col("__bucket"): _*)
       .orderBy(col("__us").asc)
     val run1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -50,6 +50,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("__bin"), "join must key on the bucket")
   }
 
+  test("binUs = 0 derives a median-width bin and stays result-identical") {
+    // median width of the non-empty ranges (400, 10, 100, 120) -> ~110
+    val m = RangeJoin.medianRangeWidth(ranges, "start_us", "end_us")
+    assert(m >= 10L && m <= 400L, s"derived bin $m outside the width range")
+    val derived = RangeJoin.binnedRangeJoin(events, "ts_us", ranges,
+      "start_us", "end_us", binUs = 0L)
+    val naive = events.crossJoin(ranges)
+      .filter($"ts_us" >= $"start_us" && $"ts_us" < $"end_us")
+    val cols = Seq($"event_id", $"range_id")
+    assert(derived.select(cols: _*).exceptAll(naive.select(cols: _*)).isEmpty &&
+      naive.select(cols: _*).exceptAll(derived.select(cols: _*)).isEmpty,
+      "derived-bin join must be result-invisible too")
+    // degenerate ranges side: falls back to 1s, never 0 or negative
+    val empty = Seq((0L, 5L, 5L)).toDF("range_id", "start_us", "end_us")
+    assert(RangeJoin.medianRangeWidth(empty, "start_us", "end_us") == 1000000L)
+  }
+
+  test("bucket assignment is exact past double precision (2^53) and for negatives") {
+    // |ts| ~ 2^62: double floor(ts/bin) mis-bins here; floorDiv must not
+    val big = 1L << 62
+    val r = Seq((0L, big, big + 1000L), (1L, -big - 1000L, -big))
+      .toDF("range_id", "start_us", "end_us")
+    val e = Seq((0L, big), (1L, big + 999L), (2L, big + 1000L),
+      (3L, -big - 1000L), (4L, -big - 1L), (5L, -big))
+      .toDF("event_id", "ts_us")
+    val got = RangeJoin.binnedRangeJoin(e, "ts_us", r,
+        "start_us", "end_us", binUs = 333L)
+      .select($"event_id", $"range_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L), (1L, 0L), (3L, 1L), (4L, 1L)), s"got $got")
+  }
+
   test("a wide range replicates to every bin it overlaps and only those") {
     val one = Seq((0L, 50L, 450L)).toDF("range_id", "start_us", "end_us")
     val hits = RangeJoin.binnedRangeJoin(events, "ts_us", one,

@@ -191,6 +191,36 @@ class SamplingSpec extends SparkSpec {
     assert(selFolded == selFull)
   }
 
+  test("DSIR overflow guard fails LOUDLY past the BIGINT score bound") {
+    // a foreign stats frame whose counts keep every INTERMEDIATE
+    // product in-range (so ANSI doesn't trip first) but push the
+    // ntok·max|w| bound past 2^62 — the regime where a non-ANSI
+    // engine would wrap silently (ADVICE r10); the in-plan gate must
+    // raise with its own message, not return bogus scores. Here
+    // max|w| = 63·2^55 ≈ 2^61, so 4 tokens cross the 2^62 line while
+    // the actual score sum stays far below 2^63.
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val huge = Seq.tabulate(64)(b =>
+      (b.toLong, 1L << 55, if (b == 0) 1L else 0L))
+      .toDF("b", "rc", "tc")
+    val ex = intercept[Exception] {
+      Sampling.dsirSelectWithStats(docs, "doc_id", col("text"), huge, k = 5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dsir_score_overflow")),
+      s"expected the overflow gate to fire, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("DSIR candidate contract: zero-token docs are excluded, not scored 0") {
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text").withColumn("tgt", lit(true))
+    val sel = Sampling.dsirSelect(docs, "doc_id", col("text"), col("tgt"),
+      k = 10).select("doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L), s"only the tokenful doc competes; got $sel")
+  }
+
   test("c3 funnel: domain caps hold and quality is averaged over kept docs only") {
     val out = SparkEntry.queries("c3_training_corpus")(spark, sf).collect()
     assert(out.nonEmpty)
