@@ -320,6 +320,27 @@ object SparkEntry {
       tmp.toString
     })
 
+  /** The e13/e14 persisted PQ serving state (one store per variant per
+    * (JVM, dir), the e10 lifecycle discipline): a centroid-partitioned
+    * code table + codebook + coarse set written ONCE by
+    * [[Similarity.buildIvfPqIndex]]; the gated queries only ever read
+    * it. This is the shape the r10 verdict asked to gate — the serving
+    * claim (build-once/query-many, probe prunes partitions) moves from
+    * soak-verified to oracle-gated. */
+  private val pqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndexDir(s: SparkSession, dir: String,
+                         residual: Boolean): String =
+    pqIndexDirs.computeIfAbsent(dir + (if (residual) "#res" else "#pq"), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        if (residual) "e14_ivfadc" else "e13_ivfpq")
+      Similarity.buildIvfPqIndex(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        tmp.toString, "vec_id", "embedding", residual = residual)
+      sys.addShutdownHook { rmTreeQuiet(tmp) }
+      tmp.toString
+    })
+
   private val streamSplitDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -858,7 +879,16 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++ extensionQueries
 
-  def oracleSql: Map[String, String] = parityOracles ++ extensionOracles
+  def oracleSql: Map[String, String] = {
+    val base = parityOracles ++ extensionOracles
+    // e13/e14 serve from the PERSISTED PQ index (buildIvfPqIndex);
+    // frozen seeds + exact BIGINT ADC make the served results
+    // bit-identical to the inline e11/e12 pipelines, so the served
+    // entries share their oracles — that equality IS the gate.
+    base ++ Map(
+      "e13_ivfpq_served" -> base("e11_ivfpq"),
+      "e14_ivfadc_served" -> base("e12_ivfpq_residual"))
+  }
 
   /** Timed by Bench, NOT part of the declared/gated query surface: the
     * xxhash64 base hash has no DuckDB twin, so no oracle is possible.
@@ -2235,6 +2265,25 @@ object SparkEntry {
         Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 5)
       }),
+
+      // ---- persisted-index IVFPQ / IVFADC serving (r10 verdict item
+      // 1): the gated queries serve from a WRITTEN, centroid-
+      // partitioned code store — coarse probes prune the code scan via
+      // dynamic partition pruning (PLANS.md shows the dynamicpruning
+      // subquery on centroid_id) — instead of rebuilding coarse
+      // assignment, codebook, and codes inline on every run. Frozen
+      // seeds + exact BIGINT ADC make served == inline bit-for-bit,
+      // so e13/e14 share e11/e12's oracles; the store is built once
+      // per (JVM, dir) by pqIndexDir. ----
+      "e13_ivfpq_served" -> ((s, dir) =>
+        Similarity.queryIvfPqIndex(s, pqIndexDir(s, dir, residual = false),
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)),
+
+      "e14_ivfadc_served" -> ((s, dir) =>
+        Similarity.queryIvfPqIndex(s, pqIndexDir(s, dir, residual = true),
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, residual = true)),
 
       // Int8 embedding quantization (min/max affine, the storage layout
       // for vectors at corpus scale): per-vector range stats + the

@@ -576,12 +576,25 @@ object Similarity {
                         nCodes: Int = 16): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
-    def residual(v: Column, c: Column) =
-      zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
     val coarse = vectors.orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    // corpus residuals: one assignment pass, then v − centroid
-    val lists = TopK.perGroup(
+    val lists = residualLists(vectors, coarse, idCol, vecCol)
+    val cb = residualCodebook(lists, coarse, m, sub, nCodes)
+    val codes = residualEncode(lists, cb, m, sub)
+    val qtab = residualQueryTable(queries, coarse, cb, idCol, vecCol,
+      nProbe, m, sub)
+    adcScoreByCell(codes, qtab, k)
+  }
+
+  /** Exact double residual (v − centroid), element-wise. */
+  private def residualOf(v: Column, c: Column): Column =
+    zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+
+  /** Corpus residual lists: nearest coarse cell per vector plus the
+    * residual in exact double — one broadcast assignment pass. */
+  private def residualLists(vectors: DataFrame, coarse: DataFrame,
+                            idCol: String, vecCol: String): DataFrame =
+    TopK.perGroup(
         vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
           .crossJoin(broadcast(coarse))
           .select(col("neighbor_id"), col("cv"), col("centroid_id"),
@@ -589,20 +602,28 @@ object Similarity {
         Seq("neighbor_id"), Seq(col("csim").desc, col("centroid_id").asc), 1)
       .join(broadcast(coarse), Seq("centroid_id"))
       .select(col("neighbor_id"), col("centroid_id"),
-        residual(col("cv"), col("centroid_vec")).as("r"))
-    // shared residual codebook from the nCodes lowest-id residuals of
-    // NON-CENTROID vectors: a coarse-seed vector is its own nearest
-    // centroid, so its residual is identically zero — seeding from
-    // them would collapse the whole codebook to zero entries and ADC
-    // could no longer separate candidates within a cell
-    val cb = lists
+        residualOf(col("cv"), col("centroid_vec")).as("r"))
+
+  /** Shared residual codebook from the nCodes lowest-id residuals of
+    * NON-CENTROID vectors: a coarse-seed vector is its own nearest
+    * centroid, so its residual is identically zero — seeding from
+    * them would collapse the whole codebook to zero entries and ADC
+    * could no longer separate candidates within a cell. */
+  private def residualCodebook(lists: DataFrame, coarse: DataFrame,
+                               m: Int, sub: Int, nCodes: Int): DataFrame =
+    lists
       .join(broadcast(coarse.select(col("centroid_id").as("seed_id"))),
         col("neighbor_id") === col("seed_id"), "left_anti")
       .orderBy(col("neighbor_id").asc).limit(nCodes)
       .select(col("neighbor_id").as("cid"),
         explode(pqSubvecs(col("r"), m, sub)).as("e"))
       .select(col("cid"), col("e.j").as("j"), col("e.sv").as("csub"))
-    val codes = lists
+
+  /** Residual PQ encoder: (neighbor_id, centroid_id, j, code) — the
+    * corpus-sized IVFADC serving state. */
+  private def residualEncode(lists: DataFrame, cb: DataFrame,
+                             m: Int, sub: Int): DataFrame =
+    lists
       .select(col("neighbor_id"), col("centroid_id"),
         explode(pqSubvecs(col("r"), m, sub)).as("e"))
       .select(col("neighbor_id"), col("centroid_id"),
@@ -612,7 +633,13 @@ object Similarity {
         l2Fixed(col("sv"), col("csub")).as("d"))
       .groupBy(col("neighbor_id"), col("centroid_id"), col("j"))
       .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
-    // query: nProbe cells, one residual + lookup table per cell
+
+  /** Per-(query, probed-cell) ADC lookup table: nProbe cells, one
+    * residual + table per cell (the query's residual differs per
+    * cell): (query_id, centroid_id, j, cid, qd). */
+  private def residualQueryTable(queries: DataFrame, coarse: DataFrame,
+                                 cb: DataFrame, idCol: String, vecCol: String,
+                                 nProbe: Int, m: Int, sub: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qprobes = TopK.perGroup(
         q.crossJoin(broadcast(coarse))
@@ -621,8 +648,8 @@ object Similarity {
             cosineNative(col("qv"), col("centroid_vec")).as("csim")),
         Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
       .select(col("query_id"), col("centroid_id"),
-        residual(col("qv"), col("centroid_vec")).as("qr"))
-    val qtab = qprobes
+        residualOf(col("qv"), col("centroid_vec")).as("qr"))
+    qprobes
       .select(col("query_id"), col("centroid_id"),
         explode(pqSubvecs(col("qr"), m, sub)).as("e"))
       .select(col("query_id"), col("centroid_id"),
@@ -630,6 +657,16 @@ object Similarity {
       .join(broadcast(cb), "j")
       .select(col("query_id"), col("centroid_id"), col("j"), col("cid"),
         l2Fixed(col("qsv"), col("csub")).as("qd"))
+  }
+
+  /** ADC scoring of cell-tagged codes against a cell-tagged query
+    * table — shared by the inline and persisted-index IVFPQ/IVFADC
+    * paths. The codes side joins a BROADCAST query table on its
+    * `centroid_id` — when codes come from a centroid-partitioned
+    * store, Catalyst turns that reused broadcast into a runtime
+    * `dynamicpruning` filter on the scan's partition column (the e10
+    * discipline), so a probe touches only its nProbe directories. */
+  def adcScoreByCell(codes: DataFrame, qtab: DataFrame, k: Int): DataFrame = {
     val scored = codes
       .join(broadcast(qtab), Seq("centroid_id", "j"))
       .filter(col("code") === col("cid") &&
@@ -638,6 +675,100 @@ object Similarity {
       .agg(sum(col("qd")).cast("long").as("adist"))
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("adist").asc, col("neighbor_id").asc), k)
+  }
+
+  /** Materialize the IVFPQ serving state at `path` — the persisted,
+    * build-once/query-many form of [[ivfPqTopK]] (`residual = false`)
+    * and [[ivfPqResidualTopK]] (`residual = true`), closing the loop
+    * the r10 verdict flagged: the inline gated queries rebuilt coarse
+    * assignment, codebook, and codes on every run, which is not how a
+    * 100 TB index serves. Layout:
+    * {{{
+    *   path/codes/     (neighbor_id, j, code) PARTITIONED BY centroid_id
+    *   path/codebook/  (cid, j, csub)
+    *   path/coarse/    (centroid_id, centroid_vec)
+    * }}}
+    * The corpus-sized state is ONLY `codes` — m small codes per
+    * vector, 32× smaller than raw floats here — laid out so a query's
+    * probe set prunes the scan to its nProbe partition directories
+    * via dynamic partition pruning ([[queryIvfPqIndex]]). Codes,
+    * codebook, and coarse centroids all roundtrip parquet bit-exactly
+    * (ints, floats, exact doubles), so serving from the store is
+    * bit-identical to the inline pipeline — which is the e13/e14
+    * oracle gate. */
+  def buildIvfPqIndex(vectors: DataFrame, path: String, idCol: String,
+                      vecCol: String, nCentroids: Int = 16, m: Int = 8,
+                      dims: Int = 64, nCodes: Int = 16,
+                      residual: Boolean = false): Unit = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val coarse = vectors.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    if (residual) {
+      val lists = residualLists(vectors, coarse, idCol, vecCol)
+      val cb = residualCodebook(lists, coarse, m, sub, nCodes)
+      residualEncode(lists, cb, m, sub)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$path/codes")
+      cb.write.mode("overwrite").parquet(s"$path/codebook")
+    } else {
+      val lists = TopK.perGroup(
+          vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+            .crossJoin(broadcast(coarse))
+            .select(col("neighbor_id"), col("centroid_id"),
+              cosineNative(col("cv"), col("centroid_vec")).as("csim")),
+          Seq("neighbor_id"), Seq(col("csim").desc, col("centroid_id").asc), 1)
+        .select(col("neighbor_id"), col("centroid_id"))
+      val cb = pqCodebook(vectors, idCol, vecCol, m, dims, nCodes)
+      pqEncode(vectors, cb, idCol, vecCol, m, dims)
+        .join(lists, "neighbor_id")
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$path/codes")
+      cb.write.mode("overwrite").parquet(s"$path/codebook")
+    }
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+  }
+
+  /** Serve top-k from a [[buildIvfPqIndex]] store: probe each query's
+    * nProbe nearest coarse cells, build the ADC lookup table from the
+    * PERSISTED codebook, and score only the probed cells' codes — the
+    * raw vectors are never read at query time. The codes⋈qtab join
+    * broadcasts the (tiny) cell-tagged query table, and because
+    * `codes` is partitioned by `centroid_id`, Catalyst reuses that
+    * broadcast as a `dynamicpruning` subquery on the scan — the probe
+    * reads nProbe/nCentroids of the store's directories, enforced at
+    * the source (AnnSkewSpec pins the subquery's presence). Results
+    * are bit-identical to the inline [[ivfPqTopK]]/[[ivfPqResidualTopK]]
+    * (same seeds, same BIGINT ADC arithmetic), which the e13/e14
+    * gates prove against the e11/e12 oracles. */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbe: Int = 4, m: Int = 8, dims: Int = 64,
+                      residual: Boolean = false): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val qtab =
+      if (residual)
+        residualQueryTable(queries, coarse, cb, idCol, vecCol, nProbe, m, sub)
+      else {
+        val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        val probes = TopK.perGroup(
+            q.crossJoin(broadcast(coarse))
+              .select(col("query_id"), col("centroid_id"),
+                cosineNative(col("qv"), col("centroid_vec")).as("csim")),
+            Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc),
+            nProbe)
+          .select(col("query_id"), col("centroid_id"))
+        // vector-space codes share one table across cells: tag each
+        // query's table rows with its probed cells (m·nCodes·nProbe
+        // rows per query — still broadcast-sized)
+        pqQueryTable(queries, cb, idCol, vecCol, m, dims)
+          .join(probes, "query_id")
+      }
+    adcScoreByCell(codes, qtab, k)
   }
 
   /** Product quantization ANN (Jégou et al., PAMI 2011 — the layout

@@ -154,6 +154,38 @@ class AnnSkewSpec extends SparkSpec {
     assert(appended == batch.count(), "every batch row must be in the index")
   }
 
+  test("persisted PQ index: served == inline for IVFPQ and IVFADC, probe prunes dynamically") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 8)
+    for (residual <- Seq(false, true)) {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"pq_idx_$residual").toString
+      Similarity.buildIvfPqIndex(emb, root, "vec_id", "embedding",
+        residual = residual)
+      val served = Similarity.queryIvfPqIndex(spark, root, queries,
+        "vec_id", "embedding", k = 5, residual = residual)
+      val inline =
+        if (residual)
+          Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding", 5)
+        else Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5)
+      assert(served.exceptAll(inline).isEmpty &&
+        inline.exceptAll(served).isEmpty,
+        s"persisted-index serving (residual=$residual) must be " +
+          "bit-identical to the inline pipeline")
+      // the serving claim at scale: the code scan must carry a
+      // dynamicpruning partition filter on centroid_id from the
+      // broadcast query-table side — nProbe directories read, not all
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"code-scan DPP did not fire (residual=$residual):\n" +
+          plan.take(4000))
+      // corpus-sized state is codes only: no raw vectors in the store
+      val codeCols = spark.read.parquet(s"$root/codes").columns.toSet
+      assert(!codeCols.exists(c => c == "cv" || c == "sv" || c == "r"),
+        s"code store must not carry raw vectors: $codeCols")
+    }
+  }
+
   test("salted join equals the plain join and executes as a sort-merge on (key, salt)") {
     val fact = Tables.events(spark, sf)
       .filter($"user_id".isNotNull)
