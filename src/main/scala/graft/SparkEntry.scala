@@ -320,6 +320,49 @@ object SparkEntry {
       tmp.toString
     })
 
+  /** The q82 bipartite order graph: customer↔supplier co-purchase
+    * edges, symmetrized (node ids: custkey·2 even, suppkey·2+1 odd —
+    * disjoint by parity). Shared by q82 (full recompute) and q91's
+    * base store. */
+  private def q82Edges(s: SparkSession, dir: String): DataFrame = {
+    val edges0 = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    edges0.unionByName(
+      edges0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The q91 ingest batch: supplier → part edges with part nodes
+    * offset to 2e6+ — disjoint from every base edge (all base node
+    * ids sit far below 2e6) and DANGLING (part nodes have no
+    * out-edges), so the append genuinely changes existing suppliers'
+    * out-degrees while exercising the lost-mass decay path. */
+  private def q91BatchEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 13 === 0)
+      .select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2 + 2000000L).as("dst"))
+      .distinct()
+
+  /** The q91 persisted contribution-edge store, built from the base
+    * graph + one batch append, once per (JVM, dir) — the e10
+    * lifecycle discipline for graph state. */
+  private val q91StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q91ContribStoreDir(s: SparkSession, dir: String): String =
+    q91StoreDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q91_graph")
+      val store = s"$tmp/contrib"
+      Graph.buildContribStore(q82Edges(s, d), store, "src", "dst", 32)
+      Graph.appendToContribStore(s, store, q91BatchEdges(s, d),
+        "src", "dst", 32)
+      sys.addShutdownHook { rmTreeQuiet(tmp) }
+      store
+    })
+
   /** The e13/e14 persisted PQ serving state (one store per variant per
     * (JVM, dir), the e10 lifecycle discipline): a centroid-partitioned
     * code table + codebook + coarse set written ONCE by
@@ -1617,19 +1660,31 @@ object SparkEntry {
       // per-iteration work is one edges⋈ranks shuffle + one
       // partial-aggregable sum — the edge list is persisted once and
       // never recomputed (see Graph.pageRank scale notes).
-      "q82_pagerank" -> ((s, dir) => {
-        val edges0 = Tables.orders(s, dir)
-          .join(Tables.lineitem(s, dir),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        val edges = edges0.unionByName(
-          edges0.select(col("dst").as("src"), col("src").as("dst")))
-        Graph.pageRank(edges, "src", "dst", iters = 4)
+      "q82_pagerank" -> ((s, dir) =>
+        Graph.pageRank(q82Edges(s, dir), "src", "dst", iters = 4)
           .select(col("node_id").cast("bigint").as("node_id"),
-            col("pr").cast("bigint").as("pr"))
-      }),
+            col("pr").cast("bigint").as("pr"))),
+
+      // ---- incremental PageRank (r10 verdict item 2: the last
+      // iterative family without an ingest twin). The contribution-
+      // edge store (src, dst, outd) is persisted partitioned by
+      // src-bucket; the batch append recomputes out-degrees ONLY for
+      // its own sources and rewrites ONLY the buckets holding them
+      // (dynamic partition overwrite behind a partition-pruned read)
+      // — the old edge list is never rescanned. Ranks are then
+      // refreshed from the store. The oracle recomputes the full
+      // unrolled recurrence over base ∪ batch — the folded store is
+      // row-identical to a fresh build over the union, and the
+      // recurrence is BIGINT-exact, so incremental == rebuild
+      // bit-for-bit, which is the gate (the e10/q90 discipline).
+      // Batch edges (supplier → part+2e6 offset) are disjoint from
+      // the base graph by id-range construction, and dangle (new dst
+      // nodes have no out-edges) — exercising the lost-mass path the
+      // symmetric q82 graph cannot.
+      "q91_incremental_pagerank" -> ((s, dir) =>
+        Graph.pageRankFromStore(s, q91ContribStoreDir(s, dir), iters = 4)
+          .select(col("node_id").cast("bigint").as("node_id"),
+            col("pr").cast("bigint").as("pr"))),
 
       // Exact heavy hitters via bounded Misra-Gries summary + exact
       // recheck — NO full key-space shuffle (pass 1 shuffles only
@@ -3782,7 +3837,22 @@ object SparkEntry {
   /** q82's unrolled-iteration oracle: r{t+1} from r{t} as one CTE per
     * round, all-BIGINT (`//` floor division == Spark DIV on the
     * non-negative ranks). */
-  private def pageRankOracleSql(iters: Int): String = {
+  /** The q82 edge set as oracle CTEs ending in `edges`. */
+  private val q82EdgesCtes: String =
+    """e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      |              l_suppkey * 2 + 1 AS dst
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM e0
+      |          UNION SELECT dst AS src, src AS dst FROM e0)""".stripMargin
+
+  private def pageRankOracleSql(iters: Int): String =
+    pageRankOracleSqlOver(q82EdgesCtes, iters)
+
+  /** Unrolled BIGINT PageRank recurrence over any edge set supplied
+    * as CTEs whose last member is `edges (src, dst)` — shared by the
+    * q82 full-graph oracle and the q91 incremental oracle (which runs
+    * it over base ∪ batch: incremental must equal full recompute). */
+  private def pageRankOracleSqlOver(edgesCtes: String, iters: Int): String = {
     val iterCtes = (1 to iters).map { t =>
       s"""m$t AS (SELECT e.dst AS node_id, SUM(r.pr // d.outd) AS m
          |        FROM r${t - 1} r
@@ -3793,11 +3863,7 @@ object SparkEntry {
          |          150000000000 + (85 * COALESCE(m.m, 0)) // 100 AS pr
          |        FROM r${t - 1} r LEFT JOIN m$t m USING (node_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
-       |              l_suppkey * 2 + 1 AS dst
-       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |edges AS (SELECT src, dst FROM e0
-       |          UNION SELECT dst AS src, src AS dst FROM e0),
+    s"""WITH $edgesCtes,
        |deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
        |nodes AS (SELECT src AS node_id FROM edges
        |          UNION SELECT dst AS node_id FROM edges),
@@ -4172,6 +4238,24 @@ object SparkEntry {
     // non-negative, so it coincides with Spark's truncating DIV and
     // the comparison is hash-exact — no float tolerance anywhere.
     "q82_pagerank" -> pageRankOracleSql(iters = 4),
+
+    // q91: the SAME recurrence over base ∪ batch — the folded store
+    // is row-identical to a fresh build over the union, so the
+    // incremental path must reproduce the full recompute bit-exactly.
+    // Batch edges are disjoint from base by the +2e6 dst offset, so
+    // UNION ALL is exact.
+    "q91_incremental_pagerank" -> pageRankOracleSqlOver(
+      """e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |              l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |base AS (SELECT src, dst FROM e0
+        |         UNION SELECT dst AS src, src AS dst FROM e0),
+        |batch AS (SELECT DISTINCT l_suppkey * 2 + 1 AS src,
+        |            l_partkey * 2 + 2000000 AS dst
+        |          FROM lineitem WHERE l_orderkey % 13 = 0),
+        |edges AS (SELECT src, dst FROM base
+        |          UNION ALL SELECT src, dst FROM batch)""".stripMargin,
+      iters = 4),
 
     // Same naive value-compare oracle as q77 — the partition
     // short-circuit is a physical pruning whose exactness the oracle

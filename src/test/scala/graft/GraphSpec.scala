@@ -84,6 +84,55 @@ class GraphSpec extends SparkSpec {
     contrib.unpersist(blocking = false)
   }
 
+  test("contrib store: append == full rebuild, only affected buckets rewritten") {
+    // base: a ring with chords; batch: new edges from EXISTING sources
+    // 0 and 5 to brand-new dangling nodes — out-degrees must change
+    val base = (0L until 40L).flatMap(i =>
+      Seq((i, (i + 1) % 40L), (i, (i * 3 + 7) % 40L))).distinct
+    val batch = Seq((0L, 100L), (0L, 101L), (5L, 102L))
+    val nBuckets = 8
+    val inc = java.nio.file.Files.createTempDirectory("pr_inc").toString + "/c"
+    Graph.buildContribStore(base.toDF("src", "dst"), inc, "src", "dst", nBuckets)
+    // file inventory per bucket BEFORE the append
+    def files(root: String): Map[String, Set[String]] =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(f =>
+          f.getName + ":" + f.lastModified()).toSet).toMap
+    val before = files(inc)
+    Graph.appendToContribStore(spark, inc, batch.toDF("src", "dst"),
+      "src", "dst", nBuckets)
+    val after = files(inc)
+    // batch srcs {0, 5} live in buckets 0 and 5; every other bucket's
+    // files must be byte-identical on disk (same names, same mtimes) —
+    // the "never rescans/rewrites the old edge list" contract
+    val affected = Set("bucket=0", "bucket=5")
+    val untouched = before.keySet -- affected
+    assert(untouched.nonEmpty, "fixture must leave unaffected buckets")
+    untouched.foreach { b =>
+      assert(before(b) == after(b), s"unaffected $b was rewritten")
+    }
+    affected.foreach { b =>
+      assert(before(b) != after(b), s"affected $b was not rewritten")
+    }
+    // the folded store must be ROW-identical to a fresh build over
+    // base ∪ batch (same (src, dst, outd) multiset) ...
+    val full = java.nio.file.Files.createTempDirectory("pr_full").toString + "/c"
+    Graph.buildContribStore((base ++ batch).toDF("src", "dst"), full,
+      "src", "dst", nBuckets)
+    val cols = Seq($"src", $"dst", $"outd")
+    val incDf = spark.read.parquet(inc).select(cols: _*)
+    val fullDf = spark.read.parquet(full).select(cols: _*)
+    assert(incDf.exceptAll(fullDf).isEmpty && fullDf.exceptAll(incDf).isEmpty,
+      "folded store must equal a fresh union build row-for-row")
+    // ... and the ranks served from it bit-equal both the rebuild and
+    // the reference recurrence over the union graph
+    val gotInc = Graph.pageRankFromStore(spark, inc, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotInc == refPageRank(base ++ batch, 4),
+      "incremental ranks must equal the union-graph recurrence")
+  }
+
   test("ranks are identical across shuffle parallelism (BIGINT associativity)") {
     val edges = (0L until 200L).flatMap(i =>
       Seq((i, (i * 7 + 3) % 200L), (i, (i * 13 + 11) % 200L))).distinct
