@@ -1962,6 +1962,28 @@ object SparkEntry {
         Similarity.semDedup(planted, "vec_id", "embedding", tau = 0.98)
       }),
 
+      // SemDeDup with the PAPER's keep rule (r10 verdict item 3):
+      // within a tau-pair, keep the member FARTHEST from its centroid
+      // (lowest centroid-cosine), id tie-break — only the ORDER inside
+      // the pair filter changes vs d20. The planted clones are
+      // PERTURBED (first component +0.125, cosine to base ~0.992 ≥
+      // tau at every SF — measured, not assumed), so base and clone
+      // genuinely differ in centroid distance and the two rules keep
+      // DIFFERENT representatives; exact clones would tie and hide
+      // the rule. 0.125 is a power-of-two literal: the float add
+      // rounds identically in both engines.
+      "d21_semdedup_farthest" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select(cloneId(col("vec_id")).as("vec_id"),
+            concat(
+              array((element_at(col("embedding"), 1).cast("double") + 0.125)
+                .cast("float")),
+              slice(col("embedding"), 2, 63)).as("embedding")))
+        Similarity.semDedup(planted, "vec_id", "embedding", tau = 0.98,
+          keepFarthest = true)
+      }),
+
       "d13_incremental_ingest" -> ((s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val base = docs.filter(col("doc_id") % 2 === 0)
@@ -4863,6 +4885,44 @@ object SparkEntry {
          |dropped AS (SELECT DISTINCT b.vec_id AS id_b
          |            FROM members a JOIN members b
          |              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |            WHERE ${dotSql("a.v", "b.v")}
+         |                / (sqrt(${dotSql("a.v", "a.v")})
+         |                   * sqrt(${dotSql("b.v", "b.v")})) >= 0.98)
+         |SELECT m.vec_id, m.centroid_id FROM members m
+         |WHERE m.vec_id NOT IN (SELECT id_b FROM dropped)""".stripMargin,
+
+    // d21: the keep-farthest-from-centroid rule over PERTURBED clones
+    // (first component +0.125 — the float add rounds identically in
+    // both engines); members carry their centroid-cosine and the pair
+    // filter orders by (csim, id) instead of id.
+    "d21_semdedup_farthest" ->
+      s"""WITH planted AS (SELECT vec_id, embedding FROM embeddings
+         |                 UNION ALL
+         |                 SELECT vec_id + 1000000,
+         |                   list_concat(
+         |                     [CAST(embedding[1] + 0.125 AS FLOAT)],
+         |                     embedding[2:64])
+         |                 FROM embeddings WHERE vec_id % 10 = 0),
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |         FROM planted ORDER BY vec_id ASC LIMIT 16),
+         |assign AS (SELECT p.vec_id, p.embedding AS v, c.centroid_id,
+         |             ${dotSql("p.embedding", "c.cvec")}
+         |               / (sqrt(${dotSql("p.embedding", "p.embedding")})
+         |                  * sqrt(${dotSql("c.cvec", "c.cvec")})) AS csim,
+         |             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |               ORDER BY ${dotSql("p.embedding", "c.cvec")}
+         |                 / (sqrt(${dotSql("p.embedding", "p.embedding")})
+         |                    * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+         |               c.centroid_id ASC) AS rn
+         |           FROM planted p CROSS JOIN cent c),
+         |members AS (SELECT vec_id, v, centroid_id, csim
+         |            FROM assign WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id AS id_b
+         |            FROM members a JOIN members b
+         |              ON a.centroid_id = b.centroid_id
+         |             AND a.vec_id <> b.vec_id
+         |             AND (a.csim < b.csim
+         |                  OR (a.csim = b.csim AND a.vec_id < b.vec_id))
          |            WHERE ${dotSql("a.v", "b.v")}
          |                / (sqrt(${dotSql("a.v", "a.v")})
          |                   * sqrt(${dotSql("b.v", "b.v")})) >= 0.98)

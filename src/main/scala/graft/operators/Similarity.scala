@@ -438,15 +438,22 @@ object Similarity {
     * [[ivfTopK]] discipline) so a DuckDB oracle reproduces membership
     * bit-for-bit; pass [[kmeans]] output for refined clusters in
     * serving (better balance, but float means are not cross-engine
-    * stable). Drop rule is keep-lowest-id (any pair ≥ tau drops the
-    * higher id) — deterministic and single-pass, the same contract as
-    * [[lshDedup]]; the paper's keep-farthest-from-centroid variant
-    * would only change the ORDER BY inside the pair filter.
+    * stable). Drop rule: with `keepFarthest = false` (default),
+    * keep-lowest-id — any pair ≥ tau drops the higher id,
+    * deterministic and single-pass, the same contract as [[lshDedup]].
+    * With `keepFarthest = true`, the PAPER's rule: within a tau-pair,
+    * keep the member FARTHEST from its centroid (lowest
+    * centroid-cosine; the paper argues the far member better
+    * preserves cluster diversity), id as the total tie-break — which
+    * is, as promised, only a change of ORDER inside the pair filter:
+    * both rules see the identical pair set (SemDedupSpec pins the
+    * same-pairs/different-representatives relationship).
     *
     * Output: survivors as (vec_id, centroid_id). */
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                tau: Double, nCentroids: Int = 16,
-               centroids: Option[DataFrame] = None): DataFrame = {
+               centroids: Option[DataFrame] = None,
+               keepFarthest: Boolean = false): DataFrame = {
     val cent = centroids.getOrElse(
       vectors.orderBy(col(idCol).asc).limit(nCentroids)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
@@ -456,13 +463,20 @@ object Similarity {
         cosineNative(col("v"), col("centroid_vec")).as("csim"))
     val members = TopK.perGroup(assigned, Seq("vid"),
         Seq(col("csim").desc, col("centroid_id").asc), 1)
-      .select(col("vid"), col("v"), col("centroid_id"))
+      .select(col("vid"), col("v"), col("centroid_id"), col("csim"))
     val a = members.select(col("centroid_id"), col("vid").as("id_a"),
-      col("v").as("va"))
+      col("v").as("va"), col("csim").as("csim_a"))
     val b = members.select(col("centroid_id"), col("vid").as("id_b"),
-      col("v").as("vb"))
+      col("v").as("vb"), col("csim").as("csim_b"))
+    // "a precedes b" = a survives the pair; the pair predicate (cosine
+    // ≥ tau) is rule-independent, only the order changes
+    val precedes =
+      if (keepFarthest)
+        col("csim_a") < col("csim_b") ||
+          (col("csim_a") === col("csim_b") && col("id_a") < col("id_b"))
+      else col("id_a") < col("id_b")
     val dropped = a.join(b, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b") &&
+      .filter(col("id_a") =!= col("id_b") && precedes &&
         cosineNative(col("va"), col("vb")) >= tau)
       .select(col("id_b")).distinct()
     members.join(dropped, col("vid") === col("id_b"), "left_anti")

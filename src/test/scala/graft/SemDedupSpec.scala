@@ -89,6 +89,44 @@ class SemDedupSpec extends SparkSpec {
     assert(out(0L) == 0L && out(1L) == 1L, s"expected split assignment, got $out")
   }
 
+  test("keep rules: same pair set dropped, different representative kept") {
+    // one cluster around centroid c0 (axis 3). Member 1 hugs the
+    // centroid; member 2 leans away (farther from c0); cos(1, 2) is
+    // still above tau. Keep-lowest-id keeps 1; the paper's
+    // keep-farthest rule keeps 2 — SAME pair, different survivor.
+    def lean(w: Float): Array[Float] = {
+      val a = new Array[Float](dims); a(3) = 1f; a(4) = w; a
+    }
+    val vecs = Seq((1L, lean(0.05f)), (2L, lean(0.25f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, lean(0f))).toDF("centroid_id", "centroid_vec")
+    def kept(farthest: Boolean): Set[Long] =
+      Similarity.semDedup(vecs, "vec_id", "embedding", tau = 0.97,
+          nCentroids = 1, centroids = Some(cents), keepFarthest = farthest)
+        .select("vec_id").as[Long].collect().toSet
+    assert(kept(farthest = false) == Set(1L),
+      "keep-lowest-id must keep the lower id")
+    assert(kept(farthest = true) == Set(2L),
+      "keep-farthest must keep the member with the LOWER centroid cosine")
+    // both rules saw (and dropped from) the same single pair: exactly
+    // one survivor each — the pair set is rule-independent
+    assert(kept(farthest = false).size == 1 && kept(farthest = true).size == 1)
+  }
+
+  test("keep-farthest ties (exact clones) fall back to the id tie-break") {
+    def unit(axis: Int): Array[Float] = {
+      val a = new Array[Float](dims); a(axis) = 1f; a
+    }
+    // exact clones: identical centroid cosine -> (csim, id) order
+    // degenerates to the id order, matching keep-lowest-id
+    val vecs = Seq((7L, unit(3)), (9L, unit(3))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, unit(3))).toDF("centroid_id", "centroid_vec")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding", tau = 0.99,
+        nCentroids = 1, centroids = Some(cents), keepFarthest = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(7L), s"tie must keep the lowest id, got $kept")
+  }
+
   test("equal-cosine assignment tiebreaks to the lowest centroid id") {
     def unit(axis: Int): Array[Float] = {
       val a = new Array[Float](dims); a(axis) = 1f; a
