@@ -3028,6 +3028,38 @@ object SparkEntry {
             col("rms"), col("peak"), col("zcr"), col("dc"), col("q2_rms"))
       }),
 
+      // ---- second real codec: variable-offset BMP (m5) ----
+      // m4's WAV prelude is fixed-44-byte; BMP's pixel data sits at a
+      // VARIABLE offset (DIB header 40/108/124 + junk gap, bfOffBits
+      // honored, 4-byte row stride padding, bottom-up vs top-down
+      // rows) — the codec-boundary generality the r10 verdict asked
+      // for. Every blob is synthesized from doc_id alone
+      // (Multimodal.synthBmp) and decoded by BmpDecoder, which sees
+      // only the bytes; the oracle recomputes width/height/byte_len
+      // and every feature in closed form (range() folds over the
+      // per-row color recurrence), so any header-offset, stride, or
+      // orientation bug breaks the hash. Same mapPartitions shape as
+      // m4: embarrassingly parallel, nothing shuffles.
+      "m5_bmp_features" -> ((s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = Multimodal.synthBmp(id)
+            val (w, h, _, feat) =
+              Multimodal.BmpDecoder.decode("image", bytes)
+            (id, bytes.length, w, h, feat(0).toDouble, feat(1).toDouble,
+              feat(2).toDouble, feat(3).toDouble, feat(4).toDouble,
+              feat(5).toDouble, feat(6).toDouble, feat(7).toDouble)
+          })
+          .toDF("doc_id", "byte_len", "width", "height", "mean_r", "mean_g",
+            "mean_b", "luma", "top_luma", "bot_luma", "max_c", "min_c")
+          .select(col("doc_id"), col("byte_len").cast("int").as("byte_len"),
+            col("width").cast("int").as("width"),
+            col("height").cast("int").as("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"), col("luma"),
+            col("top_luma"), col("bot_luma"), col("max_c"), col("min_c"))
+      }),
+
       // ---- map-typed column suite (map build/lookup/filter/fold) ----
       "q55_map_ops" -> ((s, dir) => {
         val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
@@ -5722,7 +5754,53 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS zcr,
         |  CAST(0.0 AS DOUBLE) AS dc,
         |  CAST(CAST(CAST(amp AS DOUBLE) / 32768 AS REAL) AS DOUBLE) AS q2_rms
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // m5: closed-form BMP features. Per-row constant colors make every
+    // channel sum a range() fold over the row recurrence; per-pixel
+    // and per-row means are the same rational number (w cancels), and
+    // IEEE division rounds by VALUE, so the oracle's S/(255·h) equals
+    // the decoder's (w·S)/(255·w·h) bit-for-bit; each feature then
+    // takes the decoder's double→float→double rounding path via
+    // CAST(... AS REAL).
+    "m5_bmp_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         3 + doc_id % 5 AS w,
+        |         4 + doc_id % 11 AS h,
+        |         CASE doc_id % 3 WHEN 0 THEN 40 WHEN 1 THEN 108
+        |           ELSE 124 END AS dib,
+        |         (doc_id % 4) * 4 AS gap,
+        |         doc_id % 256 AS dr,
+        |         (doc_id + 85) % 256 AS dg,
+        |         (doc_id + 170) % 256 AS db
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, dib, gap, dr, dg, db,
+        |    list_sum(list_transform(range(h), y -> (dr + 7*y) % 256)) AS sr,
+        |    list_sum(list_transform(range(h), y -> (dg + 5*y) % 256)) AS sg,
+        |    list_sum(list_transform(range(h), y -> (db + 3*y) % 256)) AS sb,
+        |    list_max(list_transform(range(h), y ->
+        |      greatest((dr + 7*y) % 256, (dg + 5*y) % 256,
+        |               (db + 3*y) % 256))) AS mx,
+        |    list_min(list_transform(range(h), y ->
+        |      least((dr + 7*y) % 256, (dg + 5*y) % 256,
+        |            (db + 3*y) % 256))) AS mn
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(14 + dib + gap + ((24*w + 31) // 32) * 4 * h AS INT) AS byte_len,
+        |  CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(CAST(CAST(sr AS DOUBLE) / (255.0 * h) AS REAL) AS DOUBLE) AS mean_r,
+        |  CAST(CAST(CAST(sg AS DOUBLE) / (255.0 * h) AS REAL) AS DOUBLE) AS mean_g,
+        |  CAST(CAST(CAST(sb AS DOUBLE) / (255.0 * h) AS REAL) AS DOUBLE) AS mean_b,
+        |  CAST(CAST(CAST(sr + sg + sb AS DOUBLE) / (765.0 * h) AS REAL) AS DOUBLE) AS luma,
+        |  CAST(CAST(CAST(dr + dg + db AS DOUBLE) / 765.0 AS REAL) AS DOUBLE) AS top_luma,
+        |  CAST(CAST(CAST((dr + 7*(h-1)) % 256 + (dg + 5*(h-1)) % 256
+        |      + (db + 3*(h-1)) % 256 AS DOUBLE) / 765.0 AS REAL) AS DOUBLE) AS bot_luma,
+        |  CAST(CAST(CAST(mx AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS max_c,
+        |  CAST(CAST(CAST(mn AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS min_c
+        |FROM s""".stripMargin
   )
 
   def parityOracles: Map[String, String] = Map(

@@ -205,6 +205,147 @@ object Multimodal {
     buf.array()
   }
 
+  /** A second REAL pure-JVM codec — uncompressed 24-bit BMP (BI_RGB)
+    * — closing the codec-boundary generality question m4's fixed
+    * 44-byte WAV prelude left open: BMP's pixel data sits at a
+    * VARIABLE offset (`bfOffBits`, moved by the DIB header size — 40
+    * for BITMAPINFOHEADER, 108/124 for the V4/V5 extensions — plus
+    * any gap bytes), rows are padded to 4-byte stride boundaries, and
+    * a negative `biHeight` flips storage to top-down. The decoder
+    * must honor all three or the m5 hash breaks: it walks the
+    * declared offsets, never assumes the classic 54-byte layout, and
+    * normalizes row order so a logical image decodes identically
+    * bottom-up or top-down.
+    *
+    * Features (8 floats, each a single correctly-rounded double
+    * division then one float rounding — the exactness discipline that
+    * lets a SQL oracle reproduce them bit-for-bit):
+    * 0-2: mean R/G/B (per-channel mean / 255), 3: mean luma
+    * ((R+G+B)/765 over all pixels), 4: TOP logical row mean luma,
+    * 5: BOTTOM logical row mean luma (4/5 are orientation-sensitive —
+    * a flipped parse swaps them), 6: max channel value / 255,
+    * 7: min channel value / 255. `width`/`height` are the raster
+    * dims; `n_frames` = 1.
+    *
+    * Malformed bytes throw IllegalArgumentException — the m4/q75
+    * loud-failure contract; quarantine is the caller's policy. */
+  object BmpDecoder extends Decoder {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      require(kind == "image", s"BmpDecoder decodes image, got $kind")
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP stream")
+      val offBits = le32(bytes, 10)
+      val biSize = le32(bytes, 14)
+      require(biSize >= 40, s"unsupported DIB header size $biSize")
+      val width = le32(bytes, 18)
+      val heightRaw = le32(bytes, 22)
+      require(width >= 1, s"bad width $width")
+      val topDown = heightRaw < 0
+      val height = math.abs(heightRaw)
+      require(height >= 1, s"bad height $heightRaw")
+      require(le16(bytes, 26) == 1, "planes must be 1")
+      val bpp = le16(bytes, 28)
+      require(bpp == 24, s"only 24-bit BI_RGB supported, got $bpp")
+      require(le32(bytes, 30) == 0, "only uncompressed BI_RGB supported")
+      require(offBits >= 14 + biSize && offBits <= bytes.length,
+        s"bad bfOffBits $offBits")
+      val stride = ((24 * width + 31) / 32) * 4
+      require(offBits.toLong + stride.toLong * height <= bytes.length,
+        "truncated pixel data")
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var topSum = 0L; var botSum = 0L
+      var mx = 0; var mn = 255
+      var y = 0
+      while (y < height) { // y is the LOGICAL row (0 = top of image)
+        val fileRow = if (topDown) y else height - 1 - y
+        val rowOff = offBits + fileRow * stride
+        var x = 0
+        var rowLuma = 0L
+        while (x < width) {
+          val o = rowOff + 3 * x
+          val b = bytes(o) & 0xff
+          val g = bytes(o + 1) & 0xff
+          val r = bytes(o + 2) & 0xff
+          sumR += r; sumG += g; sumB += b
+          rowLuma += r + g + b
+          if (r > mx) mx = r; if (g > mx) mx = g; if (b > mx) mx = b
+          if (r < mn) mn = r; if (g < mn) mn = g; if (b < mn) mn = b
+          x += 1
+        }
+        if (y == 0) topSum = rowLuma
+        if (y == height - 1) botSum = rowLuma
+        y += 1
+      }
+      val n = width.toLong * height
+      val feat = Array(
+        (sumR.toDouble / (255.0 * n)).toFloat,
+        (sumG.toDouble / (255.0 * n)).toFloat,
+        (sumB.toDouble / (255.0 * n)).toFloat,
+        ((sumR + sumG + sumB).toDouble / (765.0 * n)).toFloat,
+        (topSum.toDouble / (765.0 * width)).toFloat,
+        (botSum.toDouble / (765.0 * width)).toFloat,
+        (mx.toDouble / 255.0).toFloat,
+        (mn.toDouble / 255.0).toFloat)
+      (width, height, 1, feat)
+    }
+  }
+
+  /** Deterministic BMP synthesizer for the m5 gate — every parameter
+    * a pure function of `docId`, chosen to exercise exactly the
+    * variable parts of the format: width 3..7 (row padding 0-3
+    * bytes), DIB header size cycling 40/108/124, a 0-12 byte junk gap
+    * before the pixels (bfOffBits must be honored, junk is 0xEE so a
+    * misread shifts every mean), and alternating bottom-up/top-down
+    * storage (odd docIds store negative height). Rows have constant
+    * per-row colors R(y) = (d+7y) mod 256, G(y) = (d+85+5y) mod 256,
+    * B(y) = (d+170+3y) mod 256 on LOGICAL row y — closed-form row
+    * sums a SQL oracle reproduces with a range() fold, y-asymmetric
+    * so an orientation bug swaps the top/bot features. */
+  def synthBmp(docId: Long): Array[Byte] = {
+    require(docId >= 0, s"synthBmp needs a non-negative id, got $docId")
+    val w = 3 + (docId % 5).toInt
+    val h = 4 + (docId % 11).toInt
+    val dib = Array(40, 108, 124)((docId % 3).toInt)
+    val gap = ((docId % 4) * 4).toInt
+    val topDown = docId % 2 == 1
+    val stride = ((24 * w + 31) / 32) * 4
+    val offBits = 14 + dib + gap
+    val size = offBits + stride * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(offBits)
+    buf.putInt(dib).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 40 DIB bytes so far
+    var junk = dib - 40 + gap
+    while (junk > 0) { buf.put(0xEE.toByte); junk -= 1 }
+    val dr = (docId % 256).toInt
+    val dg = ((docId + 85) % 256).toInt
+    val db = ((docId + 170) % 256).toInt
+    var fy = 0
+    while (fy < h) {
+      val y = if (topDown) fy else h - 1 - fy // logical row of this file row
+      val r = (dr + 7 * y) % 256
+      val g = (dg + 5 * y) % 256
+      val b = (db + 3 * y) % 256
+      var x = 0
+      while (x < w) {
+        buf.put(b.toByte).put(g.toByte).put(r.toByte); x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fy += 1
+    }
+    buf.array()
+  }
+
   /** Stub decode from a pre-computed digest. */
   def decodeFromDigest(kind: String, sha: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     def u(i: Int): Int = sha(i) & 0xff

@@ -188,4 +188,68 @@ class MultimodalSpec extends SparkSpec {
       assert((4 to 7).forall(q => feat(q) == x), s"quarter rms for $id")
     }
   }
+
+  test("BmpDecoder: a known 2x2 image decodes exactly, either orientation") {
+    // logical image: top row solid (200,100,50), bottom row (10,20,30)
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val stride = 8 // 2 px * 3 B = 6, padded to 8
+      val buf = java.nio.ByteBuffer.allocate(54 + stride * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 2)
+        .putShort(0).putShort(0).putInt(54)
+      buf.putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+        .putShort(1).putShort(24).putInt(0).putInt(stride * 2)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      val top = Seq(50, 100, 200, 50, 100, 200, 0, 0) // BGR ×2 + pad
+      val bot = Seq(30, 20, 10, 30, 20, 10, 0, 0)
+      val fileRows = if (topDown) top ++ bot else bot ++ top
+      fileRows.foreach(v => buf.put(v.toByte))
+      buf.array()
+    }
+    Seq(true, false).foreach { td =>
+      val (w, h, nf, feat) = Multimodal.BmpDecoder.decode("image", bmp(td))
+      assert((w, h, nf) == (2, 2, 1), s"dims (topDown=$td)")
+      // means over 4 px: R (200+10)/2 /255, etc — same either storage
+      assert(feat(0) == ((105.0 / 255.0).toFloat), s"mean_r td=$td")
+      assert(feat(1) == ((60.0 / 255.0).toFloat), s"mean_g td=$td")
+      assert(feat(2) == ((40.0 / 255.0).toFloat), s"mean_b td=$td")
+      // orientation-sensitive: top row IS (200,100,50) in both files
+      assert(feat(4) == ((350.0 / 765.0).toFloat), s"top_luma td=$td")
+      assert(feat(5) == ((60.0 / 765.0).toFloat), s"bot_luma td=$td")
+      assert(feat(6) == ((200.0 / 255.0).toFloat)
+        && feat(7) == ((10.0 / 255.0).toFloat), s"max/min td=$td")
+    }
+  }
+
+  test("BmpDecoder honors bfOffBits and fails loudly on malformed bytes") {
+    // synthBmp ids cover: header size 40/108/124 (id%3), gap 0..12
+    // (id%4), padding 1..3 (id%5), both orientations (id%2)
+    val ids = (0L to 24L) ++ Seq(59L, 119L, 1021L)
+    ids.foreach { id =>
+      val bytes = Multimodal.synthBmp(id)
+      val (w, h, _, feat) = Multimodal.BmpDecoder.decode("image", bytes)
+      assert(w == 3 + (id % 5).toInt && h == 4 + (id % 11).toInt, s"dims $id")
+      // top logical row color is y=0: luma (dr+dg+db)/765
+      val dr = (id % 256).toInt; val dg = ((id + 85) % 256).toInt
+      val db = ((id + 170) % 256).toInt
+      assert(feat(4) == (((dr + dg + db).toDouble / 765.0).toFloat),
+        s"top_luma $id")
+    }
+    // loud failures: wrong magic, truncated pixels, unsupported bpp
+    val good = Multimodal.synthBmp(6L)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decode("image", badMagic)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decode("image", good.take(good.length - 4))
+    }
+    val bad16 = good.clone(); bad16(28) = 16.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decode("image", bad16)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decode("audio", good) // wrong kind
+    }
+  }
 }
