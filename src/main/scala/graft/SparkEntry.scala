@@ -527,6 +527,24 @@ object SparkEntry {
       StructField("embedding", ArrayType(FloatType))))
   }
 
+  private val ivfIngestSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The s13 ingest stream: e10's clone batch (every vec_id % 10 = 0
+    * at id+1e6) staged as THREE ordered parquet files (clone id mod
+    * 3), so the persisted IVF index genuinely grows across three
+    * micro-batches; the union of the batches is EXACTLY e10's planted
+    * set, which is why the stream-grown index serves e10's oracle
+    * bit-for-bit. One staging per (JVM, dir). */
+  private def stagedIvfIngestSplitDir(s: SparkSession, dir: String): String =
+    ivfIngestSplitDirs.computeIfAbsent(dir, { d =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      stageOrderedSplit("s13_vecs",
+        emb.filter(col("vec_id") % 10 === 0)
+          .select(cloneId(col("vec_id")).as("vec_id"), col("embedding")),
+        col("vec_id"))
+    })
+
   /** The q77 old/new snapshot pair — shared by the q77 diff gate and
     * the s9 CDC-apply roundtrip (whose source stream IS q77's diff). */
   private def q77Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -699,6 +717,7 @@ object SparkEntry {
     val s11Index = s11Root(dir, "index")
     val s11Pairs = s11Root(dir, "pairs")
     val s12Out = s11Root(dir, "s12_out")
+    val s13Index = s11Root(dir, "s13_index")
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -756,6 +775,25 @@ object SparkEntry {
           s, stagedAnnQuerySplitDir(s, dir), annStreamSchema, s12cb,
           s12codes, s12Out, s12ck.toString, k = 5, m = 8, dims = 64,
           maxFilesPerTrigger = Some(1))
+        // s13: foreachBatch incremental IVF ingest — index seeded from
+        // the corpus with FROZEN centroids, the clone stream appends
+        // into the centroid partitions batch by batch (corpus never
+        // re-read); queries served from the grown index after the
+        // stream drains match e10's full-pipeline oracle bit-for-bit
+        val s13cent = Similarity.buildIvfIndex(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          s"$s13Index/index", "vec_id", "embedding", 16)
+        // persist the frozen centroids beside the index (floats
+        // roundtrip parquet exactly) — the post-drain serve reads
+        // them back, the e10 store layout
+        s13cent.write.mode("overwrite").parquet(s"$s13Index/centroids")
+        val s13ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s13_ck")
+        cks += s13ck
+        started += graft.streaming.StreamingJobs.streamingIvfIngest(
+          s, stagedIvfIngestSplitDir(s, dir), annStreamSchema,
+          s"$s13Index/index",
+          s.read.parquet(s"$s13Index/centroids"), s13ck.toString,
+          maxFilesPerTrigger = Some(1))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -785,10 +823,20 @@ object SparkEntry {
       s.read.parquet(s12Out)
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rnk"))
         .write.parquet(s12out.toString)
+      // s13: serve from the stream-grown IVF index — must equal the
+      // e10 full-pipeline oracle (frozen centroids make the grown
+      // index bit-identical to a rebuild over corpus ∪ batches)
+      val s13out = outRoot.resolve("s13_stream_ivf_ingest")
+      Similarity.queryIvfIndex(s, s"$s13Index/index",
+          s.read.parquet(s"$s13Index/centroids"),
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .write.parquet(s13out.toString)
       memResults ++ Map("s5_stream_mart" -> s5out.toString,
         "s9_stream_cdc_apply" -> s9out.toString,
         "s11_stream_near_dup" -> s11out.toString,
-        "s12_stream_ann_serve" -> s12out.toString)
+        "s12_stream_ann_serve" -> s12out.toString,
+        "s13_stream_ivf_ingest" -> s13out.toString)
     } finally {
       started.foreach(q => try q.stop() catch { case _: Throwable => () })
       // sink tables were materialized above; drop them so the memory
@@ -930,7 +978,11 @@ object SparkEntry {
     // entries share their oracles — that equality IS the gate.
     base ++ Map(
       "e13_ivfpq_served" -> base("e11_ivfpq"),
-      "e14_ivfadc_served" -> base("e12_ivfpq_residual"))
+      "e14_ivfadc_served" -> base("e12_ivfpq_residual"),
+      // s13's streamed batches union to exactly e10's planted clone
+      // set, and frozen centroids make the stream-grown index
+      // bit-identical to the batch rebuild the e10 oracle computes
+      "s13_stream_ivf_ingest" -> base("e10_incremental_ivf"))
   }
 
   /** Timed by Bench, NOT part of the declared/gated query surface: the
@@ -3397,7 +3449,19 @@ object SparkEntry {
       // the stream's 24-query set; the stream holds no state, so
       // accumulated per-batch top-k must equal the one-shot batch.
       "s12_stream_ann_serve" -> ((s, dir) =>
-        streamResult(s, dir, "s12_stream_ann_serve"))
+        streamResult(s, dir, "s12_stream_ann_serve")),
+
+      // ---- streaming incremental IVF ingest (s13): foreachBatch
+      // grows the persisted centroid-partitioned index from a vector
+      // stream (frozen centroids, corpus never re-read, replay-safe
+      // via per-batch markers), then queries are served from the
+      // grown index — the s11 grow-persisted-state move applied to
+      // ANN. Shares e10's oracle: the streamed batches union to
+      // exactly e10's planted clone set, and frozen centroids make
+      // stream-grown == batch-rebuilt bit-for-bit. Runs in the shared
+      // concurrent stream pass (see runStreamPass). ----
+      "s13_stream_ivf_ingest" -> ((s, dir) =>
+        streamResult(s, dir, "s13_stream_ivf_ingest"))
     )
   }
 

@@ -221,6 +221,58 @@ object StreamingJobs {
       .start()
   }
 
+  /** Apply one vector micro-batch to a persisted IVF index (the
+    * [[graft.operators.Similarity.buildIvfIndex]] layout) exactly
+    * once: a zero-byte `_batch_<id>` marker under the index root
+    * records each applied batch, so a micro-batch replayed after a
+    * failure between append and checkpoint commit is SKIPPED, not
+    * double-appended — parquet append has no natural idempotency, the
+    * marker supplies the same replay contract VersionedStaging's
+    * batchId gives the other foreachBatch jobs. Returns whether the
+    * batch was applied (false = replay skip). */
+  def appendIvfBatchIdempotent(indexPath: String,
+                               centroids: org.apache.spark.sql.DataFrame,
+                               batch: org.apache.spark.sql.DataFrame,
+                               batchId: Long): Boolean = {
+    val marker = java.nio.file.Paths.get(indexPath, s"_batch_$batchId")
+    if (java.nio.file.Files.exists(marker)) false
+    else {
+      graft.operators.Similarity.appendToIvfIndex(
+        batch, indexPath, centroids, "vec_id", "embedding")
+      java.nio.file.Files.createFile(marker)
+      true
+    }
+  }
+
+  /** Streaming incremental IVF ingest (s13): a stream of vector
+    * batches grows a persisted, centroid-partitioned IVF index —
+    * each micro-batch is assigned against the FROZEN centroid set and
+    * appended into the partition layout
+    * ([[graft.operators.Similarity.appendToIvfIndex]]); the existing
+    * corpus is never re-read, re-assigned, or re-shuffled. This is
+    * the s11 move (stream grows persisted state batch by batch)
+    * pointed at ANN serving: at 100 TB the index is the big side and
+    * ingest cost must be O(batch), which this is. Because centroids
+    * are frozen, the stream-grown index is bit-identical to a batch
+    * rebuild over corpus ∪ all batches — the s13 gate serves queries
+    * from the grown index against e10's full-pipeline oracle. */
+  def streamingIvfIngest(spark: SparkSession, srcDir: String,
+                         schema: StructType, indexPath: String,
+                         centroids: org.apache.spark.sql.DataFrame,
+                         checkpoint: String,
+                         maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendIvfBatchIdempotent(indexPath, centroids, batch.toDF(), batchId)
+        ()
+      }
+      .start()
+  }
+
   final case class Keyed(id: Long, version: Long, payload: String)
 
   /** Last-write-wins keyed state — the streaming form of the batch merge

@@ -299,4 +299,28 @@ class StreamingSpec extends SparkSpec {
       assert(batchTwin.contains(("just", 376L)))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("s13 IVF ingest batches are replay-idempotent and grow the index exactly once") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("ivf_replay").toString + "/index"
+    val cent = Similarity.buildIvfIndex(emb, root, "vec_id", "embedding", 16)
+    val base = spark.read.parquet(root).count()
+    val batch = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val bn = batch.count()
+    // first delivery applies, replay of the SAME batch id is skipped
+    assert(StreamingJobs.appendIvfBatchIdempotent(root, cent, batch, 7L))
+    assert(spark.read.parquet(root).count() == base + bn)
+    assert(!StreamingJobs.appendIvfBatchIdempotent(root, cent, batch, 7L),
+      "replayed batch must be skipped")
+    assert(spark.read.parquet(root).count() == base + bn,
+      "replay must not double-append")
+    // a NEW batch id still applies
+    val batch2 = emb.filter($"vec_id" % 10 === 5)
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding")
+    assert(StreamingJobs.appendIvfBatchIdempotent(root, cent, batch2, 8L))
+    assert(spark.read.parquet(root).count() == base + bn + batch2.count())
+  }
 }
