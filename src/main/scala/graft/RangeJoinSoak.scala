@@ -58,9 +58,24 @@ object RangeJoinSoak {
     require(offRanges == 0,
       s"q88 soak: $offRanges interior ranges deviate from 3*perBin")
 
+    // ---- derived-bin path (binUs = 0, r10 verdict item 4): every
+    // range is 3W wide, so the stats-driven default lands on 3W — a
+    // coarser bin (each range replicates to ≤ 2 buckets instead of
+    // 3-4) with a heavier residual filter; the result must be
+    // IDENTICAL and the throughput in the same band ----
+    val derivedBin = RangeJoin.medianRangeWidth(ranges, "start_us", "end_us")
+    require(derivedBin == 3 * w,
+      s"q88 soak: derived bin $derivedBin, expected the 3W median width")
+    val (totalD, tJoinD) = time(
+      RangeJoin.binnedRangeJoin(events, "ts_us", ranges,
+        "start_us", "end_us", binUs = 0L).count())
+    require(totalD == expected,
+      s"q88 soak: derived-bin path got $totalD pairs, closed form $expected")
+
     println(
       s"""{"events":$n,"ranges":$nRanges,"pairs":$total,
-         |"naive_comparisons":${n * nRanges},"sec":{"binned_join":$tJoin}}"""
+         |"naive_comparisons":${n * nRanges},"derived_bin_us":$derivedBin,
+         |"sec":{"binned_join":$tJoin,"binned_join_derived":$tJoinD}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

@@ -88,6 +88,40 @@ object SelectionSoak {
       .agg(max("count")).head().getLong(0)
     survivors.unpersist()
 
+    // ---- stage 1b: d20 with KMEANS-REFINED clusters (r10 verdict
+    // item 6) — the production centroid discipline: Lloyd iterations
+    // on a ~3% corpus sample (the paper's own economics: refine on a
+    // sample, assign the full corpus), then the identical full-corpus
+    // dedup. Recall gate: an exact clone has identical cosines to
+    // EVERY centroid set, so it always co-locates with its original
+    // and must still drop — refinement may move cluster walls for
+    // near-pairs but can never save an exact clone. Balance is the
+    // observable refinement buys: max cluster size reported beside
+    // the lowest-id-seed run. ----
+    val sample = vecs.filter(col("vec_id") < cloneOffset &&
+      pmod(col("vec_id"), lit(33L)) === 0)
+    val (refined, tKmeans) = time {
+      val c = Similarity.kmeans(sample, "vec_id", "embedding",
+        nCentroids, iters = 2)
+      c.cache().count(); c
+    }
+    val survivorsR = Similarity.semDedup(vecs, "vec_id", "embedding",
+      tau = 0.95, nCentroids, centroids = Some(refined))
+    val (survivedR, tDedupR) = time(survivorsR.cache().count())
+    val clonesAliveR = survivorsR.filter(col("vec_id") >= cloneOffset).count()
+    require(clonesAliveR == 0,
+      s"d20 refined soak: $clonesAliveR planted clones survived; exact " +
+        "clones co-locate under ANY centroid set and must always drop")
+    val naturalLostR = nVecs - survivedR
+    // tighter clusters legitimately surface MORE true tau-pairs than
+    // the seed run (that is what refinement is FOR); bound the loss
+    // at 2% — past that the assignment collapsed, not tightened
+    require(naturalLostR >= 0 && naturalLostR < nVecs / 50,
+      s"d20 refined soak: lost $naturalLostR natural vectors")
+    val maxClusterR = survivorsR.groupBy("centroid_id").count()
+      .agg(max("count")).head().getLong(0)
+    survivorsR.unpersist(); refined.unpersist()
+
     // ---- stage 2: q86 DSIR selection at 20 M docs ----
     val docsPath = s"$base/docs.parquet"
     // 5% of docs (id % 20 == 0) are target-voc; target label on a
@@ -127,9 +161,13 @@ object SelectionSoak {
     println(
       s"""{"d20_vectors":${nVecs + nClones},"d20_survived":$survived,
          |"d20_clones_dropped":$nClones,"d20_natural_lost":$naturalLost,
-         |"d20_max_cluster":$maxCluster,"q86_docs":$nDocs,
+         |"d20_max_cluster":$maxCluster,
+         |"d20_refined_survived":$survivedR,
+         |"d20_refined_natural_lost":$naturalLostR,
+         |"d20_refined_max_cluster":$maxClusterR,"q86_docs":$nDocs,
          |"q86_selected":$k,"q86_held_out_winners":$heldOutWinners,
-         |"sec":{"d20_semdedup":$tDedup,"q86_dsir":$tSelect}}"""
+         |"sec":{"d20_semdedup":$tDedup,"d20_kmeans":$tKmeans,
+         |"d20_semdedup_refined":$tDedupR,"q86_dsir":$tSelect}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

@@ -216,24 +216,43 @@ object Similarity {
     * refined centroids are for recall, not for oracle-exact queries. */
   def refineCentroids(vectors: DataFrame, centroids: DataFrame,
                       idCol: String, vecCol: String): DataFrame = {
-    // centroid set is small by construction — inline it as literals so
-    // the nearest-centroid argmax is pure map-side (no join, no window
-    // shuffle; the only exchanges are the two small-key aggregations)
+    // small centroid sets are inlined as literals so the
+    // nearest-centroid argmax is pure map-side (no join, no window
+    // shuffle; the only exchanges are the two small-key aggregations);
+    // past ~64 centroids one giant literal array expression stops
+    // being a win (analysis/codegen cost grows with the tree), so the
+    // large-k path assigns via the same broadcast join + group-limit
+    // the dedup/IVF operators use — identical argmax semantics
+    // (csim desc with NaN pinned below any real score, centroid_id
+    // asc tie-break)
     val cents = centroids.select(col("centroid_id"), col("centroid_vec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
-    val idsLit = typedlit(cents.map(_._1).toSeq)
-    val simsArr = array(cents.toIndexedSeq.map { case (_, vec) =>
-      // nanvl: a zero-norm vector scores NaN against everything; rank it
-      // below any real similarity instead of (NaN sorts high) first
-      nanvl(cosineNative(col("v"), typedlit(vec)), lit(-2.0))
-    }: _*)
-    val assigned = vectors.select(col(vecCol).as("v"))
-      .withColumn("centroid_id",
-        graft.functions.ColUtil.bindOnce(simsArr) { s =>
-          element_at(idsLit, array_position(s, array_max(s)).cast("int"))
-        })
+    val assigned =
+      if (cents.length <= 64) {
+        val idsLit = typedlit(cents.map(_._1).toSeq)
+        val simsArr = array(cents.toIndexedSeq.map { case (_, vec) =>
+          // nanvl: a zero-norm vector scores NaN against everything;
+          // rank it below any real similarity instead of (NaN sorts
+          // high) first
+          nanvl(cosineNative(col("v"), typedlit(vec)), lit(-2.0))
+        }: _*)
+        vectors.select(col(vecCol).as("v"))
+          .withColumn("centroid_id",
+            graft.functions.ColUtil.bindOnce(simsArr) { s =>
+              element_at(idsLit, array_position(s, array_max(s)).cast("int"))
+            })
+      } else
+        TopK.perGroup(
+            vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+              .crossJoin(broadcast(
+                centroids.select(col("centroid_id"), col("centroid_vec"))))
+              .select(col("vid"), col("v"), col("centroid_id"),
+                nanvl(cosineNative(col("v"), col("centroid_vec")), lit(-2.0))
+                  .as("csim")),
+            Seq("vid"), Seq(col("csim").desc, col("centroid_id").asc), 1)
+          .select(col("v"), col("centroid_id"))
     val means = assigned.select(col("centroid_id"), posexplode(col("v")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(avg(col("col")).as("m"))
