@@ -134,8 +134,9 @@ object Graph {
   /** Fold an edge batch into a [[buildContribStore]] layout WITHOUT
     * rescanning the old edge list: the batch changes `outd` only for
     * its own sources, so only the partitions CONTAINING an affected
-    * source are read back (broadcast bucket-join → dynamic partition
-    * pruning at the store scan) and rewritten (dynamic partition
+    * source are read back (a STATIC `bucket IN (…)` partition filter
+    * from the bounded affected-bucket set — see
+    * [[affectedStoreRows]]) and rewritten (dynamic partition
     * overwrite); every other bucket's files are untouched on disk —
     * GraphSpec pins that at the file level. Cost is O(batch +
     * affected-bucket rows), independent of total graph size when the
@@ -154,12 +155,7 @@ object Graph {
     val b = batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val bOutdeg = b.groupBy(col("src"))
       .agg(count(lit(1)).cast("bigint").as("b_outd"))
-    val affBuckets = bOutdeg
-      .select(pmod(col("src"), lit(nBuckets.toLong)).as("bucket")).distinct()
-    // partition-pruned read of ONLY the affected buckets (broadcast
-    // join on the partition column → dynamicpruning at the scan)
-    val oldAff = spark.read.parquet(path)
-      .join(broadcast(affBuckets), Seq("bucket"))
+    val oldAff = affectedStoreRows(spark, path, bOutdeg, nBuckets)
     val oldOutd = oldAff.groupBy(col("src"))
       .agg(max(col("outd")).as("old_outd")) // outd is constant per src
     val newOutd = oldOutd.join(bOutdeg, Seq("src"), "full")
@@ -176,6 +172,29 @@ object Graph {
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path)
+  }
+
+  /** The partition-pruned read half of [[appendToContribStore]] —
+    * store rows from ONLY the buckets containing a batch source.
+    * The affected-bucket set is bounded by `nBuckets` (an OPERATOR
+    * PARAMETER, not data), so it is collected and pruned STATICALLY:
+    * the scan carries `PartitionFilters: [bucket IN (…)]`
+    * unconditionally — where a broadcast-join DPP formulation is
+    * hostage to the optimizer's benefit heuristic (measured: it
+    * declines to fire on a predicate-free build side, leaving a full
+    * store scan). This is the q9 bounded-collect economics: one tiny
+    * driver-side set, directory-level skip guaranteed at any scale.
+    * Exposed so plan evidence (PlanDump's q91 section, GraphSpec)
+    * inspects EXACTLY the production read. `batchOutdeg` is the
+    * (src, …) frame of batch sources. */
+  def affectedStoreRows(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batchOutdeg: DataFrame,
+                        nBuckets: Int): DataFrame = {
+    val buckets = batchOutdeg
+      .select(pmod(col("src"), lit(nBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
   }
 
   /** Run the fixed-iteration recurrence over a persisted

@@ -115,6 +115,17 @@ class GraphSpec extends SparkSpec {
     affected.foreach { b =>
       assert(before(b) != after(b), s"affected $b was not rewritten")
     }
+    // the READ half prunes at the source: the bounded affected-bucket
+    // set becomes a static partition filter on the store scan
+    import org.apache.spark.sql.functions.{count, lit}
+    val prunedPlan = Graph.affectedStoreRows(spark, inc,
+        batch.toDF("src", "dst").groupBy($"src").agg(count(lit(1))),
+        nBuckets)
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters: [bucket") &&
+      prunedPlan.contains(" IN ("),
+      s"append read must partition-prune to affected buckets:\n" +
+        prunedPlan.take(3000))
     // the folded store must be ROW-identical to a fresh build over
     // base ∪ batch (same (src, dst, outd) multiset) ...
     val full = java.nio.file.Files.createTempDirectory("pr_full").toString + "/c"
