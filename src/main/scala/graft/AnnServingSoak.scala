@@ -92,6 +92,26 @@ object AnnServingSoak {
     val (pqRows, tPq) = time(pq.collect())
     val (ivfpqRows, tIvfpq) = time(ivfpq.collect())
 
+    // ---- persisted-index serving (the e13 shape, r11): build the
+    // centroid-partitioned code store ONCE, serve from it — results
+    // must be BIT-identical to the inline pipeline at 1 M vectors and
+    // the code scan must prune dynamically to the probed cells; this
+    // is the build/query split whose amortized economics the inline
+    // timing above deliberately does NOT show ----
+    val storePath = s"$base/ivfpq_store"
+    val (_, tStoreBuild) = time(Similarity.buildIvfPqIndex(vecs, storePath,
+      "vec_id", "embedding", nCentroids = 256, m = 4, dims = dims,
+      nCodes = 16))
+    val served = Similarity.queryIvfPqIndex(spark, storePath, queries,
+      "vec_id", "embedding", k = 5, nProbe = 8, m = 4, dims = dims)
+    val (servedRows, tServed) = time(served.collect())
+    require(servedRows.length == ivfpqRows.length &&
+      served.exceptAll(ivfpq).isEmpty && ivfpq.exceptAll(served).isEmpty,
+      "e13 soak: persisted-index serving must equal the inline pipeline")
+    val servedPlan = served.queryExecution.executedPlan.toString
+    require(servedPlan.toLowerCase.contains("dynamicpruning"),
+      s"e13 soak: code-scan DPP did not fire at 1M:\n${servedPlan.take(4000)}")
+
     // e11 ⊂ e9 score-exactly: compare against the FULL pq ranking
     // (kept distributed — 8M scored pairs never reach the driver)
     val pqAll = Similarity.pqScore(codesServed, qtab, k = Int.MaxValue)
@@ -126,7 +146,9 @@ object AnnServingSoak {
          |"ivfpq_recall_at_5":${recall(ivfpqRows)},
          |"ivfpq_score_mismatches":0,"clone_optimal":true,
          |"sec":{"exact_brute":$tExact,"pq_encode_once":$tEncode,
-         |"pq_query":$tPq,"ivfpq_inline":$tIvfpq}}"""
+         |"pq_query":$tPq,"ivfpq_inline":$tIvfpq,
+         |"ivfpq_store_build_once":$tStoreBuild,
+         |"ivfpq_served_query":$tServed}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }
