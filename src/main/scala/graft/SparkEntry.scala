@@ -363,6 +363,20 @@ object SparkEntry {
       store
     })
 
+  /** The q92 persisted corpus MG summary (one row: counts map + n),
+    * written once per (JVM, dir) — the sketch state an incremental
+    * heavy-hitter pipeline stores between ingests. */
+  private val q92SummaryDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q92SummaryDir(s: SparkSession, dir: String): String =
+    q92SummaryDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q92_mg")
+      HeavyHitters.summarize(Tables.events(s, d), plantedSkewKey, 64)
+        .write.mode("overwrite").parquet(s"$tmp/summary")
+      sys.addShutdownHook { rmTreeQuiet(tmp) }
+      s"$tmp/summary"
+    })
+
   /** The e13/e14 persisted PQ serving state (one store per variant per
     * (JVM, dir), the e10 lifecycle discipline): a centroid-partitioned
     * code table + codebook + coarse set written ONCE by
@@ -1534,6 +1548,30 @@ object SparkEntry {
             .select(col("lang"), col("doc_id"), col("n_chars")),
           Seq("lang"), col("doc_id"), col("n_chars"), k = 5)),
 
+      // ---- incremental priority sample (the d13/q90 ingest shape
+      // for weighted sampling): top-k is k-mergeable, so the fold
+      // touches only the O(groups·k) stored sample + the batch — the
+      // corpus is never rescanned (Sampling.prioritySampleFold).
+      // Batch = every 11th doc cloned at +1e6 with n_chars·1000 —
+      // weights big enough that batch rows genuinely WIN slots
+      // (SamplingSpec pins that), so the fold is tested under real
+      // contention, not as a no-op union. Oracle: q83's
+      // pipeline recomputed in FULL over corpus ∪ batch —
+      // deterministic Lehmer priorities make fold == recompute
+      // bit-exact, which is the gate.
+      "q93_incremental_priority_sample" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+        val state = Sampling.prioritySample(docs, Seq("lang"),
+          col("doc_id"), col("n_chars"), k = 5)
+        val batch = Tables.documents(s, dir)
+          .filter(col("doc_id") % 11 === 0)
+          .select(col("lang"), cloneId(col("doc_id")).as("doc_id"),
+            (col("n_chars") * 1000).as("n_chars"))
+        Sampling.prioritySampleFold(state, batch, Seq("lang"),
+          col("doc_id"), col("n_chars"), k = 5)
+      }),
+
       // DSIR-style target-conditioned data selection (hashed n-gram
       // importance weights, integer-exact surrogate score — scale
       // analysis and the log-free portability argument in
@@ -1749,6 +1787,24 @@ object SparkEntry {
       "q76_heavy_hitters" -> ((s, dir) =>
         HeavyHitters.frequentItems(Tables.events(s, dir),
           plantedSkewKey, 64, "k")),
+
+      // ---- incremental heavy hitters (the d13/q90 ingest discipline
+      // for the sketch family): the corpus MG summary is PERSISTED
+      // once (q92SummaryDir) and folded with the batch's summary —
+      // mergeable with the n/(k+1) bound intact over any merge tree
+      // (Agarwal et al.), so the corpus is never rescanned to sketch.
+      // The exact recheck touches only candidate-key rows of the
+      // union (the d10 candidate-bounded-rescan shape — exactness has
+      // no cheaper source). Oracle: naive GROUP BY + HAVING over the
+      // union, which the folded result matches bit-for-bit.
+      "q92_incremental_heavy_hitters" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+        val batch = ev.filter(col("event_id") % 9 === 0)
+        HeavyHitters.frequentItemsFolded(
+          s.read.parquet(q92SummaryDir(s, dir)),
+          batch, plantedSkewKey,
+          ev.unionByName(batch), plantedSkewKey, 64, "k")
+      }),
 
       // Partition pruning on a hive-partitioned staging: the scan must
       // show `PartitionFilters: [event_type IN (...)]` and touch 2 of
@@ -2575,6 +2631,28 @@ object SparkEntry {
             "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
           .select(col("id_a"), col("id_b"))
         Dedup.connectedComponents(pairs, localThreshold = 0L)
+      }),
+
+      // ---- incremental connected components (the ingest twin of
+      // d8/d9 — the last iterative family without one): a batch of
+      // new pairs maps through the EXISTING labels into a
+      // component-level edge list, CC runs on that tiny graph, and
+      // the mapping relabels the O(V) store — the old pair list is
+      // never re-derived or re-walked (Dedup.foldComponents). Batch
+      // pairs here are arithmetic bridges (doc, doc+3) over every 6th
+      // base doc, so they genuinely MERGE existing minhash clusters
+      // and introduce unseen nodes. Oracle: full recursive-closure CC
+      // over oldPairs ∪ batch — min-id labels make fold == recompute
+      // bit-exact, which is the gate.
+      "d22_incremental_components" -> ((s, dir) => {
+        val pairs = DedupSuite.minhashNearDupsPortable(corpusD5(s, dir),
+            "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        val labels = Dedup.connectedComponents(pairs)
+        val batch = Tables.documents(s, dir)
+          .filter(col("doc_id") < 200 && col("doc_id") % 6 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 3).as("id_b"))
+        Dedup.foldComponents(labels, batch)
       }),
 
       // Embedding-cluster dedup capstone: mutual k-NN graph (e7) →
@@ -4181,6 +4259,44 @@ object SparkEntry {
     // (intermediates < 2^48) and the priority is one correctly-rounded
     // IEEE division of integer-exact doubles, so both engines rank
     // identically; doc_id breaks ties into a total order.
+    // q93: the q83 pipeline in FULL over corpus ∪ batch — the
+    // k-mergeable fold must reproduce this recompute bit-exactly
+    // (priorities are deterministic Lehmer uniforms on the id).
+    "q93_incremental_priority_sample" ->
+      """WITH src AS (SELECT lang, doc_id, n_chars FROM documents
+        |             UNION ALL
+        |             SELECT lang, doc_id + 1000000, n_chars * 1000
+        |             FROM documents WHERE doc_id % 11 = 0),
+        |d AS (SELECT lang, doc_id, n_chars,
+        |    1 + ((doc_id % 2147483646) * 48271) % 2147483647 AS u
+        |  FROM src WHERE n_chars > 0),
+        |p AS (SELECT lang, doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE) AS priority FROM d),
+        |r AS (SELECT lang, doc_id, n_chars, priority,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY priority DESC, doc_id ASC) AS INT) AS rnk FROM p)
+        |SELECT lang, doc_id, n_chars, priority, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // q92: naive GROUP BY + HAVING over events ∪ the batch slice —
+    // the folded-summary + candidate-bounded recheck must match it
+    // bit-for-bit (mergeable MG keeps the n/(k+1) bound).
+    "q92_incremental_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 10 < 7
+        |              THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CASE WHEN user_id % 10 < 7
+        |              THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events WHERE event_id % 9 = 0),
+        |nn AS (SELECT k FROM keyed WHERE k IS NOT NULL),
+        |c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM nn GROUP BY 1)
+        |SELECT k, cnt FROM c
+        |WHERE cnt * 64 > (SELECT COUNT(*) FROM nn)""".stripMargin,
+
     "q83_priority_sample" ->
       """WITH d AS (SELECT lang, doc_id, n_chars,
         |    1 + ((doc_id % 2147483646) * 48271) % 2147483647 AS u
@@ -4958,6 +5074,25 @@ object SparkEntry {
     "d7_canonical_near_dup" -> d7OracleSql,
     "d8_components" -> d8OracleSql,
     "d9_components_distributed" -> d8OracleSql,
+
+    // d22: full recursive-closure CC over the d8 pair list ∪ the
+    // arithmetic batch bridges — the incremental fold must reproduce
+    // this recompute bit-exactly (min-id labels are canonical).
+    "d22_incremental_components" ->
+      s"""${minhashPairsPrefixSql(corpusD5Ctes).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_id AS id_a, doc_id + 3 AS id_b
+         |       FROM documents WHERE doc_id < 200 AND doc_id % 6 = 0),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |         FROM reach GROUP BY src)
+         |SELECT doc_id AS id, component FROM comp""".stripMargin,
 
     // SemDeDup: same planted corpus as the Spark side, deterministic
     // lowest-id centroid seed (the e3/e5 discipline), assignment and

@@ -146,4 +146,52 @@ object Dedup {
     edges.unpersist(blocking = false)
     labels
   }
+
+  /** Fold a batch of NEW pairs into an existing component labeling
+    * WITHOUT rescanning the old pair/edge list — the ingest twin of
+    * [[connectedComponents]] (the d13/d18/d19/e10/q90/q91 incremental
+    * discipline, applied to the last remaining iterative family).
+    *
+    * Why no corpus rescan is needed: a new edge (u, v) can only merge
+    * the COMPONENTS containing u and v, so the batch maps through the
+    * current labels into a component-level edge list (≤ |batch| rows),
+    * the full CC machinery runs on THAT tiny graph, and the resulting
+    * old-component → merged-component mapping relabels the O(V) label
+    * store. Cost: O(batch) + O(labels) — independent of the edge list,
+    * which at 100 TB is the thing you cannot afford to re-walk.
+    *
+    * Exactness: `labels` must be a [[connectedComponents]] output
+    * (component = min member id — canonical). The component graph's
+    * min-label CC then yields merged labels that are again min member
+    * ids, so the fold is BIT-identical to a full recompute over
+    * oldPairs ∪ batch — which is the d22 gate. Batch nodes absent
+    * from `labels` enter self-labeled first (a node unseen by any old
+    * pair is its own component, exactly as the full recompute would
+    * label it). */
+  def foldComponents(labels: DataFrame, batch: DataFrame,
+                     maxIter: Int = 10,
+                     localThreshold: Long = 100000L): DataFrame = {
+    val l = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    val b = batch.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val batchNodes = b.select(col("id_a").as("id"))
+      .unionByName(b.select(col("id_b").as("id"))).distinct()
+    val all = l.unionByName(
+      batchNodes.join(l, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+    // component-level edges: only pairs BRIDGING two components matter
+    val compEdges = b
+      .join(all.select(col("id").as("id_a"), col("component").as("ca")),
+        "id_a")
+      .join(all.select(col("id").as("id_b"), col("component").as("cb")),
+        "id_b")
+      .select(col("ca").as("id_a"), col("cb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val mapping = connectedComponents(compEdges, maxIter, localThreshold)
+      .toDF("component", "merged")
+    all.join(mapping, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
 }

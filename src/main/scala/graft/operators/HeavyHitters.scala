@@ -120,6 +120,52 @@ object HeavyHitters {
       .select(col(grpName), col(outName), col("cnt"))
   }
 
+  /** One-row PERSISTABLE MG summary frame — (counts map<string,
+    * bigint>, n bigint) — the sketch state an incremental heavy-hitter
+    * pipeline stores between ingests. Summaries are MERGEABLE with no
+    * accuracy loss beyond the n/(k+1) bound (Agarwal et al., PODS'12:
+    * the bound holds over ARBITRARY merge trees), which is what makes
+    * the fold in [[frequentItemsFolded]] sound. */
+  def summarize(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    df.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .agg(mg(col("k")).as("s"))
+      .select(col("s.counts").as("counts"), col("s.n").as("n"))
+  }
+
+  /** Exact heavy hitters over corpus ∪ batch from a PERSISTED corpus
+    * summary — the ingest twin of [[frequentItems]] (the d13/q90
+    * discipline): the sketch pass folds the stored summary with the
+    * batch's (the corpus is NEVER rescanned to sketch), and the exact
+    * recheck touches only rows matching the ≤ 2k merged candidates —
+    * an isin-pushed scan, the d10 candidate-bounded-rescan shape (the
+    * recheck is the exactness source and CANNOT be incremental in
+    * general: a key newly hot in the batch has an unknown exact corpus
+    * count — but it is bounded by the candidate set, not the corpus).
+    * The merged summary's undercount stays ≤ n/(k+1) over any merge
+    * tree, so every key with true union count > n/k is among the
+    * candidates and the result is bit-identical to the naive
+    * GROUP BY + HAVING over the union — the q92 gate. */
+  def frequentItemsFolded(storedSummary: DataFrame, batch: DataFrame,
+                          batchKey: Column, union: DataFrame,
+                          unionKey: Column, k: Int,
+                          outName: String = "key"): DataFrame = {
+    def toSummary(df: DataFrame): MGSummary = {
+      val r = df.select(col("counts"), col("n")).head()
+      MGSummary(r.getMap[String, Long](0).toMap, r.getLong(1))
+    }
+    val merged = new MisraGriesAgg(k).merge(
+      toSummary(storedSummary), toSummary(summarize(batch, batchKey, k)))
+    val candidates = merged.counts.keysIterator.toSeq
+    union.select(unionKey.cast("string").as(outName))
+      .filter(if (candidates.isEmpty) lit(false)
+              else col(outName).isInCollection(candidates))
+      .groupBy(outName)
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .filter(col("cnt") * k > lit(merged.n))
+  }
+
   /** All values of `key` (stringified) occurring in strictly more
     * than 1/k of `df`'s rows, with exact counts. Output columns:
     * (outName, cnt), bit-identical to the naive full-shuffle

@@ -128,13 +128,39 @@ object Sampling {
     * excluded up front where the contract is visible.
     */
   def prioritySample(df: DataFrame, groupKeys: Seq[String], idCol: Column,
-                     weightCol: Column, k: Int): DataFrame = {
+                     weightCol: Column, k: Int): DataFrame =
+    TopK.perGroup(
+      df.filter(weightCol > 0)
+        .withColumn("priority", priorityOf(idCol, weightCol)),
+      groupKeys, Seq(col("priority").desc, idCol.asc), k)
+
+  /** The DLT priority w/u with the deterministic Lehmer uniform —
+    * shared by [[prioritySample]] and its ingest fold. */
+  private def priorityOf(idCol: Column, weightCol: Column): Column = {
     val M = 2147483647L // 2^31 - 1 (Lehmer modulus)
     val u = lit(1L) + pmod(pmod(idCol.cast("long"), lit(M - 1)) * 48271L, lit(M))
-    val pr = weightCol.cast("double") / u.cast("double")
-    val keyed = df.filter(weightCol > 0)
-      .withColumn("priority", pr)
-    TopK.perGroup(keyed, groupKeys, Seq(col("priority").desc, idCol.asc), k)
+    weightCol.cast("double") / u.cast("double")
+  }
+
+  /** Fold an ingest batch into a persisted priority sample — the
+    * d13/q90 ingest discipline for weighted sampling. Top-k selection
+    * is K-MERGEABLE: when `state` = top-k(corpus), top-k(state ∪
+    * batch) = top-k(corpus ∪ batch) — any corpus row outside the
+    * stored top-k is beaten by k state rows in its group and can
+    * never re-enter — so ingest touches ONLY the O(groups·k) state
+    * plus the batch; the corpus is never rescanned. Priorities are
+    * deterministic (Lehmer uniforms), so the fold is BIT-identical to
+    * a full recompute over the union — the q93 gate. `state` must be
+    * a prior [[prioritySample]] output (its `rnk` is recomputed);
+    * batch ids must be disjoint from corpus ids (the sampled-once
+    * contract). */
+  def prioritySampleFold(state: DataFrame, batch: DataFrame,
+                         groupKeys: Seq[String], idCol: Column,
+                         weightCol: Column, k: Int): DataFrame = {
+    val b = batch.filter(weightCol > 0)
+      .withColumn("priority", priorityOf(idCol, weightCol))
+    TopK.perGroup(state.drop("rnk").unionByName(b),
+      groupKeys, Seq(col("priority").desc, idCol.asc), k)
   }
 
   /** DSIR-style data selection (Xie et al., NeurIPS 2023,

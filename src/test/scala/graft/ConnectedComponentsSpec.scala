@@ -21,6 +21,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("foldComponents: merges, chains-of-merges, and new nodes equal a full recompute") {
+    // old graph: {1,2,3}, {10,11}, {20,21}, singleton-free
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldPairs)
+    // batch: bridges {1..3}–{10,11} AND transitively {10,11}–{20,21}
+    // (two batch edges must chain through the component graph), plus
+    // a brand-new pair {30,31} and a new node 40 attached to 20
+    val batch = Seq((3L, 10L), (11L, 20L), (30L, 31L), (40L, 20L))
+      .toDF("id_a", "id_b")
+    // both mapping-CC paths (union-find and distributed)
+    Seq(100000L, 0L).foreach { thr =>
+      val folded = Dedup.foldComponents(labels, batch, localThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.connectedComponents(
+          oldPairs.unionByName(batch))
+        .as[(Long, Long)].collect().toMap
+      assert(folded == full,
+        s"fold must equal full recompute at localThreshold=$thr")
+      assert(folded(40L) == 1L && folded(21L) == 1L && folded(30L) == 30L,
+        s"expected the mega-merge to label everything 1, got $folded")
+    }
+    // a batch pair INSIDE one component is a no-op
+    val same = Dedup.foldComponents(labels, Seq((1L, 3L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(same == labels.as[(Long, Long)].collect().toMap)
+  }
+
   test("a 64-deep chain converges inside the default iteration budget") {
     // plain 1-hop label propagation needs depth rounds (64 > maxIter);
     // pointer jumping must close it in O(log d). localThreshold = 0

@@ -77,6 +77,40 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === Set(("G", "hot", 30L)))
   }
 
+  test("folded summary: persisted-sketch ingest equals the naive plan over the union") {
+    // corpus: one hot key (35%) + churny cold keys; batch shifts the
+    // distribution — a SECOND key becomes hot only once the batch
+    // lands, so the fold must surface a candidate the stored summary
+    // alone would rank low
+    val corpus = ((0 until 350).map(_ => "hot_a") ++
+      (0 until 80).map(_ => "rising") ++
+      (0 until 570).map(i => s"c${i % 300}")).toDF("k").repartition(7)
+    val batch = ((0 until 40).map(_ => "hot_a") ++
+      (0 until 260).map(_ => "rising") ++
+      (0 until 100).map(i => s"b${i % 90}")).toDF("k").repartition(3)
+    val stored = HeavyHitters.summarize(corpus, col("k"), 8)
+    val union = corpus.unionByName(batch)
+    val got = HeavyHitters.frequentItemsFolded(stored, batch, col("k"),
+        union, col("k"), 8, "k")
+      .as[(String, Long)].collect().toSet
+    val naive = {
+      val n = union.count()
+      union.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 8 > n)
+        .as[(String, Long)].collect().toSet
+    }
+    assert(got === naive, "folded-summary result must equal the naive plan")
+    assert(got.exists(_._1 == "rising"),
+      "the batch-risen key must be found despite the stale corpus sketch")
+    // the summary state round-trips parquet (the persistence contract)
+    val tmp = java.nio.file.Files.createTempDirectory("mg_rt").toString
+    stored.write.mode("overwrite").parquet(tmp)
+    val rt = HeavyHitters.frequentItemsFolded(spark.read.parquet(tmp),
+        batch, col("k"), union, col("k"), 8, "k")
+      .as[(String, Long)].collect().toSet
+    assert(rt === naive, "parquet-roundtripped summary must fold identically")
+  }
+
   test("per-group: each group's hot keys exact, thresholds independent per group") {
     // Group A: hot key 'a_hot' (40%) + 150 cold; group B: two hot keys
     // (30%/20%) + 200 cold; group C: uniform (no heavy hitters).

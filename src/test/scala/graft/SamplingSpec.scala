@@ -191,6 +191,25 @@ class SamplingSpec extends SparkSpec {
     assert(selFolded == selFull)
   }
 
+  test("priority sample fold: k-mergeable — fold(state, batch) == full recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val state = Sampling.prioritySample(docs, Seq("lang"),
+      col("doc_id"), col("n_chars"), k = 5)
+    val batch = Tables.documents(spark, sf).filter(col("doc_id") % 11 === 0)
+      .select(col("lang"), (col("doc_id") + 1000000L).as("doc_id"),
+        (col("n_chars") * 1000).as("n_chars"))
+    val folded = Sampling.prioritySampleFold(state, batch, Seq("lang"),
+      col("doc_id"), col("n_chars"), k = 5)
+    val full = Sampling.prioritySample(docs.unionByName(batch), Seq("lang"),
+      col("doc_id"), col("n_chars"), k = 5)
+    assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+      "fold must equal the full recompute bit-for-bit")
+    // and the batch genuinely contends: at least one +1e6 id wins a slot
+    assert(folded.filter(col("doc_id") >= 1000000L).count() > 0,
+      "fixture must make batch rows actually enter the sample")
+  }
+
   test("DSIR overflow guard fails LOUDLY past the BIGINT score bound") {
     // a foreign stats frame whose counts keep every INTERMEDIATE
     // product in-range (so ANSI doesn't trip first) but push the
