@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, HeavyHitters, Sampling}
+
+/** Scale soak for the round-11 incremental folds (dev tool): d22
+  * foldComponents, q92 folded heavy hitters, q93 priority-sample fold
+  * — each at corpus scale with a small batch, verifying the two
+  * claims the gates prove only at sf0.1:
+  *
+  *   - EXACTNESS at volume: every fold equals its full recompute
+  *     row-for-row (exceptAll both ways — bit-level, no sampling);
+  *   - INGEST ECONOMICS: fold wall-clock is reported beside the full
+  *     recompute's — the fold touches O(state + batch), the recompute
+  *     re-walks the corpus, and the gap is the reason the incremental
+  *     family exists at 100 TB.
+  *
+  * Fixtures are deterministic (id arithmetic, no RNG):
+  *   - components: 2M nodes in 200k chains of 10 (1.8M pairs), batch
+  *     = 1k bridge pairs (j·10⁴, j·10⁴+10): the first 200 merge
+  *     adjacent in-graph chains, the other 800 introduce brand-new
+  *     node pairs — both fold behaviors at volume (transitive
+  *     merge chains are spec-covered);
+  *   - heavy hitters: 50M rows, 3 hot keys at 70% + 1.5M cold keys,
+  *     batch = 1M rows that push a 4th key over the 1/64 line only
+  *     once folded — the stale-sketch case;
+  *   - priority sample: 20M docs over 100 groups, batch = 100k docs
+  *     with 1000× weights that genuinely evict stored winners.
+  *
+  * `sbt "runMain graft.IncrementalSoak"` — one JSON line.
+  */
+object IncrementalSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(32)
+    val base = "target/soak/incremental"
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def sameRows(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    // ---- d22: foldComponents at 2M nodes ----
+    val nNodes = 2000000L
+    val pairsPath = s"$base/pairs.parquet"
+    spark.range(nNodes).filter(col("id") % 10 =!= 9)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .repartition(32).write.mode("overwrite").parquet(pairsPath)
+    val oldPairs = spark.read.parquet(pairsPath)
+    val labels = Dedup.connectedComponents(oldPairs, localThreshold = 0L)
+      .persist()
+    labels.count()
+    // 1k bridge pairs (j·10⁴, j·10⁴+10): j < 200 merges adjacent
+    // in-graph chains, j ≥ 200 lands beyond the node range and
+    // introduces new 2-node components — both behaviors at volume
+    val batch = spark.range(1000)
+      .select((col("id") * 10000L).as("id_a"),
+        (col("id") * 10000L + 10L).as("id_b"))
+    val (folded, tFold) = time {
+      val f = Dedup.foldComponents(labels, batch).persist()
+      f.count(); f
+    }
+    val (full, tFullCc) = time {
+      val f = Dedup.connectedComponents(
+        oldPairs.unionByName(batch), localThreshold = 0L).persist()
+      f.count(); f
+    }
+    require(sameRows(folded, full),
+      "d22 soak: folded labels must equal the full recompute")
+    val nLabeled = folded.count()
+    folded.unpersist(); full.unpersist(); labels.unpersist()
+
+    // ---- q92: folded heavy hitters at 50M rows ----
+    val nRows = 50000000L
+    val evPath = s"$base/events.parquet"
+    // 70% of rows on 3 hot keys; 'riser' at ~1.2% (below 1/64);
+    // the rest churn 1.5M cold keys
+    spark.range(nRows).select(
+        when(col("id") % 100 < 70,
+          concat(lit("hot_"), (col("id") % 3).cast("string")))
+          .when(col("id") % 100 < 71, lit("riser"))
+          .otherwise(concat(lit("c"), (col("id") % 1500000).cast("string")))
+          .as("k"))
+      .repartition(32).write.mode("overwrite").parquet(evPath)
+    val corpus = spark.read.parquet(evPath)
+    val (_, tSummarize) = time {
+      HeavyHitters.summarize(corpus, col("k"), 64)
+        .write.mode("overwrite").parquet(s"$base/mg_summary")
+    }
+    // batch: 1M rows, 60% on 'riser' — pushes it over 1/64 of the
+    // union only once the summaries fold
+    val hhBatch = spark.range(1000000L).select(
+      when(col("id") % 100 < 60, lit("riser"))
+        .otherwise(concat(lit("b"), (col("id") % 400000).cast("string")))
+        .as("k"))
+    val union = corpus.unionByName(hhBatch)
+    val (hot, tHhFold) = time(
+      HeavyHitters.frequentItemsFolded(
+        spark.read.parquet(s"$base/mg_summary"), hhBatch, col("k"),
+        union, col("k"), 64, "k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+    val (hotFull, tHhFull) = time {
+      val n = union.count()
+      union.groupBy("k").agg(count(lit(1)).cast("bigint").as("cnt"))
+        .filter(col("cnt") * 64 > n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    require(hot == hotFull,
+      s"q92 soak: folded HH ${hot.keySet} != naive ${hotFull.keySet}")
+    require(hot.contains("riser"),
+      "q92 soak: the batch-risen key must surface past the stale sketch")
+
+    // ---- q93: priority-sample fold at 20M docs ----
+    val nDocs = 20000000L
+    val docsPath = s"$base/docs.parquet"
+    spark.range(nDocs).select(
+        (col("id") % 100).cast("string").as("lang"),
+        col("id").as("doc_id"),
+        (col("id") % 9973 + 1L).as("w"))
+      .repartition(32).write.mode("overwrite").parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+    val state = Sampling.prioritySample(docs, Seq("lang"),
+      col("doc_id"), col("w"), k = 5).persist()
+    state.count()
+    val psBatch = spark.range(100000L).select(
+      (col("id") % 100).cast("string").as("lang"),
+      (col("id") + 900000000L).as("doc_id"),
+      (col("id") % 997 + 1000000L).as("w"))
+    val (psFolded, tPsFold) = time {
+      val f = Sampling.prioritySampleFold(state, psBatch, Seq("lang"),
+        col("doc_id"), col("w"), k = 5).persist()
+      f.count(); f
+    }
+    val (psFull, tPsFull) = time {
+      val f = Sampling.prioritySample(docs.unionByName(psBatch), Seq("lang"),
+        col("doc_id"), col("w"), k = 5).persist()
+      f.count(); f
+    }
+    require(sameRows(psFolded, psFull),
+      "q93 soak: folded sample must equal the full recompute")
+    val batchWinners = psFolded.filter(col("doc_id") >= 900000000L).count()
+    require(batchWinners > 0,
+      "q93 soak: the 1000x-weight batch must win slots")
+
+    println(
+      s"""{"cc_nodes":$nNodes,"cc_batch":1000,"cc_labeled":$nLabeled,
+         |"hh_rows":$nRows,"hh_batch":1000000,"hh_hot":${hot.size},
+         |"ps_docs":$nDocs,"ps_batch":100000,"ps_batch_winners":$batchWinners,
+         |"sec":{"cc_fold":$tFold,"cc_full_recompute":$tFullCc,
+         |"hh_summarize_once":$tSummarize,"hh_fold":$tHhFold,
+         |"hh_full_recompute":$tHhFull,"ps_fold":$tPsFold,
+         |"ps_full_recompute":$tPsFull}}"""
+        .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}
