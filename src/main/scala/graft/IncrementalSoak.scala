@@ -88,6 +88,11 @@ object IncrementalSoak {
       HeavyHitters.summarize(corpus, col("k"), 64)
         .write.mode("overwrite").parquet(s"$base/mg_summary")
     }
+    val nHhBuckets = 512 // 50M rows / 512 ≈ 100k rows per bucket
+    val (_, tKeyStore) = time {
+      HeavyHitters.buildKeyStore(corpus, col("k"), s"$base/mg_store",
+        nHhBuckets)
+    }
     // batch: 1M rows, 60% on 'riser' — pushes it over 1/64 of the
     // union only once the summaries fold
     val hhBatch = spark.range(1000000L).select(
@@ -95,7 +100,14 @@ object IncrementalSoak {
         .otherwise(concat(lit("b"), (col("id") % 400000).cast("string")))
         .as("k"))
     val union = corpus.unionByName(hhBatch)
+    // store-served fold: recheck reads only candidate buckets
+    // (≤ 128 of 512 partitions) — vs the union-rescan fold below
     val (hot, tHhFold) = time(
+      HeavyHitters.frequentItemsFoldedFromStore(
+        spark, spark.read.parquet(s"$base/mg_summary"), s"$base/mg_store",
+        hhBatch, col("k"), 64, nHhBuckets, "k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+    val (hotRescan, tHhRescan) = time(
       HeavyHitters.frequentItemsFolded(
         spark.read.parquet(s"$base/mg_summary"), hhBatch, col("k"),
         union, col("k"), 64, "k")
@@ -108,6 +120,8 @@ object IncrementalSoak {
     }
     require(hot == hotFull,
       s"q92 soak: folded HH ${hot.keySet} != naive ${hotFull.keySet}")
+    require(hot == hotRescan,
+      s"q92 soak: store-served fold ${hot.keySet} != rescan fold")
     require(hot.contains("riser"),
       "q92 soak: the batch-risen key must surface past the stale sketch")
 
@@ -148,7 +162,8 @@ object IncrementalSoak {
          |"hh_rows":$nRows,"hh_batch":1000000,"hh_hot":${hot.size},
          |"ps_docs":$nDocs,"ps_batch":100000,"ps_batch_winners":$batchWinners,
          |"sec":{"cc_fold":$tFold,"cc_full_recompute":$tFullCc,
-         |"hh_summarize_once":$tSummarize,"hh_fold":$tHhFold,
+         |"hh_summarize_once":$tSummarize,"hh_keystore_once":$tKeyStore,
+         |"hh_fold_store":$tHhFold,"hh_fold_rescan":$tHhRescan,
          |"hh_full_recompute":$tHhFull,"ps_fold":$tPsFold,
          |"ps_full_recompute":$tPsFull}}"""
         .stripMargin.replace("\n", ""))

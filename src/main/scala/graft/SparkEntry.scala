@@ -363,9 +363,12 @@ object SparkEntry {
       store
     })
 
-  /** The q92 persisted corpus MG summary (one row: counts map + n),
-    * written once per (JVM, dir) — the sketch state an incremental
-    * heavy-hitter pipeline stores between ingests. */
+  /** The q92 persisted heavy-hitter state, written once per (JVM,
+    * dir): the corpus MG summary (one row: counts map + n + k — the
+    * sketch an incremental pipeline folds between ingests) AND the
+    * key-bucketed corpus store (`bucket = crc32(k) mod 32` partitions
+    * — the q91 store discipline, so each fold's exact recheck reads
+    * only candidate buckets instead of rescanning the corpus). */
   private val q92SummaryDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q92SummaryDir(s: SparkSession, dir: String): String =
@@ -373,8 +376,49 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("q92_mg")
       HeavyHitters.summarize(Tables.events(s, d), plantedSkewKey, 64)
         .write.mode("overwrite").parquet(s"$tmp/summary")
+      HeavyHitters.buildKeyStore(Tables.events(s, d), plantedSkewKey,
+        s"$tmp/store", 32)
       sys.addShutdownHook { rmTreeQuiet(tmp) }
-      s"$tmp/summary"
+      tmp.toString
+    })
+
+  /** The d23/d24 persisted SemDeDup state (one store per keep-rule per
+    * (JVM, dir)): built ONCE over the CORPUS (embeddings without the
+    * planted clones) against frozen lowest-id centroids, then the
+    * gated query folds the clone batch in — the ingest twin of
+    * d20/d21, matching their oracles bit-for-bit because fold == full
+    * recompute over corpus ∪ batch. */
+  private val semStateDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def semDedupStateDir(s: SparkSession, dir: String,
+                               keepFarthest: Boolean): String =
+    semStateDirs.computeIfAbsent(dir + (if (keepFarthest) "#far" else "#near"), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        if (keepFarthest) "d24_sem" else "d23_sem")
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cent = emb.orderBy(col("vec_id").asc).limit(16)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity.buildSemDedupState(emb, s"$tmp/state", "vec_id",
+        "embedding", tau = 0.98, centroids = cent,
+        keepFarthest = keepFarthest)
+      // the ingest: d20's exact clones / d21's perturbed clones fold in
+      val batch =
+        if (keepFarthest)
+          emb.filter(col("vec_id") % 10 === 0)
+            .select(cloneId(col("vec_id")).as("vec_id"),
+              concat(
+                array((element_at(col("embedding"), 1).cast("double") + 0.125)
+                  .cast("float")),
+                slice(col("embedding"), 2, 63)).as("embedding"))
+        else
+          emb.filter(col("vec_id") % 10 === 0)
+            .select(cloneId(col("vec_id")).as("vec_id"), col("embedding"))
+      Similarity.foldSemDedupState(s, s"$tmp/state", batch, "vec_id",
+        "embedding", tau = 0.98, centroids = cent,
+        keepFarthest = keepFarthest)
+      sys.addShutdownHook { rmTreeQuiet(tmp) }
+      s"$tmp/state"
     })
 
   /** The e13/e14 persisted PQ serving state (one store per variant per
@@ -1793,17 +1837,21 @@ object SparkEntry {
       // once (q92SummaryDir) and folded with the batch's summary —
       // mergeable with the n/(k+1) bound intact over any merge tree
       // (Agarwal et al.), so the corpus is never rescanned to sketch.
-      // The exact recheck touches only candidate-key rows of the
-      // union (the d10 candidate-bounded-rescan shape — exactness has
-      // no cheaper source). Oracle: naive GROUP BY + HAVING over the
-      // union, which the folded result matches bit-for-bit.
+      // The exact recheck is served from the PERSISTED key-bucketed
+      // corpus store — candidate keys map to their crc32 buckets
+      // driver-side and the scan carries a static `PartitionFilters:
+      // [bucket IN (…)]` (PLANS.md evidence), so a fold reads
+      // O(batch + candidate-bucket rows), never the corpus (the last
+      // full-corpus-scan-per-fold in the incremental family, gone).
+      // Oracle: naive GROUP BY + HAVING over the union, which the
+      // folded result matches bit-for-bit.
       "q92_incremental_heavy_hitters" -> ((s, dir) => {
         val ev = Tables.events(s, dir)
         val batch = ev.filter(col("event_id") % 9 === 0)
-        HeavyHitters.frequentItemsFolded(
-          s.read.parquet(q92SummaryDir(s, dir)),
-          batch, plantedSkewKey,
-          ev.unionByName(batch), plantedSkewKey, 64, "k")
+        val state = q92SummaryDir(s, dir)
+        HeavyHitters.frequentItemsFoldedFromStore(
+          s, s.read.parquet(s"$state/summary"), s"$state/store",
+          batch, plantedSkewKey, 64, 32, "k")
       }),
 
       // Partition pruning on a hive-partitioned staging: the scan must

@@ -131,7 +131,8 @@ object HeavyHitters {
     df.select(key.cast("string").as("k"))
       .filter(col("k").isNotNull)
       .agg(mg(col("k")).as("s"))
-      .select(col("s.counts").as("counts"), col("s.n").as("n"))
+      .select(col("s.counts").as("counts"), col("s.n").as("n"),
+        lit(k).cast("int").as("k"))
   }
 
   /** Exact heavy hitters over corpus ∪ batch from a PERSISTED corpus
@@ -152,7 +153,15 @@ object HeavyHitters {
                           unionKey: Column, k: Int,
                           outName: String = "key"): DataFrame = {
     def toSummary(df: DataFrame): MGSummary = {
-      val r = df.select(col("counts"), col("n")).head()
+      // The n/(k+1) undercount bound holds only when every summary in
+      // the merge tree was built with THE SAME k: folding a stored
+      // summary built with smaller k would silently weaken the bound
+      // and could drop a true heavy hitter from the candidate set —
+      // so the stored k (persisted by [[summarize]]) must equal the
+      // fold's k, loudly.
+      val r = df.select(col("counts"), col("n"), col("k")).head()
+      require(r.getInt(2) == k,
+        s"stored summary was built with k=${r.getInt(2)}, fold requires k=$k")
       MGSummary(r.getMap[String, Long](0).toMap, r.getLong(1))
     }
     val merged = new MisraGriesAgg(k).merge(
@@ -161,6 +170,104 @@ object HeavyHitters {
     union.select(unionKey.cast("string").as(outName))
       .filter(if (candidates.isEmpty) lit(false)
               else col(outName).isInCollection(candidates))
+      .groupBy(outName)
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .filter(col("cnt") * k > lit(merged.n))
+  }
+
+  /** Persist the keyed corpus as a parquet store PARTITIONED BY
+    * `bucket = crc32(k) mod nBuckets` — the q91 contribution-store
+    * discipline applied to heavy hitters, so the exact recheck in
+    * [[frequentItemsFoldedFromStore]] reads ONLY the buckets holding
+    * a candidate key (static `PartitionFilters: [bucket IN (…)]`)
+    * instead of rescanning the full corpus per fold. CRC32 (not
+    * Murmur3 `hash()`) because it is bit-identical in every engine
+    * AND driver-side (`java.util.zip.CRC32`), so the candidate→bucket
+    * map needs no Spark job; a hot KEY does not skew a recheck read
+    * beyond its own row count, which the candidate bound already
+    * caps at heavy-hitter scale. Ingest is a plain mode=append into
+    * the batch's own bucket partitions ([[appendToKeyStore]]) — key
+    * counts are additive, so unlike the graph store nothing is ever
+    * rewritten. At 100 TB raise `nBuckets` so one bucket ≈ one
+    * comfortable read unit. */
+  def buildKeyStore(df: DataFrame, key: Column, path: String,
+                    nBuckets: Int = 32): Unit =
+    keyedWithBucket(df, key, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Fold a batch into a [[buildKeyStore]] layout: append-only (no
+    * partition is read or rewritten — counts are additive), cost
+    * O(batch) regardless of store size. */
+  def appendToKeyStore(batch: DataFrame, key: Column, path: String,
+                       nBuckets: Int = 32): Unit =
+    keyedWithBucket(batch, key, nBuckets)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
+  private def keyedWithBucket(df: DataFrame, key: Column,
+                              nBuckets: Int): DataFrame =
+    df.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("bucket", pmod(crc32(col("k")), lit(nBuckets.toLong)))
+
+  /** Driver-side twin of the store's bucket function — must stay
+    * bit-identical to `pmod(crc32(k), nBuckets)` above. */
+  private[graft] def bucketOf(k: String, nBuckets: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.getValue % nBuckets // crc32 value is non-negative, % == pmod
+  }
+
+  /** The partition-pruned read half of the store: corpus rows for the
+    * candidate keys, scanning ONLY their buckets. The candidate set
+    * is ≤ 2k (an operator bound, not data), so its bucket set is
+    * collected driver-side and pruned STATICALLY — the
+    * [[Graph.affectedStoreRows]] economics: directory-level skip
+    * guaranteed at any scale, no optimizer heuristic in the loop. */
+  def candidateStoreRows(spark: org.apache.spark.sql.SparkSession,
+                         path: String, candidates: Seq[String],
+                         nBuckets: Int): DataFrame = {
+    val base = spark.read.parquet(path)
+    if (candidates.isEmpty) base.filter(lit(false))
+    else {
+      val buckets = candidates.map(bucketOf(_, nBuckets)).distinct.sorted
+      base.filter(col("bucket").isin(buckets: _*))
+        .filter(col("k").isInCollection(candidates))
+    }
+  }
+
+  /** [[frequentItemsFolded]] with the exact recheck served from a
+    * persisted [[buildKeyStore]] layout instead of a full union
+    * rescan — the last full-corpus-scan-per-fold in the incremental
+    * family, removed: the sketch pass folds the stored summary with
+    * the batch's (corpus never rescanned to sketch), and the recheck
+    * reads ONLY the candidate keys' buckets of the store plus the
+    * batch's candidate rows. Fold cost is O(batch + candidate-bucket
+    * rows), independent of corpus size — bit-identical to the naive
+    * GROUP BY + HAVING over corpus ∪ batch (the q92 gate) because
+    * the store holds exactly the corpus's non-null keys and the
+    * merged summary's candidate set is a superset of the true heavy
+    * hitters (n/(k+1) bound, any merge tree). */
+  def frequentItemsFoldedFromStore(spark: org.apache.spark.sql.SparkSession,
+                                   storedSummary: DataFrame,
+                                   storePath: String, batch: DataFrame,
+                                   batchKey: Column, k: Int,
+                                   nBuckets: Int = 32,
+                                   outName: String = "key"): DataFrame = {
+    def toSummary(df: DataFrame): MGSummary = {
+      val r = df.select(col("counts"), col("n"), col("k")).head()
+      require(r.getInt(2) == k,
+        s"stored summary was built with k=${r.getInt(2)}, fold requires k=$k")
+      MGSummary(r.getMap[String, Long](0).toMap, r.getLong(1))
+    }
+    val merged = new MisraGriesAgg(k).merge(
+      toSummary(storedSummary), toSummary(summarize(batch, batchKey, k)))
+    val candidates = merged.counts.keysIterator.toSeq
+    val storeRows = candidateStoreRows(spark, storePath, candidates, nBuckets)
+      .select(col("k").as(outName))
+    val batchRows = batch.select(batchKey.cast("string").as(outName))
+      .filter(if (candidates.isEmpty) lit(false)
+              else col(outName).isInCollection(candidates))
+    storeRows.unionByName(batchRows)
       .groupBy(outName)
       .agg(count(lit(1)).cast("bigint").as("cnt"))
       .filter(col("cnt") * k > lit(merged.n))

@@ -255,9 +255,19 @@ object Multimodal {
       require(le32(bytes, 30) == 0, "only uncompressed BI_RGB supported")
       require(offBits >= 14 + biSize && offBits <= bytes.length,
         s"bad bfOffBits $offBits")
-      val stride = ((24 * width + 31) / 32) * 4
-      require(offBits.toLong + stride.toLong * height <= bytes.length,
+      // Stride in Long: a crafted header with width > ~89M overflows
+      // 24*width in Int to a NEGATIVE stride, which would sail past
+      // the truncated-pixel require below and crash in the pixel loop
+      // with AIOOBE instead of the documented IllegalArgumentException.
+      val strideL = ((24L * width + 31L) / 32L) * 4L
+      // strideL <= length first: with that bound, strideL*height <
+      // 2^31 * 2^31 = 2^62 — the product itself cannot wrap Long.
+      require(strideL <= bytes.length, "truncated pixel data")
+      require(offBits.toLong + strideL * height <= bytes.length,
         "truncated pixel data")
+      // Validated above: offBits + stride*height <= bytes.length <=
+      // Int.MaxValue, so all offsets below fit in Int.
+      val stride = strideL.toInt
       var sumR = 0L; var sumG = 0L; var sumB = 0L
       var topSum = 0L; var botSum = 0L
       var mx = 0; var mn = 255

@@ -165,7 +165,23 @@ object Similarity {
     * centroids ([[refineCentroids]]) and rebuild — the classic
     * merge-policy tradeoff, orthogonal to this append path. */
   def appendToIvfIndex(batch: DataFrame, path: String, centroids: DataFrame,
-                       idCol: String, vecCol: String): Unit = {
+                       idCol: String, vecCol: String): Unit =
+    assignToCentroids(batch, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
+  /** The crash-safe half of the streaming ingest protocol
+    * ([[graft.streaming.StreamingJobs.appendIvfBatchIdempotent]]):
+    * the same centroid assignment as [[appendToIvfIndex]], written to
+    * a STAGING path with mode=overwrite — idempotent to restage, and
+    * Spark's `_SUCCESS` (committed last) marks the staging frozen. */
+  def stageIvfBatch(batch: DataFrame, stagingPath: String,
+                    centroids: DataFrame, idCol: String,
+                    vecCol: String): Unit =
+    assignToCentroids(batch, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(stagingPath)
+
+  private def assignToCentroids(batch: DataFrame, centroids: DataFrame,
+                                idCol: String, vecCol: String): DataFrame = {
     val assigned = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(centroids))
       .select(col("neighbor_id"), col("cv"), col("centroid_id"),
@@ -173,7 +189,6 @@ object Similarity {
     TopK.perGroup(assigned, Seq("neighbor_id"),
         Seq(col("csim").desc, col("centroid_id").asc), 1)
       .select(col("neighbor_id"), col("cv"), col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
   /** Query a [[buildIvfIndex]] layout: pick each query's `nProbe`
@@ -476,31 +491,136 @@ object Similarity {
     val cent = centroids.getOrElse(
       vectors.orderBy(col(idCol).asc).limit(nCentroids)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
+    val members = assignSemMembers(vectors, cent, idCol, vecCol)
+    val dropped = semDroppedIds(members, members, tau, keepFarthest)
+    members.join(dropped, col("vid") === col("id_b"), "left_anti")
+      .select(col("vid").as("vec_id"), col("centroid_id"))
+  }
+
+  /** Member assignment shared by [[semDedup]] and the persisted-state
+    * path: nearest frozen centroid per vector (broadcast, the
+    * [[ivfTopK]] discipline) → (vid, v, centroid_id, csim). */
+  private def assignSemMembers(vectors: DataFrame, cent: DataFrame,
+                               idCol: String, vecCol: String): DataFrame = {
     val assigned = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .crossJoin(broadcast(cent))
       .select(col("vid"), col("v"), col("centroid_id"),
         cosineNative(col("v"), col("centroid_vec")).as("csim"))
-    val members = TopK.perGroup(assigned, Seq("vid"),
+    TopK.perGroup(assigned, Seq("vid"),
         Seq(col("csim").desc, col("centroid_id").asc), 1)
       .select(col("vid"), col("v"), col("centroid_id"), col("csim"))
-    val a = members.select(col("centroid_id"), col("vid").as("id_a"),
+  }
+
+  /** b-side members dropped by SOME preceding a-side member in the
+    * same cluster (pair cosine ≥ tau). "a precedes b" = a survives
+    * the pair; the pair predicate is rule-independent, only the
+    * order changes. Both sides are (vid, v, centroid_id, csim). */
+  private def semDroppedIds(aSide: DataFrame, bSide: DataFrame,
+                            tau: Double, keepFarthest: Boolean): DataFrame = {
+    val a = aSide.select(col("centroid_id"), col("vid").as("id_a"),
       col("v").as("va"), col("csim").as("csim_a"))
-    val b = members.select(col("centroid_id"), col("vid").as("id_b"),
+    val b = bSide.select(col("centroid_id"), col("vid").as("id_b"),
       col("v").as("vb"), col("csim").as("csim_b"))
-    // "a precedes b" = a survives the pair; the pair predicate (cosine
-    // ≥ tau) is rule-independent, only the order changes
     val precedes =
       if (keepFarthest)
         col("csim_a") < col("csim_b") ||
           (col("csim_a") === col("csim_b") && col("id_a") < col("id_b"))
       else col("id_a") < col("id_b")
-    val dropped = a.join(b, Seq("centroid_id"))
+    a.join(b, Seq("centroid_id"))
       .filter(col("id_a") =!= col("id_b") && precedes &&
         cosineNative(col("va"), col("vb")) >= tau)
       .select(col("id_b")).distinct()
-    members.join(dropped, col("vid") === col("id_b"), "left_anti")
-      .select(col("vid").as("vec_id"), col("centroid_id"))
   }
+
+  /** Persist SemDeDup's working state as a parquet store PARTITIONED
+    * BY `centroid_id`: EVERY member row (vid, v, csim, kept) — the
+    * d13/d19/e10/q91 persisted-state discipline applied to semantic
+    * dedup, making its ingest incremental ([[foldSemDedupState]]).
+    * The state keeps dropped members too, deliberately: similarity is
+    * not transitive, so a member dropped yesterday can still be the
+    * preceding witness that drops a newcomer today — kept-only state
+    * would silently diverge from the full recompute (SemDedupSpec
+    * pins that counter-example). Corpus-sized state is the same
+    * economics as the IVF index: cluster-partitioned, so a fold reads
+    * only the clusters its batch lands in. `centroids` are FROZEN by
+    * contract (assignment must not move under old members — the
+    * [[buildIvfIndex]] contract). */
+  def buildSemDedupState(vectors: DataFrame, path: String, idCol: String,
+                         vecCol: String, tau: Double, centroids: DataFrame,
+                         keepFarthest: Boolean = false): Unit = {
+    val members = assignSemMembers(vectors, centroids, idCol, vecCol)
+    val dropped = semDroppedIds(members, members, tau, keepFarthest)
+    // partition by a DERIVED copy (`cpart`) and keep `centroid_id` as
+    // a data column: partition-directory type inference would
+    // otherwise rewrite centroid_id's type on read-back (a bigint id
+    // ≤ 15 comes back int), breaking the bit-exact serving contract
+    members.join(dropped, col("vid") === col("id_b"), "left")
+      .select(col("vid"), col("v"), col("csim"),
+        col("id_b").isNull.as("kept"), col("centroid_id"),
+        col("centroid_id").as("cpart"))
+      .write.mode("overwrite").partitionBy("cpart").parquet(path)
+  }
+
+  /** Fold a vector batch into a [[buildSemDedupState]] layout WITHOUT
+    * rescanning the corpus: assign the batch against the FROZEN
+    * centroids, read back ONLY the clusters receiving a batch member
+    * (static `centroid_id IN (…)` partition filter — the bounded
+    * driver-side collect is ≤ nCentroids, an operator parameter), and
+    * evaluate exactly the pairs the full recompute would add:
+    * batch-vs-(stored ∪ batch) to decide batch keeps, batch-vs-stored-
+    * kept to demote old keeps a preceding batch member now drops
+    * (drops are monotone — a union can only add witnesses — so
+    * already-dropped members never need rechecking). Affected cluster
+    * partitions are rewritten (dynamic overwrite); every other
+    * cluster's files are untouched on disk. Cost is O(batch ×
+    * affected-cluster size), independent of corpus size — and the
+    * folded state is bit-identical to a fresh
+    * [[buildSemDedupState]] over corpus ∪ batch (the d23 gate),
+    * for BOTH keep rules. Batch ids must be disjoint from stored ids
+    * (the [[appendToIvfIndex]] pre-deduplicated contract). */
+  def foldSemDedupState(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, idCol: String,
+                        vecCol: String, tau: Double, centroids: DataFrame,
+                        keepFarthest: Boolean = false): Unit = {
+    val bm = assignSemMembers(batch, centroids, idCol, vecCol)
+      .localCheckpoint()
+    val clusters = bm.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val stored = spark.read.parquet(path)
+      .filter(col("centroid_id").isin(clusters.toIndexedSeq: _*))
+      .select(col("vid"), col("v"), col("csim"), col("kept"),
+        col("centroid_id"))
+      .localCheckpoint() // materialize BEFORE the overwrite starts
+    val storedMembers = stored.select(
+      col("vid"), col("v"), col("centroid_id"), col("csim"))
+    val droppedNew = semDroppedIds(
+      storedMembers.unionByName(
+        bm.select(col("vid"), col("v"), col("centroid_id"), col("csim"))),
+      bm, tau, keepFarthest)
+    val droppedOld = semDroppedIds(bm,
+      stored.filter(col("kept"))
+        .select(col("vid"), col("v"), col("centroid_id"), col("csim")),
+      tau, keepFarthest)
+    val newOld = stored.join(droppedOld, col("vid") === col("id_b"), "left")
+      .select(col("vid"), col("v"), col("csim"),
+        (col("kept") && col("id_b").isNull).as("kept"), col("centroid_id"))
+    val newBatch = bm.join(droppedNew, col("vid") === col("id_b"), "left")
+      .select(col("vid"), col("v"), col("csim"),
+        col("id_b").isNull.as("kept"), col("centroid_id"))
+    newOld.unionByName(newBatch)
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id").parquet(path)
+  }
+
+  /** The serving read of a [[buildSemDedupState]] layout: survivors
+    * as (vec_id, centroid_id) — the same output contract as
+    * [[semDedup]], bit-identical to it over the state's corpus. */
+  def semDedupKept(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path).filter(col("kept"))
+      .select(col("vid").as("vec_id"), col("centroid_id"))
 
   /** Fixed-point squared L2 distance: each component is quantized to
     * 10 fractional bits (`floor(x·1024 + 0.5)` — ·1024 is a power of

@@ -223,24 +223,86 @@ object StreamingJobs {
 
   /** Apply one vector micro-batch to a persisted IVF index (the
     * [[graft.operators.Similarity.buildIvfIndex]] layout) exactly
-    * once: a zero-byte `_batch_<id>` marker under the index root
-    * records each applied batch, so a micro-batch replayed after a
-    * failure between append and checkpoint commit is SKIPPED, not
-    * double-appended — parquet append has no natural idempotency, the
-    * marker supplies the same replay contract VersionedStaging's
-    * batchId gives the other foreachBatch jobs. Returns whether the
-    * batch was applied (false = replay skip). */
+    * once, CRASH-SAFE AT EVERY STEP — parquet append has no natural
+    * idempotency and a bare marker-after-append leaves a window
+    * (append committed, marker not yet written) where a replayed
+    * micro-batch double-appends. The protocol closes every window:
+    *
+    *  1. `_batch_<id>` marker exists → already applied, skip.
+    *  2. Stage the assigned batch under `.staging_batch_<id>` with
+    *     mode=overwrite. Spark commits `_SUCCESS` LAST, so a staging
+    *     dir without `_SUCCESS` is a crashed attempt and is simply
+    *     overwritten; one WITH `_SUCCESS` is frozen and REUSED on
+    *     replay (never rewritten — its file names are now the
+    *     batch's identity).
+    *  3. Copy each staged data file into its centroid partition under
+    *     the DETERMINISTIC name `batch<id>-<stagedFileName>` with
+    *     REPLACE_EXISTING: a re-copy after a partial crash overwrites
+    *     the same targets byte-identically — no orphans, no
+    *     duplicates, because the name set is fixed by the committed
+    *     staging.
+    *  4. Create the marker (the commit point), THEN delete staging.
+    *
+    * Any crash replays to the same final state: before staging
+    * `_SUCCESS` → clean restage; between staging and marker →
+    * idempotent re-copy; after marker → step 1 skips (and leaked
+    * staging is swept). Returns whether the batch was applied
+    * (false = replay skip). */
   def appendIvfBatchIdempotent(indexPath: String,
                                centroids: org.apache.spark.sql.DataFrame,
                                batch: org.apache.spark.sql.DataFrame,
                                batchId: Long): Boolean = {
-    val marker = java.nio.file.Paths.get(indexPath, s"_batch_$batchId")
-    if (java.nio.file.Files.exists(marker)) false
-    else {
-      graft.operators.Similarity.appendToIvfIndex(
-        batch, indexPath, centroids, "vec_id", "embedding")
-      java.nio.file.Files.createFile(marker)
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(indexPath, s"_batch_$batchId")
+    val staging = Paths.get(indexPath, s".staging_batch_$batchId")
+    if (Files.exists(marker)) {
+      // Window (d): crash after marker, before staging delete.
+      if (Files.exists(staging)) deleteRecursively(staging)
+      false
+    } else {
+      if (!Files.exists(staging.resolve("_SUCCESS"))) {
+        graft.operators.Similarity.stageIvfBatch(
+          batch, staging.toString, centroids, "vec_id", "embedding")
+      }
+      promoteStagedIvfBatch(indexPath, batchId)
+      Files.createFile(marker)
+      deleteRecursively(staging)
       true
+    }
+  }
+
+  /** Step 3 of [[appendIvfBatchIdempotent]]'s protocol, exposed so
+    * the spec can replay it against a crashed (marker-less) apply:
+    * copy every staged `centroid_id=X/part-*.parquet` into the live
+    * index partition under `batch<id>-<name>` with REPLACE_EXISTING. */
+  private[graft] def promoteStagedIvfBatch(indexPath: String,
+                                           batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val staging = Paths.get(indexPath, s".staging_batch_$batchId")
+    require(Files.exists(staging.resolve("_SUCCESS")),
+      s"staging for batch $batchId is not committed")
+    Files.list(staging).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("centroid_id="))
+      .foreach { partDir =>
+        val target = Paths.get(indexPath, partDir.getFileName.toString)
+        Files.createDirectories(target)
+        Files.list(partDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            Files.copy(f,
+              target.resolve(s"batch$batchId-${f.getFileName.toString}"),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 

@@ -111,6 +111,87 @@ class HeavyHittersSpec extends SparkSpec {
     assert(rt === naive, "parquet-roundtripped summary must fold identically")
   }
 
+  test("store-served fold: equals rescan fold, reads ONLY candidate buckets, append folds in") {
+    val nBuckets = 16
+    val corpus = ((0 until 350).map(_ => "hot_a") ++
+      (0 until 80).map(_ => "rising") ++
+      (0 until 570).map(i => s"c${i % 300}")).toDF("k").repartition(7)
+    val batch = ((0 until 40).map(_ => "hot_a") ++
+      (0 until 260).map(_ => "rising") ++
+      (0 until 100).map(i => s"b${i % 90}")).toDF("k").repartition(3)
+    val root = java.nio.file.Files.createTempDirectory("mg_store").toString
+    HeavyHitters.summarize(corpus, col("k"), 8)
+      .write.mode("overwrite").parquet(s"$root/summary")
+    HeavyHitters.buildKeyStore(corpus, col("k"), s"$root/store", nBuckets)
+    val got = HeavyHitters.frequentItemsFoldedFromStore(spark,
+        spark.read.parquet(s"$root/summary"), s"$root/store",
+        batch, col("k"), 8, nBuckets, "k")
+      .as[(String, Long)].collect().toSet
+    val union = corpus.unionByName(batch)
+    val naiveU = {
+      val n = union.count()
+      union.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 8 > n)
+        .as[(String, Long)].collect().toSet
+    }
+    assert(got === naiveU, "store-served fold must equal the naive union plan")
+    assert(got.exists(_._1 == "rising"))
+
+    // file inventory: the pruned recheck read must touch ONLY the
+    // buckets of candidate keys — unaffected bucket directories
+    // never appear in the scan's selected partitions (the GraphSpec
+    // unread-proof, applied to the read side)
+    val candidates = Seq("hot_a", "rising")
+    val pruned = HeavyHitters.candidateStoreRows(spark, s"$root/store",
+      candidates, nBuckets)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [bucket"),
+      s"recheck read must carry a static bucket partition filter:\n" +
+        planStr.take(3000))
+    val expectedBuckets = candidates
+      .map(k => HeavyHitters.bucketOf(k, nBuckets)).toSet
+    val scannedFiles = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+    }.flatten
+    assert(scannedFiles.nonEmpty)
+    assert(scannedFiles.forall(p =>
+        expectedBuckets.exists(b => p.contains(s"bucket=$b/"))),
+      s"scan must touch only candidate buckets $expectedBuckets, " +
+        s"saw:\n${scannedFiles.mkString("\n")}")
+    // and the store has MORE buckets than the candidate set touches
+    val allBuckets = spark.read.parquet(s"$root/store")
+      .select("bucket").distinct().count()
+    assert(allBuckets > expectedBuckets.size,
+      "fixture must leave unread buckets for the proof to bite")
+
+    // append-only ingest: fold the batch into the store (no rewrite),
+    // then a fresh summary over the union + empty batch folds to the
+    // same answer served entirely from the appended store
+    HeavyHitters.appendToKeyStore(batch, col("k"), s"$root/store", nBuckets)
+    HeavyHitters.summarize(union, col("k"), 8)
+      .write.mode("overwrite").parquet(s"$root/summary2")
+    val emptyBatch = Seq.empty[String].toDF("k")
+    val gotAppended = HeavyHitters.frequentItemsFoldedFromStore(spark,
+        spark.read.parquet(s"$root/summary2"), s"$root/store",
+        emptyBatch, col("k"), 8, nBuckets, "k")
+      .as[(String, Long)].collect().toSet
+    assert(gotAppended === naiveU,
+      "append-folded store must serve the union's heavy hitters")
+  }
+
+  test("stored summary built with a different k is rejected loudly") {
+    val corpus = (0 until 100).map(i => s"k${i % 5}").toDF("k")
+    val stored = HeavyHitters.summarize(corpus, col("k"), 8)
+    val batch = (0 until 10).map(_ => "k0").toDF("k")
+    val union = corpus.unionByName(batch)
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItemsFolded(stored, batch, col("k"),
+        union, col("k"), 16, "k").collect()
+    }
+    assert(e.getMessage.contains("k=8"))
+  }
+
   test("per-group: each group's hot keys exact, thresholds independent per group") {
     // Group A: hot key 'a_hot' (40%) + 150 cold; group B: two hot keys
     // (30%/20%) + 200 cold; group C: uniform (no heavy hitters).

@@ -251,5 +251,15 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.BmpDecoder.decode("audio", good) // wrong kind
     }
+    // crafted header: width > ~89M used to overflow 24*width in Int
+    // to a NEGATIVE stride, sliding past the truncated-pixel require
+    // and crashing with ArrayIndexOutOfBounds instead of the
+    // documented loud IllegalArgumentException
+    val hugeW = good.clone()
+    hugeW(18) = 0x00.toByte; hugeW(19) = 0x00.toByte
+    hugeW(20) = 0x60.toByte; hugeW(21) = 0x05.toByte // width = 0x05600000
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decode("image", hugeW)
+    }
   }
 }

@@ -322,5 +322,37 @@ class StreamingSpec extends SparkSpec {
       .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding")
     assert(StreamingJobs.appendIvfBatchIdempotent(root, cent, batch2, 8L))
     assert(spark.read.parquet(root).count() == base + bn + batch2.count())
+
+    // crash window (c): staging committed AND promoted, but the crash
+    // hit before the marker was written — the exact window the bare
+    // marker-after-append protocol double-appended in. The replay
+    // must converge: same row count (re-promote overwrites the same
+    // deterministic batch-stamped file names), marker created,
+    // staging swept.
+    val preCrash = spark.read.parquet(root).count()
+    val batch3 = emb.filter($"vec_id" % 10 === 7)
+      .select(($"vec_id" + 3000000L).as("vec_id"), $"embedding")
+    val b3n = batch3.count()
+    Similarity.stageIvfBatch(batch3, s"$root/.staging_batch_9", cent,
+      "vec_id", "embedding")
+    StreamingJobs.promoteStagedIvfBatch(root, 9L)
+    assert(spark.read.parquet(root).count() == preCrash + b3n,
+      "the crashed attempt had already applied the batch")
+    assert(StreamingJobs.appendIvfBatchIdempotent(root, cent, batch3, 9L))
+    assert(spark.read.parquet(root).count() == preCrash + b3n,
+      "replay over the crashed apply must not duplicate rows")
+    assert(Files.exists(java.nio.file.Paths.get(root, "_batch_9")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, ".staging_batch_9")),
+      "staging must be swept after commit")
+
+    // crash window (a): a half-written staging (no _SUCCESS) from a
+    // crashed attempt is restaged cleanly, applied exactly once
+    val staleDir = java.nio.file.Paths.get(root, ".staging_batch_10")
+    Files.createDirectories(staleDir)
+    Files.write(staleDir.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    val batch4 = emb.filter($"vec_id" % 10 === 3)
+      .select(($"vec_id" + 4000000L).as("vec_id"), $"embedding")
+    assert(StreamingJobs.appendIvfBatchIdempotent(root, cent, batch4, 10L))
+    assert(spark.read.parquet(root).count() == preCrash + b3n + batch4.count())
   }
 }
