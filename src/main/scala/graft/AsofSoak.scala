@@ -62,9 +62,23 @@ object AsofSoak {
     require(db.getLong(1) == n,
       s"asof soak: ${db.getLong(1)} of $n rows survived the carry")
 
+    // hybrid auto-dispatch (q94): ONLY the planted hot user (n/10
+    // rows) crosses the threshold and rides the bucketed form; the
+    // 50k-user tail stays on the plain window. Must stay bit-equal,
+    // and the hot key no longer serializes one task: the straggler
+    // the all-plain run pays on user 0 is spread across its buckets
+    // while the tail skips the bucketed form's extra pass.
+    val hybrid = Windows.asOfCarryHybrid(ev, Seq("user_id"),
+      col("ts_us"), col("event_id"), marked, "carry",
+      bucketUs = 6L * 3600 * 1000000, hotThreshold = n / 20)
+    val (dh, tDigH) = time(digest(hybrid))
+    require(dh == dp,
+      s"asof soak: hybrid digest $dh != plain digest $dp at $n rows")
+
     println(
       s"""{"rows":$n,"hot_user_rows":${n / 10},"digest_equal":true,
-         |"sec":{"bucketed_full":$tDigB,"single_window_full":$tDigP}}"""
+         |"sec":{"bucketed_full":$tDigB,"single_window_full":$tDigP,
+         |"hybrid_full":$tDigH}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

@@ -122,6 +122,44 @@ object SelectionSoak {
       .agg(max("count")).head().getLong(0)
     survivorsR.unpersist(); refined.unpersist()
 
+    // ---- stage 1c: d23 incremental SemDeDup ingest — build the
+    // member state over the ORIGINALS once, fold the 1% clone batch
+    // in. Invariants: the fold touches only the clusters its batch
+    // lands in (cost O(batch × cluster), reported beside the full
+    // state build it replaces), and the folded survivors equal the
+    // stage-1 full recompute over originals ∪ clones bit-for-bit
+    // (same lowest-id centroid set: clone ids sit above cloneOffset,
+    // so the 1024 lowest ids of the union ARE the originals'). ----
+    val statePath = s"$base/sem_state"
+    val cent1024 = originals.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    val (_, tStateBuild) = time {
+      Similarity.buildSemDedupState(originals, statePath, "vec_id",
+        "embedding", tau = 0.95, centroids = cent1024)
+    }
+    val cloneBatch = vecs.filter(col("vec_id") >= cloneOffset)
+    val (_, tStateFold) = time {
+      Similarity.foldSemDedupState(spark, statePath, cloneBatch, "vec_id",
+        "embedding", tau = 0.95, centroids = cent1024)
+    }
+    val keptFold = Similarity.semDedupKept(spark, statePath).cache()
+    val keptFoldN = keptFold.count()
+    require(keptFoldN == survived,
+      s"d23 soak: folded survivors $keptFoldN != full recompute $survived")
+    val foldClonesAlive = keptFold.filter(col("vec_id") >= cloneOffset).count()
+    require(foldClonesAlive == 0,
+      s"d23 soak: $foldClonesAlive clones survived the fold")
+    val reFull = Similarity.semDedup(vecs, "vec_id", "embedding",
+      tau = 0.95, nCentroids)
+    require(keptFold.exceptAll(reFull).isEmpty &&
+        reFull.exceptAll(keptFold).isEmpty,
+      "d23 soak: folded survivor SET must equal the full recompute")
+    keptFold.unpersist()
+    require(tStateFold < tStateBuild / 2,
+      s"d23 soak: fold ($tStateFold s) must beat the state rebuild " +
+        s"($tStateBuild s) decisively — it reads only receiving clusters")
+
     // ---- stage 2: q86 DSIR selection at 20 M docs ----
     val docsPath = s"$base/docs.parquet"
     // 5% of docs (id % 20 == 0) are target-voc; target label on a
@@ -166,8 +204,10 @@ object SelectionSoak {
          |"d20_refined_natural_lost":$naturalLostR,
          |"d20_refined_max_cluster":$maxClusterR,"q86_docs":$nDocs,
          |"q86_selected":$k,"q86_held_out_winners":$heldOutWinners,
+         |"d23_folded_survived":$keptFoldN,
          |"sec":{"d20_semdedup":$tDedup,"d20_kmeans":$tKmeans,
-         |"d20_semdedup_refined":$tDedupR,"q86_dsir":$tSelect}}"""
+         |"d20_semdedup_refined":$tDedupR,"d23_state_build":$tStateBuild,
+         |"d23_fold":$tStateFold,"q86_dsir":$tSelect}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

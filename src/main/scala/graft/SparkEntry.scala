@@ -1040,7 +1040,14 @@ object SparkEntry {
       // s13's streamed batches union to exactly e10's planted clone
       // set, and frozen centroids make the stream-grown index
       // bit-identical to the batch rebuild the e10 oracle computes
-      "s13_stream_ivf_ingest" -> base("e10_incremental_ivf"))
+      "s13_stream_ivf_ingest" -> base("e10_incremental_ivf"),
+      // d23/d24 fold d20/d21's clone batches into the persisted
+      // member state; fold == full recompute over corpus ∪ batch
+      // bit-exact (frozen centroids, all-member witness set), so the
+      // served survivors share the inline pipelines' oracles — that
+      // equality IS the gate, exactly the e13/e14 move.
+      "d23_semdedup_ingest" -> base("d20_semdedup"),
+      "d24_semdedup_ingest_farthest" -> base("d21_semdedup_farthest"))
   }
 
   /** Timed by Bench, NOT part of the declared/gated query surface: the
@@ -2140,6 +2147,24 @@ object SparkEntry {
           keepFarthest = true)
       }),
 
+      // ---- incremental SemDeDup ingest (the d13/d19/q91 discipline
+      // for the semantic-dedup family — the last corpus-sized-state
+      // family without an ingest twin): the corpus member state
+      // (vid, v, csim, kept — dropped members too: similarity is not
+      // transitive, a dropped member can still be the witness that
+      // drops a newcomer) is PERSISTED cluster-partitioned, and the
+      // clone batch FOLDS in — batch assigned against frozen
+      // centroids, only receiving clusters read back (static
+      // centroid_id IN partition filter), only those rewritten. The
+      // gated read serves survivors from the folded state; oracle:
+      // d20's full recompute over corpus ∪ batch, matched bit-exact.
+      "d23_semdedup_ingest" -> ((s, dir) =>
+        Similarity.semDedupKept(s, semDedupStateDir(s, dir, keepFarthest = false))),
+
+      // same fold, the PAPER's keep-farthest rule (d21's oracle)
+      "d24_semdedup_ingest_farthest" -> ((s, dir) =>
+        Similarity.semDedupKept(s, semDedupStateDir(s, dir, keepFarthest = true))),
+
       "d13_incremental_ingest" -> ((s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val base = docs.filter(col("doc_id") % 2 === 0)
@@ -2644,6 +2669,27 @@ object SparkEntry {
             unix_micros(col("ts")), col("event_id"),
             when(col("event_type") === "signup", unix_micros(col("ts"))),
             "last_signup_us", bucketUs = 6L * 3600 * 1000000)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("last_signup_us"), lit(-1L)).as("last_signup_us"))
+      }),
+
+      // ---- as-of AUTO-DISPATCH (q94): the sessionSummariesHybrid
+      // routing applied to the as-of family — users with ≥ 70 events
+      // ride the bucketed two-pass form (q89's), the tail the plain
+      // window (q20's), so neither the mega-key ceiling nor the
+      // sparse-key overhead needs a manual operator choice. 70 splits
+      // the fixture both ways at BOTH SFs (54/96 users at sf0.01,
+      // 526/974 at sf0.1 — measured); production default is 100k.
+      // Oracle: q20's — the union of routes is bit-identical.
+      "q94_asof_hybrid" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+        Windows.asOfCarryHybrid(ev, Seq("user_id"),
+            unix_micros(col("ts")), col("event_id"),
+            when(col("event_type") === "signup", unix_micros(col("ts"))),
+            "last_signup_us", bucketUs = 6L * 3600 * 1000000,
+            hotThreshold = 70L)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"),
@@ -4120,6 +4166,7 @@ object SparkEntry {
   def extensionOracles: Map[String, String] = Map(
     // q89 is q20 computed the bucketed way — same contract, same oracle
     "q89_bucketed_asof" -> parityOracles("q20_asof_join"),
+    "q94_asof_hybrid" -> parityOracles("q20_asof_join"),
 
     "t7_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -558,6 +558,9 @@ object Similarity {
       .select(col("vid"), col("v"), col("csim"),
         col("id_b").isNull.as("kept"), col("centroid_id"),
         col("centroid_id").as("cpart"))
+      // cluster-align the write: each cluster's rows land in ONE task,
+      // so the store is nClusters files, not tasks × clusters
+      .repartition(col("cpart"))
       .write.mode("overwrite").partitionBy("cpart").parquet(path)
   }
 
@@ -587,7 +590,7 @@ object Similarity {
     val clusters = bm.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val stored = spark.read.parquet(path)
-      .filter(col("centroid_id").isin(clusters.toIndexedSeq: _*))
+      .filter(col("cpart").isin(clusters.toIndexedSeq: _*))
       .select(col("vid"), col("v"), col("csim"), col("kept"),
         col("centroid_id"))
       .localCheckpoint() // materialize BEFORE the overwrite starts
@@ -608,10 +611,12 @@ object Similarity {
       .select(col("vid"), col("v"), col("csim"),
         col("id_b").isNull.as("kept"), col("centroid_id"))
     newOld.unionByName(newBatch)
+      .withColumn("cpart", col("centroid_id"))
+      .repartition(col("cpart")) // one file per rewritten cluster
       .localCheckpoint()
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("centroid_id").parquet(path)
+      .partitionBy("cpart").parquet(path)
   }
 
   /** The serving read of a [[buildSemDedupState]] layout: survivors

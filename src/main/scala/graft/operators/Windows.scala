@@ -82,6 +82,37 @@ object Windows {
       .drop("__b", "__m", "__in", "__prev")
   }
 
+  /** Frequency-routed as-of carry — the [[sessionSummariesHybrid]]
+    * dispatch applied to the as-of family, closing the last plain-
+    * window scale-killer without a manual operator choice: keys with
+    * ≥ `hotThreshold` events route through [[asOfCarryBucketed]]
+    * (their single-task window sort is the ceiling the bucketed form
+    * exists for), the long tail through plain [[asOfCarry]] (for
+    * sparse keys the bucketed form's extra aggregation + join is pure
+    * overhead). One partial-aggregated count pass finds the hot set —
+    * small by definition, so both routing joins broadcast; a key
+    * rides exactly one route, so the union is disjoint and the result
+    * is bit-identical to [[asOfCarry]] with order (tsUs, tieBreak)
+    * (q94 gates that against the q20 oracle; both routed forms are
+    * individually gated — q20 plain, q89 bucketed). */
+  def asOfCarryHybrid(df: DataFrame, partKeys: Seq[String], tsUs: Column,
+                      tieBreak: Column, marked: Column, as: String,
+                      bucketUs: Long,
+                      hotThreshold: Long = 100000L): DataFrame = {
+    val keyCols = partKeys.map(col)
+    val hot = df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__kn"))
+      .filter(col("__kn") >= hotThreshold)
+      .select(keyCols: _*)
+    val hotCarry = asOfCarryBucketed(
+      df.join(broadcast(hot), partKeys, "left_semi"),
+      partKeys, tsUs, tieBreak, marked, as, bucketUs)
+    val coldCarry = asOfCarry(
+      df.join(broadcast(hot), partKeys, "left_anti"),
+      partKeys, Seq(tsUs.asc, tieBreak.asc), marked, as)
+    hotCarry.unionByName(coldCarry)
+  }
+
   /** Gap-based sessionization: a new session starts after STRICTLY MORE
     * than `gapMicros` of inactivity — the same boundary rule as Spark's
     * native `session_window` (verified on this build: an event at

@@ -90,6 +90,38 @@ class BucketedSessionSpec extends SparkSpec {
       s"pass-1 window is not bucket-partitioned:\n${p.take(3000)}")
   }
 
+  test("hybrid as-of routing equals the plain carry regardless of threshold") {
+    // same skewed fixture as the bucketed-equality test: hot user 0
+    // owns half the rows, seven sparse tails
+    val base = 1700000000000000L
+    val rows = (0L until 4000L).map { i =>
+      val user = if (i % 2 == 0) 0L else 1L + (i % 7)
+      val ts = base + i * 300000000L + (i % 11) * 7L
+      (i, user, ts, if (i % 53 == 0) "signup" else "view")
+    }
+    val df = rows.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    def marked = when($"event_type" === "signup", unix_micros($"ts"))
+    val plain = Windows.asOfCarry(df, Seq("user_id"),
+      Seq(unix_micros($"ts").asc, $"event_id".asc), marked, "carry")
+    val cols = Seq($"event_id", $"user_id", $"carry")
+    // threshold 1: all-bucketed; 1000: only user 0 hot (2000 rows vs
+    // ~286 per tail user); huge: all-plain — every routing mix must
+    // be bit-identical to the single window
+    Seq(1L, 1000L, Long.MaxValue).foreach { thr =>
+      val hybrid = Windows.asOfCarryHybrid(df, Seq("user_id"),
+        unix_micros($"ts"), $"event_id", marked, "carry",
+        bucketUs = 3600000000L, hotThreshold = thr)
+      assert(hybrid.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty &&
+        plain.select(cols: _*).exceptAll(hybrid.select(cols: _*)).isEmpty,
+        s"hybrid != plain at threshold $thr")
+    }
+    // at the splitting threshold, BOTH routes carry rows (the routing
+    // is real, not degenerate)
+    val hot = df.groupBy($"user_id").count().filter($"count" >= 1000L).count()
+    assert(hot == 1L, "fixture must route exactly the hot user bucketed")
+  }
+
   test("events exactly gap-apart merge; gap+1us splits (boundary rule parity)") {
     val base = 1700000000000000L
     val df = Seq(

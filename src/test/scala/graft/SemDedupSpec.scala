@@ -127,6 +127,99 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == Set(7L), s"tie must keep the lowest id, got $kept")
   }
 
+  test("fold == full recompute bit-exact, both keep rules; only receiving clusters touched") {
+    def vec(axis: Int, wiggle: Float): Array[Float] = {
+      val a = new Array[Float](dims); a(axis) = 1f; a(axis + 10) = wiggle; a
+    }
+    // corpus: three clusters + a lone vector; batch lands ONLY in
+    // clusters 0 and 1 (cluster 2 and the lone axis stay untouched)
+    val corpus = Seq(
+      (0L, vec(0, 0f)), (1L, vec(1, 0f)), (2L, vec(2, 0f)),
+      (10L, vec(0, 0.01f)), (11L, vec(1, 0.01f)),
+      (50L, vec(7, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (200L, vec(0, 0f)),       // clone of 0 → drops
+      (201L, vec(1, 0.02f)),    // near 1/11 → drops at tau .999
+      (202L, vec(0, 0.5f))      // cluster 0 but dissimilar → keeps
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(0, 0f)), (1L, vec(1, 0f)),
+        (2L, vec(2, 0f)), (50L, vec(7, 0f)))
+      .toDF("centroid_id", "centroid_vec")
+    for (farthest <- Seq(false, true)) {
+      val root = java.nio.file.Files.createTempDirectory("sem_fold").toString
+      Similarity.buildSemDedupState(corpus, s"$root/state", "vec_id",
+        "embedding", tau = 0.999, centroids = cents, keepFarthest = farthest)
+      // file inventory BEFORE the fold, per cluster partition
+      def inv(): Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/state"))
+          .iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files
+            .getLastModifiedTime(p).toMillis).toMap
+      }
+      val before = inv()
+      Similarity.foldSemDedupState(spark, s"$root/state", batch, "vec_id",
+        "embedding", tau = 0.999, centroids = cents, keepFarthest = farthest)
+      val after = inv()
+      // untouched clusters (cpart=2, cpart=50) keep their files verbatim
+      val untouched = before.keySet.filter(p =>
+        p.contains("cpart=2/") || p.contains("cpart=50/"))
+      assert(untouched.nonEmpty)
+      untouched.foreach { p =>
+        assert(after.contains(p) && after(p) == before(p),
+          s"unreceiving cluster file must be byte-untouched: $p")
+      }
+      // folded survivors == full recompute over corpus ∪ batch
+      val got = Similarity.semDedupKept(spark, s"$root/state")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Similarity.semDedup(corpus.unionByName(batch), "vec_id",
+          "embedding", tau = 0.999, centroids = Some(cents),
+          keepFarthest = farthest)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === full, s"farthest=$farthest fold=$got full=$full")
+      // and the fold's pruned read carries the cluster partition filter
+      val pruned = spark.read.parquet(s"$root/state")
+        .filter(col("cpart").isin(0L, 1L))
+      val planStr = pruned.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters: [cpart"),
+        planStr.take(2000))
+    }
+  }
+
+  test("state keeps dropped members: a dropped witness still drops a newcomer") {
+    // similarity is NOT transitive: corpus a(id 1) ~ b(id 2) with
+    // cos ≥ tau drops b; batch c is similar to b but NOT to a. The
+    // full recompute drops c (witness b precedes it) — kept-only
+    // state would keep c and silently diverge. The persisted state
+    // retains b precisely for this.
+    def lean(w: Float): Array[Float] = {
+      val a = new Array[Float](dims); a(3) = 1f; a(4) = w; a
+    }
+    // cos(lean(0), lean(0.3)) ≈ 0.958; cos(lean(0.3), lean(0.6)) ≈ .97
+    // cos(lean(0), lean(0.6)) ≈ 0.857 — pick tau = 0.95
+    val corpus = Seq((1L, lean(0f)), (2L, lean(0.3f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((3L, lean(0.6f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, lean(0.3f))).toDF("centroid_id", "centroid_vec")
+    val root = java.nio.file.Files.createTempDirectory("sem_wit").toString
+    Similarity.buildSemDedupState(corpus, s"$root/state", "vec_id",
+      "embedding", tau = 0.95, centroids = cents)
+    assert(Similarity.semDedupKept(spark, s"$root/state")
+      .select("vec_id").as[Long].collect().toSet == Set(1L),
+      "corpus: 2 drops against 1")
+    Similarity.foldSemDedupState(spark, s"$root/state", batch, "vec_id",
+      "embedding", tau = 0.95, centroids = cents)
+    val got = Similarity.semDedupKept(spark, s"$root/state")
+      .select("vec_id").as[Long].collect().toSet
+    val full = Similarity.semDedup(corpus.unionByName(batch), "vec_id",
+        "embedding", tau = 0.95, centroids = Some(cents))
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === full)
+    assert(got == Set(1L),
+      s"dropped member 2 must still witness-drop newcomer 3, got $got")
+  }
+
   test("equal-cosine assignment tiebreaks to the lowest centroid id") {
     def unit(axis: Int): Array[Float] = {
       val a = new Array[Float](dims); a(axis) = 1f; a
