@@ -120,8 +120,15 @@ object Bench {
     // the per-query numbers, so report the one-time cost explicitly
     // instead of letting it hide in whichever entry ran first.
     val streamPass = SparkEntry.streamSharedPassSeconds.getOrElse(sfDir, 0.0)
+    // per-phase profile of the shared pass (seed/start/drain/
+    // materialize) — keeps the pass's fixed overhead attributable
+    // instead of drifting unmeasured (r11 watch item)
+    val streamPhases = SparkEntry.streamSharedPassPhases.toSeq
+      .collect { case (k, v) if k.startsWith(s"$sfDir|") =>
+        s""""${k.substring(sfDir.length + 1)}":${"%.3f".format(v)}""" }
+      .sorted.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"calib_sec":$calibSec,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"stream_pass_phases":$streamPhases,"calib_sec":$calibSec,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
     // stdout goes through sbt's "[info] " prefix, which broke the
     // driver's JSON extraction in round 1 — also land the raw line in a
     // well-known file.

@@ -359,6 +359,10 @@ object SparkEntry {
       Graph.buildContribStore(q82Edges(s, d), store, "src", "dst", 32)
       Graph.appendToContribStore(s, store, q91BatchEdges(s, d),
         "src", "dst", 32)
+      // maintenance pass: squash the append's file accumulation; the
+      // q91 gate then serves ranks from the COMPACTED store — the
+      // row-identity contract is oracle-checked, not assumed
+      graft.operators.StoreCompaction.compactStore(s, store)
       sys.addShutdownHook { rmTreeQuiet(tmp) }
       store
     })
@@ -735,6 +739,17 @@ object SparkEntry {
   private val streamPassSecsMap =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
+  /** Per-phase wall seconds of the LAST shared pass (seed / start /
+    * drain / materialize) — the profile that keeps the pass's fixed
+    * overhead honest (r11 watch item: 13.6 → 17.1 s with nobody
+    * measuring where). Keyed "dir|phase". */
+  private val streamPassPhaseSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def streamSharedPassPhases: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    streamPassPhaseSecs.asScala.toMap
+  }
+
   /** Wall seconds the shared streaming pass took, keyed by sf dir —
     * reported by Bench as stream_shared_pass_sec. */
   def streamSharedPassSeconds: Map[String, Double] = {
@@ -764,6 +779,12 @@ object SparkEntry {
 
   private def runStreamPass(s: SparkSession, dir: String): Map[String, String] = {
     val t0 = System.nanoTime()
+    def phase[A](name: String)(body: => A): A = {
+      val p0 = System.nanoTime()
+      try body
+      finally streamPassPhaseSecs.put(s"$dir|$name",
+        (System.nanoTime() - p0) / 1e9)
+    }
     val outRoot = java.nio.file.Files.createTempDirectory("stream_pass")
     sys.addShutdownHook(rmTreeQuiet(outRoot))
     val jobs = streamJobs(s, dir)
@@ -783,22 +804,25 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
-        jobs.foreach { j =>
+        phase("start_mem") { jobs.foreach { j =>
           val ck = java.nio.file.Files.createTempDirectory(checkpointRoot, j.table)
           cks += ck
           started += j.stream().writeStream.format("memory").queryName(j.table)
             .option("checkpointLocation", ck.toString)
             .outputMode(j.mode).start()
-        }
+        } }
         // s5: foreachBatch incremental mart over the ordered 3-file
         // staging — not a memory sink, publishes into versioned staging
+        phase("seed_s5") {
         val s5ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s5_ck")
         cks += s5ck
         started += graft.streaming.StreamingJobs.streamingIncrementalMart(
           s, stagedEventsSplitDir(s, dir), eventsStreamSchema(s, dir), martRoot,
           s5ck.toString, maxFilesPerTrigger = Some(1))
+        }
         // s9: foreachBatch CDC apply — state root seeded with the q77
         // OLD snapshot, the diff stream converges it to the NEW one
+        phase("seed_s9") {
         graft.operators.VersionedStaging.publish(s, s9Root,
           q77Fixture(s, dir)._1)
         val s9ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s9_ck")
@@ -806,9 +830,11 @@ object SparkEntry {
         started += graft.streaming.StreamingJobs.applyCdcStream(
           s, stagedCdcSplitDir(s, dir), cdcStreamSchema, s9Root,
           Seq("doc_id"), s9ck.toString, maxFilesPerTrigger = Some(1))
+        }
         // s11: foreachBatch incremental near-dup — index root seeded
         // with the corpus MinHash index, the clone stream probes AND
         // grows it batch by batch (see streamingIncrementalNearDup)
+        phase("seed_s11") {
         graft.operators.VersionedStaging.publish(s, s11Index,
           DedupSuite.minhashIndex(
             Tables.documents(s, dir).select(col("doc_id"), col("text")),
@@ -818,9 +844,11 @@ object SparkEntry {
         started += graft.streaming.StreamingJobs.streamingIncrementalNearDup(
           s, stagedNearDupSplitDir(s, dir), nearDupStreamSchema, s11Index,
           s11Pairs, s11ck.toString, maxFilesPerTrigger = Some(1))
+        }
         // s12: foreachBatch ANN serving — query stream scored against
         // a STATIC PQ index precomputed from the corpus (the e9
         // codebook/encoder); stream stateless, index never reshuffled
+        phase("seed_s12") {
         val s12emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
         val s12cb = Similarity.pqCodebook(
@@ -833,11 +861,13 @@ object SparkEntry {
           s, stagedAnnQuerySplitDir(s, dir), annStreamSchema, s12cb,
           s12codes, s12Out, s12ck.toString, k = 5, m = 8, dims = 64,
           maxFilesPerTrigger = Some(1))
+        }
         // s13: foreachBatch incremental IVF ingest — index seeded from
         // the corpus with FROZEN centroids, the clone stream appends
         // into the centroid partitions batch by batch (corpus never
         // re-read); queries served from the grown index after the
         // stream drains match e10's full-pipeline oracle bit-for-bit
+        phase("seed_s13") {
         val s13cent = Similarity.buildIvfIndex(
           Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
           s"$s13Index/index", "vec_id", "embedding", 16)
@@ -852,11 +882,13 @@ object SparkEntry {
           s"$s13Index/index",
           s.read.parquet(s"$s13Index/centroids"), s13ck.toString,
           maxFilesPerTrigger = Some(1))
+        }
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       }
-      started.foreach(_.processAllAvailable())
+      phase("drain") { started.foreach(_.processAllAvailable()) }
+      phase("materialize") {
       val memResults = jobs.map { j =>
         val out = outRoot.resolve(j.entry)
         j.post(s.table(j.table)).write.parquet(out.toString)
@@ -883,7 +915,11 @@ object SparkEntry {
         .write.parquet(s12out.toString)
       // s13: serve from the stream-grown IVF index — must equal the
       // e10 full-pipeline oracle (frozen centroids make the grown
-      // index bit-identical to a rebuild over corpus ∪ batches)
+      // index bit-identical to a rebuild over corpus ∪ batches).
+      // The index is COMPACTED first (each streamed batch appended
+      // its own file set per centroid partition): the gate below
+      // proves post-compaction serving is hash-identical.
+      graft.operators.StoreCompaction.compactStore(s, s"$s13Index/index")
       val s13out = outRoot.resolve("s13_stream_ivf_ingest")
       Similarity.queryIvfIndex(s, s"$s13Index/index",
           s.read.parquet(s"$s13Index/centroids"),
@@ -895,6 +931,7 @@ object SparkEntry {
         "s11_stream_near_dup" -> s11out.toString,
         "s12_stream_ann_serve" -> s12out.toString,
         "s13_stream_ivf_ingest" -> s13out.toString)
+      } // end phase("materialize")
     } finally {
       started.foreach(q => try q.stop() catch { case _: Throwable => () })
       // sink tables were materialized above; drop them so the memory

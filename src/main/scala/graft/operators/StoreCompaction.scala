@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** Small-files maintenance for the persisted serving stores (q91
+  * contribution buckets, q92 key buckets, d19 minhash index, e13
+  * `/codes`, d23 SemDeDup state): every incremental append lands one
+  * file set per partition per batch, so a store ingesting daily for a
+  * year serves from hundreds of files per partition — at 100 TB that
+  * is planning-time listing, footer-reading, and task-granularity
+  * death. [[compactStore]] rewrites each oversized partition in place
+  * into ~`targetBytes` files.
+  *
+  * Protocol, per partition directory (the VersionedStaging
+  * stage-then-atomically-publish discipline applied at partition
+  * granularity — the whole-store republish it replaces would rescan
+  * 100 TB to fix file counts):
+  *
+  *  1. Write the compacted replacement under
+  *     `<root>/.compact_stage/<partition>` (dot-prefixed: invisible
+  *     to Spark readers). Spark commits `_SUCCESS` last, so a staged
+  *     dir with `_SUCCESS` is complete by construction.
+  *  2. `rename(partition, .compact_trash/partition)` then
+  *     `rename(staged, partition)` — two atomic renames; no reader
+  *     ever observes a HALF-WRITTEN partition (the failure mode of
+  *     compact-in-place-by-append), though between the two renames
+  *     the partition is briefly ABSENT, the same window Spark's own
+  *     dynamic partition overwrite has. Single-maintainer contract,
+  *     like every store writer here.
+  *  3. Drop the trash.
+  *
+  * A crash at ANY step is convergent: [[repairStore]] (run on entry)
+  * finishes a swap whose staged partition is committed but not yet
+  * in place, and discards uncommitted staging / superseded trash —
+  * the same replay-converges discipline as the streaming IVF append.
+  * Data is never both absent from the partition and absent from
+  * (stage ∪ trash).
+  *
+  * Correctness contract: the compacted store is ROW-IDENTICAL to the
+  * original (same rows, same per-partition placement, only file
+  * grouping changes), so every serving gate that read the store
+  * before compaction must hash-match after — q91 and s13 run their
+  * oracle gates over post-compaction stores.
+  */
+object StoreCompaction {
+
+  final case class CompactionReport(partitionsCompacted: Int,
+                                    filesBefore: Long, filesAfter: Long)
+
+  private def isDataFile(p: Path): Boolean = {
+    val n = p.getFileName.toString
+    n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+  }
+
+  private def partitionDirs(root: Path): Seq[Path] =
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("=") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(_.getFileName.toString)
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+  /** Converge a store out of any crashed [[compactStore]] state:
+    * committed staged partitions missing from the root are moved
+    * into place; everything else in stage/trash is superseded or
+    * uncommitted and is dropped. Idempotent; safe on a clean store. */
+  def repairStore(path: String): Unit = {
+    val root = Paths.get(path)
+    val stageRoot = root.resolve(".compact_stage")
+    val trashRoot = root.resolve(".compact_trash")
+    if (Files.exists(stageRoot)) {
+      Files.list(stageRoot).iterator().asScala.toSeq.foreach { staged =>
+        val target = root.resolve(staged.getFileName.toString)
+        val committed = Files.exists(staged.resolve("_SUCCESS"))
+        if (committed && !Files.exists(target)) {
+          // crash between the two renames: finish the publish
+          Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          // either uncommitted (crash mid-stage) or the partition is
+          // still/already in place (crash before the first rename or
+          // a stale retry) — the store is intact, drop the stage
+          deleteRecursively(staged)
+        }
+      }
+      if (!Files.list(stageRoot).iterator().hasNext) Files.delete(stageRoot)
+    }
+    if (Files.exists(trashRoot)) deleteRecursively(trashRoot)
+  }
+
+  /** Compact every partition of a hive-partitioned parquet store that
+    * holds ≥ `minFiles` data files into ceil(bytes / targetBytes)
+    * files, in place, atomically per partition (see object notes).
+    * Partitions below the threshold are untouched — their files are
+    * not rewritten, read, or even opened, so repeated maintenance
+    * runs cost only the delta since the last one. Returns what was
+    * done; `log()`-style accounting, no silent work. */
+  def compactStore(spark: SparkSession, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   minFiles: Int = 2): CompactionReport = {
+    require(targetBytes > 0 && minFiles >= 2,
+      "targetBytes must be positive and minFiles at least 2")
+    repairStore(path)
+    val root = Paths.get(path)
+    var compacted = 0
+    var before = 0L
+    var after = 0L
+    partitionDirs(root).foreach { part =>
+      val dataFiles = Files.list(part).iterator().asScala
+        .filter(isDataFile).toSeq
+      before += dataFiles.size
+      if (dataFiles.size >= minFiles) {
+        val bytes = dataFiles.map(Files.size).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val staged = root.resolve(".compact_stage")
+          .resolve(part.getFileName.toString)
+        spark.read.parquet(part.toString)
+          .repartition(nOut)
+          .write.mode("overwrite").parquet(staged.toString)
+        val trash = root.resolve(".compact_trash")
+          .resolve(part.getFileName.toString)
+        Files.createDirectories(trash.getParent)
+        Files.move(part, trash, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staged, part, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(trash)
+        compacted += 1
+        after += nOut
+      } else after += dataFiles.size
+    }
+    val stageRoot = root.resolve(".compact_stage")
+    if (Files.exists(stageRoot) &&
+      !Files.list(stageRoot).iterator().hasNext) Files.delete(stageRoot)
+    CompactionReport(compacted, before, after)
+  }
+
+  /** File count per partition directory — the observable compaction
+    * moves; exposed for specs and soak accounting. */
+  def partitionFileCounts(path: String): Map[String, Int] =
+    partitionDirs(Paths.get(path)).map { part =>
+      part.getFileName.toString ->
+        Files.list(part).iterator().asScala.count(isDataFile)
+    }.toMap
+}
