@@ -788,9 +788,30 @@ object SparkEntry {
     val outRoot = java.nio.file.Files.createTempDirectory("stream_pass")
     sys.addShutdownHook(rmTreeQuiet(outRoot))
     val jobs = streamJobs(s, dir)
+    // seed jobs and materialization writes are independent Spark
+    // actions — run them concurrently on a bounded pool (the r12
+    // profile: 7.8 s of sequential materialize writes + ~8 s of
+    // sequential seeds dominated the 17 s pass)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def inParallel(tasks: Seq[() => Unit]): Unit =
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          tasks.map(t => scala.concurrent.Future(t()))),
+        scala.concurrent.duration.Duration.Inf)
     val cks = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
     val started =
       scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+    def track(q: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val qq = q
+      started.synchronized { started += qq }
+    }
+    def trackCk(name: String): java.nio.file.Path = {
+      val ck = java.nio.file.Files.createTempDirectory(checkpointRoot, name)
+      cks.synchronized { cks += ck }
+      ck
+    }
     val martRoot = s5MartRoot(dir)
     val s9Root = s9StateRoot(dir)
     val s11Index = s11Root(dir, "index")
@@ -804,135 +825,139 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
-        phase("start_mem") { jobs.foreach { j =>
-          val ck = java.nio.file.Files.createTempDirectory(checkpointRoot, j.table)
-          cks += ck
-          started += j.stream().writeStream.format("memory").queryName(j.table)
-            .option("checkpointLocation", ck.toString)
-            .outputMode(j.mode).start()
-        } }
-        // s5: foreachBatch incremental mart over the ordered 3-file
-        // staging — not a memory sink, publishes into versioned staging
-        phase("seed_s5") {
-        val s5ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s5_ck")
-        cks += s5ck
-        started += graft.streaming.StreamingJobs.streamingIncrementalMart(
-          s, stagedEventsSplitDir(s, dir), eventsStreamSchema(s, dir), martRoot,
-          s5ck.toString, maxFilesPerTrigger = Some(1))
-        }
-        // s9: foreachBatch CDC apply — state root seeded with the q77
-        // OLD snapshot, the diff stream converges it to the NEW one
-        phase("seed_s9") {
-        graft.operators.VersionedStaging.publish(s, s9Root,
-          q77Fixture(s, dir)._1)
-        val s9ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s9_ck")
-        cks += s9ck
-        started += graft.streaming.StreamingJobs.applyCdcStream(
-          s, stagedCdcSplitDir(s, dir), cdcStreamSchema, s9Root,
-          Seq("doc_id"), s9ck.toString, maxFilesPerTrigger = Some(1))
-        }
-        // s11: foreachBatch incremental near-dup — index root seeded
-        // with the corpus MinHash index, the clone stream probes AND
-        // grows it batch by batch (see streamingIncrementalNearDup)
-        phase("seed_s11") {
-        graft.operators.VersionedStaging.publish(s, s11Index,
-          DedupSuite.minhashIndex(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            "doc_id", "text", n = 3, k = 16, bands = 4))
-        val s11ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s11_ck")
-        cks += s11ck
-        started += graft.streaming.StreamingJobs.streamingIncrementalNearDup(
-          s, stagedNearDupSplitDir(s, dir), nearDupStreamSchema, s11Index,
-          s11Pairs, s11ck.toString, maxFilesPerTrigger = Some(1))
-        }
-        // s12: foreachBatch ANN serving — query stream scored against
-        // a STATIC PQ index precomputed from the corpus (the e9
-        // codebook/encoder); stream stateless, index never reshuffled
-        phase("seed_s12") {
-        val s12emb = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"))
-        val s12cb = Similarity.pqCodebook(
-          s12emb, "vec_id", "embedding", m = 8, dims = 64, nCodes = 16)
-        val s12codes = Similarity.pqEncode(
-          s12emb, s12cb, "vec_id", "embedding", m = 8, dims = 64)
-        val s12ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s12_ck")
-        cks += s12ck
-        started += graft.streaming.StreamingJobs.streamingAnnServe(
-          s, stagedAnnQuerySplitDir(s, dir), annStreamSchema, s12cb,
-          s12codes, s12Out, s12ck.toString, k = 5, m = 8, dims = 64,
-          maxFilesPerTrigger = Some(1))
-        }
-        // s13: foreachBatch incremental IVF ingest — index seeded from
-        // the corpus with FROZEN centroids, the clone stream appends
-        // into the centroid partitions batch by batch (corpus never
-        // re-read); queries served from the grown index after the
-        // stream drains match e10's full-pipeline oracle bit-for-bit
-        phase("seed_s13") {
-        val s13cent = Similarity.buildIvfIndex(
-          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-          s"$s13Index/index", "vec_id", "embedding", 16)
-        // persist the frozen centroids beside the index (floats
-        // roundtrip parquet exactly) — the post-drain serve reads
-        // them back, the e10 store layout
-        s13cent.write.mode("overwrite").parquet(s"$s13Index/centroids")
-        val s13ck = java.nio.file.Files.createTempDirectory(checkpointRoot, "s13_ck")
-        cks += s13ck
-        started += graft.streaming.StreamingJobs.streamingIvfIngest(
-          s, stagedIvfIngestSplitDir(s, dir), annStreamSchema,
-          s"$s13Index/index",
-          s.read.parquet(s"$s13Index/centroids"), s13ck.toString,
-          maxFilesPerTrigger = Some(1))
-        }
+        // all seeds + stream starts are mutually independent: each
+        // owns its store/checkpoint; they fan out on the pool and the
+        // per-phase timers keep their costs individually attributable
+        inParallel(Seq(
+          () => phase("start_mem") { jobs.foreach { j =>
+            track(j.stream().writeStream.format("memory").queryName(j.table)
+              .option("checkpointLocation", trackCk(j.table).toString)
+              .outputMode(j.mode).start())
+          } },
+          // s5: foreachBatch incremental mart over the ordered 3-file
+          // staging — not a memory sink, publishes into versioned staging
+          () => phase("seed_s5") {
+            track(graft.streaming.StreamingJobs.streamingIncrementalMart(
+              s, stagedEventsSplitDir(s, dir), eventsStreamSchema(s, dir),
+              martRoot, trackCk("s5_ck").toString, maxFilesPerTrigger = Some(1)))
+          },
+          // s9: foreachBatch CDC apply — state root seeded with the q77
+          // OLD snapshot, the diff stream converges it to the NEW one
+          () => phase("seed_s9") {
+            graft.operators.VersionedStaging.publish(s, s9Root,
+              q77Fixture(s, dir)._1)
+            track(graft.streaming.StreamingJobs.applyCdcStream(
+              s, stagedCdcSplitDir(s, dir), cdcStreamSchema, s9Root,
+              Seq("doc_id"), trackCk("s9_ck").toString,
+              maxFilesPerTrigger = Some(1)))
+          },
+          // s11: foreachBatch incremental near-dup — index root seeded
+          // with the corpus MinHash index, the clone stream probes AND
+          // grows it batch by batch (see streamingIncrementalNearDup)
+          () => phase("seed_s11") {
+            graft.operators.VersionedStaging.publish(s, s11Index,
+              DedupSuite.minhashIndex(
+                Tables.documents(s, dir).select(col("doc_id"), col("text")),
+                "doc_id", "text", n = 3, k = 16, bands = 4))
+            track(graft.streaming.StreamingJobs.streamingIncrementalNearDup(
+              s, stagedNearDupSplitDir(s, dir), nearDupStreamSchema, s11Index,
+              s11Pairs, trackCk("s11_ck").toString,
+              maxFilesPerTrigger = Some(1)))
+          },
+          // s12: foreachBatch ANN serving — query stream scored against
+          // a STATIC PQ index precomputed from the corpus (the e9
+          // codebook/encoder); stream stateless, index never reshuffled
+          () => phase("seed_s12") {
+            val s12emb = Tables.embeddings(s, dir)
+              .select(col("vec_id"), col("embedding"))
+            val s12cb = Similarity.pqCodebook(
+              s12emb, "vec_id", "embedding", m = 8, dims = 64, nCodes = 16)
+            val s12codes = Similarity.pqEncode(
+              s12emb, s12cb, "vec_id", "embedding", m = 8, dims = 64)
+            track(graft.streaming.StreamingJobs.streamingAnnServe(
+              s, stagedAnnQuerySplitDir(s, dir), annStreamSchema, s12cb,
+              s12codes, s12Out, trackCk("s12_ck").toString, k = 5, m = 8,
+              dims = 64, maxFilesPerTrigger = Some(1)))
+          },
+          // s13: foreachBatch incremental IVF ingest — index seeded from
+          // the corpus with FROZEN centroids, the clone stream appends
+          // into the centroid partitions batch by batch (corpus never
+          // re-read); queries served from the grown index after the
+          // stream drains match e10's full-pipeline oracle bit-for-bit
+          () => phase("seed_s13") {
+            val s13cent = Similarity.buildIvfIndex(
+              Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+              s"$s13Index/index", "vec_id", "embedding", 16)
+            // persist the frozen centroids beside the index (floats
+            // roundtrip parquet exactly) — the post-drain serve reads
+            // them back, the e10 store layout
+            s13cent.write.mode("overwrite").parquet(s"$s13Index/centroids")
+            track(graft.streaming.StreamingJobs.streamingIvfIngest(
+              s, stagedIvfIngestSplitDir(s, dir), annStreamSchema,
+              s"$s13Index/index",
+              s.read.parquet(s"$s13Index/centroids"),
+              trackCk("s13_ck").toString, maxFilesPerTrigger = Some(1)))
+          }))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       }
       phase("drain") { started.foreach(_.processAllAvailable()) }
       phase("materialize") {
-      val memResults = jobs.map { j =>
-        val out = outRoot.resolve(j.entry)
-        j.post(s.table(j.table)).write.parquet(out.toString)
-        j.entry -> out.toString
-      }.toMap
-      val latest = graft.operators.VersionedStaging.latestComplete(s, martRoot)
-        .getOrElse(sys.error("stream pass: no mart version published"))
-      val s5out = outRoot.resolve("s5_stream_mart")
-      Marts.finalizeDaily(s.read.parquet(latest)).write.parquet(s5out.toString)
-      val s9latest = graft.operators.VersionedStaging.latestComplete(s, s9Root)
-        .getOrElse(sys.error("stream pass: no s9 CDC state published"))
-      val s9out = outRoot.resolve("s9_stream_cdc_apply")
-      s.read.parquet(s9latest).write.parquet(s9out.toString)
+      // every output write is an independent Spark action over its own
+      // drained state — fan out (was 7.8 s of the 17 s pass serially)
+      val memTasks: Seq[(String, () => Unit)] = jobs.map { j =>
+        j.entry -> (() =>
+          j.post(s.table(j.table)).write
+            .parquet(outRoot.resolve(j.entry).toString))
+      }
+      val s5Task = "s5_stream_mart" -> { () =>
+        val latest = graft.operators.VersionedStaging.latestComplete(s, martRoot)
+          .getOrElse(sys.error("stream pass: no mart version published"))
+        Marts.finalizeDaily(s.read.parquet(latest))
+          .write.parquet(outRoot.resolve("s5_stream_mart").toString)
+      }
+      val s9Task = "s9_stream_cdc_apply" -> { () =>
+        val s9latest = graft.operators.VersionedStaging.latestComplete(s, s9Root)
+          .getOrElse(sys.error("stream pass: no s9 CDC state published"))
+        s.read.parquet(s9latest)
+          .write.parquet(outRoot.resolve("s9_stream_cdc_apply").toString)
+      }
       // s11: the accumulated pair output across the three probes (the
       // partition column `batch` is harness plumbing, not output)
-      val s11out = outRoot.resolve("s11_stream_near_dup")
-      s.read.parquet(s11Pairs)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .write.parquet(s11out.toString)
+      val s11Task = "s11_stream_near_dup" -> { () =>
+        s.read.parquet(s11Pairs)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .write.parquet(outRoot.resolve("s11_stream_near_dup").toString)
+      }
       // s12: accumulated per-batch top-k (batch partition = plumbing)
-      val s12out = outRoot.resolve("s12_stream_ann_serve")
-      s.read.parquet(s12Out)
-        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rnk"))
-        .write.parquet(s12out.toString)
+      val s12Task = "s12_stream_ann_serve" -> { () =>
+        s.read.parquet(s12Out)
+          .select(col("query_id"), col("neighbor_id"), col("adist"), col("rnk"))
+          .write.parquet(outRoot.resolve("s12_stream_ann_serve").toString)
+      }
       // s13: serve from the stream-grown IVF index — must equal the
       // e10 full-pipeline oracle (frozen centroids make the grown
       // index bit-identical to a rebuild over corpus ∪ batches).
       // The index is COMPACTED first (each streamed batch appended
       // its own file set per centroid partition): the gate below
       // proves post-compaction serving is hash-identical.
-      graft.operators.StoreCompaction.compactStore(s, s"$s13Index/index")
-      val s13out = outRoot.resolve("s13_stream_ivf_ingest")
-      Similarity.queryIvfIndex(s, s"$s13Index/index",
-          s.read.parquet(s"$s13Index/centroids"),
-          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5, nProbe = 4)
-        .write.parquet(s13out.toString)
-      memResults ++ Map("s5_stream_mart" -> s5out.toString,
-        "s9_stream_cdc_apply" -> s9out.toString,
-        "s11_stream_near_dup" -> s11out.toString,
-        "s12_stream_ann_serve" -> s12out.toString,
-        "s13_stream_ivf_ingest" -> s13out.toString)
+      val s13Task = "s13_stream_ivf_ingest" -> { () =>
+        graft.operators.StoreCompaction.compactStore(s, s"$s13Index/index")
+        Similarity.queryIvfIndex(s, s"$s13Index/index",
+            s.read.parquet(s"$s13Index/centroids"),
+            Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+            "vec_id", "embedding", k = 5, nProbe = 4)
+          .write.parquet(outRoot.resolve("s13_stream_ivf_ingest").toString)
+      }
+      val tasks = memTasks ++ Seq(s5Task, s9Task, s11Task, s12Task, s13Task)
+      inParallel(tasks.map(_._2))
+      tasks.map { case (entry, _) =>
+        entry -> outRoot.resolve(entry).toString
+      }.toMap
       } // end phase("materialize")
     } finally {
+      pool.shutdown()
       started.foreach(q => try q.stop() catch { case _: Throwable => () })
       // sink tables were materialized above; drop them so the memory
       // sink doesn't pin every result in the driver heap
