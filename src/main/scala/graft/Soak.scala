@@ -277,6 +277,38 @@ object Soak {
     require(megaTotals._2 == nMega * 9 + 1,
       s"mega-banner kept drift: ${megaTotals._2} != ${nMega * 9 + 1}")
 
+    // 11b. EXACT-SUBSTRING removal (d25) on a 100k-doc replicated
+    // corpus: every 10th doc STARTS with the same 12-token boilerplate
+    // run, followed by doc-unique filler (so the only duplicated
+    // 8-windows are the 5 inside the run — cross-boundary windows are
+    // unique by construction and closed-form accounting is exact).
+    // Invariants: the lexicographically first boilerplate doc keeps
+    // its run; every other carrier loses EXACTLY the 12 run tokens;
+    // clean docs lose nothing; token counts conserve.
+    val nSub = 100000L
+    val (subStats, tSubstr) = time {
+      val boiler = (0 until 12).map(i => s"boiler$i").mkString(" ")
+      val filler = array_join(transform(sequence(lit(0), lit(87)),
+        j => concat(lit("u"), col("id"), lit("x"), j)), " ")
+      val subDocs = spark.range(nSub).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, concat(lit(boiler + " "), filler))
+          .otherwise(filler).as("text"))
+      val out = DedupSuite.exactSubstrDedup(subDocs, "doc_id", "text", 8)
+        .persist()
+      val removedTotal = out.agg(sum(col("n_removed"))).head().getLong(0)
+      val untouched = out.filter(col("n_removed") === 0).count()
+      val keeper = out.filter(col("doc_id") === 0)
+        .head().getString(1)
+      out.unpersist()
+      (removedTotal, untouched, keeper.startsWith("boiler0 boiler1"))
+    }
+    val nCarriers = nSub / 10
+    require(subStats._1 == (nCarriers - 1) * 12,
+      s"d25 soak: removed ${subStats._1} != ${(nCarriers - 1) * 12} tokens")
+    require(subStats._2 == nSub - nCarriers + 1,
+      s"d25 soak: ${subStats._2} untouched docs, expected ${nSub - nCarriers + 1}")
+    require(subStats._3, "d25 soak: doc 0 must keep its boilerplate run")
+
     // 12. sequence packing at full soak volume with DERIVED shard
     // count (production target 1M docs/shard -> ~n/1M shards): each
     // shard's cumulative-sum window is a bounded ~1M-row sort task and
@@ -311,6 +343,7 @@ object Soak {
          |"component_nodes":$nNodes,"contaminated_docs":$nContam,
          |"paragraphs":${paraTotals._1},"distinct_paragraphs":${paraTotals._2},
          |"mega_paragraphs":${megaTotals._1},"mega_kept":${megaTotals._2},
+         |"substr_docs":$nSub,"substr_removed":${subStats._1},
          |"pack_shards":${packStats._1},"pack_tokens":${packStats._2},
          |"bloom_fresh":$bloomFresh,"bloom_seen_kept":$keptSeen,
          |"bloom_seen_total":${bs.seenTotal},
@@ -323,7 +356,8 @@ object Soak {
          |"skew_join_aqe_off":$tJoinNoOpt,"skew_join_aqe_on":$tJoinOpt,
          |"text_dedup":$tDedup,"connected_components":$tComp,
          |"contamination":$tContam,"paragraph_dedup":$tPara,
-         |"mega_banner_dedup":$tMega,"pack_derived_shards":$tPack,
+         |"mega_banner_dedup":$tMega,"exact_substr_100k":$tSubstr,
+         |"pack_derived_shards":$tPack,
          |"ingest_anti_plain":$tAntiPlain,"ingest_anti_bloom":$tAntiBloom,
          |"bloom_probe":$tBloomProbe}}"""
         .stripMargin.replace("\n", ""))

@@ -2110,6 +2110,24 @@ object SparkEntry {
       "d16_span_coverage" -> ((s, dir) =>
         DedupSuite.spanCoverage(corpusExact(s, dir), "doc_id", "text", 5)),
 
+      // ---- ExactSubstr-style duplicate-span REMOVAL (d25): the one
+      // standard public LLM-dedup modality d11 (paragraph) and d16
+      // (coverage scoring) do not provide — cross-document repeated
+      // token windows (length 8) are cut from every occurrence but
+      // the lexicographically first, and the cleaned text re-emitted.
+      // Planted: every 7th doc carries a shared 12-token boilerplate
+      // suffix, so its windows duplicate corpus-wide and exactly one
+      // doc keeps them. Oracle: the same window/keep-first/coverage
+      // relational pipeline in DuckDB SQL, matched bit-for-bit
+      // (clean_text is compared as a STRING — token order proof).
+      "d25_exact_substr" -> ((s, dir) =>
+        DedupSuite.exactSubstrDedup(
+          Tables.documents(s, dir).select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(exactSubstrBoiler)))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text", l = 8)),
+
       // All-pairs cosine ≥ 0.9 over sparse tf vectors WITHOUT the
       // naive all-pairs join: Bayardo prefix filtering + partial-score
       // pruning bound the candidate set, then an integer-exact verify
@@ -3734,6 +3752,11 @@ object SparkEntry {
   // Shared oracle fragments (DuckDB SQL twins of TextFunctions).
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** The d25 planted boilerplate: 12 tokens (> the window length 8),
+    * appended to every 7th doc on BOTH the Spark and oracle side. */
+  private val exactSubstrBoiler =
+    " shared license boilerplate alpha beta gamma delta epsilon zeta eta theta iota"
   private def hash32Sql(salt: Int, v: String): String =
     s"CAST(('0x' || substr(md5('$salt:' || $v), 1, 8)) AS BIGINT)"
   private val shinglesSql =
@@ -4922,6 +4945,43 @@ object SparkEntry {
          |            THEN CAST(COALESCE(a.n_covered, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
          |            ELSE 0.0 END AS dup_span_frac
          |FROM b LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // d25: the same window/keep-first/coverage pipeline in SQL.
+    // keep-first via ROW_NUMBER(rn=1) == Spark's min(struct)+count>=2
+    // (both select all occurrences except the lexicographic minimum
+    // of keys occurring at least twice); covered-token test is a
+    // RANGE window over contiguous positions; cleaned text rebuilt
+    // with an ordered FILTERed string_agg.
+    "d25_exact_substr" ->
+      s"""WITH src AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0
+         |              THEN text || '$exactSubstrBoiler'
+         |              ELSE text END AS text
+         |       FROM documents),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM src),
+         |occ AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS wpos, toks
+         |        FROM tk WHERE len(toks) >= 8),
+         |k AS (SELECT doc_id, wpos,
+         |        array_to_string(toks[wpos+1:wpos+8], ' ') AS wkey FROM occ),
+         |r AS (SELECT doc_id, wpos,
+         |        ROW_NUMBER() OVER (PARTITION BY wkey
+         |          ORDER BY doc_id ASC, wpos ASC) AS rn FROM k),
+         |m AS (SELECT doc_id, wpos FROM r WHERE rn > 1),
+         |t AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM tk),
+         |tok AS (SELECT doc_id, p, toks[p+1] AS tok FROM t),
+         |f AS (SELECT tok.doc_id, tok.p, tok.tok,
+         |        CASE WHEN m.wpos IS NOT NULL THEN 1 ELSE 0 END AS flag
+         |      FROM tok LEFT JOIN m
+         |        ON tok.doc_id = m.doc_id AND tok.p = m.wpos),
+         |c AS (SELECT doc_id, p, tok,
+         |        MAX(flag) OVER (PARTITION BY doc_id ORDER BY p ASC
+         |          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+         |      FROM f)
+         |SELECT doc_id,
+         |       COALESCE(string_agg(tok, ' ' ORDER BY p ASC)
+         |         FILTER (WHERE cov = 0), '') AS clean_text,
+         |       CAST(SUM(cov) AS BIGINT) AS n_removed
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     // Naive all-pairs form over the same bounded doc slice — the
     // prefix-filtered Spark plan must reproduce it exactly (the

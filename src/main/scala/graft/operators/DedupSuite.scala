@@ -511,4 +511,86 @@ object DedupSuite {
             col("n_tokens").cast("double"))
           .otherwise(lit(0.0)).as("dup_span_frac"))
   }
+
+  /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022,
+    * arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr tool; reference behavior for
+    * cross-document repeated-substring removal): every token window of
+    * length `l` whose token sequence occurs MORE THAN ONCE in the
+    * corpus (across or within documents) marks all its occurrences
+    * EXCEPT the lexicographically first (doc_id, pos) — keep-first,
+    * the D1 keep-lowest-id discipline, so one copy of each duplicated
+    * span survives. A token is removed iff some marked window covers
+    * it; the cleaned text is the remaining tokens in order. d11 is
+    * paragraph-granular and d16 only SCORES span coverage — this
+    * actually REMOVES cross-document duplicate text at token
+    * granularity, the paper's semantics re-expressed relationally
+    * (their suffix-array scan is a single-machine construction; the
+    * window-key group-by is the shuffle-native equivalent).
+    *
+    * Plan shape and 100 TB economics: one shuffle of (window-key,
+    * doc, pos) to find duplicated keys (partial-aggregable min/count,
+    * map-side combined), one broadcast-or-shuffle join back of the
+    * marked starts (duplicate keys only — at web scale still corpus-
+    * sized in the worst case, but bounded by the true duplication
+    * volume, which is the work's intrinsic size), then ONE window per
+    * document (partition key = doc_id, so no task ever holds more
+    * than one document's tokens — the per-doc form of the q89
+    * bucketing argument). With `hashKeys = true` the shuffled window
+    * key is xxhash64 of the token text — 8 bytes instead of ~l words,
+    * the d2-vs-d5 portability/throughput split (a 64-bit collision
+    * silently merges two spans; at corpus sizes where that risk
+    * matters, widen to the 128-bit pair the same way d2 documents).
+    * The text-keyed form is what the oracle gates. Output:
+    * (doc_id, clean_text, n_removed) per tokenizable document.
+    */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+                       l: Int, hashKeys: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, "window length must be at least 2")
+    val tk = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val occ = tk.filter(size(col("toks")) >= l)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - l)).as("wpos"))
+      .withColumn("wkey_text",
+        array_join(slice(col("toks"), col("wpos") + 1, lit(l)), " "))
+      .withColumn("wkey",
+        if (hashKeys) xxhash64(col("wkey_text")) else col("wkey_text"))
+      .select(col("doc_id"), col("wpos"), col("wkey"))
+    // duplicated keys, keep-first: min(struct) is the lexicographic
+    // (doc_id, wpos) minimum — partial-aggregable, no per-key window
+    // (the boilerplate key IS a mega-key; a row_number over it would
+    // serialize in one task)
+    val dup = occ.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("wpos"))).as("keep"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    // renamed columns: marked shares lineage with tok below, and a
+    // same-name join condition would degenerate to the trivially-true
+    // self-comparison Spark warns about
+    val marked = occ.join(dup, Seq("wkey"))
+      .filter(struct(col("doc_id"), col("wpos")) =!= col("keep"))
+      .select(col("doc_id").as("m_doc"), col("wpos")).distinct()
+      .withColumn("flag", lit(1))
+    // a token is covered iff a marked window STARTS within the l-1
+    // positions at or before it — a RANGE window per document over
+    // contiguous positions, never a cross-document sort
+    val tok = tk.select(col("doc_id"), posexplode(col("toks")))
+      .withColumnRenamed("col", "tok").withColumnRenamed("pos", "p")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+      .rangeBetween(-(l - 1).toLong, 0L)
+    tok.join(marked, col("doc_id") === col("m_doc") &&
+        col("p") === col("wpos"), "left")
+      .select(col("doc_id"), col("p"), col("tok"),
+        coalesce(col("flag"), lit(0)).as("flag"))
+      .withColumn("cov", max(col("flag")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("cov") === 0,
+            struct(col("p"), col("tok"))))),
+          x => x.getField("tok")), " "), lit("")).as("clean_text"),
+        sum(col("cov")).cast("bigint").as("n_removed"))
+  }
 }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * the reference's retry envelope ([[Retry.withRetry]], 3 attempts,
   * linear backoff).
   *
-  * The transport is pluggable (`Transport = id => Option[payload]`)
-  * because this environment has no egress — production injects an HTTP
+  * The transport is pluggable (`Transport = id => Option[payload]`);
+  * the PRODUCTION binding is [[HttpTransport.make]] — a real JDK HTTP
   * client created ONCE PER PARTITION (the mapPartitions shape exists
   * exactly so connection setup amortizes across a partition's ids, the
-  * same economics as a codec handle in [[graft.operators.Multimodal]]).
+  * same economics as a codec handle in [[graft.operators.Multimodal]]),
+  * spec-driven over real sockets against an in-process stub server
+  * (no egress here; the wire path is exercised loopback).
   * `None` = empty response, skipped like the reference skips null items
   * (`hn_extract.py:90-92`).
   *

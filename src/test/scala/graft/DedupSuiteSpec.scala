@@ -354,4 +354,58 @@ class DedupSuiteSpec extends SparkSpec {
       DedupSuite.simhashHammingPairs(docs, "doc_id", "text", bands = 7)
     }
   }
+
+  test("exactSubstrDedup: keep-first cross-doc span removal, closed form") {
+    // docs 1 and 2 share a 10-token run (l=8 -> 3 duplicated windows
+    // in each); doc 1 is lexicographically first so it KEEPS the run,
+    // doc 2 loses exactly the 10 run tokens. doc 3 untouched.
+    val run = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"$run alpha beta gamma"),
+      (2L, s"prefix0 prefix1 $run tail0 tail1"),
+      (3L, "no shared content in this document at all ever")
+    ).toDF("doc_id", "text")
+    val out = DedupSuite.exactSubstrDedup(docs, "doc_id", "text", l = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((s"$run alpha beta gamma", 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("prefix0 prefix1 tail0 tail1", 10L)), s"got ${out(2L)}")
+    assert(out(3L) == (("no shared content in this document at all ever", 0L)))
+  }
+
+  test("exactSubstrDedup: within-doc repetition loses the second occurrence") {
+    val run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val docs = Seq((5L, s"$run mid0 mid1 $run end0")).toDF("doc_id", "text")
+    val out = DedupSuite.exactSubstrDedup(docs, "doc_id", "text", l = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(out == ((s"$run mid0 mid1 end0", 8L)), s"got $out")
+  }
+
+  test("exactSubstrDedup: docs below the window length are never cut; empty docs drop") {
+    val docs = Seq((1L, "short doc here"), (2L, "short doc here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = DedupSuite.exactSubstrDedup(docs, "doc_id", "text", l = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // identical 3-token docs: no window of 8 exists, nothing removed
+    assert(out(1L) == (("short doc here", 0L)))
+    assert(out(2L) == (("short doc here", 0L)))
+    assert(!out.contains(3L), "zero-token doc emits no token rows")
+  }
+
+  test("exactSubstrDedup: hashed keys reproduce the text-keyed result") {
+    // the d2-vs-d5 split: xxhash64 keys shuffle 8 bytes instead of
+    // 8 words; on a collision-free fixture the outputs are identical
+    val run = "one two three four five six seven eight nine ten"
+    val docs = (0L until 40L).map { i =>
+      if (i % 4 == 0) (i, s"$run filler${i} more${i} yet${i}")
+      else (i, s"unique${i} body${i} text${i} of${i} doc${i} number${i} fill${i} pad${i} tail${i}")
+    }.toDF("doc_id", "text")
+    val textKeyed = DedupSuite.exactSubstrDedup(docs, "doc_id", "text", 8)
+    val hashed = DedupSuite.exactSubstrDedup(docs, "doc_id", "text", 8,
+      hashKeys = true)
+    assert(textKeyed.exceptAll(hashed).isEmpty &&
+      hashed.exceptAll(textKeyed).isEmpty,
+      "hashed-key plan must reproduce the text-keyed result")
+  }
 }
