@@ -537,27 +537,22 @@ object DedupSuite {
     * document (partition key = doc_id, so no task ever holds more
     * than one document's tokens — the per-doc form of the q89
     * bucketing argument). With `hashKeys = true` the shuffled window
-    * key is xxhash64 of the token text — 8 bytes instead of ~l words,
-    * the d2-vs-d5 portability/throughput split (a 64-bit collision
-    * silently merges two spans; at corpus sizes where that risk
-    * matters, widen to the 128-bit pair the same way d2 documents).
-    * The text-keyed form is what the oracle gates. Output:
+    * key is the 16-byte md5 digest of the window text — fixed-width
+    * instead of ~l words, and collision-safe far past any real corpus
+    * (~2^64 distinct windows for a 50% birthday bound, the d11
+    * digest-keying argument), so the content-keyed semantics are
+    * unchanged. The text-keyed form is what the oracle gates; the
+    * hashed form is spec-pinned equal. Output:
     * (doc_id, clean_text, n_removed) per tokenizable document.
+    *
+    * Incremental ingest twin: [[exactSubstrBuildStore]] /
+    * [[exactSubstrFold]] (the d26 gate).
     */
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
                        l: Int, hashKeys: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(l >= 2, "window length must be at least 2")
-    val tk = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("toks"))
-    val occ = tk.filter(size(col("toks")) >= l)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - l)).as("wpos"))
-      .withColumn("wkey_text",
-        array_join(slice(col("toks"), col("wpos") + 1, lit(l)), " "))
-      .withColumn("wkey",
-        if (hashKeys) xxhash64(col("wkey_text")) else col("wkey_text"))
-      .select(col("doc_id"), col("wpos"), col("wkey"))
+    val tk = substrTokens(docs, idCol, textCol)
+    val occ = substrWindows(tk, l, hashKeys)
     // duplicated keys, keep-first: min(struct) is the lexicographic
     // (doc_id, wpos) minimum — partial-aggregable, no per-key window
     // (the boilerplate key IS a mega-key; a row_number over it would
@@ -566,16 +561,48 @@ object DedupSuite {
       .agg(min(struct(col("doc_id"), col("wpos"))).as("keep"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-    // renamed columns: marked shares lineage with tok below, and a
-    // same-name join condition would degenerate to the trivially-true
-    // self-comparison Spark warns about
-    val marked = occ.join(dup, Seq("wkey"))
+    substrClean(tk, substrMarked(occ, dup), l)
+  }
+
+  private def substrTokens(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+
+  /** One row per l-token window: (doc_id, wpos, wkey). With
+    * `hashKeys` the key is the 16-byte md5 digest of the window text
+    * (the d11 move: the shuffle sorts/compares fixed 16-byte digests
+    * instead of ~l words, and 128 bits is collision-safe far past any
+    * real corpus — ~2^64 distinct windows for a 50% birthday bound —
+    * so the content-keyed semantics are unchanged). */
+  private def substrWindows(tk: DataFrame, l: Int,
+                            hashKeys: Boolean): DataFrame =
+    tk.filter(size(col("toks")) >= l)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - l)).as("wpos"))
+      .withColumn("wkey_text",
+        array_join(slice(col("toks"), col("wpos") + 1, lit(l)), " "))
+      .withColumn("wkey",
+        if (hashKeys) unhex(md5(col("wkey_text"))) else col("wkey_text"))
+      .select(col("doc_id"), col("wpos"), col("wkey"))
+
+  /** Duplicate occurrences to cut: every (doc, wpos) of a duplicated
+    * key except its keep. `dup` carries (wkey, keep). Renamed columns:
+    * marked shares lineage with the token side downstream, and a
+    * same-name join condition would degenerate to the trivially-true
+    * self-comparison Spark warns about. */
+  private def substrMarked(occ: DataFrame, dup: DataFrame): DataFrame =
+    occ.join(dup.select(col("wkey"), col("keep")), Seq("wkey"))
       .filter(struct(col("doc_id"), col("wpos")) =!= col("keep"))
       .select(col("doc_id").as("m_doc"), col("wpos")).distinct()
       .withColumn("flag", lit(1))
-    // a token is covered iff a marked window STARTS within the l-1
-    // positions at or before it — a RANGE window per document over
-    // contiguous positions, never a cross-document sort
+
+  /** Coverage + reconstruction: a token is covered iff a marked window
+    * STARTS within the l-1 positions at or before it — a RANGE window
+    * per document over contiguous positions, never a cross-document
+    * sort. Returns (doc_id, clean_text, n_removed). */
+  private def substrClean(tk: DataFrame, marked: DataFrame,
+                          l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = tk.select(col("doc_id"), posexplode(col("toks")))
       .withColumnRenamed("col", "tok").withColumnRenamed("pos", "p")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
@@ -592,5 +619,119 @@ object DedupSuite {
             struct(col("p"), col("tok"))))),
           x => x.getField("tok")), " "), lit("")).as("clean_text"),
         sum(col("cov")).cast("bigint").as("n_removed"))
+  }
+
+  private def substrMetaPath(path: String): String = s"${path}_meta"
+
+  private def substrWithBucket(agg: DataFrame, nBuckets: Int): DataFrame =
+    agg.withColumn("bucket", pmod(crc32(col("wkey")), lit(nBuckets.toLong)))
+
+  /** Initialize a persisted window-key store for incremental
+    * ExactSubstr ingest AND return the corpus's cleaned output (the
+    * same result as [[exactSubstrDedup]] over `docs`, computed from
+    * the same window aggregation). The store holds one DELTA row per
+    * (window key, batch): (wkey, keep, cnt), parquet-partitioned by
+    * `bucket = crc32(wkey) mod nBuckets` — the q92 key-store
+    * discipline, crc32 because it is bit-identical in every engine
+    * and driver-side. `keep = min(struct(doc_id, wpos))` and `cnt`
+    * are both associative, so folds APPEND deltas and readers
+    * re-aggregate per key; nothing is ever rewritten. Singleton keys
+    * (cnt = 1) are stored deliberately: a window seen once now can be
+    * duplicated by any later batch, and dropping it would silently
+    * keep both copies (spec-pinned counter-example). State is
+    * corpus-sized — O(total tokens) key rows, the d23 economics: the
+    * price of bit-exactness for corpus-wide keep-first semantics. */
+  def exactSubstrBuildStore(docs: DataFrame, idCol: String,
+                            textCol: String, l: Int, path: String,
+                            nBuckets: Int = 64,
+                            hashKeys: Boolean = false): DataFrame = {
+    require(l >= 2, "window length must be at least 2")
+    val spark = docs.sparkSession
+    val tk = substrTokens(docs, idCol, textCol)
+    val occ = substrWindows(tk, l, hashKeys)
+    val agg = occ.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("wpos"))).as("keep"),
+        count(lit(1)).as("cnt"))
+    substrWithBucket(agg, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val mr = tk.agg(max(col("doc_id")).cast("long")).head()
+    val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
+    import spark.implicits._
+    Seq(maxDoc).toDF("max_doc")
+      .write.mode("overwrite").parquet(substrMetaPath(path))
+    substrClean(tk, substrMarked(occ, agg.filter(col("cnt") >= 2)), l)
+  }
+
+  /** Fold a document batch into an [[exactSubstrBuildStore]] layout
+    * and return the BATCH's cleaned output — bit-identical to what a
+    * full [[exactSubstrDedup]] over corpus ∪ batch emits for these
+    * docs (the d26 gate), WITHOUT rescanning the corpus: the batch's
+    * window keys join only their own bucket partitions of the store
+    * (static `PartitionFilters: [bucket IN (…)]`, spec-proved unread
+    * elsewhere), so fold cost is O(batch + matched store rows).
+    *
+    * Correctness rests on the monotonic-ingest contract (enforced
+    * loudly against the store's meta): batch doc ids strictly exceed
+    * every stored doc id, so a stored key's keep is always the GLOBAL
+    * lexicographic minimum — previously emitted cleaned documents can
+    * never change (a new occurrence can only lose to an older keep),
+    * which is what makes per-batch emission ∪-equal to the full
+    * recompute. A batch occurrence is cut iff its key's total count
+    * (stored + batch) is ≥ 2 and it is not that global keep; in
+    * particular one PRIOR occurrence suffices to cut every batch
+    * occurrence of the key.
+    *
+    * The store's parquet file index is snapshotted when the fold
+    * starts, so the returned frame is stable against the delta this
+    * fold appends. Replaying a crashed fold double-appends its delta
+    * (counts are NOT idempotent) — the same single-maintainer,
+    * crash-redo-from-clean contract as [[HeavyHitters.appendToKeyStore]];
+    * the streaming twin's committed-staging protocol is the
+    * exactly-once variant. */
+  def exactSubstrFold(spark: org.apache.spark.sql.SparkSession,
+                      path: String, batch: DataFrame, idCol: String,
+                      textCol: String, l: Int, nBuckets: Int = 64,
+                      hashKeys: Boolean = false): DataFrame = {
+    require(l >= 2, "window length must be at least 2")
+    val tk = substrTokens(batch, idCol, textCol)
+    val prevMax = spark.read.parquet(substrMetaPath(path))
+      .agg(max(col("max_doc"))).head().getLong(0)
+    val mm = tk.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
+      s"monotonic-ingest contract: batch min doc id " +
+        s"${if (mm.isNullAt(0)) "(empty)" else mm.getLong(0)} must exceed " +
+        s"stored max $prevMax")
+    val occ = substrWindows(tk, l, hashKeys)
+    val batchAgg = occ.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("wpos"))).as("bkeep"),
+        count(lit(1)).as("bcnt"))
+      .persist()
+    // the batch's bucket set, collected for a STATIC partition filter
+    // (≤ nBuckets longs — the q92 directory-skip guarantee, no
+    // optimizer heuristic in the loop)
+    val buckets = substrWithBucket(batchAgg.select(col("wkey")), nBuckets)
+      .select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
+    val stored = spark.read.parquet(path)
+      .filter(if (buckets.isEmpty) lit(false)
+              else col("bucket").isin(buckets: _*))
+      .groupBy(col("wkey"))
+      .agg(min(col("keep")).as("skeep"), sum(col("cnt")).as("scnt"))
+    // monotonicity ⇒ a stored keep is the global keep when present
+    val dup = batchAgg.join(stored, Seq("wkey"), "left")
+      .select(col("wkey"),
+        when(col("scnt").isNotNull, col("skeep"))
+          .otherwise(col("bkeep")).as("keep"),
+        (col("bcnt") + coalesce(col("scnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val out = substrClean(tk, substrMarked(occ, dup), l)
+    substrWithBucket(
+        batchAgg.select(col("wkey"), col("bkeep").as("keep"),
+          col("bcnt").as("cnt")), nBuckets)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    import spark.implicits._
+    Seq(mm.getLong(1)).toDF("max_doc")
+      .write.mode("overwrite").parquet(substrMetaPath(path))
+    out
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupSuite, Similarity}
 import graft.functions.TextFunctions
@@ -394,8 +395,8 @@ class DedupSuiteSpec extends SparkSpec {
   }
 
   test("exactSubstrDedup: hashed keys reproduce the text-keyed result") {
-    // the d2-vs-d5 split: xxhash64 keys shuffle 8 bytes instead of
-    // 8 words; on a collision-free fixture the outputs are identical
+    // digest keys shuffle a fixed 16-byte md5 instead of 8 words —
+    // 128 bits is collision-safe (d11 argument), outputs identical
     val run = "one two three four five six seven eight nine ten"
     val docs = (0L until 40L).map { i =>
       if (i % 4 == 0) (i, s"$run filler${i} more${i} yet${i}")
@@ -407,5 +408,110 @@ class DedupSuiteSpec extends SparkSpec {
     assert(textKeyed.exceptAll(hashed).isEmpty &&
       hashed.exceptAll(textKeyed).isEmpty,
       "hashed-key plan must reproduce the text-keyed result")
+  }
+
+  private def substrFixture: DataFrame = {
+    val run = "one two three four five six seven eight nine ten"
+    (0L until 40L).map { i =>
+      if (i % 4 == 0) (i, s"$run filler${i} more${i} yet${i}")
+      else (i, s"unique${i} body${i} text${i} of${i} doc${i} number${i} fill${i} pad${i} tail${i}")
+    }.toDF("doc_id", "text")
+  }
+
+  test("exactSubstr fold == full recompute across monotonic batches") {
+    val docs = substrFixture
+    val full = DedupSuite.exactSubstrDedup(docs, "doc_id", "text", 8)
+    for (hashed <- Seq(false, true)) {
+      val store = java.nio.file.Files
+        .createTempDirectory("substr_store").toString + "/state"
+      val out1 = DedupSuite.exactSubstrBuildStore(
+        docs.filter(col("doc_id") < 14), "doc_id", "text", 8, store,
+        nBuckets = 16, hashKeys = hashed)
+      val out2 = DedupSuite.exactSubstrFold(spark, store,
+        docs.filter(col("doc_id") >= 14 && col("doc_id") < 27),
+        "doc_id", "text", 8, nBuckets = 16, hashKeys = hashed)
+      val out3 = DedupSuite.exactSubstrFold(spark, store,
+        docs.filter(col("doc_id") >= 27), "doc_id", "text", 8,
+        nBuckets = 16, hashKeys = hashed)
+      val folded = out1.unionByName(out2).unionByName(out3)
+      assert(full.exceptAll(folded).isEmpty &&
+        folded.exceptAll(full).isEmpty,
+        s"fold (hashKeys=$hashed) must reproduce the full recompute")
+    }
+  }
+
+  test("exactSubstr fold: a singleton stored key still cuts a later copy") {
+    // the counter-example that forces cnt=1 keys into the store: the
+    // run appears ONCE in the initial corpus (nothing is cut there)
+    // and once more in a later batch — keep-first must cut the batch
+    // copy, which only works if the singleton occurrence was stored
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val store = java.nio.file.Files
+      .createTempDirectory("substr_single").toString + "/state"
+    val out1 = DedupSuite.exactSubstrBuildStore(
+      Seq((1L, s"$run alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 8, store)
+    assert(out1.collect().head.getLong(2) == 0L,
+      "initial singleton occurrence is kept intact")
+    val out2 = DedupSuite.exactSubstrFold(spark, store,
+      Seq((2L, s"pre0 pre1 $run post0")).toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(out2 == (("pre0 pre1 post0", 8L)), s"got $out2")
+  }
+
+  test("exactSubstr fold rejects non-monotonic doc ids loudly") {
+    val store = java.nio.file.Files
+      .createTempDirectory("substr_mono").toString + "/state"
+    DedupSuite.exactSubstrBuildStore(
+      substrFixture.filter(col("doc_id") < 20), "doc_id", "text", 8, store)
+    val e = intercept[IllegalArgumentException] {
+      DedupSuite.exactSubstrFold(spark, store,
+        substrFixture.filter(col("doc_id") >= 15), "doc_id", "text", 8)
+    }
+    assert(e.getMessage.contains("monotonic-ingest"))
+  }
+
+  test("exactSubstr fold reads only the batch's bucket partitions") {
+    // the q92 unread-proof, applied to the fold's store join: a
+    // single-window batch touches one bucket; the fold's executed
+    // store scan must carry a static bucket filter and select no
+    // file outside that bucket's directory
+    val store = java.nio.file.Files
+      .createTempDirectory("substr_prune").toString + "/state"
+    DedupSuite.exactSubstrBuildStore(substrFixture, "doc_id", "text", 8,
+      store, nBuckets = 16)
+    val allBuckets = spark.read.parquet(store)
+      .select("bucket").distinct().count()
+    assert(allBuckets > 2, "fixture must spread keys over many buckets")
+    val out = DedupSuite.exactSubstrFold(spark, store,
+      Seq((99L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text"),
+      "doc_id", "text", 8, nBuckets = 16)
+    out.collect() // force execution so selectedPartitions is resolved
+    // the fold plan is AQE-wrapped: descend through the adaptive root
+    // and materialized query stages to reach the leaf scans
+    def leafScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leafScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leafScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leafScans)
+    }
+    val scans = leafScans(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.endsWith("state")))
+    assert(scans.nonEmpty, "fold plan must contain the store scan")
+    assert(scans.head.toString.contains("PartitionFilters: [bucket IN"),
+      s"store scan must carry a static bucket filter:\n${scans.head}")
+    val scanned = scans.flatMap(
+      _.selectedPartitions.toPartitionArray.toSeq
+        .map(_.filePath.toString))
+    val wkey = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val c = new java.util.zip.CRC32
+    c.update(wkey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b = c.getValue % 16
+    assert(scanned.forall(_.contains(s"bucket=$b/")),
+      s"scan must touch only bucket $b, saw:\n${scanned.mkString("\n")}")
   }
 }
