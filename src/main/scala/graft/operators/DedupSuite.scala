@@ -623,6 +623,23 @@ object DedupSuite {
 
   private def substrMetaPath(path: String): String = s"${path}_meta"
 
+  /** The store's layout parameters ride in its `_meta` file alongside
+    * the ingest high-water mark: `l` and `hashKeys` define what a
+    * window KEY IS, and `nBuckets` defines where a key LIVES — a fold
+    * run with any of them different would silently mis-join keys or
+    * prune the wrong bucket partitions (keeping batch duplicates of
+    * stored text with no error), so [[exactSubstrFold]] requires
+    * equality loudly, the same discipline as the MG summary's
+    * stored-k check. */
+  private def writeSubstrMeta(spark: org.apache.spark.sql.SparkSession,
+                              path: String, maxDoc: Long, l: Int,
+                              nBuckets: Int, hashKeys: Boolean): Unit = {
+    import spark.implicits._
+    Seq((maxDoc, l, nBuckets, hashKeys))
+      .toDF("max_doc", "l", "n_buckets", "hash_keys")
+      .write.mode("overwrite").parquet(substrMetaPath(path))
+  }
+
   private def substrWithBucket(agg: DataFrame, nBuckets: Int): DataFrame =
     agg.withColumn("bucket", pmod(crc32(col("wkey")), lit(nBuckets.toLong)))
 
@@ -656,9 +673,7 @@ object DedupSuite {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val mr = tk.agg(max(col("doc_id")).cast("long")).head()
     val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
-    import spark.implicits._
-    Seq(maxDoc).toDF("max_doc")
-      .write.mode("overwrite").parquet(substrMetaPath(path))
+    writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys)
     substrClean(tk, substrMarked(occ, agg.filter(col("cnt") >= 2)), l)
   }
 
@@ -694,8 +709,16 @@ object DedupSuite {
                       hashKeys: Boolean = false): DataFrame = {
     require(l >= 2, "window length must be at least 2")
     val tk = substrTokens(batch, idCol, textCol)
-    val prevMax = spark.read.parquet(substrMetaPath(path))
-      .agg(max(col("max_doc"))).head().getLong(0)
+    val meta = spark.read.parquet(substrMetaPath(path)).head()
+    val prevMax = meta.getAs[Long]("max_doc")
+    require(meta.getAs[Int]("l") == l &&
+        meta.getAs[Int]("n_buckets") == nBuckets &&
+        meta.getAs[Boolean]("hash_keys") == hashKeys,
+      s"store layout mismatch: built with (l=${meta.getAs[Int]("l")}, " +
+        s"nBuckets=${meta.getAs[Int]("n_buckets")}, " +
+        s"hashKeys=${meta.getAs[Boolean]("hash_keys")}), fold called " +
+        s"with (l=$l, nBuckets=$nBuckets, hashKeys=$hashKeys) — a " +
+        "mismatch mis-keys or mis-buckets silently")
     val mm = tk.agg(min(col("doc_id")).cast("long"),
       max(col("doc_id")).cast("long")).head()
     require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
@@ -703,10 +726,16 @@ object DedupSuite {
         s"${if (mm.isNullAt(0)) "(empty)" else mm.getLong(0)} must exceed " +
         s"stored max $prevMax")
     val occ = substrWindows(tk, l, hashKeys)
+    // localCheckpoint, not persist: the batch aggregation feeds three
+    // consumers (bucket collect, delta append, returned frame) and
+    // must be computed once — but a CacheManager-tracked persist with
+    // no unpersist would accumulate cached blocks across folds, while
+    // checkpoint blocks are context-cleaned once the frame is
+    // unreferenced
     val batchAgg = occ.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id"), col("wpos"))).as("bkeep"),
         count(lit(1)).as("bcnt"))
-      .persist()
+      .localCheckpoint()
     // the batch's bucket set, collected for a STATIC partition filter
     // (≤ nBuckets longs — the q92 directory-skip guarantee, no
     // optimizer heuristic in the loop)
@@ -729,9 +758,7 @@ object DedupSuite {
         batchAgg.select(col("wkey"), col("bkeep").as("keep"),
           col("bcnt").as("cnt")), nBuckets)
       .write.mode("append").partitionBy("bucket").parquet(path)
-    import spark.implicits._
-    Seq(mm.getLong(1)).toDF("max_doc")
-      .write.mode("overwrite").parquet(substrMetaPath(path))
+    writeSubstrMeta(spark, path, mm.getLong(1), l, nBuckets, hashKeys)
     out
   }
 }

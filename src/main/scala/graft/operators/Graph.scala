@@ -193,6 +193,7 @@ object Graph {
     val buckets = batchOutdeg
       .select(pmod(col("src"), lit(nBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
+    StoreCompaction.repairStore(path) // converge a crashed compaction
     spark.read.parquet(path)
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
   }
@@ -209,6 +210,11 @@ object Graph {
                         path: String, iters: Int,
                         scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    // the store is compaction-maintained: converge any crashed
+    // compaction swap BEFORE reading, so a crash window never
+    // silently serves with a partition absent until the next
+    // maintenance pass happens to run (no-op on a clean store)
+    StoreCompaction.repairStore(path)
     val contrib = spark.read.parquet(path)
       .select(col("src"), col("dst"), col("outd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -191,17 +191,41 @@ object HeavyHitters {
     * rewritten. At 100 TB raise `nBuckets` so one bucket ≈ one
     * comfortable read unit. */
   def buildKeyStore(df: DataFrame, key: Column, path: String,
-                    nBuckets: Int = 32): Unit =
+                    nBuckets: Int = 32): Unit = {
     keyedWithBucket(df, key, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    import df.sparkSession.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(keyStoreMetaPath(path))
+  }
+
+  private def keyStoreMetaPath(path: String): String = s"${path}_meta"
+
+  /** `nBuckets` defines where a key LIVES in the store layout; an
+    * append or pruned read run with a different value writes to /
+    * prunes the WRONG bucket partitions — silently wrong results, no
+    * error. The build persists it in `_meta`; every later store
+    * operation requires equality loudly (the MG summary's stored-k
+    * discipline). */
+  private def requireStoreBuckets(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, nBuckets: Int): Unit = {
+    val stored = spark.read.parquet(keyStoreMetaPath(path))
+      .select(col("n_buckets")).head().getInt(0)
+    require(stored == nBuckets,
+      s"key store at $path was built with nBuckets=$stored, " +
+        s"operation called with nBuckets=$nBuckets — a mismatch " +
+        "mis-buckets keys silently")
+  }
 
   /** Fold a batch into a [[buildKeyStore]] layout: append-only (no
     * partition is read or rewritten — counts are additive), cost
     * O(batch) regardless of store size. */
   def appendToKeyStore(batch: DataFrame, key: Column, path: String,
-                       nBuckets: Int = 32): Unit =
+                       nBuckets: Int = 32): Unit = {
+    requireStoreBuckets(batch.sparkSession, path, nBuckets)
     keyedWithBucket(batch, key, nBuckets)
       .write.mode("append").partitionBy("bucket").parquet(path)
+  }
 
   private def keyedWithBucket(df: DataFrame, key: Column,
                               nBuckets: Int): DataFrame =
@@ -226,6 +250,7 @@ object HeavyHitters {
   def candidateStoreRows(spark: org.apache.spark.sql.SparkSession,
                          path: String, candidates: Seq[String],
                          nBuckets: Int): DataFrame = {
+    requireStoreBuckets(spark, path, nBuckets)
     val base = spark.read.parquet(path)
     if (candidates.isEmpty) base.filter(lit(false))
     else {

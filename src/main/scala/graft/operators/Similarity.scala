@@ -212,6 +212,10 @@ object Similarity {
             cosineNative(col("qv"), col("centroid_vec")).as("csim")),
         Seq("query_id"), Seq(col("csim").desc, col("centroid_id").asc), nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
+    // stream-grown indexes are compaction-maintained (s13): converge
+    // any crashed compaction swap before serving, so a crash window
+    // never silently drops a partition's neighbors (no-op when clean)
+    StoreCompaction.repairStore(path)
     val lists = spark.read.parquet(path)
     val scored = lists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -562,6 +566,28 @@ object Similarity {
       // so the store is nClusters files, not tasks × clusters
       .repartition(col("cpart"))
       .write.mode("overwrite").partitionBy("cpart").parquet(path)
+    import vectors.sparkSession.implicits._
+    Seq((tau, keepFarthest, centroidFingerprint(centroids)))
+      .toDF("tau", "keep_farthest", "centroid_fp")
+      .write.mode("overwrite").parquet(semMetaPath(path))
+  }
+
+  private def semMetaPath(path: String): String = s"${path}_meta"
+
+  /** Order-independent fingerprint of a frozen centroid frame:
+    * bit_xor of per-row xxhash64 over (centroid_id, 10-bit
+    * fixed-point vector). Fixed-point so the fingerprint is stable
+    * across reads of the same frozen centroids; XOR so row order is
+    * irrelevant AND no ANSI overflow is possible (a sum of arbitrary
+    * 64-bit hashes would throw under ANSI mode). Used to enforce the
+    * frozen-centroids contract on fold — assignment moving under old
+    * members is the silent-wrong failure, caught loudly here. */
+  private def centroidFingerprint(cent: DataFrame): Long = {
+    val r = cent.select(xxhash64(col("centroid_id").cast("string"),
+        to_json(transform(col("centroid_vec"),
+          x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")))).as("h"))
+      .agg(bit_xor(col("h"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Fold a vector batch into a [[buildSemDedupState]] layout WITHOUT
@@ -585,6 +611,18 @@ object Similarity {
                         path: String, batch: DataFrame, idCol: String,
                         vecCol: String, tau: Double, centroids: DataFrame,
                         keepFarthest: Boolean = false): Unit = {
+    val meta = spark.read.parquet(semMetaPath(path)).head()
+    require(meta.getAs[Double]("tau") == tau &&
+        meta.getAs[Boolean]("keep_farthest") == keepFarthest &&
+        meta.getAs[Long]("centroid_fp") == centroidFingerprint(centroids),
+      s"SemDeDup state at $path was built with (tau=" +
+        s"${meta.getAs[Double]("tau")}, keepFarthest=" +
+        s"${meta.getAs[Boolean]("keep_farthest")}, centroid_fp=" +
+        s"${meta.getAs[Long]("centroid_fp")}); fold called with (tau=" +
+        s"$tau, keepFarthest=$keepFarthest, centroid_fp=" +
+        s"${centroidFingerprint(centroids)}) — a mismatched tau/rule " +
+        "mis-classifies pairs and moved centroids re-assign old " +
+        "members, both silently")
     val bm = assignSemMembers(batch, centroids, idCol, vecCol)
       .localCheckpoint()
     val clusters = bm.select(col("centroid_id")).distinct()

@@ -54,12 +54,19 @@ object StoreCompaction {
     n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
   }
 
+  /** `Files.list` with the mandated close (its javadoc requires it;
+    * an unclosed stream leaks a directory fd until GC). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def partitionDirs(root: Path): Seq[Path] =
-    Files.list(root).iterator().asScala
+    listDir(root)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.contains("=") &&
         !p.getFileName.toString.startsWith("."))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
@@ -71,14 +78,19 @@ object StoreCompaction {
 
   /** Converge a store out of any crashed [[compactStore]] state:
     * committed staged partitions missing from the root are moved
-    * into place; everything else in stage/trash is superseded or
-    * uncommitted and is dropped. Idempotent; safe on a clean store. */
+    * into place; a partition missing from the root with NO committed
+    * stage is restored from trash (the publish never completed, so
+    * the trashed copy is the only live data — deleting it would be
+    * permanent partition loss); everything else in stage/trash is
+    * superseded or uncommitted and is dropped. Stage is resolved
+    * BEFORE trash so a committed stage (same rows, compacted) wins
+    * over its trashed original. Idempotent; safe on a clean store. */
   def repairStore(path: String): Unit = {
     val root = Paths.get(path)
     val stageRoot = root.resolve(".compact_stage")
     val trashRoot = root.resolve(".compact_trash")
     if (Files.exists(stageRoot)) {
-      Files.list(stageRoot).iterator().asScala.toSeq.foreach { staged =>
+      listDir(stageRoot).foreach { staged =>
         val target = root.resolve(staged.getFileName.toString)
         val committed = Files.exists(staged.resolve("_SUCCESS"))
         if (committed && !Files.exists(target)) {
@@ -87,13 +99,24 @@ object StoreCompaction {
         } else {
           // either uncommitted (crash mid-stage) or the partition is
           // still/already in place (crash before the first rename or
-          // a stale retry) — the store is intact, drop the stage
+          // a stale retry) — drop the stage; if the partition is
+          // missing the trash pass below restores the original
           deleteRecursively(staged)
         }
       }
-      if (!Files.list(stageRoot).iterator().hasNext) Files.delete(stageRoot)
+      if (listDir(stageRoot).isEmpty) Files.delete(stageRoot)
     }
-    if (Files.exists(trashRoot)) deleteRecursively(trashRoot)
+    if (Files.exists(trashRoot)) {
+      listDir(trashRoot).foreach { trashed =>
+        val target = root.resolve(trashed.getFileName.toString)
+        if (!Files.exists(target)) {
+          // publish never happened and no committed stage covered the
+          // partition: the trashed copy IS the partition — restore it
+          Files.move(trashed, target, StandardCopyOption.ATOMIC_MOVE)
+        } else deleteRecursively(trashed)
+      }
+      deleteRecursively(trashRoot)
+    }
   }
 
   /** Compact every partition of a hive-partitioned parquet store that
@@ -114,8 +137,7 @@ object StoreCompaction {
     var before = 0L
     var after = 0L
     partitionDirs(root).foreach { part =>
-      val dataFiles = Files.list(part).iterator().asScala
-        .filter(isDataFile).toSeq
+      val dataFiles = listDir(part).filter(isDataFile)
       before += dataFiles.size
       if (dataFiles.size >= minFiles) {
         val bytes = dataFiles.map(Files.size).sum
@@ -125,6 +147,17 @@ object StoreCompaction {
         spark.read.parquet(part.toString)
           .repartition(nOut)
           .write.mode("overwrite").parquet(staged.toString)
+        // The swap below treats "staged has _SUCCESS" as "staged is
+        // complete" — [[repairStore]] restores a crashed swap on that
+        // evidence alone. If the session disables success markers
+        // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false)
+        // that evidence never exists and a crash between the renames
+        // would strand the only copy in trash as 'uncommitted' — so
+        // refuse to touch the live partition at all.
+        require(Files.exists(staged.resolve("_SUCCESS")),
+          s"staged compaction for $part has no _SUCCESS marker " +
+            "(success markers disabled in this session?) — aborting " +
+            "before touching the live partition; the store is intact")
         val trash = root.resolve(".compact_trash")
           .resolve(part.getFileName.toString)
         Files.createDirectories(trash.getParent)
@@ -136,8 +169,8 @@ object StoreCompaction {
       } else after += dataFiles.size
     }
     val stageRoot = root.resolve(".compact_stage")
-    if (Files.exists(stageRoot) &&
-      !Files.list(stageRoot).iterator().hasNext) Files.delete(stageRoot)
+    if (Files.exists(stageRoot) && listDir(stageRoot).isEmpty)
+      Files.delete(stageRoot)
     CompactionReport(compacted, before, after)
   }
 
@@ -145,7 +178,6 @@ object StoreCompaction {
     * moves; exposed for specs and soak accounting. */
   def partitionFileCounts(path: String): Map[String, Int] =
     partitionDirs(Paths.get(path)).map { part =>
-      part.getFileName.toString ->
-        Files.list(part).iterator().asScala.count(isDataFile)
+      part.getFileName.toString -> listDir(part).count(isDataFile)
     }.toMap
 }

@@ -282,13 +282,19 @@ object StreamingJobs {
     val staging = Paths.get(indexPath, s".staging_batch_$batchId")
     require(Files.exists(staging.resolve("_SUCCESS")),
       s"staging for batch $batchId is not committed")
-    Files.list(staging).iterator().asScala
+    // Files.list mandates a close (javadoc) — an unclosed stream
+    // leaks a directory fd until GC
+    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    listDir(staging)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("centroid_id="))
       .foreach { partDir =>
         val target = Paths.get(indexPath, partDir.getFileName.toString)
         Files.createDirectories(target)
-        Files.list(partDir).iterator().asScala
+        listDir(partDir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach { f =>
             Files.copy(f,

@@ -472,6 +472,29 @@ class DedupSuiteSpec extends SparkSpec {
     assert(e.getMessage.contains("monotonic-ingest"))
   }
 
+  test("exactSubstr fold rejects a mismatched store layout loudly") {
+    // l / hashKeys define what a key IS, nBuckets where it LIVES — a
+    // fold with any of them different would silently keep batch
+    // duplicates of stored text, so the store's _meta pins them
+    val store = java.nio.file.Files
+      .createTempDirectory("substr_meta").toString + "/state"
+    DedupSuite.exactSubstrBuildStore(
+      substrFixture.filter(col("doc_id") < 20), "doc_id", "text", 8,
+      store, nBuckets = 16, hashKeys = false)
+    val batch = substrFixture.filter(col("doc_id") >= 20)
+    for ((l2, nb2, hk2) <- Seq((9, 16, false), (8, 32, false), (8, 16, true))) {
+      val e = intercept[IllegalArgumentException] {
+        DedupSuite.exactSubstrFold(spark, store, batch, "doc_id", "text",
+          l2, nBuckets = nb2, hashKeys = hk2)
+      }
+      assert(e.getMessage.contains("store layout mismatch"),
+        s"(l=$l2, nBuckets=$nb2, hashKeys=$hk2) must be rejected")
+    }
+    // matched parameters still fold
+    assert(DedupSuite.exactSubstrFold(spark, store, batch, "doc_id",
+      "text", 8, nBuckets = 16, hashKeys = false).count() > 0)
+  }
+
   test("exactSubstr fold reads only the batch's bucket partitions") {
     // the q92 unread-proof, applied to the fold's store join: a
     // single-window batch touches one bucket; the fold's executed
@@ -484,10 +507,20 @@ class DedupSuiteSpec extends SparkSpec {
     val allBuckets = spark.read.parquet(store)
       .select("bucket").distinct().count()
     assert(allBuckets > 2, "fixture must spread keys over many buckets")
+    // the batch duplicates a STORED doc's text: its window keys hit
+    // the store, so the dup side is non-empty and AQE cannot
+    // empty-propagate the store-join subtree out of the final plan
+    // (with a no-hit batch the scan still RUNS — that's how AQE
+    // learns the side is empty — but the evidence below inspects the
+    // final plan tree, which would no longer contain it)
+    val batchText = substrFixture.filter(col("doc_id") === 1L)
+      .select("text").as[String].head()
     val out = DedupSuite.exactSubstrFold(spark, store,
-      Seq((99L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text"),
+      Seq((99L, batchText)).toDF("doc_id", "text"),
       "doc_id", "text", 8, nBuckets = 16)
-    out.collect() // force execution so selectedPartitions is resolved
+    val outRows = out.collect() // force execution; resolves selectedPartitions
+    assert(outRows.head.getLong(2) > 0L,
+      "duplicated batch text must be cut against the stored original")
     // the fold plan is AQE-wrapped: descend through the adaptive root
     // and materialized query stages to reach the leaf scans
     def leafScans(p: org.apache.spark.sql.execution.SparkPlan)
@@ -502,16 +535,24 @@ class DedupSuiteSpec extends SparkSpec {
     val scans = leafScans(out.queryExecution.executedPlan).filter(
       _.relation.location.rootPaths.exists(_.toString.endsWith("state")))
     assert(scans.nonEmpty, "fold plan must contain the store scan")
-    assert(scans.head.toString.contains("PartitionFilters: [bucket IN"),
+    assert("PartitionFilters: \\[bucket(#\\d+)? IN".r
+        .findFirstIn(scans.head.toString).isDefined,
       s"store scan must carry a static bucket filter:\n${scans.head}")
     val scanned = scans.flatMap(
       _.selectedPartitions.toPartitionArray.toSeq
         .map(_.filePath.toString))
-    val wkey = "w1 w2 w3 w4 w5 w6 w7 w8"
-    val c = new java.util.zip.CRC32
-    c.update(wkey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val b = c.getValue % 16
-    assert(scanned.forall(_.contains(s"bucket=$b/")),
-      s"scan must touch only bucket $b, saw:\n${scanned.mkString("\n")}")
+    val toks = batchText.split(" ")
+    val batchBuckets = (0 to toks.length - 8).map { w =>
+      val c = new java.util.zip.CRC32
+      c.update(toks.slice(w, w + 8).mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      c.getValue % 16
+    }.toSet
+    assert(batchBuckets.size < allBuckets,
+      "batch must touch strictly fewer buckets than the store holds")
+    assert(scanned.nonEmpty && scanned.forall(p =>
+        batchBuckets.exists(b => p.contains(s"bucket=$b/"))),
+      s"scan must touch only buckets $batchBuckets, saw:\n" +
+        scanned.mkString("\n"))
   }
 }

@@ -178,6 +178,19 @@ class HeavyHittersSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(gotAppended === naiveU,
       "append-folded store must serve the union's heavy hitters")
+
+    // nBuckets defines where a key lives: a mismatched append would
+    // write to the wrong buckets and a mismatched read would prune
+    // the wrong ones, both silently — the store's _meta pins it
+    val eA = intercept[IllegalArgumentException] {
+      HeavyHitters.appendToKeyStore(batch, col("k"), s"$root/store", 8)
+    }
+    assert(eA.getMessage.contains("nBuckets"))
+    val eR = intercept[IllegalArgumentException] {
+      HeavyHitters.candidateStoreRows(spark, s"$root/store",
+        candidates, 8).count()
+    }
+    assert(eR.getMessage.contains("nBuckets"))
   }
 
   test("stored summary built with a different k is rejected loudly") {

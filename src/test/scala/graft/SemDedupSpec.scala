@@ -218,6 +218,28 @@ class SemDedupSpec extends SparkSpec {
     assert(got === full)
     assert(got == Set(1L),
       s"dropped member 2 must still witness-drop newcomer 3, got $got")
+
+    // the state's _meta pins (tau, keepFarthest, centroid fingerprint):
+    // a fold with a different tau/rule mis-classifies pairs and moved
+    // centroids re-assign old members, both silently — rejected loudly
+    val batch2 = Seq((4L, lean(0.9f))).toDF("vec_id", "embedding")
+    val wrongTau = intercept[IllegalArgumentException] {
+      Similarity.foldSemDedupState(spark, s"$root/state", batch2,
+        "vec_id", "embedding", tau = 0.9, centroids = cents)
+    }
+    assert(wrongTau.getMessage.contains("tau"))
+    val wrongRule = intercept[IllegalArgumentException] {
+      Similarity.foldSemDedupState(spark, s"$root/state", batch2,
+        "vec_id", "embedding", tau = 0.95, centroids = cents,
+        keepFarthest = true)
+    }
+    assert(wrongRule.getMessage.contains("keepFarthest"))
+    val moved = Seq((0L, lean(0.31f))).toDF("centroid_id", "centroid_vec")
+    val wrongCents = intercept[IllegalArgumentException] {
+      Similarity.foldSemDedupState(spark, s"$root/state", batch2,
+        "vec_id", "embedding", tau = 0.95, centroids = moved)
+    }
+    assert(wrongCents.getMessage.contains("centroid_fp"))
   }
 
   test("equal-cosine assignment tiebreaks to the lowest centroid id") {

@@ -78,6 +78,49 @@ class StoreCompactionSpec extends SparkSpec {
     assert(rows(store) === expect, "no row lost or duplicated")
   }
 
+  test("partition stranded in trash with no committed stage is restored") {
+    val store = buildStore(3)
+    val expect = rows(store)
+    // crash window: the live partition was renamed into trash but the
+    // staged replacement is UNCOMMITTED (no _SUCCESS) — the trashed
+    // copy is the only live data. Repair must restore it, not delete.
+    val part = Paths.get(store, "bucket=3")
+    val staged = Paths.get(store, ".compact_stage", "bucket=3")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-junk.parquet"), Array[Byte](7, 7))
+    val trash = Paths.get(store, ".compact_trash", "bucket=3")
+    Files.createDirectories(trash.getParent)
+    Files.move(part, trash, StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(part), "simulated crash: partition absent")
+    StoreCompaction.repairStore(store)
+    assert(Files.exists(part), "repair must restore the trashed original")
+    assert(!Files.exists(Paths.get(store, ".compact_trash")))
+    assert(!Files.exists(Paths.get(store, ".compact_stage")))
+    assert(rows(store) === expect, "no row lost or duplicated")
+  }
+
+  test("compaction refuses the swap when success markers are disabled") {
+    val store = buildStore(3)
+    val expect = rows(store)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = hc.get(key)
+    hc.set(key, "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StoreCompaction.compactStore(spark, store)
+      }
+      assert(e.getMessage.contains("_SUCCESS"))
+    } finally {
+      if (prev == null) hc.unset(key) else hc.set(key, prev)
+    }
+    // the live store was never touched; repair converges the aborted
+    // stage away and every row is still served
+    StoreCompaction.repairStore(store)
+    assert(rows(store) === expect)
+    assert(!Files.exists(Paths.get(store, ".compact_stage")))
+  }
+
   test("uncommitted staging is discarded, intact partition kept") {
     val store = buildStore(3)
     val expect = rows(store)
