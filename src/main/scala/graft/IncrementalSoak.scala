@@ -157,15 +157,69 @@ object IncrementalSoak {
     require(batchWinners > 0,
       "q93 soak: the 1000x-weight batch must win slots")
 
+    // ---- d26: ExactSubstr store fold at 1M docs ----
+    // corpus: 1M docs, ~12 tokens each; every 50th doc carries an
+    // 8-token boiler run (20k stored occurrences). Batch: 10k new
+    // docs, half carrying the SAME boiler — closed form: exactly
+    // those batch docs lose exactly the boiler's 8 tokens (their
+    // unique remainder is untouched), the other half loses nothing.
+    // Economics: the fold is timed beside the full recompute over
+    // corpus ∪ batch — the fold touches O(batch + matched buckets),
+    // the recompute re-windows all 1M docs.
+    import graft.operators.DedupSuite
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val nSub = 1000000L
+    def subDoc(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+      concat(lit("u"), idCol), concat(lit("v"), idCol),
+      concat(lit("w"), idCol), concat(lit("x"), idCol),
+      concat(lit("y"), idCol), concat(lit("z"), idCol),
+      concat(lit("p"), idCol), concat(lit("q"), idCol),
+      concat(lit("r"), idCol), concat(lit("s"), idCol),
+      concat(lit("t"), idCol), concat(lit("o"), idCol))
+    val subPath = s"$base/substr_docs.parquet"
+    spark.range(nSub).select(col("id").as("doc_id"),
+        when(col("id") % 50 === 0, concat(subDoc(col("id")), lit(" "), lit(boiler)))
+          .otherwise(subDoc(col("id"))).as("text"))
+      .repartition(32).write.mode("overwrite").parquet(subPath)
+    val subDocs = spark.read.parquet(subPath)
+    val subStore = s"$base/substr_store"
+    val (_, tSubBuild) = time {
+      val o = DedupSuite.exactSubstrBuildStore(subDocs, "doc_id", "text",
+        8, subStore).persist()
+      o.count(); o.unpersist(); ()
+    }
+    val subBatch = spark.range(10000L).select(
+      (col("id") + nSub).as("doc_id"),
+      when(col("id") % 2 === 0,
+          concat(subDoc(col("id") + nSub), lit(" "), lit(boiler)))
+        .otherwise(subDoc(col("id") + nSub)).as("text"))
+    val (subCut, tSubFold) = time {
+      val f = DedupSuite.exactSubstrFold(spark, subStore, subBatch,
+        "doc_id", "text", 8).persist()
+      f.count()
+      f.filter(col("n_removed") > 0).count()
+    }
+    require(subCut == 5000L,
+      s"d26 soak: exactly the 5000 boiler-carrying batch docs must be " +
+        s"cut, got $subCut")
+    val (_, tSubFull) = time {
+      val f = DedupSuite.exactSubstrDedup(
+        subDocs.unionByName(subBatch), "doc_id", "text", 8)
+        .filter(col("doc_id") >= nSub && col("n_removed") > 0)
+      require(f.count() == 5000L, "full recompute closed form")
+    }
+
     println(
       s"""{"cc_nodes":$nNodes,"cc_batch":1000,"cc_labeled":$nLabeled,
          |"hh_rows":$nRows,"hh_batch":1000000,"hh_hot":${hot.size},
          |"ps_docs":$nDocs,"ps_batch":100000,"ps_batch_winners":$batchWinners,
+         |"substr_docs":$nSub,"substr_batch":10000,"substr_cut":$subCut,
          |"sec":{"cc_fold":$tFold,"cc_full_recompute":$tFullCc,
          |"hh_summarize_once":$tSummarize,"hh_keystore_once":$tKeyStore,
          |"hh_fold_store":$tHhFold,"hh_fold_rescan":$tHhRescan,
          |"hh_full_recompute":$tHhFull,"ps_fold":$tPsFold,
-         |"ps_full_recompute":$tPsFull}}"""
+         |"ps_full_recompute":$tPsFull,"substr_build_once":$tSubBuild,
+         |"substr_fold":$tSubFold,"substr_full_recompute":$tSubFull}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantiles
+import graft.operators.Quantiles.Quantile
+
+/** Scale soak for q95 radix-selection quantiles (dev tool): 50M rows,
+  * 4 groups — one with a planted 90% mega-duplicate (the shape that
+  * stalls a per-group sort on one reducer and overflows a
+  * `percentile` buffer) — verifying at volume the two claims the gate
+  * proves only at sf0.1:
+  *
+  *   - EXACTNESS: radix selection equals the window-sort order
+  *     statistic row-for-row at every requested rank, including
+  *     p0/p100 endpoints and ranks inside the mega-duplicate;
+  *   - ECONOMICS: wall-clock beside the window-sort baseline. The
+  *     radix passes shuffle (groups × quantiles × fanout) counter
+  *     rows; the baseline shuffles and sorts all 50M rows, with the
+  *     skewed group's 45M rows sorted by ONE task.
+  *
+  * Deterministic fixture (id arithmetic, no RNG).
+  * `sbt "runMain graft.QuantilesSoak"` — one JSON line.
+  */
+object QuantilesSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(32)
+    val base = "target/soak/quantiles"
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val nRows = 50000000L
+    val path = s"$base/rows.parquet"
+    // groups: g0..g2 spread wide (Knuth-hash values over ~1e12,
+    // negatives included); "skew" = 90% the single value 777, the
+    // rest spread — the mega-duplicate
+    spark.range(nRows).select(
+        when(col("id") % 10 < 4, lit("skew"))
+          .otherwise(concat(lit("g"), (col("id") % 3).cast("string")))
+          .as("g"),
+        when(col("id") % 10 < 4 && col("id") % 25 =!= 0, lit(777L))
+          .otherwise((col("id") * 2654435761L) % 1000000000000L
+            - 500000000000L)
+          .as("x"))
+      .repartition(32).write.mode("overwrite").parquet(path)
+    val rows = spark.read.parquet(path)
+    val quantiles = Seq(Quantile("p0", 0, 1), Quantile("p25", 25, 100),
+      Quantile("p50", 50, 100), Quantile("p90", 90, 100),
+      Quantile("p999", 999, 1000), Quantile("p100", 1, 1))
+
+    val (radix, tRadix) = time {
+      val r = Quantiles.radixQuantiles(rows, col("g"), col("x"), quantiles)
+        .collect()
+      r.map(row => row.getString(0) ->
+        quantiles.indices.map(i => row.getLong(i + 1))).toMap
+    }
+
+    // window-sort baseline: the same pinned type-1 rank via
+    // row_number over a per-group sort — the plan radix replaces
+    val (brute, tSort) = time {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("g")).orderBy(col("x").asc)
+      val ranked = rows
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      val targets = quantiles.zipWithIndex.map { case (q, i) =>
+        // `div`, not `/`: BIGINT `/` is DOUBLE division in Spark
+        max(when(col("rn") ===
+            expr(s"((n - 1) * ${q.num}) div ${q.den} + 1"),
+          col("x"))).as(s"q$i")
+      }
+      ranked.groupBy(col("g")).agg(targets.head, targets.tail: _*)
+        .collect()
+        .map(row => row.getString(0) ->
+          quantiles.indices.map(i => row.getLong(i + 1)))
+        .toMap
+    }
+    require(radix == brute,
+      s"radix selection must equal the window-sort order statistic:\n" +
+        s"radix=$radix\nbrute=$brute")
+    require(radix("skew")(2) == 777L,
+      "the mega-duplicate must be the skewed group's median")
+    println(
+      s"""{"rows":$nRows,"groups":${radix.size},
+         |"quantiles":${quantiles.size},
+         |"sec":{"radix":$tRadix,"window_sort":$tSort}}"""
+        .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}

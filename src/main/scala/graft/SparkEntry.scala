@@ -382,6 +382,11 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$tmp/summary")
       HeavyHitters.buildKeyStore(Tables.events(s, d), plantedSkewKey,
         s"$tmp/store", 32)
+      // maintenance pass (the q91/s13 discipline): squash the build's
+      // per-task file fan-out (up to one file per shuffle partition
+      // per bucket dir); the q92 gate then serves its exact recheck
+      // from the COMPACTED store — row identity oracle-checked
+      graft.operators.StoreCompaction.compactStore(s, s"$tmp/store")
       sys.addShutdownHook { rmTreeQuiet(tmp) }
       tmp.toString
     })
@@ -1109,6 +1114,11 @@ object SparkEntry {
       // served survivors share the inline pipelines' oracles — that
       // equality IS the gate, exactly the e13/e14 move.
       "d23_semdedup_ingest" -> base("d20_semdedup"),
+      // d26 folds the d25 corpus through the persisted window-key
+      // store in monotonic batches; per-batch emission ∪-equals the
+      // full recompute, so it shares d25's relational oracle — that
+      // equality IS the gate
+      "d26_incremental_substr" -> base("d25_exact_substr"),
       "d24_semdedup_ingest_farthest" -> base("d21_semdedup_farthest"))
   }
 
@@ -2128,6 +2138,37 @@ object SparkEntry {
               .otherwise(col("text")).as("text")),
           "doc_id", "text", l = 8)),
 
+      // ---- incremental ExactSubstr ingest (the d13/d19/d23/q91
+      // discipline closing the LAST corpus-sized-state family without
+      // a gated ingest twin): the window-key store is built on the
+      // first third of the corpus, the rest folds in two monotonic
+      // batches, and per-batch cleaned output ∪-equals the full d25
+      // recompute BIT-EXACT (monotone ids ⇒ a stored keep is the
+      // global keep, so earlier emissions never change) — the corpus
+      // is never rescanned: each fold joins only its own buckets of
+      // the store (static PartitionFilters, spec-proved unread
+      // elsewhere). Oracle: d25's relational twin — that equality IS
+      // the gate, the e13/d23 shared-oracle move. ----
+      "d26_incremental_substr" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(exactSubstrBoiler)))
+            .otherwise(col("text")).as("text"))
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+        val tmp = java.nio.file.Files.createTempDirectory("d26_substr")
+        sys.addShutdownHook { rmTreeQuiet(tmp) }
+        val store = s"$tmp/state"
+        val out1 = DedupSuite.exactSubstrBuildStore(
+          docs.filter(col("doc_id") < t1), "doc_id", "text", 8, store)
+        val out2 = DedupSuite.exactSubstrFold(s, store,
+          docs.filter(col("doc_id") >= t1 && col("doc_id") < t2),
+          "doc_id", "text", 8)
+        val out3 = DedupSuite.exactSubstrFold(s, store,
+          docs.filter(col("doc_id") >= t2), "doc_id", "text", 8)
+        out1.unionByName(out2).unionByName(out3)
+      }),
+
       // All-pairs cosine ≥ 0.9 over sparse tf vectors WITHOUT the
       // naive all-pairs join: Bayardo prefix filtering + partial-score
       // pruning bound the candidate set, then an integer-exact verify
@@ -2774,6 +2815,33 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"),
             coalesce(col("last_signup_us"), lit(-1L)).as("last_signup_us"))
+      }),
+
+      // ---- sort-free exact quantiles (distributed radix selection;
+      // operators/Quantiles.scala) — q26's answers by COUNTING, never
+      // sorting: each pass is a partial-aggregated bucket count whose
+      // shuffle is (groups × quantiles × fanout)-sized, and the
+      // interval narrows ×fanout per pass, so ⌈log_fanout(range)⌉
+      // scans replace either a per-group value buffer (q26's
+      // `percentile`, OOM at 100-TB group sizes) or a global sort.
+      // Values are ×100 fixed-point BIGINTs (the q64 discipline); the
+      // rank is the pinned type-1 order statistic r = (n−1)·φ + 1 in
+      // integer arithmetic, which the oracle reproduces as a
+      // ROW_NUMBER filter — no interpolation, no libm.
+      "q95_radix_quantiles" -> ((s, dir) => {
+        import graft.operators.Quantiles
+        val e = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("xl"))
+        Quantiles.radixQuantiles(e, col("event_type"), col("xl"),
+            Seq(Quantiles.Quantile("p25", 25, 100),
+              Quantiles.Quantile("p50", 50, 100),
+              Quantiles.Quantile("p90", 90, 100)))
+          .select(col("grp").as("event_type"),
+            (col("p25") / 100.0).as("p25"),
+            (col("p50") / 100.0).as("p50"),
+            (col("p90") / 100.0).as("p90"))
       }),
 
       // ---- streaming (micro-batch over the events file; same oracle as q18;
@@ -4252,6 +4320,30 @@ object SparkEntry {
     // q89 is q20 computed the bucketed way — same contract, same oracle
     "q89_bucketed_asof" -> parityOracles("q20_asof_join"),
     "q94_asof_hybrid" -> parityOracles("q20_asof_join"),
+
+    // q95: the pinned type-1 order statistic — r-th smallest with
+    // r = (n-1)*num/den + 1 in integer arithmetic — reproduced as a
+    // ROW_NUMBER filter (ranks are unique, so exactly one row matches
+    // each target rank per group). Values are the q64 ×100 fixed
+    // point; the final /100.0 is the same correctly-rounded BIGINT→
+    // DOUBLE division in both engines.
+    "q95_radix_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xl
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, xl,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY xl ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type,
+        |       MAX(CASE WHEN rn = ((n-1)*25)//100 + 1 THEN xl END) / 100.0 AS p25,
+        |       MAX(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN xl END) / 100.0 AS p50,
+        |       MAX(CASE WHEN rn = ((n-1)*90)//100 + 1 THEN xl END) / 100.0 AS p90
+        |FROM r GROUP BY event_type""".stripMargin,
 
     "t7_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

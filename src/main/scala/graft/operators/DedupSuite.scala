@@ -643,6 +643,21 @@ object DedupSuite {
   private def substrWithBucket(agg: DataFrame, nBuckets: Int): DataFrame =
     agg.withColumn("bucket", pmod(crc32(col("wkey")), lit(nBuckets.toLong)))
 
+  /** The fold's pruned store read — store delta rows for a bounded
+    * bucket set, a STATIC `bucket IN (…)` partition filter (the q92
+    * directory-skip guarantee). `private[graft]` so the spec asserts
+    * the partition pruning on EXACTLY the production read (the
+    * [[HeavyHitters.candidateStoreRows]] discipline) — inside
+    * [[exactSubstrFold]] the read is consumed by an eagerly
+    * checkpointed join, so its scan never appears in a returned
+    * plan for a spec to inspect. */
+  private[graft] def substrStoreRows(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      buckets: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(if (buckets.isEmpty) lit(false)
+              else col("bucket").isin(buckets: _*))
+
   /** Initialize a persisted window-key store for incremental
     * ExactSubstr ingest AND return the corpus's cleaned output (the
     * same result as [[exactSubstrDedup]] over `docs`, computed from
@@ -741,18 +756,31 @@ object DedupSuite {
     // optimizer heuristic in the loop)
     val buckets = substrWithBucket(batchAgg.select(col("wkey")), nBuckets)
       .select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
-    val stored = spark.read.parquet(path)
-      .filter(if (buckets.isEmpty) lit(false)
-              else col("bucket").isin(buckets: _*))
+    val stored = substrStoreRows(spark, path, buckets.toIndexedSeq)
       .groupBy(col("wkey"))
       .agg(min(col("keep")).as("skeep"), sum(col("cnt")).as("scnt"))
-    // monotonicity ⇒ a stored keep is the global keep when present
+    // monotonicity ⇒ a stored keep is the global keep when present.
+    // localCheckpoint (eager): the store join MUST execute inside
+    // this fold, in its own job. Left lazy, the returned frame
+    // carries a file scan over the store path; when a caller unions
+    // several folds' outputs into one plan, the folds' store scans
+    // canonicalize identically (same path; both batches usually
+    // touch every bucket, so even the IN-sets match) and exchange
+    // reuse serves a LATER fold's scan from an EARLIER fold's
+    // materialization — whose listing predates the later delta —
+    // silently keeping cross-batch duplicates (the d26 regression).
+    // Checkpointing `dup` (batch-key-bounded, ≤ the batch's distinct
+    // window keys — never corpus-sized) removes every store scan
+    // from the returned plan, which also makes the documented
+    // stable-against-later-appends snapshot a materialized fact
+    // rather than a listing-cache accident.
     val dup = batchAgg.join(stored, Seq("wkey"), "left")
       .select(col("wkey"),
         when(col("scnt").isNotNull, col("skeep"))
           .otherwise(col("bkeep")).as("keep"),
         (col("bcnt") + coalesce(col("scnt"), lit(0L))).as("cnt"))
       .filter(col("cnt") >= 2)
+      .localCheckpoint()
     val out = substrClean(tk, substrMarked(occ, dup), l)
     substrWithBucket(
         batchAgg.select(col("wkey"), col("bkeep").as("keep"),

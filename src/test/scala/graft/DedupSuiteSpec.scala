@@ -496,10 +496,12 @@ class DedupSuiteSpec extends SparkSpec {
   }
 
   test("exactSubstr fold reads only the batch's bucket partitions") {
-    // the q92 unread-proof, applied to the fold's store join: a
-    // single-window batch touches one bucket; the fold's executed
-    // store scan must carry a static bucket filter and select no
-    // file outside that bucket's directory
+    // the q92 unread-proof, applied to the fold's pruned store read
+    // (substrStoreRows — asserted directly, the candidateStoreRows
+    // discipline: inside the fold the read feeds an eagerly
+    // checkpointed join, so its scan never survives into a returned
+    // plan for inspection): the read must carry a static bucket
+    // filter and select no file outside the requested buckets
     val store = java.nio.file.Files
       .createTempDirectory("substr_prune").toString + "/state"
     DedupSuite.exactSubstrBuildStore(substrFixture, "doc_id", "text", 8,
@@ -507,52 +509,65 @@ class DedupSuiteSpec extends SparkSpec {
     val allBuckets = spark.read.parquet(store)
       .select("bucket").distinct().count()
     assert(allBuckets > 2, "fixture must spread keys over many buckets")
-    // the batch duplicates a STORED doc's text: its window keys hit
-    // the store, so the dup side is non-empty and AQE cannot
-    // empty-propagate the store-join subtree out of the final plan
-    // (with a no-hit batch the scan still RUNS — that's how AQE
-    // learns the side is empty — but the evidence below inspects the
-    // final plan tree, which would no longer contain it)
+    // the single-window batch the fold would derive this bucket set
+    // from (bit-identical crc32 mod — the HeavyHitters.bucketOf twin)
+    val wkey = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val c = new java.util.zip.CRC32
+    c.update(wkey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b = c.getValue % 16
+    val pruned = DedupSuite.substrStoreRows(spark, store, Seq(b))
+    pruned.collect() // resolve selectedPartitions
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bucket(#\\d+)? IN".r
+        .findFirstIn(planStr).isDefined ||
+        planStr.contains(s"bucket#") && planStr.contains("PartitionFilters"),
+      s"store read must carry a static bucket partition filter:\n" +
+        planStr.take(2500))
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+    }.flatten
+    assert(scanned.nonEmpty, "requested bucket must hold files")
+    assert(scanned.forall(_.contains(s"bucket=$b/")),
+      s"scan must touch only bucket $b, saw:\n${scanned.mkString("\n")}")
+    // and the fold built on this read still cuts a stored duplicate
     val batchText = substrFixture.filter(col("doc_id") === 1L)
       .select("text").as[String].head()
     val out = DedupSuite.exactSubstrFold(spark, store,
       Seq((99L, batchText)).toDF("doc_id", "text"),
       "doc_id", "text", 8, nBuckets = 16)
-    val outRows = out.collect() // force execution; resolves selectedPartitions
-    assert(outRows.head.getLong(2) > 0L,
+    assert(out.collect().head.getLong(2) > 0L,
       "duplicated batch text must be cut against the stored original")
-    // the fold plan is AQE-wrapped: descend through the adaptive root
-    // and materialized query stages to reach the leaf scans
-    def leafScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        leafScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        leafScans(q.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leafScans)
-    }
-    val scans = leafScans(out.queryExecution.executedPlan).filter(
-      _.relation.location.rootPaths.exists(_.toString.endsWith("state")))
-    assert(scans.nonEmpty, "fold plan must contain the store scan")
-    assert("PartitionFilters: \\[bucket(#\\d+)? IN".r
-        .findFirstIn(scans.head.toString).isDefined,
-      s"store scan must carry a static bucket filter:\n${scans.head}")
-    val scanned = scans.flatMap(
-      _.selectedPartitions.toPartitionArray.toSeq
-        .map(_.filePath.toString))
-    val toks = batchText.split(" ")
-    val batchBuckets = (0 to toks.length - 8).map { w =>
-      val c = new java.util.zip.CRC32
-      c.update(toks.slice(w, w + 8).mkString(" ")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      c.getValue % 16
-    }.toSet
-    assert(batchBuckets.size < allBuckets,
-      "batch must touch strictly fewer buckets than the store holds")
-    assert(scanned.nonEmpty && scanned.forall(p =>
-        batchBuckets.exists(b => p.contains(s"bucket=$b/"))),
-      s"scan must touch only buckets $batchBuckets, saw:\n" +
-        scanned.mkString("\n"))
+  }
+
+  test("unioned fold outputs stay exact when scans canonicalize equal") {
+    // regression: a caller that unions several folds' outputs into
+    // ONE plan must not lose a later fold's view of an earlier
+    // fold's delta. With identical store-scan canonical forms (same
+    // path; nBuckets=1 forces the same `bucket IN (0)` filter on
+    // every fold), exchange reuse would serve fold B's scan from
+    // fold A's materialization — listed BEFORE A's append — and the
+    // cross-batch duplicate would silently survive. The fold now
+    // checkpoints its store join eagerly, so the union carries no
+    // store scan at all.
+    val run = "cb1 cb2 cb3 cb4 cb5 cb6 cb7 cb8"
+    val build = Seq((0L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
+    val bA = Seq((10L, s"$run xa xb")).toDF("doc_id", "text")
+    val bB = Seq((20L, s"ya yb $run")).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("substr_union").toString + "/state"
+    val o1 = DedupSuite.exactSubstrBuildStore(build, "doc_id", "text", 8,
+      store, nBuckets = 1)
+    val o2 = DedupSuite.exactSubstrFold(spark, store, bA,
+      "doc_id", "text", 8, nBuckets = 1)
+    val o3 = DedupSuite.exactSubstrFold(spark, store, bB,
+      "doc_id", "text", 8, nBuckets = 1)
+    // materialize the three AS ONE PLAN — the failing shape
+    val got = o1.unionByName(o2).unionByName(o3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains((10L, s"$run xa xb", 0L)),
+      s"first occurrence keeps the run, got $got")
+    assert(got.contains((20L, "ya yb", 8L)),
+      s"doc 20's copy must be cut against fold A's delta, got $got")
   }
 }

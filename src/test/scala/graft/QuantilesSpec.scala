@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantiles
+import graft.operators.Quantiles.Quantile
+
+/** Radix-selection exact quantiles: the sort-free scale path must be
+  * BIT-identical to the brute-force order statistic (sort + index)
+  * under every shape that stresses selection — duplicates, planted
+  * mega-skew, negatives, tiny groups, extreme ranks. */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qs = Seq(Quantile("p25", 25, 100), Quantile("p50", 50, 100),
+    Quantile("p90", 90, 100))
+
+  /** Brute force: r = (n-1)*num/den + 1 (integer division), r-th
+    * smallest by local sort per group. */
+  private def brute(rows: Seq[(String, Long)],
+                    quantiles: Seq[Quantile]): Map[String, Seq[Long]] =
+    rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> quantiles.map { q =>
+        val r = ((BigInt(sorted.size - 1) * q.num) / q.den).toLong + 1
+        sorted((r - 1).toInt)
+      }
+    }
+
+  private def run(rows: Seq[(String, Long)],
+                  quantiles: Seq[Quantile] = qs,
+                  fanout: Int = 4096): Map[String, Seq[Long]] =
+    Quantiles.radixQuantiles(rows.toDF("g", "x"), col("g"), col("x"),
+        quantiles, fanout)
+      .collect()
+      .map(r => r.getString(0) ->
+        quantiles.indices.map(i => r.getLong(i + 1)))
+      .toMap
+
+  test("matches brute force on mixed random-ish groups") {
+    val rows = (0 until 5000).map { i =>
+      val g = s"g${i % 7}"
+      // deterministic pseudo-random spread incl. negatives
+      (g, ((i * 2654435761L) % 100003L) - 50000L)
+    }
+    assert(run(rows) === brute(rows, qs))
+  }
+
+  test("planted mega-skew: 90% one value, exact at every rank") {
+    val rows = (0 until 10000).map { i =>
+      ("s", if (i % 10 == 0) i.toLong else 777L)
+    }
+    val all = Seq(Quantile("p01", 1, 100), Quantile("p10", 10, 100),
+      Quantile("p50", 50, 100), Quantile("p89", 89, 100),
+      Quantile("p99", 99, 100), Quantile("min", 0, 1),
+      Quantile("max", 1, 1))
+    assert(run(rows, all) === brute(rows, all))
+  }
+
+  test("small fanout forces many descent passes, result unchanged") {
+    val rows = (0 until 3000).map(i => ("g", (i * 104729L) % 1000000007L))
+    assert(run(rows, qs, fanout = 2) === brute(rows, qs))
+    assert(run(rows, qs, fanout = 7) === brute(rows, qs))
+  }
+
+  test("degenerate groups: single row, all-equal, two values") {
+    val rows = Seq(("one", 42L)) ++
+      (0 until 50).map(_ => ("same", -9L)) ++
+      (0 until 30).map(i => ("two", if (i < 29) 1L else 2L))
+    assert(run(rows) === brute(rows, qs))
+  }
+
+  test("extreme value domain: Long.MinValue/MaxValue endpoints") {
+    val rows = Seq(("x", Long.MinValue), ("x", -1L), ("x", 0L),
+      ("x", 1L), ("x", Long.MaxValue))
+    val mm = Seq(Quantile("min", 0, 1), Quantile("p50", 1, 2),
+      Quantile("max", 1, 1))
+    assert(run(rows, mm) === brute(rows, mm))
+  }
+
+  test("null groups and null values are excluded; empty input -> empty") {
+    val df = Seq[(Option[String], Option[Long])](
+      (Some("g"), Some(1L)), (Some("g"), None), (None, Some(5L)),
+      (Some("g"), Some(3L))).toDF("g", "x")
+    val got = Quantiles.radixQuantiles(df, col("g"), col("x"),
+        Seq(Quantile("p50", 1, 2)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("g" -> 1L)) // n=2, r=(1*1)/2+1=1 -> 1st smallest
+    val empty = Quantiles.radixQuantiles(
+      Seq.empty[(String, Long)].toDF("g", "x"), col("g"), col("x"),
+      Seq(Quantile("p50", 1, 2)))
+    assert(empty.count() === 0)
+  }
+
+  test("no sort appears in any selection pass plan") {
+    // the operator's promise: counting, never sorting. The per-pass
+    // aggregation is issued internally, so assert on the equivalent
+    // pass shape — a bucketed count under an interval join
+    val keyed = (0 until 100).map(i => ("g", i.toLong)).toDF("g", "x")
+    val iv = Seq(("g", 0, 0L, 99L, 25L)).toDF("ig", "qi", "ilo", "ihi", "w")
+    val pass = keyed.join(broadcast(iv),
+        col("g") === col("ig") &&
+          col("x") >= col("ilo") && col("x") <= col("ihi"))
+      .groupBy(col("g"), col("qi"),
+        ((col("x") - col("ilo")) / col("w")).cast("long").as("b"))
+      .agg(count(lit(1)))
+    val plan = pass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"selection pass must not sort:\n$plan")
+  }
+}
