@@ -183,9 +183,22 @@ object IncrementalSoak {
       .repartition(32).write.mode("overwrite").parquet(subPath)
     val subDocs = spark.read.parquet(subPath)
     val subStore = s"$base/substr_store"
+    // 64 buckets: sized so one bucket ≈ one comfortable read unit at
+    // THIS corpus (13M key rows ≈ 4MB/bucket). Raising nBuckets only
+    // pays once buckets outgrow that unit — a 4096-bucket layout here
+    // measured 3-7× SLOWER (3k-row files: listing and task overhead
+    // swamp the scan). Bucket-level pruning is proved exactly by the
+    // spec's selected-file inventory; a 10k-doc batch's ~115k keys
+    // cover every bucket by pigeonhole, so no prune is measurable at
+    // soak shape. hashKeys=true is the production mode (NOTES_r12):
+    // the store holds 16-byte digests, so the fold's store scan +
+    // broadcast semi-probe (no occurrence shuffle — the store is
+    // pre-aggregated) undercuts the recompute, which must re-window
+    // the corpus and shuffle every raw occurrence for its groupBy.
+    val subNB = 64
     val (_, tSubBuild) = time {
       val o = DedupSuite.exactSubstrBuildStore(subDocs, "doc_id", "text",
-        8, subStore).persist()
+        8, subStore, nBuckets = subNB, hashKeys = true).persist()
       o.count(); o.unpersist(); ()
     }
     val subBatch = spark.range(10000L).select(
@@ -195,7 +208,7 @@ object IncrementalSoak {
         .otherwise(subDoc(col("id") + nSub)).as("text"))
     val (subCut, tSubFold) = time {
       val f = DedupSuite.exactSubstrFold(spark, subStore, subBatch,
-        "doc_id", "text", 8).persist()
+        "doc_id", "text", 8, nBuckets = subNB, hashKeys = true).persist()
       f.count()
       f.filter(col("n_removed") > 0).count()
     }
@@ -204,7 +217,7 @@ object IncrementalSoak {
         s"cut, got $subCut")
     val (_, tSubFull) = time {
       val f = DedupSuite.exactSubstrDedup(
-        subDocs.unionByName(subBatch), "doc_id", "text", 8)
+        subDocs.unionByName(subBatch), "doc_id", "text", 8, hashKeys = true)
         .filter(col("doc_id") >= nSub && col("n_removed") > 0)
       require(f.count() == 5000L, "full recompute closed form")
     }

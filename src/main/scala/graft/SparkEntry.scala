@@ -612,6 +612,31 @@ object SparkEntry {
         col("vec_id"))
     })
 
+  private val substrIngestSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** The s14 ingest stream: the d25 corpus's docs at or above the
+    * first-tercile id boundary `t1`, staged as THREE ordered parquet
+    * batches split by id TERCILE — not mod 3: the substr fold's
+    * monotonicity contract (`exactSubstrFold` requires every batch id
+    * strictly above the stored high-water mark) needs batch i's ids
+    * wholly below batch i+1's, which `(doc_id - t1) * 3 div span` with
+    * strictly-increasing file mod times delivers and a mod split never
+    * can. Docs below `t1` seed the persisted window-key store before
+    * the stream starts (see the s14 seed in [[runStreamPass]]).
+    * Returns (stagingDir, t1); one staging per (JVM, dir). */
+  private def stagedSubstrIngestSplit(s: SparkSession,
+                                      dir: String): (String, Long) =
+    substrIngestSplitDirs.computeIfAbsent(dir, { d =>
+      val docs = substrCorpus(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val t1 = maxId / 3
+      val span = maxId - t1 + 1
+      (stageOrderedSplit("s14_docs",
+        docs.filter(col("doc_id") >= t1),
+        expr(s"(doc_id - $t1) * 3 div $span")), t1)
+    })
+
   /** The q77 old/new snapshot pair — shared by the q77 diff gate and
     * the s9 CDC-apply roundtrip (whose source stream IS q77's diff). */
   private def q77Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -823,6 +848,7 @@ object SparkEntry {
     val s11Pairs = s11Root(dir, "pairs")
     val s12Out = s11Root(dir, "s12_out")
     val s13Index = s11Root(dir, "s13_index")
+    val s14Root = s11Root(dir, "s14_substr")
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -902,6 +928,28 @@ object SparkEntry {
               s"$s13Index/index",
               s.read.parquet(s"$s13Index/centroids"),
               trackCk("s13_ck").toString, maxFilesPerTrigger = Some(1)))
+          },
+          // s14: foreachBatch incremental ExactSubstr ingest — the
+          // window-key store is seeded from the corpus's first id
+          // tercile (its cleaned output becomes the accumulated
+          // output's first segment), then the upper terciles fold in
+          // as three MONOTONE micro-batches, each emitting its own
+          // cleaned text exactly once (committed-staging replay
+          // protocol — see foldSubstrBatchIdempotent). Production
+          // mode: hashKeys=true (16-byte digest keys in the store).
+          () => phase("seed_s14") {
+            val (s14split, t1) = stagedSubstrIngestSplit(s, dir)
+            val s14store = s"$s14Root/store"
+            val s14out = s"$s14Root/out"
+            DedupSuite.exactSubstrBuildStore(
+                substrCorpus(s, dir).filter(col("doc_id") < t1),
+                "doc_id", "text", 8, s14store,
+                nBuckets = 64, hashKeys = true)
+              .write.parquet(s14out)
+            track(graft.streaming.StreamingJobs.streamingSubstrIngest(
+              s, s14split, nearDupStreamSchema, s14store, s14out,
+              trackCk("s14_ck").toString, l = 8, nBuckets = 64,
+              hashKeys = true, maxFilesPerTrigger = Some(1)))
           }))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -955,7 +1003,17 @@ object SparkEntry {
             "vec_id", "embedding", k = 5, nProbe = 4)
           .write.parquet(outRoot.resolve("s13_stream_ivf_ingest").toString)
       }
-      val tasks = memTasks ++ Seq(s5Task, s9Task, s11Task, s12Task, s13Task)
+      // s14: the accumulated cleaned output — seed segment + one
+      // promoted segment per streamed batch; ∪-equals the full d25
+      // recompute over the whole corpus (monotone ids ⇒ a stored keep
+      // is the global keep, so earlier emissions never change)
+      val s14Task = "s14_stream_substr_ingest" -> { () =>
+        s.read.parquet(s"$s14Root/out")
+          .select(col("doc_id"), col("clean_text"), col("n_removed"))
+          .write.parquet(outRoot.resolve("s14_stream_substr_ingest").toString)
+      }
+      val tasks = memTasks ++ Seq(s5Task, s9Task, s11Task, s12Task, s13Task,
+        s14Task)
       inParallel(tasks.map(_._2))
       tasks.map { case (entry, _) =>
         entry -> outRoot.resolve(entry).toString
@@ -1119,6 +1177,10 @@ object SparkEntry {
       // full recompute, so it shares d25's relational oracle — that
       // equality IS the gate
       "d26_incremental_substr" -> base("d25_exact_substr"),
+      // s14 streams the same corpus through the same store discipline
+      // (seed tercile + three monotone batches); accumulated output ==
+      // full recompute, so it shares d25's oracle like d26
+      "s14_stream_substr_ingest" -> base("d25_exact_substr"),
       "d24_semdedup_ingest_farthest" -> base("d21_semdedup_farthest"))
   }
 
@@ -2132,11 +2194,7 @@ object SparkEntry {
       // (clean_text is compared as a STRING — token order proof).
       "d25_exact_substr" -> ((s, dir) =>
         DedupSuite.exactSubstrDedup(
-          Tables.documents(s, dir).select(col("doc_id"),
-            when(col("doc_id") % 7 === 0,
-              concat(col("text"), lit(exactSubstrBoiler)))
-              .otherwise(col("text")).as("text")),
-          "doc_id", "text", l = 8)),
+          substrCorpus(s, dir), "doc_id", "text", l = 8)),
 
       // ---- incremental ExactSubstr ingest (the d13/d19/d23/q91
       // discipline closing the LAST corpus-sized-state family without
@@ -2150,10 +2208,7 @@ object SparkEntry {
       // elsewhere). Oracle: d25's relational twin — that equality IS
       // the gate, the e13/d23 shared-oracle move. ----
       "d26_incremental_substr" -> ((s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"),
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(exactSubstrBoiler)))
-            .otherwise(col("text")).as("text"))
+        val docs = substrCorpus(s, dir)
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         val (t1, t2) = (maxId / 3, 2 * maxId / 3)
         val tmp = java.nio.file.Files.createTempDirectory("d26_substr")
@@ -3781,7 +3836,19 @@ object SparkEntry {
       // stream-grown == batch-rebuilt bit-for-bit. Runs in the shared
       // concurrent stream pass (see runStreamPass). ----
       "s13_stream_ivf_ingest" -> ((s, dir) =>
-        streamResult(s, dir, "s13_stream_ivf_ingest"))
+        streamResult(s, dir, "s13_stream_ivf_ingest")),
+
+      // ---- streaming incremental ExactSubstr ingest (s14): the d26
+      // fold under foreachBatch with an exactly-once replay protocol
+      // (committed staging + deterministic promote + marker — three
+      // artifacts per batch: store delta, _meta high-water row, the
+      // batch's cleaned output). The corpus is never re-windowed: each
+      // batch's store join reads only its own crc32 buckets. Shares
+      // d25's oracle: the seed segment plus the per-batch emissions
+      // ∪-equal the full recompute bit-for-bit (monotone ids freeze
+      // earlier emissions). Runs in the shared stream pass. ----
+      "s14_stream_substr_ingest" -> ((s, dir) =>
+        streamResult(s, dir, "s14_stream_substr_ingest"))
     )
   }
 
@@ -3825,6 +3892,16 @@ object SparkEntry {
     * appended to every 7th doc on BOTH the Spark and oracle side. */
   private val exactSubstrBoiler =
     " shared license boilerplate alpha beta gamma delta epsilon zeta eta theta iota"
+
+  /** The d25/d26/s14 fixture: documents with the planted boilerplate
+    * suffix on every 7th doc — shared so the batch pipeline, the
+    * incremental fold, and the streaming ingest all clean EXACTLY the
+    * same corpus (their oracle is shared too). */
+  private def substrCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(exactSubstrBoiler)))
+        .otherwise(col("text")).as("text"))
   private def hash32Sql(salt: Int, v: String): String =
     s"CAST(('0x' || substr(md5('$salt:' || $v), 1, 8)) AS BIGINT)"
   private val shinglesSql =

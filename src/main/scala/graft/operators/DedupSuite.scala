@@ -628,16 +628,43 @@ object DedupSuite {
     * window KEY IS, and `nBuckets` defines where a key LIVES — a fold
     * run with any of them different would silently mis-join keys or
     * prune the wrong bucket partitions (keeping batch duplicates of
-    * stored text with no error), so [[exactSubstrFold]] requires
+    * stored text with no error), so [[readSubstrMeta]] requires
     * equality loudly, the same discipline as the MG summary's
-    * stored-k check. */
+    * stored-k check. The meta is APPEND-ONLY past the build (one row
+    * per ingest; readers take the max high-water mark and validate
+    * every row's layout): an append promotes idempotently under a
+    * deterministic file name, which is what lets the streaming twin
+    * replay a crashed batch without a read-modify-write window. */
   private def writeSubstrMeta(spark: org.apache.spark.sql.SparkSession,
                               path: String, maxDoc: Long, l: Int,
-                              nBuckets: Int, hashKeys: Boolean): Unit = {
+                              nBuckets: Int, hashKeys: Boolean,
+                              mode: String): Unit = {
     import spark.implicits._
     Seq((maxDoc, l, nBuckets, hashKeys))
       .toDF("max_doc", "l", "n_buckets", "hash_keys")
-      .write.mode("overwrite").parquet(substrMetaPath(path))
+      .coalesce(1)
+      .write.mode(mode).parquet(substrMetaPath(path))
+  }
+
+  /** Validate the store's layout against the caller's parameters and
+    * return the ingest high-water mark (max over the append-only meta
+    * rows). Loud on any mismatch — see [[writeSubstrMeta]]. */
+  private[graft] def readSubstrMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      l: Int, nBuckets: Int, hashKeys: Boolean): Long = {
+    val rows = spark.read.parquet(substrMetaPath(path)).collect()
+    require(rows.nonEmpty, s"no _meta at ${substrMetaPath(path)}")
+    rows.foreach { meta =>
+      require(meta.getAs[Int]("l") == l &&
+          meta.getAs[Int]("n_buckets") == nBuckets &&
+          meta.getAs[Boolean]("hash_keys") == hashKeys,
+        s"store layout mismatch: built with (l=${meta.getAs[Int]("l")}, " +
+          s"nBuckets=${meta.getAs[Int]("n_buckets")}, " +
+          s"hashKeys=${meta.getAs[Boolean]("hash_keys")}), fold called " +
+          s"with (l=$l, nBuckets=$nBuckets, hashKeys=$hashKeys) — a " +
+          "mismatch mis-keys or mis-buckets silently")
+    }
+    rows.map(_.getAs[Long]("max_doc")).max
   }
 
   private def substrWithBucket(agg: DataFrame, nBuckets: Int): DataFrame =
@@ -684,11 +711,17 @@ object DedupSuite {
     val agg = occ.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id"), col("wpos"))).as("keep"),
         count(lit(1)).as("cnt"))
+    // bucket-align the write (the SemDeDup-state discipline): each
+    // bucket's rows land in ONE task, so the store is nBuckets files,
+    // not shuffle-partitions × nBuckets — at a store maintained by
+    // many appends that factor is the difference between listing
+    // thousands of files and listing nBuckets
     substrWithBucket(agg, nBuckets)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val mr = tk.agg(max(col("doc_id")).cast("long")).head()
     val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
-    writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys)
+    writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys, "overwrite")
     substrClean(tk, substrMarked(occ, agg.filter(col("cnt") >= 2)), l)
   }
 
@@ -722,18 +755,32 @@ object DedupSuite {
                       path: String, batch: DataFrame, idCol: String,
                       textCol: String, l: Int, nBuckets: Int = 64,
                       hashKeys: Boolean = false): DataFrame = {
+    val (delta, out, newMax) = computeSubstrFold(spark, path, batch,
+      idCol, textCol, l, nBuckets, hashKeys)
+    delta
+      .repartition(col("bucket")) // one delta file per touched bucket
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    writeSubstrMeta(spark, path, newMax, l, nBuckets, hashKeys, "append")
+    out
+  }
+
+  /** The fold's pure computation — everything [[exactSubstrFold]]
+    * does EXCEPT touching the store: validates layout + monotonicity,
+    * reads the live store (pruned, semi-filtered), and returns
+    * (delta rows WITH their bucket column, the batch's cleaned
+    * output, the new high-water mark). The store joins inside are
+    * eagerly checkpointed, so neither returned frame re-reads the
+    * store when materialized later. Exposed for the streaming twin's
+    * committed-staging protocol, which must stage both frames BEFORE
+    * any live mutation. */
+  private[graft] def computeSubstrFold(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      textCol: String, l: Int, nBuckets: Int,
+      hashKeys: Boolean): (DataFrame, DataFrame, Long) = {
     require(l >= 2, "window length must be at least 2")
     val tk = substrTokens(batch, idCol, textCol)
-    val meta = spark.read.parquet(substrMetaPath(path)).head()
-    val prevMax = meta.getAs[Long]("max_doc")
-    require(meta.getAs[Int]("l") == l &&
-        meta.getAs[Int]("n_buckets") == nBuckets &&
-        meta.getAs[Boolean]("hash_keys") == hashKeys,
-      s"store layout mismatch: built with (l=${meta.getAs[Int]("l")}, " +
-        s"nBuckets=${meta.getAs[Int]("n_buckets")}, " +
-        s"hashKeys=${meta.getAs[Boolean]("hash_keys")}), fold called " +
-        s"with (l=$l, nBuckets=$nBuckets, hashKeys=$hashKeys) — a " +
-        "mismatch mis-keys or mis-buckets silently")
+    val prevMax = readSubstrMeta(spark, path, l, nBuckets, hashKeys)
     val mm = tk.agg(min(col("doc_id")).cast("long"),
       max(col("doc_id")).cast("long")).head()
     require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
@@ -756,7 +803,14 @@ object DedupSuite {
     // optimizer heuristic in the loop)
     val buckets = substrWithBucket(batchAgg.select(col("wkey")), nBuckets)
       .select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
+    // semi-filter BEFORE aggregating: the left join below drops every
+    // store key the batch doesn't carry, so re-aggregating a whole
+    // bucket's keys first is wasted shuffle — the semi join (AQE
+    // broadcasts the checkpointed batch-key side when it is small)
+    // shrinks the delta re-aggregation from bucket-sized to
+    // matched-keys-sized
     val stored = substrStoreRows(spark, path, buckets.toIndexedSeq)
+      .join(batchAgg.select(col("wkey")), Seq("wkey"), "left_semi")
       .groupBy(col("wkey"))
       .agg(min(col("keep")).as("skeep"), sum(col("cnt")).as("scnt"))
     // monotonicity ⇒ a stored keep is the global keep when present.
@@ -782,11 +836,9 @@ object DedupSuite {
       .filter(col("cnt") >= 2)
       .localCheckpoint()
     val out = substrClean(tk, substrMarked(occ, dup), l)
-    substrWithBucket(
-        batchAgg.select(col("wkey"), col("bkeep").as("keep"),
-          col("bcnt").as("cnt")), nBuckets)
-      .write.mode("append").partitionBy("bucket").parquet(path)
-    writeSubstrMeta(spark, path, mm.getLong(1), l, nBuckets, hashKeys)
-    out
+    val delta = substrWithBucket(
+      batchAgg.select(col("wkey"), col("bkeep").as("keep"),
+        col("bcnt").as("cnt")), nBuckets)
+    (delta, out, mm.getLong(1))
   }
 }

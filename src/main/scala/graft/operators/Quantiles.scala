@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * repeatedly counting values into `fanout` equal-width sub-intervals
   * and descending into the one that spans rank r (radix / bisection
   * selection). Every pass is a partial-aggregated COUNT — map-side
-  * combined, shuffle sized by (groups × quantiles × fanout), never by
-  * rows — and the interval width shrinks ×fanout per pass, so the
-  * pass count is ⌈log_fanout(range)⌉ (≤ 6 passes for the full 64-bit
-  * range at the default fanout 4096; real data converges in 2–3).
-  * No SortExec appears anywhere in any pass's plan.
+  * combined, shuffle sized by (distinct live intervals × fanout),
+  * never by rows (a group's quantiles share one interval until their
+  * descents diverge, and shared intervals are counted ONCE) — and
+  * the interval width shrinks ×fanout per pass, so the
+  * pass count is ⌈log_fanout(range)⌉ (≤ 4 passes for the full 64-bit
+  * range at the default fanout 65536; a ×100-fixed-point metric
+  * range converges in 2–3). No SortExec appears anywhere in any
+  * pass's plan.
   *
   * 100-TB economics: pass 1 scans the table once (the unavoidable
   * cost); every later pass filters to the surviving intervals —
@@ -61,7 +64,7 @@ object Quantiles {
     * are absent, as in any GROUP BY. */
   def radixQuantiles(df: DataFrame, grp: Column, value: Column,
                      quantiles: Seq[Quantile],
-                     fanout: Int = 4096): DataFrame = {
+                     fanout: Int = 65536): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     require(fanout >= 2, "fanout must be at least 2")
     val spark = df.sparkSession
@@ -101,14 +104,23 @@ object Quantiles {
       active = open
       if (active.nonEmpty) {
         // one scan: rows joining ANY active interval, counted into
-        // fanout equal-width sub-intervals per (group, quantile).
-        // The interval frame is tiny (|targets| rows) → broadcast;
-        // the count's shuffle is (targets × fanout)-sized.
+        // fanout equal-width sub-intervals per DISTINCT (group,
+        // interval) — NOT per (group, quantile): in early passes all
+        // of a group's quantiles share one interval (pass 1: the
+        // whole group range), and counting per quantile would
+        // multiply every per-task aggregation buffer and the shuffle
+        // by |quantiles| for identical numbers. Targets look their
+        // interval's counts up driver-side. The interval frame is
+        // tiny (≤ |targets| rows) → broadcast; the count's shuffle
+        // is (distinct intervals × fanout)-sized.
+        val intervals = active.map(t => (t.g, t.lo, t.hi)).distinct
+        val widthOfIv: ((String, Long, Long)) => BigInt = iv =>
+          (BigInt(iv._3) - BigInt(iv._2) + fanout) / fanout
         val iv = spark.createDataFrame(
-          spark.sparkContext.parallelize(active.map(t =>
-            Row(t.g, t.qi, t.lo, t.hi, widthOf(t).toLong)), 1),
+          spark.sparkContext.parallelize(intervals.map(i =>
+            Row(i._1, i._2, i._3, widthOfIv(i).toLong)), 1),
           StructType(Seq(StructField("ig", StringType),
-            StructField("qi", IntegerType), StructField("ilo", LongType),
+            StructField("ilo", LongType),
             StructField("ihi", LongType), StructField("w", LongType))))
         // bucket = (x - ilo) div w: the difference is computed in
         // DECIMAL(38,0) because the full Long domain makes x - ilo
@@ -125,19 +137,33 @@ object Quantiles {
             org.apache.spark.sql.GraftColumnBridge.expression(diff),
             org.apache.spark.sql.GraftColumnBridge.expression(
               col("w").cast("decimal(38,0)"))))
-        val counts = keyed.join(broadcast(iv),
+        // literal pre-filter, not just the join condition: the join's
+        // range predicates reference the broadcast side, so they can
+        // never reach the scan — without this, EVERY pass rescans the
+        // full table and the descent costs passes × full-scan. As an
+        // OR of literal per-group ranges (|targets| bounded terms)
+        // the predicate is pushed into the source, and parquet
+        // row-group min/max stats skip everything outside the
+        // surviving intervals — passes after the first read a
+        // vanishing fraction of the data.
+        val livePred = intervals.map(i =>
+            col("g") === lit(i._1) &&
+              col("x") >= lit(i._2) && col("x") <= lit(i._3))
+          .reduce(_ || _)
+        val counts = keyed.filter(livePred).join(broadcast(iv),
             col("g") === col("ig") &&
               col("x") >= col("ilo") && col("x") <= col("ihi"))
-          .groupBy(col("g"), col("qi"), bucket.cast("long").as("b"))
+          .groupBy(col("g"), col("ilo"), col("ihi"),
+            bucket.cast("long").as("b"))
           .agg(count(lit(1)).as("c"))
           .collect()
-          .groupBy(r => (r.getString(0), r.getInt(1)))
+          .groupBy(r => (r.getString(0), r.getLong(1), r.getLong(2)))
           .map { case (k, rs) =>
-            k -> rs.map(r => r.getLong(2) -> r.getLong(3))
+            k -> rs.map(r => r.getLong(3) -> r.getLong(4))
               .sortBy(_._1).toSeq
           }
         active = active.map { t =>
-          val buckets = counts((t.g, t.qi))
+          val buckets = counts((t.g, t.lo, t.hi))
           // descend into the bucket spanning rank r
           var rem = t.r
           val (b, inBucket) = buckets.iterator.map { case (b, c) =>

@@ -312,6 +312,144 @@ object StreamingJobs {
     }
   }
 
+  /** Fold one document micro-batch into a persisted ExactSubstr
+    * window-key store (the [[graft.operators.DedupSuite.exactSubstrBuildStore]]
+    * layout) exactly once — [[appendIvfBatchIdempotent]]'s
+    * committed-staging protocol applied to a fold that must publish
+    * THREE artifacts atomically-by-replay: the store delta (bucket
+    * partitions), the append-only `_meta` high-water row, and the
+    * batch's cleaned output (accumulated under `outPath`). The plain
+    * [[graft.operators.DedupSuite.exactSubstrFold]] is crash-redo —
+    * a replayed fold double-appends its delta (counts are not
+    * idempotent); here every window closes:
+    *
+    *  1. `_substr_batch_<id>` marker in the store → applied, skip.
+    *  2. Staging without its commit file is a crashed attempt —
+    *     recompute from the LIVE store (never touched before step 3)
+    *     and stage delta/out/meta; then create `_SUCCESS` (written
+    *     last, so its presence freezes the staging — replay reuses
+    *     it verbatim, never recomputes against a half-promoted
+    *     store).
+    *  3. Promote with DETERMINISTIC names `sbatch<id>-<file>` +
+    *     REPLACE_EXISTING into the store's bucket partitions, the
+    *     meta dir (append-only — readers max over rows), and
+    *     `outPath`: a partial-crash re-copy overwrites the same
+    *     targets byte-identically.
+    *  4. Marker (the commit point), then sweep staging.
+    *
+    * Returns whether the batch was applied (false = replay skip). */
+  def foldSubstrBatchIdempotent(spark: SparkSession, storePath: String,
+                                outPath: String, batch: org.apache.spark.sql.DataFrame,
+                                batchId: Long, l: Int, nBuckets: Int,
+                                hashKeys: Boolean): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(storePath, s"_substr_batch_$batchId")
+    val staging = Paths.get(storePath, s".substr_staging_$batchId")
+    if (Files.exists(marker)) {
+      if (Files.exists(staging)) deleteRecursively(staging)
+      return false
+    }
+    if (!Files.exists(staging.resolve("_SUCCESS")))
+      stageSubstrFold(spark, storePath, staging, batch, l, nBuckets,
+        hashKeys)
+    promoteStagedSubstrFold(storePath, outPath, batchId)
+    Files.createFile(marker)
+    deleteRecursively(staging)
+    true
+  }
+
+  /** Step 2 of [[foldSubstrBatchIdempotent]]: compute the fold against
+    * the LIVE (not-yet-mutated) store and stage all three artifacts,
+    * committing with a hand-written `_SUCCESS` LAST — a staging dir
+    * without it is a crashed attempt and is restaged from scratch.
+    * Exposed for the spec's crash-window replays. */
+  private[graft] def stageSubstrFold(spark: SparkSession, storePath: String,
+                                     staging: java.nio.file.Path,
+                                     batch: org.apache.spark.sql.DataFrame,
+                                     l: Int, nBuckets: Int,
+                                     hashKeys: Boolean): Unit = {
+    deleteRecursively(staging)
+    val (delta, out, newMax) = graft.operators.DedupSuite
+      .computeSubstrFold(spark, storePath, batch, "doc_id", "text",
+        l, nBuckets, hashKeys)
+    delta.repartition(org.apache.spark.sql.functions.col("bucket"))
+      .write.partitionBy("bucket")
+      .parquet(staging.resolve("delta").toString)
+    out.write.parquet(staging.resolve("out").toString)
+    import spark.implicits._
+    Seq((newMax, l, nBuckets, hashKeys))
+      .toDF("max_doc", "l", "n_buckets", "hash_keys")
+      .coalesce(1).write.parquet(staging.resolve("meta").toString)
+    java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
+  }
+
+  /** Step 3 of [[foldSubstrBatchIdempotent]]: copy the committed
+    * staging's files into the live store's bucket partitions, the
+    * `_meta` dir, and the accumulated output dir under DETERMINISTIC
+    * `sbatch<id>-<name>` names with REPLACE_EXISTING — a partial-crash
+    * re-copy overwrites the same targets byte-identically. Exposed for
+    * the spec's crash-window replays. */
+  private[graft] def promoteStagedSubstrFold(storePath: String,
+                                             outPath: String,
+                                             batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val staging = Paths.get(storePath, s".substr_staging_$batchId")
+    require(Files.exists(staging.resolve("_SUCCESS")),
+      s"substr staging for batch $batchId is not committed")
+    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    def promote(srcDir: java.nio.file.Path,
+                dstDir: java.nio.file.Path): Unit = {
+      Files.createDirectories(dstDir)
+      listDir(srcDir)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { f =>
+          Files.copy(f,
+            dstDir.resolve(s"sbatch$batchId-${f.getFileName.toString}"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+    listDir(staging.resolve("delta"))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bucket="))
+      .foreach { bdir =>
+        promote(bdir, Paths.get(storePath, bdir.getFileName.toString))
+      }
+    promote(staging.resolve("meta"), Paths.get(s"${storePath}_meta"))
+    promote(staging.resolve("out"), Paths.get(outPath))
+  }
+
+  /** Streaming incremental ExactSubstr ingest (s14): a stream of
+    * MONOTONICALLY-ID'd document batches folds into the persisted
+    * window-key store, each micro-batch emitting its own cleaned
+    * output — the d26 fold with [[foldSubstrBatchIdempotent]]'s
+    * exactly-once replay protocol. The corpus is never re-windowed:
+    * per batch the store join touches only the batch's own crc32
+    * buckets, and because ids are monotone the accumulated outputs
+    * ∪-equal a full ExactSubstr recompute over corpus ∪ batches —
+    * the s14 gate reads the accumulated `outPath` against d25's
+    * full-pipeline oracle. */
+  def streamingSubstrIngest(spark: SparkSession, srcDir: String,
+                            schema: StructType, storePath: String,
+                            outPath: String, checkpoint: String,
+                            l: Int, nBuckets: Int, hashKeys: Boolean,
+                            maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldSubstrBatchIdempotent(spark, storePath, outPath,
+          batch.toDF(), batchId, l, nBuckets, hashKeys)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming incremental IVF ingest (s13): a stream of vector
     * batches grows a persisted, centroid-partitioned IVF index —
     * each micro-batch is assigned against the FROZEN centroid set and

@@ -355,4 +355,76 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingJobs.appendIvfBatchIdempotent(root, cent, batch4, 10L))
     assert(spark.read.parquet(root).count() == preCrash + b3n + batch4.count())
   }
+
+  test("s14 substr-fold batches are replay-idempotent across every crash window") {
+    import graft.operators.DedupSuite
+    // 30 docs, ids 0-29; every 5th doc shares a 10-token boilerplate
+    // suffix, so duplicate 8-windows cross the seed/batch boundary
+    def mkDocs(ids: Seq[Long]) = ids.toDF("doc_id")
+      .select($"doc_id", concat(
+        lit("unique body token "), $"doc_id", lit(" filler words here"),
+        when($"doc_id" % 5 === 0,
+          lit(" common tail alpha beta gamma delta epsilon zeta eta theta"))
+          .otherwise(lit(""))).as("text"))
+    val all = mkDocs(0L until 30L)
+    val root = Files.createTempDirectory("substr_replay")
+    val store = s"$root/store"
+    val out = s"$root/out"
+    val seedOut = DedupSuite.exactSubstrBuildStore(
+      mkDocs(0L until 10L), "doc_id", "text", 8, store,
+      nBuckets = 8, hashKeys = true)
+    seedOut.write.parquet(out)
+    def storeRows = spark.read.parquet(store).count()
+    def outRows = spark.read.parquet(out).count()
+    def metaRows = spark.read.parquet(s"${store}_meta").count()
+
+    // batch 0 applies once; replay of the same id is a no-op everywhere
+    val b0 = mkDocs(10L until 20L)
+    assert(StreamingJobs.foldSubstrBatchIdempotent(
+      spark, store, out, b0, 0L, 8, 8, hashKeys = true))
+    val (sr0, or0, mr0) = (storeRows, outRows, metaRows)
+    assert(or0 == 20 && mr0 == 2)
+    assert(!StreamingJobs.foldSubstrBatchIdempotent(
+      spark, store, out, b0, 0L, 8, 8, hashKeys = true),
+      "replayed batch must be skipped")
+    assert((storeRows, outRows, metaRows) == ((sr0, or0, mr0)),
+      "replay must not double-append store, output, or meta")
+
+    // crash window (c): staged AND promoted, marker never written —
+    // the replay must reuse the frozen staging (recomputing against
+    // the half-promoted store would double-count), converge the same
+    // file names, write the marker, and sweep
+    val b1 = mkDocs(20L until 25L)
+    val staging1 = java.nio.file.Paths.get(store, ".substr_staging_1")
+    StreamingJobs.stageSubstrFold(spark, store, staging1, b1, 8, 8,
+      hashKeys = true)
+    StreamingJobs.promoteStagedSubstrFold(store, out, 1L)
+    val (sr1, or1, mr1) = (storeRows, outRows, metaRows)
+    assert(StreamingJobs.foldSubstrBatchIdempotent(
+      spark, store, out, b1, 1L, 8, 8, hashKeys = true))
+    assert((storeRows, outRows, metaRows) == ((sr1, or1, mr1)),
+      "replay over the crashed promote must not duplicate rows")
+    assert(Files.exists(java.nio.file.Paths.get(store, "_substr_batch_1")))
+    assert(!Files.exists(staging1), "staging must be swept after commit")
+
+    // crash window (a): half-written staging without _SUCCESS is
+    // restaged cleanly and applied exactly once
+    val staging2 = java.nio.file.Paths.get(store, ".substr_staging_2")
+    Files.createDirectories(staging2)
+    Files.write(staging2.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    assert(StreamingJobs.foldSubstrBatchIdempotent(
+      spark, store, out, mkDocs(25L until 30L), 2L, 8, 8, hashKeys = true))
+    assert(outRows == 30)
+
+    // semantics: the accumulated streamed output equals the one-shot
+    // batch recompute over the full corpus, bit-for-bit
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"clean_text", $"n_removed")
+    val full = DedupSuite.exactSubstrDedup(all, "doc_id", "text", 8,
+      hashKeys = true)
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+      "accumulated stream output must equal the full recompute")
+    assert(full.agg(sum($"n_removed")).head().getLong(0) > 0,
+      "fixture must actually plant cross-boundary duplicate windows")
+  }
 }
