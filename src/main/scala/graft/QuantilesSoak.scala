@@ -80,10 +80,43 @@ object QuantilesSoak {
         s"radix=$radix\nbrute=$brute")
     require(radix("skew")(2) == 777L,
       "the mega-duplicate must be the skewed group's median")
+
+    // q96 store path: build on one id-third, fold the other two, then
+    // serve — the serve's claim is that global ranks come from the
+    // store alone, so its wall EXCLUDES any full scan of the 50M rows
+    // (only in-cell refinement reads; the planted mega-duplicate makes
+    // the skew group's median cell 45M rows — the worst case — while
+    // the spread groups' cells are ~thousands). cellBits=24: values
+    // span ~1e12, so ~60k cells/group.
+    val store = s"$base/qstore"
+    val (_, tBuild) = time {
+      Quantiles.buildQuantileStore(
+        rows.filter(pmod(hash(col("x")), lit(3)) === 0),
+        col("g"), col("x"), store, cellBits = 24)
+    }
+    val (_, tFold) = time {
+      Quantiles.foldQuantileStore(spark, store,
+        rows.filter(pmod(hash(col("x")), lit(3)) === 1),
+        col("g"), col("x"))
+      Quantiles.foldQuantileStore(spark, store,
+        rows.filter(pmod(hash(col("x")), lit(3)) === 2),
+        col("g"), col("x"))
+    }
+    val (servedQ, tServe) = time {
+      val r = Quantiles.quantilesFromStore(spark, store, rows,
+          col("g"), col("x"), quantiles).collect()
+      r.map(row => row.getString(0) ->
+        quantiles.indices.map(i => row.getLong(i + 1))).toMap
+    }
+    require(servedQ == brute,
+      s"store-served quantiles must equal the order statistic:\n" +
+        s"served=$servedQ\nbrute=$brute")
     println(
       s"""{"rows":$nRows,"groups":${radix.size},
          |"quantiles":${quantiles.size},
-         |"sec":{"radix":$tRadix,"window_sort":$tSort}}"""
+         |"sec":{"radix":$tRadix,"window_sort":$tSort,
+         |"store_build":$tBuild,"store_fold2":$tFold,
+         |"store_serve":$tServe}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

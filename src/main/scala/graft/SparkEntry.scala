@@ -1181,6 +1181,10 @@ object SparkEntry {
       // (seed tercile + three monotone batches); accumulated output ==
       // full recompute, so it shares d25's oracle like d26
       "s14_stream_substr_ingest" -> base("d25_exact_substr"),
+      // q96 serves exact quantiles from the additive cell-count store
+      // (build third + two folds over all events); served == the
+      // direct q95 computation, so it shares q95's oracle
+      "q96_quantile_store" -> base("q95_radix_quantiles"),
       "d24_semdedup_ingest_farthest" -> base("d21_semdedup_farthest"))
   }
 
@@ -2891,6 +2895,44 @@ object SparkEntry {
             (dec2(col("value")) * 100).cast("long").as("xl"))
         Quantiles.radixQuantiles(e, col("event_type"), col("xl"),
             Seq(Quantiles.Quantile("p25", 25, 100),
+              Quantiles.Quantile("p50", 50, 100),
+              Quantiles.Quantile("p90", 90, 100)))
+          .select(col("grp").as("event_type"),
+            (col("p25") / 100.0).as("p25"),
+            (col("p50") / 100.0).as("p50"),
+            (col("p90") / 100.0).as("p90"))
+      }),
+
+      // ---- incremental quantile store (q96): the q91/q92 persisted-
+      // state discipline applied to order statistics. Counts are
+      // associative, so a per-(group, cell = x >> cellBits) count
+      // table builds once, FOLDS by pure append (corpus never
+      // rescanned, nothing rewritten), and serves EXACT quantiles:
+      // global ranks from the tiny store alone, rows touched only for
+      // the in-cell refinement (pushed-down range read, row-group
+      // skip) — q95's answers without q95's per-serve full scans. The
+      // serve cross-checks its in-cell row totals against the store's
+      // claims (loud on divergence). Gate: build on an event_id third,
+      // fold the other two thirds, serve over all events — shares
+      // q95's oracle; that equality IS the gate (the d26/e13 move).
+      "q96_quantile_store" -> ((s, dir) => {
+        import graft.operators.Quantiles
+        val e = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("xl"))
+        val tmp = java.nio.file.Files.createTempDirectory("q96_qstore")
+        sys.addShutdownHook { rmTreeQuiet(tmp) }
+        val store = s"$tmp/store"
+        Quantiles.buildQuantileStore(
+          e.filter(col("event_id") % 3 === 0), col("event_type"),
+          col("xl"), store, cellBits = 8)
+        Quantiles.foldQuantileStore(s, store,
+          e.filter(col("event_id") % 3 === 1), col("event_type"), col("xl"))
+        Quantiles.foldQuantileStore(s, store,
+          e.filter(col("event_id") % 3 === 2), col("event_type"), col("xl"))
+        Quantiles.quantilesFromStore(s, store, e, col("event_type"),
+            col("xl"), Seq(Quantiles.Quantile("p25", 25, 100),
               Quantiles.Quantile("p50", 50, 100),
               Quantiles.Quantile("p90", 90, 100)))
           .select(col("grp").as("event_type"),

@@ -57,6 +57,18 @@ object Quantiles {
       s"quantile $name = $num/$den must lie in [0, 1]")
   }
 
+  /** Candidate state during descent: the answer for (group `g`,
+    * quantile index `qi`) is the `r`-th smallest value among the
+    * group's rows with x ∈ [lo, hi] (inclusive, value domain). */
+  private final case class Target(g: String, qi: Int, lo: Long,
+                                  hi: Long, r: Long)
+
+  /** (grp, value) normalized to the operator's internal ("g" string,
+    * "x" long) shape, null keys and null values excluded. */
+  private def keyedOf(df: DataFrame, grp: Column, value: Column): DataFrame =
+    df.select(grp.cast("string").as("g"), value.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+
   /** Exact per-group values of each requested quantile over a BIGINT
     * value column. Output: one row per group — (grp, <q.name>...),
     * group values NULL-filtered on the value side (n counts non-null
@@ -66,11 +78,7 @@ object Quantiles {
                      quantiles: Seq[Quantile],
                      fanout: Int = 65536): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
-    require(fanout >= 2, "fanout must be at least 2")
-    val spark = df.sparkSession
-    val keyed = df.select(grp.cast("string").as("g"),
-        value.cast("long").as("x"))
-      .filter(col("g").isNotNull && col("x").isNotNull)
+    val keyed = keyedOf(df, grp, value)
 
     // Pre-pass: per-group n / min / max — one partial-aggregated scan.
     // One driver row per group (bounded-groups contract, see scaladoc).
@@ -79,21 +87,35 @@ object Quantiles {
         max(col("x")).as("hi"))
       .collect()
 
-    // Target state: (group, quantile) → candidate interval [lo, hi]
-    // (inclusive, value domain) + rank r within the group's rows
-    // falling in that interval. Invariant: the answer is the r-th
-    // smallest value among the group's rows with x ∈ [lo, hi].
-    final case class Target(g: String, qi: Int, lo: Long, hi: Long, r: Long)
-    var active = stats.toSeq.flatMap { row =>
+    val initial = stats.toSeq.flatMap { row =>
       val (g, n) = (row.getString(0), row.getLong(1))
       val (lo, hi) = (row.getLong(2), row.getLong(3))
       quantiles.zipWithIndex.map { case (q, qi) =>
-        // r = (n-1)*num / den + 1, computed in BigInt so a huge n
-        // cannot overflow the product before the division
-        val r = ((BigInt(n - 1) * q.num) / q.den).toLong + 1
-        Target(g, qi, lo, hi, r)
+        Target(g, qi, lo, hi, typeOneRank(n, q))
       }
     }
+    descend(df.sparkSession, keyed, initial, quantiles, fanout, Map.empty)
+  }
+
+  /** The pinned type-1 rank r = (n−1)·num ÷ den + 1, the product in
+    * BigInt so a huge n cannot overflow before the division. */
+  private def typeOneRank(n: Long, q: Quantile): Long =
+    ((BigInt(n - 1) * q.num) / q.den).toLong + 1
+
+  /** The shared radix-descent loop: solve every target to its exact
+    * value by fanout-counting passes over `keyed`, then assemble one
+    * row per group. `expected` (store-served path) cross-checks the
+    * FIRST pass: each listed interval's counted row total must equal
+    * the store's claim for it — a row source that diverged from what
+    * the store counted fails loudly instead of shifting ranks
+    * silently. */
+  private def descend(spark: SparkSession, keyed: DataFrame,
+                      initial: Seq[Target], quantiles: Seq[Quantile],
+                      fanout: Int,
+                      expected: Map[(String, Long, Long), Long]): DataFrame = {
+    require(fanout >= 2, "fanout must be at least 2")
+    var active = initial
+    var expectedCheck = expected
     var done = List.empty[(String, Int, Long)] // (g, qi, answer)
     val widthOf: Target => BigInt = t =>
       (BigInt(t.hi) - BigInt(t.lo) + fanout) / fanout // ceil((hi-lo+1)/fanout)
@@ -162,6 +184,20 @@ object Quantiles {
             k -> rs.map(r => r.getLong(3) -> r.getLong(4))
               .sortBy(_._1).toSeq
           }
+        // store-served coverage check (first pass only): the interval
+        // totals just counted from the row source must equal the
+        // store's cell counts — under- OR over-coverage is a caller
+        // bug (rows ≠ the multiset the store was folded from) that
+        // would otherwise shift every later rank silently
+        expectedCheck.foreach { case (iv, exp) =>
+          val got = counts.get(iv).map(_.map(_._2).sum).getOrElse(0L)
+          require(got == exp,
+            s"quantile store and row source disagree on interval $iv: " +
+              s"store counted $exp rows, source has $got — the serve's " +
+              "row source must be exactly the corpus∪batches the store " +
+              "was built and folded from")
+        }
+        expectedCheck = Map.empty
         active = active.map { t =>
           val buckets = counts((t.g, t.lo, t.hi))
           // descend into the bucket spanning rank r
@@ -192,5 +228,124 @@ object Quantiles {
       spark.sparkContext.parallelize(byGroup, 1),
       StructType(StructField("grp", StringType) +:
         quantiles.map(q => StructField(q.name, LongType))))
+  }
+
+  // ==== Incremental quantile store (q96) ====
+  //
+  // The q91/q92 persisted-state discipline applied to order
+  // statistics: COUNTS ARE ASSOCIATIVE, so a persisted per-(group,
+  // cell) count table — cell = x >> cellBits, fixed power-of-two
+  // width — is an exact, append-only accelerator for the descent.
+  // Build scans the corpus once; each fold appends the batch's cell
+  // counts (never rewrites, never rescans the corpus — the q92
+  // additive-append economics); serving reads the TINY store (≤
+  // distinct cells, never rows), walks it driver-side to locate each
+  // rank's cell, and runs the radix descent with the CELL as the
+  // initial interval — so the unavoidable full scan that
+  // radixQuantiles pays in its pre-pass and first pass becomes a
+  // narrow pushed-down range read of only in-cell rows (parquet
+  // row-group min/max skip everything else). Unlike a sketch
+  // (t-digest/KLL), the answers stay EXACT at every rank.
+
+  private def quantileMetaPath(path: String): String = s"${path}_meta"
+
+  /** Per-(g, cell) counts of `keyed` at the store's resolution. */
+  private def cellCounts(keyed: DataFrame, cellBits: Int): DataFrame =
+    keyed.groupBy(col("g"),
+        shiftright(col("x"), cellBits).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The store's one layout parameter, pinned in `_meta` at build
+    * time and READ (never passed) by fold and serve — a mismatched
+    * resolution is impossible by construction, the loud-pinning
+    * discipline with the free parameter removed entirely. */
+  private def readQuantileMeta(spark: SparkSession, path: String): Int = {
+    val rows = spark.read.parquet(quantileMetaPath(path)).collect()
+    require(rows.nonEmpty, s"no _meta at ${quantileMetaPath(path)}")
+    val bits = rows.map(_.getAs[Int]("cell_bits")).distinct
+    require(bits.size == 1,
+      s"quantile store meta is inconsistent: cell_bits $bits")
+    bits.head
+  }
+
+  /** Initialize a persisted cell-count store: one row per (group,
+    * cell = x >> cellBits), counts over `df`'s non-null (grp, value)
+    * pairs. `cellBits` trades store size against serve-scan width —
+    * cells span 2^cellBits consecutive values, so the store holds ≤
+    * range/2^cellBits rows per group and a serve's final refinement
+    * scans at most one cell's rows per (group, quantile). */
+  def buildQuantileStore(df: DataFrame, grp: Column, value: Column,
+                         path: String, cellBits: Int = 8): Unit = {
+    require(cellBits >= 1 && cellBits <= 48,
+      s"cellBits $cellBits out of range [1, 48]")
+    val spark = df.sparkSession
+    cellCounts(keyedOf(df, grp, value), cellBits)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    Seq(cellBits).toDF("cell_bits").coalesce(1)
+      .write.mode("overwrite").parquet(quantileMetaPath(path))
+  }
+
+  /** Fold a batch into the store: append its per-cell counts — counts
+    * are associative and order-independent, so folds need no
+    * monotonicity contract and nothing is ever rewritten; readers sum
+    * per (g, cell) across deltas. Crash contract: single-maintainer
+    * redo-from-clean (a replayed fold double-appends), the
+    * [[HeavyHitters.appendToKeyStore]] economics. */
+  def foldQuantileStore(spark: SparkSession, path: String,
+                        batch: DataFrame, grp: Column,
+                        value: Column): Unit = {
+    val cellBits = readQuantileMeta(spark, path)
+    cellCounts(keyedOf(batch, grp, value), cellBits)
+      .coalesce(1).write.mode("append").parquet(path)
+  }
+
+  /** Exact quantiles served FROM the store: global ranks come from
+    * the store's cell counts alone (no scan of `rows`), and only the
+    * in-cell refinement touches `rows` — a pushed-down range read of
+    * one cell per (group, quantile). `rows` must be exactly the
+    * corpus∪batches the store was built and folded from; the first
+    * descent pass cross-checks its in-cell totals against the store's
+    * claims and fails loudly on any divergence (under- OR
+    * over-coverage) where it could shift an answer. Output shape ==
+    * [[radixQuantiles]]. Driver state: the store's (g, cell) rows —
+    * bounded by `maxCellsPerGroup` (loud), the HeavyHitters
+    * decide-and-fetch contract. */
+  def quantilesFromStore(spark: SparkSession, path: String,
+                         rows: DataFrame, grp: Column, value: Column,
+                         quantiles: Seq[Quantile],
+                         fanout: Int = 65536,
+                         maxCellsPerGroup: Int = 1 << 20): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val cellBits = readQuantileMeta(spark, path)
+    val w = 1L << cellBits
+    val cells = spark.read.parquet(path)
+      .groupBy(col("g"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val initAndExpected = cells.groupBy(_._1).toSeq.flatMap {
+      case (g, cs) =>
+        require(cs.length <= maxCellsPerGroup,
+          s"group $g has ${cs.length} store cells > $maxCellsPerGroup — " +
+            "raise cellBits (coarser cells) or maxCellsPerGroup")
+        val sorted = cs.sortBy(_._2).map(c => (c._2, c._3))
+        val n = sorted.iterator.map(_._2).sum
+        quantiles.zipWithIndex.map { case (q, qi) =>
+          // walk cells in value order to the one spanning rank r;
+          // rem becomes the rank WITHIN that cell
+          var rem = typeOneRank(n, q)
+          var idx = 0
+          while (rem > sorted(idx)._2) { rem -= sorted(idx)._2; idx += 1 }
+          val (cell, cnt) = sorted(idx)
+          // lo = cell·2^bits is exact in Long (it is some real x with
+          // its low bits cleared); hi clamps at the domain top
+          val lo = cell << cellBits
+          val hi = (BigInt(lo) + w - 1).min(BigInt(Long.MaxValue)).toLong
+          (Target(g, qi, lo, hi, rem), ((g, lo, hi), cnt))
+        }
+    }
+    descend(spark, keyedOf(rows, grp, value),
+      initAndExpected.map(_._1), quantiles, fanout,
+      initAndExpected.map(_._2).toMap)
   }
 }

@@ -91,6 +91,71 @@ class QuantilesSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  private def served(store: String, rows: Seq[(String, Long)],
+                     quantiles: Seq[Quantile] = qs): Map[String, Seq[Long]] =
+    Quantiles.quantilesFromStore(spark, store, rows.toDF("g", "x"),
+        col("g"), col("x"), quantiles)
+      .collect()
+      .map(r => r.getString(0) ->
+        quantiles.indices.map(i => r.getLong(i + 1)))
+      .toMap
+
+  test("q96 store: build + folds served == direct radix == brute force") {
+    val corpus = (0 until 4000).map { i =>
+      (s"g${i % 5}", ((i * 2654435761L) % 100003L) - 50000L)
+    }
+    val (b1, b2) = (corpus.indices.filter(_ % 3 == 1).map(corpus),
+      corpus.indices.filter(_ % 3 == 2).map(corpus))
+    val seed = corpus.indices.filter(_ % 3 == 0).map(corpus)
+    val store = java.nio.file.Files.createTempDirectory("qstore")
+      .toString + "/store"
+    Quantiles.buildQuantileStore(seed.toDF("g", "x"), col("g"), col("x"),
+      store, cellBits = 6)
+    Quantiles.foldQuantileStore(spark, store, b1.toDF("g", "x"),
+      col("g"), col("x"))
+    Quantiles.foldQuantileStore(spark, store, b2.toDF("g", "x"),
+      col("g"), col("x"))
+    assert(served(store, corpus) === brute(corpus, qs))
+    assert(served(store, corpus) === run(corpus))
+  }
+
+  test("q96 store: negatives, mega-skew cell, and endpoint ranks") {
+    val rows = (0 until 8000).map { i =>
+      ("s", if (i % 10 != 0) -777L else ((i * 104729L) % 90001L) - 45000L)
+    }
+    val all = Seq(Quantile("min", 0, 1), Quantile("p50", 1, 2),
+      Quantile("p99", 99, 100), Quantile("max", 1, 1))
+    val store = java.nio.file.Files.createTempDirectory("qstore_skew")
+      .toString + "/store"
+    Quantiles.buildQuantileStore(rows.take(1000).toDF("g", "x"),
+      col("g"), col("x"), store, cellBits = 4)
+    Quantiles.foldQuantileStore(spark, store, rows.drop(1000).toDF("g", "x"),
+      col("g"), col("x"))
+    assert(served(store, rows, all) === brute(rows, all))
+  }
+
+  test("q96 store: a diverged row source fails loudly, never silently") {
+    val rows = (0 until 1000).map(i => ("g", i.toLong))
+    val store = java.nio.file.Files.createTempDirectory("qstore_div")
+      .toString + "/store"
+    Quantiles.buildQuantileStore(rows.toDF("g", "x"), col("g"), col("x"),
+      store, cellBits = 5)
+    // under-coverage: serve sees half the counted rows
+    val e1 = intercept[IllegalArgumentException] {
+      served(store, rows.filter(_._2 % 2 == 0))
+    }
+    assert(e1.getMessage.contains("disagree"))
+    // over-coverage: serve sees rows the store never counted
+    val e2 = intercept[IllegalArgumentException] {
+      served(store, rows ++ rows.take(300))
+    }
+    assert(e2.getMessage.contains("disagree"))
+    // no _meta at all: loud (missing-path analysis error)
+    intercept[Exception] {
+      served(s"$store-nope", rows)
+    }
+  }
+
   test("no sort appears in any selection pass plan") {
     // the operator's promise: counting, never sorting. The per-pass
     // aggregation is issued internally, so assert on the equivalent
