@@ -637,6 +637,42 @@ object SparkEntry {
         expr(s"(doc_id - $t1) * 3 div $span")), t1)
     })
 
+  /** The q95/q96/s15 fixture: events as (event_id, event_type,
+    * xl = value ×100 fixed-point BIGINT — the q64 discipline), null
+    * values excluded. Shared so the direct computation, the batch
+    * store folds, and the streaming ingest all rank EXACTLY the same
+    * multiset (their oracle is q95's). */
+  private def quantileEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("xl"))
+
+  private val quantileIngestSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The s15 ingest stream: the quantile fixture's event_id % 3 ∈
+    * {1, 2} rows staged as THREE ordered parquet batches split by
+    * `event_id div 3` mod 3 (NOT event_id mod 3 — that would leave
+    * one slice empty after excluding the seed third). Cell-count
+    * folds are associative and order-independent, so ANY assignment
+    * of rows to batches serves; the split just has to cover the
+    * non-seed rows exactly once. One staging per (JVM, dir). */
+  private def stagedQuantileIngestSplitDir(s: SparkSession,
+                                           dir: String): String =
+    quantileIngestSplitDirs.computeIfAbsent(dir, { d =>
+      stageOrderedSplit("s15_events",
+        quantileEvents(s, d).filter(col("event_id") % 3 =!= 0),
+        expr("event_id div 3"))
+    })
+
+  private val quantileStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("xl", LongType)))
+  }
+
   /** The q77 old/new snapshot pair — shared by the q77 diff gate and
     * the s9 CDC-apply roundtrip (whose source stream IS q77's diff). */
   private def q77Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -849,6 +885,7 @@ object SparkEntry {
     val s12Out = s11Root(dir, "s12_out")
     val s13Index = s11Root(dir, "s13_index")
     val s14Root = s11Root(dir, "s14_substr")
+    val s15Root = s11Root(dir, "s15_qstore")
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -950,6 +987,23 @@ object SparkEntry {
               s, s14split, nearDupStreamSchema, s14store, s14out,
               trackCk("s14_ck").toString, l = 8, nBuckets = 64,
               hashKeys = true, maxFilesPerTrigger = Some(1)))
+          },
+          // s15: foreachBatch incremental quantile-store ingest — the
+          // store is seeded with the fixture's event_id%3=0 third,
+          // then the other two thirds fold in as additive cell-count
+          // deltas (exactly-once via the committed-staging protocol;
+          // order irrelevant — counts commute). The post-drain serve
+          // ranks from the stream-grown store alone.
+          () => phase("seed_s15") {
+            val s15split = stagedQuantileIngestSplitDir(s, dir)
+            val s15store = s"$s15Root/store"
+            graft.operators.Quantiles.buildQuantileStore(
+              quantileEvents(s, dir).filter(col("event_id") % 3 === 0),
+              col("event_type"), col("xl"), s15store, cellBits = 8)
+            track(graft.streaming.StreamingJobs.streamingQuantileIngest(
+              s, s15split, quantileStreamSchema, s15store,
+              trackCk("s15_ck").toString, "event_type", "xl",
+              maxFilesPerTrigger = Some(1)))
           }))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -1012,8 +1066,24 @@ object SparkEntry {
           .select(col("doc_id"), col("clean_text"), col("n_removed"))
           .write.parquet(outRoot.resolve("s14_stream_substr_ingest").toString)
       }
+      // s15: serve exact quantiles from the stream-grown store —
+      // global ranks from the store's cell counts alone; the full
+      // fixture is the serve's row source for the in-cell refinement
+      // (and its coverage cross-check)
+      val s15Task = "s15_stream_quantile_ingest" -> { () =>
+        graft.operators.Quantiles.quantilesFromStore(s, s"$s15Root/store",
+            quantileEvents(s, dir), col("event_type"), col("xl"),
+            Seq(graft.operators.Quantiles.Quantile("p25", 25, 100),
+              graft.operators.Quantiles.Quantile("p50", 50, 100),
+              graft.operators.Quantiles.Quantile("p90", 90, 100)))
+          .select(col("grp").as("event_type"),
+            (col("p25") / 100.0).as("p25"),
+            (col("p50") / 100.0).as("p50"),
+            (col("p90") / 100.0).as("p90"))
+          .write.parquet(outRoot.resolve("s15_stream_quantile_ingest").toString)
+      }
       val tasks = memTasks ++ Seq(s5Task, s9Task, s11Task, s12Task, s13Task,
-        s14Task)
+        s14Task, s15Task)
       inParallel(tasks.map(_._2))
       tasks.map { case (entry, _) =>
         entry -> outRoot.resolve(entry).toString
@@ -1185,6 +1255,9 @@ object SparkEntry {
       // (build third + two folds over all events); served == the
       // direct q95 computation, so it shares q95's oracle
       "q96_quantile_store" -> base("q95_radix_quantiles"),
+      // s15 streams the same folds (exactly-once, commuting deltas)
+      // and serves from the stream-grown store — q95's oracle again
+      "s15_stream_quantile_ingest" -> base("q95_radix_quantiles"),
       "d24_semdedup_ingest_farthest" -> base("d21_semdedup_farthest"))
   }
 
@@ -2223,6 +2296,11 @@ object SparkEntry {
         val out2 = DedupSuite.exactSubstrFold(s, store,
           docs.filter(col("doc_id") >= t1 && col("doc_id") < t2),
           "doc_id", "text", 8)
+        // maintenance between folds (the q91/s13 discipline): squash
+        // each bucket partition's build+delta files in place — the
+        // gate below then PROVES fold 3 reads the compacted store
+        // identically (post-compaction output still oracle-exact)
+        graft.operators.StoreCompaction.compactStore(s, store)
         val out3 = DedupSuite.exactSubstrFold(s, store,
           docs.filter(col("doc_id") >= t2), "doc_id", "text", 8)
         out1.unionByName(out2).unionByName(out3)
@@ -2917,10 +2995,7 @@ object SparkEntry {
       // q95's oracle; that equality IS the gate (the d26/e13 move).
       "q96_quantile_store" -> ((s, dir) => {
         import graft.operators.Quantiles
-        val e = Tables.events(s, dir)
-          .filter(col("value").isNotNull)
-          .select(col("event_id"), col("event_type"),
-            (dec2(col("value")) * 100).cast("long").as("xl"))
+        val e = quantileEvents(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("q96_qstore")
         sys.addShutdownHook { rmTreeQuiet(tmp) }
         val store = s"$tmp/store"
@@ -3890,7 +3965,17 @@ object SparkEntry {
       // ∪-equal the full recompute bit-for-bit (monotone ids freeze
       // earlier emissions). Runs in the shared stream pass. ----
       "s14_stream_substr_ingest" -> ((s, dir) =>
-        streamResult(s, dir, "s14_stream_substr_ingest"))
+        streamResult(s, dir, "s14_stream_substr_ingest")),
+
+      // ---- streaming incremental quantile-store ingest (s15): the
+      // q96 fold under foreachBatch — additive cell-count deltas
+      // (batches commute; exactly-once replay via committed staging),
+      // store seeded from an event_id third, the rest streamed in
+      // three batches. The post-drain serve ranks from the
+      // stream-grown store alone; shares q95's oracle (served ==
+      // direct computation IS the gate). Runs in the shared pass. ----
+      "s15_stream_quantile_ingest" -> ((s, dir) =>
+        streamResult(s, dir, "s15_stream_quantile_ingest"))
     )
   }
 

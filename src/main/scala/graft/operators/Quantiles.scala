@@ -300,6 +300,18 @@ object Quantiles {
       .coalesce(1).write.mode("append").parquet(path)
   }
 
+  /** Stage one fold's delta (the batch's per-cell counts at the
+    * store's pinned resolution) under `dir` WITHOUT touching the
+    * store — the streaming twin's staging step; [[foldQuantileStore]]
+    * is stage+append collapsed for the batch (crash-redo) caller. */
+  private[graft] def stageQuantileDelta(spark: SparkSession, path: String,
+                                        batch: DataFrame, grp: Column,
+                                        value: Column, dir: String): Unit = {
+    val cellBits = readQuantileMeta(spark, path)
+    cellCounts(keyedOf(batch, grp, value), cellBits)
+      .coalesce(1).write.parquet(dir)
+  }
+
   /** Exact quantiles served FROM the store: global ranks come from
     * the store's cell counts alone (no scan of `rows`), and only the
     * in-cell refinement touches `rows` — a pushed-down range read of

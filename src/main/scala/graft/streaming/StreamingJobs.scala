@@ -252,23 +252,13 @@ object StreamingJobs {
                                centroids: org.apache.spark.sql.DataFrame,
                                batch: org.apache.spark.sql.DataFrame,
                                batchId: Long): Boolean = {
-    import java.nio.file.{Files, Paths}
-    val marker = Paths.get(indexPath, s"_batch_$batchId")
+    import java.nio.file.Paths
     val staging = Paths.get(indexPath, s".staging_batch_$batchId")
-    if (Files.exists(marker)) {
-      // Window (d): crash after marker, before staging delete.
-      if (Files.exists(staging)) deleteRecursively(staging)
-      false
-    } else {
-      if (!Files.exists(staging.resolve("_SUCCESS"))) {
-        graft.operators.Similarity.stageIvfBatch(
-          batch, staging.toString, centroids, "vec_id", "embedding")
-      }
-      promoteStagedIvfBatch(indexPath, batchId)
-      Files.createFile(marker)
-      deleteRecursively(staging)
-      true
-    }
+    applyBatchIdempotent(
+        Paths.get(indexPath, s"_batch_$batchId"), staging) { () =>
+      graft.operators.Similarity.stageIvfBatch(
+        batch, staging.toString, centroids, "vec_id", "embedding")
+    } { () => promoteStagedIvfBatch(indexPath, batchId) }
   }
 
   /** Step 3 of [[appendIvfBatchIdempotent]]'s protocol, exposed so
@@ -277,30 +267,20 @@ object StreamingJobs {
     * index partition under `batch<id>-<name>` with REPLACE_EXISTING. */
   private[graft] def promoteStagedIvfBatch(indexPath: String,
                                            batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val staging = Paths.get(indexPath, s".staging_batch_$batchId")
     require(Files.exists(staging.resolve("_SUCCESS")),
       s"staging for batch $batchId is not committed")
     // Files.list mandates a close (javadoc) — an unclosed stream
     // leaks a directory fd until GC
-    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList finally s.close()
-    }
-    listDir(staging)
-      .filter(p => Files.isDirectory(p) &&
+    val s = Files.list(staging)
+    val parts = try s.iterator().asScala.toList finally s.close()
+    parts.filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("centroid_id="))
       .foreach { partDir =>
-        val target = Paths.get(indexPath, partDir.getFileName.toString)
-        Files.createDirectories(target)
-        listDir(partDir)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach { f =>
-            Files.copy(f,
-              target.resolve(s"batch$batchId-${f.getFileName.toString}"),
-              StandardCopyOption.REPLACE_EXISTING)
-          }
+        promoteFiles(partDir, Paths.get(indexPath, partDir.getFileName.toString),
+          s"batch$batchId")
       }
   }
 
@@ -310,6 +290,61 @@ object StreamingJobs {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
+  }
+
+  /** The committed-staging exactly-once protocol, factored once for
+    * every streaming ingest twin (IVF s13, ExactSubstr s14, quantile
+    * store s15). Parquet append has no natural idempotency and a bare
+    * marker-after-append leaves a window (append committed, marker
+    * not yet) where a replayed micro-batch double-appends; this
+    * closes every window:
+    *
+    *  1. `marker` exists → already applied, skip (sweep leaked
+    *     staging).
+    *  2. `staging/_SUCCESS` absent → crashed attempt: `stage` must
+    *     rebuild the staging from the LIVE (not-yet-mutated) state
+    *     and write `_SUCCESS` LAST — its presence freezes the
+    *     staging, so a replay after a half-promote reuses it verbatim
+    *     and never recomputes against mutated state.
+    *  3. `promote` copies staged files to their live destinations
+    *     under DETERMINISTIC batch-stamped names with
+    *     REPLACE_EXISTING — a partial-crash re-copy overwrites the
+    *     same targets byte-identically.
+    *  4. Marker (the commit point), then sweep staging.
+    *
+    * Returns whether the batch was applied (false = replay skip). */
+  private[graft] def applyBatchIdempotent(
+      marker: java.nio.file.Path, staging: java.nio.file.Path)(
+      stage: () => Unit)(promote: () => Unit): Boolean = {
+    import java.nio.file.Files
+    if (Files.exists(marker)) {
+      if (Files.exists(staging)) deleteRecursively(staging)
+      false
+    } else {
+      if (!Files.exists(staging.resolve("_SUCCESS"))) stage()
+      promote()
+      Files.createFile(marker)
+      deleteRecursively(staging)
+      true
+    }
+  }
+
+  /** Copy every `*.parquet` under `srcDir` into `dstDir` under the
+    * deterministic name `<stamp>-<file>` with REPLACE_EXISTING — the
+    * promote step's shared file move. */
+  private[graft] def promoteFiles(srcDir: java.nio.file.Path,
+                                  dstDir: java.nio.file.Path,
+                                  stamp: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    Files.createDirectories(dstDir)
+    val s = Files.list(srcDir)
+    val files = try s.iterator().asScala.toList finally s.close()
+    files.filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { f =>
+        Files.copy(f, dstDir.resolve(s"$stamp-${f.getFileName.toString}"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
   }
 
   /** Fold one document micro-batch into a persisted ExactSubstr
@@ -342,20 +377,13 @@ object StreamingJobs {
                                 outPath: String, batch: org.apache.spark.sql.DataFrame,
                                 batchId: Long, l: Int, nBuckets: Int,
                                 hashKeys: Boolean): Boolean = {
-    import java.nio.file.{Files, Paths}
-    val marker = Paths.get(storePath, s"_substr_batch_$batchId")
+    import java.nio.file.Paths
     val staging = Paths.get(storePath, s".substr_staging_$batchId")
-    if (Files.exists(marker)) {
-      if (Files.exists(staging)) deleteRecursively(staging)
-      return false
-    }
-    if (!Files.exists(staging.resolve("_SUCCESS")))
+    applyBatchIdempotent(
+        Paths.get(storePath, s"_substr_batch_$batchId"), staging) { () =>
       stageSubstrFold(spark, storePath, staging, batch, l, nBuckets,
         hashKeys)
-    promoteStagedSubstrFold(storePath, outPath, batchId)
-    Files.createFile(marker)
-    deleteRecursively(staging)
-    true
+    } { () => promoteStagedSubstrFold(storePath, outPath, batchId) }
   }
 
   /** Step 2 of [[foldSubstrBatchIdempotent]]: compute the fold against
@@ -392,34 +420,23 @@ object StreamingJobs {
   private[graft] def promoteStagedSubstrFold(storePath: String,
                                              outPath: String,
                                              batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val staging = Paths.get(storePath, s".substr_staging_$batchId")
     require(Files.exists(staging.resolve("_SUCCESS")),
       s"substr staging for batch $batchId is not committed")
-    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList finally s.close()
-    }
-    def promote(srcDir: java.nio.file.Path,
-                dstDir: java.nio.file.Path): Unit = {
-      Files.createDirectories(dstDir)
-      listDir(srcDir)
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach { f =>
-          Files.copy(f,
-            dstDir.resolve(s"sbatch$batchId-${f.getFileName.toString}"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
-    }
-    listDir(staging.resolve("delta"))
-      .filter(p => Files.isDirectory(p) &&
+    val stamp = s"sbatch$batchId"
+    val s = Files.list(staging.resolve("delta"))
+    val parts = try s.iterator().asScala.toList finally s.close()
+    parts.filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("bucket="))
       .foreach { bdir =>
-        promote(bdir, Paths.get(storePath, bdir.getFileName.toString))
+        promoteFiles(bdir, Paths.get(storePath, bdir.getFileName.toString),
+          stamp)
       }
-    promote(staging.resolve("meta"), Paths.get(s"${storePath}_meta"))
-    promote(staging.resolve("out"), Paths.get(outPath))
+    promoteFiles(staging.resolve("meta"), Paths.get(s"${storePath}_meta"),
+      stamp)
+    promoteFiles(staging.resolve("out"), Paths.get(outPath), stamp)
   }
 
   /** Streaming incremental ExactSubstr ingest (s14): a stream of
@@ -445,6 +462,61 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         foldSubstrBatchIdempotent(spark, storePath, outPath,
           batch.toDF(), batchId, l, nBuckets, hashKeys)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold one micro-batch's cell counts into a persisted quantile
+    * store ([[graft.operators.Quantiles.buildQuantileStore]] layout)
+    * exactly once — the committed-staging protocol around a
+    * single-artifact delta. Counts are associative and
+    * order-independent, so batches commute and need no ordering
+    * contract; what the protocol buys is REPLAY safety (a re-run
+    * batch must not double-count). Returns whether the batch was
+    * applied. */
+  def foldQuantileBatchIdempotent(spark: SparkSession, storePath: String,
+                                  batch: org.apache.spark.sql.DataFrame,
+                                  grp: org.apache.spark.sql.Column,
+                                  value: org.apache.spark.sql.Column,
+                                  batchId: Long): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val staging = Paths.get(storePath, s".qstore_staging_$batchId")
+    applyBatchIdempotent(
+        Paths.get(storePath, s"_qbatch_$batchId"), staging) { () =>
+      deleteRecursively(staging)
+      graft.operators.Quantiles.stageQuantileDelta(spark, storePath,
+        batch, grp, value, staging.resolve("delta").toString)
+      Files.createFile(staging.resolve("_SUCCESS"))
+    } { () =>
+      require(Files.exists(staging.resolve("_SUCCESS")),
+        s"quantile staging for batch $batchId is not committed")
+      promoteFiles(staging.resolve("delta"), Paths.get(storePath),
+        s"qbatch$batchId")
+    }
+  }
+
+  /** Streaming incremental quantile-store ingest (s15): a stream of
+    * (group, value) batches folds additive cell-count deltas into the
+    * persisted store — each micro-batch exactly once via
+    * [[foldQuantileBatchIdempotent]]. The corpus is never rescanned;
+    * after the stream drains, [[graft.operators.Quantiles.quantilesFromStore]]
+    * serves exact quantiles whose global ranks come from the
+    * stream-grown store alone. */
+  def streamingQuantileIngest(spark: SparkSession, srcDir: String,
+                              schema: StructType, storePath: String,
+                              checkpoint: String, grpCol: String,
+                              valueCol: String,
+                              maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldQuantileBatchIdempotent(spark, storePath, batch.toDF(),
+          org.apache.spark.sql.functions.col(grpCol),
+          org.apache.spark.sql.functions.col(valueCol), batchId)
         ()
       }
       .start()

@@ -427,4 +427,54 @@ class StreamingSpec extends SparkSpec {
     assert(full.agg(sum($"n_removed")).head().getLong(0) > 0,
       "fixture must actually plant cross-boundary duplicate windows")
   }
+
+  test("s15 quantile-store folds are replay-idempotent and serve exactly") {
+    import graft.operators.Quantiles
+    import graft.operators.Quantiles.Quantile
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 3}", ((i * 2654435761L) % 70001L) - 35000L)
+    }
+    val all = rows.toDF("g", "x")
+    val store = Files.createTempDirectory("qstore_stream").toString + "/store"
+    Quantiles.buildQuantileStore(
+      all.filter($"x" % 3 === 0), col("g"), col("x"), store, cellBits = 6)
+    val (b1, b2) = (all.filter($"x" % 3 === 1), all.filter($"x" % 3 =!= 0 && $"x" % 3 =!= 1))
+    def storeRows = spark.read.parquet(store).count()
+    assert(StreamingJobs.foldQuantileBatchIdempotent(
+      spark, store, b1, col("g"), col("x"), 0L))
+    val sr0 = storeRows
+    assert(!StreamingJobs.foldQuantileBatchIdempotent(
+      spark, store, b1, col("g"), col("x"), 0L),
+      "replayed batch must be skipped")
+    assert(storeRows == sr0, "replay must not double-count")
+    // crash window: staged + promoted, marker missing — replay
+    // converges to the same deterministic file names
+    val staging = java.nio.file.Paths.get(store, ".qstore_staging_1")
+    Quantiles.stageQuantileDelta(spark, store, b2, col("g"), col("x"),
+      staging.resolve("delta").toString)
+    Files.createFile(staging.resolve("_SUCCESS"))
+    StreamingJobs.promoteFiles(staging.resolve("delta"),
+      java.nio.file.Paths.get(store), "qbatch1")
+    val sr1 = storeRows
+    assert(StreamingJobs.foldQuantileBatchIdempotent(
+      spark, store, b2, col("g"), col("x"), 1L))
+    assert(storeRows == sr1,
+      "replay over the crashed promote must not duplicate rows")
+    assert(!Files.exists(staging), "staging must be swept after commit")
+    // serve == brute over the full multiset
+    val qs15 = Seq(Quantile("p10", 10, 100), Quantile("p50", 1, 2),
+      Quantile("p95", 95, 100))
+    val got = Quantiles.quantilesFromStore(spark, store, all,
+        col("g"), col("x"), qs15)
+      .collect().map(r => r.getString(0) ->
+        qs15.indices.map(i => r.getLong(i + 1))).toMap
+    val exp = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> qs15.map { q =>
+        val r = ((BigInt(sorted.size - 1) * q.num) / q.den).toLong + 1
+        sorted((r - 1).toInt)
+      }
+    }
+    assert(got === exp)
+  }
 }
