@@ -2212,6 +2212,19 @@ object SparkEntry {
               1000000.0).as("lm_score"))
       }),
 
+      // ---- BPE merge training (t15; functions/Bpe.scala) — the
+      // tokenizer-training half of the pipeline: the top-k merge
+      // rules learned exactly (pair counts weighted by word
+      // frequency, greedy left-to-right application, pinned
+      // tie-breaks). ONE corpus-sized pass (word frequencies); every
+      // iteration is vocabulary-sized. Oracle: the same k iterations
+      // as chained CTEs — the delimited-string literal replace IS
+      // greedy BPE in both engines, making the merge table
+      // hash-exact.
+      "t15_bpe_merges" -> ((s, dir) =>
+        graft.functions.Bpe.bpeTrain(
+          Tables.documents(s, dir).select(col("text")), "text", k = 6)),
+
       // URL canonicalization + dedup (crawl-corpus source dedup): the
       // fixture synthesizes each logical page under messy surface
       // variants — case-shifted scheme/host, explicit :443, tracking
@@ -5049,6 +5062,39 @@ object SparkEntry {
          |       CAST(score_fp AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
          |         AS lm_score
          |FROM a""".stripMargin,
+
+    // t15: the same k BPE iterations as chained CTEs. Symbol state is
+    // the chr(31)-delimited string; literal replace (left-to-right
+    // non-overlapping in both engines) applies each merge greedily;
+    // the argmax tie-break is ORDER BY cnt DESC, l ASC, r ASC in both.
+    "t15_bpe_merges" -> {
+      val k = 6
+      def iter(i: Int): String = {
+        val prev = if (i == 1) "s0" else s"s${i - 1}"
+        s"""sy$i AS (SELECT freq,
+           |  list_filter(string_split(s, chr(31)), x -> x <> '') AS sy FROM $prev),
+           |p$i AS (SELECT sy[j+1] AS l, sy[j+2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |        FROM (SELECT sy, freq, unnest(range(len(sy) - 1)) AS j FROM sy$i)
+           |        GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT CAST($i AS INTEGER) AS mrank, l AS lhs, r AS rhs, cnt
+           |        FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT w, freq, replace(s,
+           |          chr(31) || (SELECT lhs FROM b$i) || chr(31) || chr(31) ||
+           |            (SELECT rhs FROM b$i) || chr(31),
+           |          chr(31) || (SELECT lhs FROM b$i) ||
+           |            (SELECT rhs FROM b$i) || chr(31)) AS s FROM $prev)"""
+          .stripMargin
+      }
+      s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
+         |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |          FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT w, freq, chr(31) || array_to_string(
+         |          list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)),
+         |          chr(31) || chr(31)) || chr(31) AS s FROM words),
+         |${(1 to k).map(iter).mkString(",\n")}
+         |${(1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")}"""
+        .stripMargin
+    },
 
     "c3_training_corpus" ->
       s"""WITH corpus AS (

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** BPE merge training must equal the reference sequential algorithm —
+  * including greedy left-to-right merge application on overlapping
+  * runs, deterministic tie-breaks, and vocabulary saturation. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE on a word-frequency table: index-greedy merge
+    * application (the textbook form), independent of the operator's
+    * delimited-string replace encoding. */
+  private def refBpe(wordFreq: Seq[(String, Long)],
+                     k: Int): Seq[(Int, String, String, Long)] = {
+    def applyMerge(syms: Vector[String], l: String,
+                   r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.result()
+    }
+    var st = wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var i = 1
+    var stop = false
+    while (i <= k && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- st; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) += f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), cnt) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((i, l, r, cnt))
+        st = st.map { case (syms, f) => (applyMerge(syms, l, r), f) }
+        i += 1
+      }
+    }
+    out.toList
+  }
+
+  private def run(docs: Seq[String], k: Int): Seq[(Int, String, String, Long)] =
+    Bpe.bpeTrain(docs.toDF("text"), "text", k)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  private def refFromDocs(docs: Seq[String],
+                          k: Int): Seq[(Int, String, String, Long)] = {
+    val freq = docs.flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    refBpe(freq, k)
+  }
+
+  test("matches the reference algorithm on a mixed corpus") {
+    val docs = Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "lower lowest low", "newer newest new", "the the them theme",
+      "hugging tugging jogging", "a ab abc abcd abcde")
+    assert(run(docs, 12) === refFromDocs(docs, 12))
+  }
+
+  test("greedy left-to-right application on overlapping runs") {
+    // 'aaa': after merge (a,a) the state must be [aa, a] — the replace
+    // encoding and the index-greedy reference must agree on runs
+    val docs = Seq("aaa aaa aaaa aaaaa baaab")
+    assert(run(docs, 6) === refFromDocs(docs, 6))
+  }
+
+  test("deterministic tie-break: count desc, then left asc, right asc") {
+    // 'ab' and 'cd' both appear exactly 3 times as pairs — (a,b) wins
+    val docs = Seq("ab ab ab cd cd cd")
+    val got = run(docs, 2)
+    assert(got === refFromDocs(docs, 2))
+    assert(got.head._2 == "a" && got.head._3 == "b")
+  }
+
+  test("saturation stops early with fewer than k merges") {
+    val docs = Seq("a b c a b c")
+    val got = run(docs, 10)
+    assert(got === refFromDocs(docs, 10))
+    assert(got.isEmpty, "single-char vocabulary has no pairs to merge")
+  }
+}
