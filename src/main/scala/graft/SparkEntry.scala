@@ -2225,6 +2225,21 @@ object SparkEntry {
         graft.functions.Bpe.bpeTrain(
           Tables.documents(s, dir).select(col("text")), "text", k = 6)),
 
+      // ---- BPE encoding under the learned merges (t16): the serving
+      // half of the tokenizer — k chained literal replaces (all
+      // codegen'd, map-only; no shuffle besides the final count agg),
+      // applied per WORD so every post-corpus step is
+      // vocabulary-sized with frequency-weighted counts
+      // (bit-identical to encoding each occurrence). Output: the
+      // corpus token frequency table under the k=6 tokenizer.
+      "t16_bpe_encode" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("text"))
+        val merges = graft.functions.Bpe.bpeTrain(docs, "text", k = 6)
+          .orderBy(col("mrank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.functions.Bpe.encodeTokenCounts(docs, "text", merges)
+      }),
+
       // URL canonicalization + dedup (crawl-corpus source dedup): the
       // fixture synthesizes each logical page under messy surface
       // variants — case-shifted scheme/host, explicit :443, tracking
@@ -5093,6 +5108,42 @@ object SparkEntry {
          |          chr(31) || chr(31)) || chr(31) AS s FROM words),
          |${(1 to k).map(iter).mkString(",\n")}
          |${(1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")}"""
+        .stripMargin
+    },
+
+    // t16: the t15 iteration chain, then symbol frequencies of the
+    // FINAL state s_k weighted by word frequency — the corpus token
+    // frequency table under the learned tokenizer, identical in both
+    // engines because the state strings are.
+    "t16_bpe_encode" -> {
+      val k = 6
+      def iter(i: Int): String = {
+        val prev = if (i == 1) "s0" else s"s${i - 1}"
+        s"""sy$i AS (SELECT freq,
+           |  list_filter(string_split(s, chr(31)), x -> x <> '') AS sy FROM $prev),
+           |p$i AS (SELECT sy[j+1] AS l, sy[j+2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |        FROM (SELECT sy, freq, unnest(range(len(sy) - 1)) AS j FROM sy$i)
+           |        GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT l AS lhs, r AS rhs
+           |        FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT w, freq, replace(s,
+           |          chr(31) || (SELECT lhs FROM b$i) || chr(31) || chr(31) ||
+           |            (SELECT rhs FROM b$i) || chr(31),
+           |          chr(31) || (SELECT lhs FROM b$i) ||
+           |            (SELECT rhs FROM b$i) || chr(31)) AS s FROM $prev)"""
+          .stripMargin
+      }
+      s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
+         |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |          FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT w, freq, chr(31) || array_to_string(
+         |          list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)),
+         |          chr(31) || chr(31)) || chr(31) AS s FROM words),
+         |${(1 to k).map(iter).mkString(",\n")}
+         |SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt
+         |FROM (SELECT freq, unnest(list_filter(string_split(s, chr(31)),
+         |        x -> x <> '')) AS token FROM s$k)
+         |GROUP BY 1"""
         .stripMargin
     },
 

@@ -53,10 +53,7 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // initial state: every character its own symbol
     var state = words.select(col("w"), col("freq"),
-        concat(lit(Sep),
-          array_join(transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))), Sep + Sep),
-          lit(Sep)).as("s"))
+        initState(col("w")).as("s"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var i = 1
@@ -91,5 +88,43 @@ object Bpe {
       StructType(Seq(
         StructField("mrank", IntegerType), StructField("lhs", StringType),
         StructField("rhs", StringType), StructField("cnt", LongType))))
+  }
+
+  /** Initial per-character symbol state for a word column. */
+  private def initState(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(Sep),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), Sep + Sep),
+      lit(Sep))
+
+  /** Apply a learned merge table (in rank order) to a delimited state
+    * string: k chained literal replaces, all codegen'd — encoding is a
+    * map-only pass, no shuffle, no per-row loop. Greedy left-to-right
+    * per merge, merges in training order: exactly reference BPE
+    * encoding. */
+  def applyMerges(state: org.apache.spark.sql.Column,
+                  merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(state) { case (s, (l, r)) =>
+      replace(s, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+
+  /** Encode `textCol` under `merges` and return the corpus token
+    * frequency table (token, cnt) — the tokenizer-evaluation query
+    * (vocabulary utilization / compression).
+    *
+    * Encoding is per-word, so the corpus-sized explode is replaced by
+    * the word-frequency aggregation (the same single corpus pass
+    * t15's training pays) and every downstream step is
+    * VOCABULARY-sized with counts weighted by word frequency —
+    * bit-identical to encoding every occurrence, at a fraction of the
+    * shuffle. */
+  def encodeTokenCounts(docs: DataFrame, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), applyMerges(initState(col("w")), merges).as("s"))
+      .select(col("freq"), explode(syms(col("s"))).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
   }
 }

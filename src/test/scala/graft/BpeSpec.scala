@@ -89,4 +89,48 @@ class BpeSpec extends SparkSpec {
     assert(got === refFromDocs(docs, 10))
     assert(got.isEmpty, "single-char vocabulary has no pairs to merge")
   }
+
+  /** Reference encode: index-greedy application of the merge list in
+    * rank order, counting emitted symbols per occurrence. */
+  private def refEncodeCounts(docs: Seq[String],
+                              merges: Seq[(String, String)]): Map[String, Long] = {
+    def applyMerge(syms: Vector[String], l: String,
+                   r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.result()
+    }
+    docs.flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
+      .flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (st, (l, r)) => applyMerge(st, l, r)
+        }
+      }
+      .groupBy(identity).map { case (t, ts) => (t, ts.size.toLong) }
+  }
+
+  test("encode matches per-occurrence reference encoding, including unseen words") {
+    val train = Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "lower lowest low", "hugging tugging jogging")
+    val merges = run(train, 8).map(m => (m._2, m._3))
+    // encode a corpus containing words NEVER seen in training — merges
+    // still apply to their character runs
+    val docs = train ++ Seq("loth thug mats unseenword zzz the")
+    val got = Bpe.encodeTokenCounts(docs.toDF("text"), "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === refEncodeCounts(docs, merges))
+  }
+
+  test("encode with no merges is character counting") {
+    val docs = Seq("ab ba", "abc")
+    val got = Bpe.encodeTokenCounts(docs.toDF("text"), "text", Nil)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+  }
 }
