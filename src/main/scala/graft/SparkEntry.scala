@@ -2240,6 +2240,22 @@ object SparkEntry {
         graft.functions.Bpe.encodeTokenCounts(docs, "text", merges)
       }),
 
+      // ---- Gopher-style within-doc line repetition signals (t17;
+      // operators/Boilerplate.scala): fraction of lines (and of
+      // characters) belonging to a line duplicated within its own
+      // document — the repetition quality filter. Fixture: the d11
+      // multi-line corpus with the first line re-appended to every
+      // 7th doc (planted within-doc duplicates at every sf). Two
+      // partial-aggregated shuffles: (doc,line), then doc.
+      "t17_line_repetition" -> ((s, dir) => {
+        val rep = corpusPara(s, dir).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit("\n"),
+              element_at(split(col("text"), "\n"), 1)))
+            .otherwise(col("text")).as("text"))
+        Boilerplate.lineRepetition(rep, "doc_id", "text")
+      }),
+
       // URL canonicalization + dedup (crawl-corpus source dedup): the
       // fixture synthesizes each logical page under messy surface
       // variants — case-shifted scheme/host, explicit :443, tracking
@@ -3531,6 +3547,18 @@ object SparkEntry {
               count(lit(1)).cast("double") / 100000000.0).as("avg_quality"),
             min(col("doc_id")).as("min_doc"))
       }),
+
+      // ---- CCNet-style cross-document boilerplate line removal (c4;
+      // operators/Boilerplate.scala): a line appearing in ≥10 DISTINCT
+      // docs is cut from EVERY doc (the corpusPara fixture plants
+      // cookie-banner/subscribe-footer lines in 1/4 and 1/3 of docs;
+      // organic body lines recur only via whole-doc clones, 2 < 10).
+      // Distinct from d11: paragraph dedup KEEPS first occurrence;
+      // boilerplate is removed everywhere. Broadcast dictionary — one
+      // corpus shuffle on the line key, one on doc_id to reassemble.
+      "c4_boilerplate_lines" -> ((s, dir) =>
+        Boilerplate.removeCommonLines(corpusPara(s, dir), "doc_id", "text",
+          minDocs = 10)),
 
       // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
       "c1_clean_corpus" -> ((s, dir) => {
@@ -5191,6 +5219,50 @@ object SparkEntry {
          |         / CAST(COUNT(*) AS DOUBLE) / 100000000.0 AS avg_quality,
          |       MIN(doc_id) AS min_doc
          |FROM cap WHERE rn2 <= 50 GROUP BY 1""".stripMargin,
+
+    // t17: within-doc line repetition over the d11 corpus with the
+    // first line re-appended to every 7th doc. Counts and fractions
+    // are integer-sum + one double division — bit-portable.
+    "t17_line_repetition" ->
+      s"""WITH $corpusParaSql,
+         |rep AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN text || chr(10) || string_split(text, chr(10))[1]
+         |       ELSE text END AS text FROM corpus),
+         |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |      FROM rep),
+         |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
+         |d AS (SELECT doc_id, SUM(c) AS n,
+         |        SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         |        SUM(len(line) * c) AS chars,
+         |        SUM(CASE WHEN c > 1 THEN len(line) * c ELSE 0 END) AS dupchars
+         |      FROM lc GROUP BY 1)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+         |  CASE WHEN n = 0 THEN 0.0
+         |       ELSE CAST(dup AS DOUBLE) / CAST(n AS DOUBLE) END AS dup_line_frac,
+         |  CASE WHEN chars = 0 THEN 0.0
+         |       ELSE CAST(dupchars AS DOUBLE) / CAST(chars AS DOUBLE)
+         |       END AS dup_char_frac
+         |FROM d""".stripMargin,
+
+    // c4: cross-doc boilerplate removal — common-line dictionary
+    // (≥10 distinct docs) mark-joined back, survivors re-joined in
+    // position order (the d25 ordered-FILTERed-string_agg pattern).
+    "c4_boilerplate_lines" ->
+      s"""WITH $corpusParaSql,
+         |t AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+         |p AS (SELECT doc_id, unnest(range(len(parts))) AS pos FROM t),
+         |l AS (SELECT p.doc_id, p.pos, t.parts[p.pos + 1] AS line
+         |      FROM p JOIN t USING (doc_id)),
+         |cm AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd
+         |                         FROM l GROUP BY 1) WHERE nd >= 10),
+         |m AS (SELECT l.doc_id, l.pos, l.line, cm.line IS NOT NULL AS is_common
+         |      FROM l LEFT JOIN cm ON l.line = cm.line)
+         |SELECT doc_id,
+         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |             FILTER (WHERE NOT is_common), '') AS clean_text,
+         |  CAST(COUNT(*) FILTER (WHERE is_common) AS BIGINT) AS n_removed
+         |FROM m GROUP BY 1""".stripMargin,
 
     "t11_novelty" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
