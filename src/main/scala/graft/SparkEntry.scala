@@ -167,6 +167,18 @@ object SparkEntry {
       .select(cloneId(col("doc_id")).as("doc_id"), col("text")))
   }
 
+  /** The c5 fixture: [[corpusPara]] plus a ticker line planted on
+    * every 20th doc (clone ids are ≡ base ids mod 20, so clones
+    * carry it consistently). With minDocs = nDocs/25, the ticker
+    * crosses the threshold ~76% through the base id range at every
+    * sf — inside c5's fold 1 — forcing the re-emission path. */
+  private def corpusTicker(s: SparkSession, dir: String): DataFrame =
+    corpusPara(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(20)) === 0,
+        concat(col("text"),
+          lit("\nbreaking news ticker updates every minute")))
+        .otherwise(col("text")).as("text"))
+
   /** Staging dir for the streaming source, one per sf dir per JVM
     * (repeat invocations — bench warm-up + 2 timed passes, Verify,
     * PlanDump — reuse the copy instead of leaking a new temp dir each
@@ -3560,6 +3572,50 @@ object SparkEntry {
         Boilerplate.removeCommonLines(corpusPara(s, dir), "doc_id", "text",
           minDocs = 10)),
 
+      // ---- incremental boilerplate ingest (c5): the first ingest
+      // family whose predicate is RETROACTIVE — a line crossing the
+      // threshold in a later batch invalidates earlier cleaned
+      // output. The store answers with a changelog: each fold emits
+      // its batch cleaned under the updated dictionary PLUS
+      // re-emissions of the stored docs the crossing invalidated
+      // (read back id-pruned from the doc store), and latest-emission
+      // -per-doc across build+folds equals the full c4-style
+      // recompute BIT-EXACT — that equality is this gate. The
+      // fixture plants a ticker line on every 20th doc with
+      // minDocs = nDocs/25, so the crossing lands mid-fold-1 at
+      // EVERY sf (both scale linearly) and the build's ticker docs
+      // must be re-emitted. Pair store holds only sub-threshold
+      // lines (< minDocs rows per line — crossed lines never rejoin
+      // the candidate path), so fold reads are batch-bounded, never
+      // corpus-sized. Pairs+docs stores are compacted between folds;
+      // the gate proves post-compaction folds stay exact.
+      "c5_boilerplate_ingest" -> ((s, dir) => {
+        val all = corpusTicker(s, dir)
+        val base = Tables.documents(s, dir)
+        val m = base.count() / 25
+        val maxBase = base.agg(max(col("doc_id")).cast("long"))
+          .head().getLong(0)
+        val (cut1, cut2) = (maxBase / 2, maxBase * 9 / 10)
+        val tmp = java.nio.file.Files.createTempDirectory("c5_boiler")
+        sys.addShutdownHook { rmTreeQuiet(tmp) }
+        val store = s"$tmp/state"
+        val e0 = Boilerplate.buildStore(
+          all.filter(col("doc_id") <= cut1), "doc_id", "text", m, store)
+        val e1 = Boilerplate.fold(s, store,
+          all.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          "doc_id", "text", m)
+        StoreCompaction.compactStore(s, s"$store/pairs")
+        StoreCompaction.compactStore(s, s"$store/docs")
+        val e2 = Boilerplate.fold(s, store,
+          all.filter(col("doc_id") > cut2), "doc_id", "text", m)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+        e0.withColumn("seq", lit(0))
+          .unionByName(e1.withColumn("seq", lit(1)))
+          .unionByName(e2.withColumn("seq", lit(2)))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("clean_text"), col("n_removed"))
+      }),
+
       // ---- composite corpus cleaning (quality -> langid -> exact dedup) ----
       "c1_clean_corpus" -> ((s, dir) => {
         val docs = corpusExact(s, dir) // includes planted exact dups
@@ -5256,6 +5312,32 @@ object SparkEntry {
          |      FROM p JOIN t USING (doc_id)),
          |cm AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd
          |                         FROM l GROUP BY 1) WHERE nd >= 10),
+         |m AS (SELECT l.doc_id, l.pos, l.line, cm.line IS NOT NULL AS is_common
+         |      FROM l LEFT JOIN cm ON l.line = cm.line)
+         |SELECT doc_id,
+         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |             FILTER (WHERE NOT is_common), '') AS clean_text,
+         |  CAST(COUNT(*) FILTER (WHERE is_common) AS BIGINT) AS n_removed
+         |FROM m GROUP BY 1""".stripMargin,
+
+    // c5: the full recompute over the ticker corpus with
+    // minDocs = nDocs/25 — the incremental store's latest-wins
+    // changelog must equal this bit-exactly (including re-emitted
+    // docs whose lines crossed the threshold after they shipped).
+    "c5_boilerplate_ingest" ->
+      s"""WITH $corpusParaSql,
+         |tick AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 20 = 0
+         |       THEN text || chr(10) ||
+         |            'breaking news ticker updates every minute'
+         |       ELSE text END AS text FROM corpus),
+         |t AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM tick),
+         |p AS (SELECT doc_id, unnest(range(len(parts))) AS pos FROM t),
+         |l AS (SELECT p.doc_id, p.pos, t.parts[p.pos + 1] AS line
+         |      FROM p JOIN t USING (doc_id)),
+         |cm AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd
+         |                         FROM l GROUP BY 1)
+         |       WHERE nd >= (SELECT COUNT(*) // 25 FROM documents)),
          |m AS (SELECT l.doc_id, l.pos, l.line, cm.line IS NOT NULL AS is_common
          |      FROM l LEFT JOIN cm ON l.line = cm.line)
          |SELECT doc_id,
