@@ -649,6 +649,34 @@ object SparkEntry {
         expr(s"(doc_id - $t1) * 3 div $span")), t1)
     })
 
+  private val boilerIngestSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** The s16 ingest stream: the c5 ticker corpus's docs above the
+    * half-range boundary `cut`, staged as THREE ordered MONOTONE
+    * batches — (cut, 90% of base], (90%, maxBase], clones (> maxBase).
+    * Boundaries are explicit id cuts rather than a tercile formula
+    * because clone ids sit 1e6 above the base range: value terciles
+    * would leave the middle slice empty, and the boilerplate fold's
+    * monotonicity contract rejects empty batches. The ticker line
+    * crosses minDocs ~76% through the base range — inside batch 0 —
+    * so seed-phase docs are re-emitted THROUGH the streaming
+    * changelog protocol. Returns (stagingDir, cut); one staging per
+    * (JVM, dir). */
+  private def stagedBoilerIngestSplit(s: SparkSession,
+                                      dir: String): (String, Long) =
+    boilerIngestSplitDirs.computeIfAbsent(dir, { d =>
+      val maxBase = Tables.documents(s, d)
+        .agg(max(col("doc_id")).cast("long")).head().getLong(0)
+      val cut = maxBase / 2
+      val c2 = maxBase * 9 / 10
+      (stageOrderedSplit("s16_docs",
+        corpusTicker(s, d).filter(col("doc_id") > cut),
+        when(col("doc_id") <= c2, lit(0L))
+          .when(col("doc_id") <= maxBase, lit(1L))
+          .otherwise(lit(2L))), cut)
+    })
+
   /** The q95/q96/s15 fixture: events as (event_id, event_type,
     * xl = value ×100 fixed-point BIGINT — the q64 discipline), null
     * values excluded. Shared so the direct computation, the batch
@@ -898,6 +926,7 @@ object SparkEntry {
     val s13Index = s11Root(dir, "s13_index")
     val s14Root = s11Root(dir, "s14_substr")
     val s15Root = s11Root(dir, "s15_qstore")
+    val s16Root = s11Root(dir, "s16_boiler")
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -1016,6 +1045,30 @@ object SparkEntry {
               s, s15split, quantileStreamSchema, s15store,
               trackCk("s15_ck").toString, "event_type", "xl",
               maxFilesPerTrigger = Some(1)))
+          },
+          // s16: foreachBatch incremental boilerplate ingest — the
+          // store is seeded with the ticker corpus's lower half (its
+          // cleaned output = changelog seq -1), then three monotone
+          // batches fold in, each emitting a changelog segment
+          // (cleaned batch + re-emissions of stored docs invalidated
+          // by a threshold crossing) exactly once. The crossing lands
+          // in batch 0, so seed docs re-emit THROUGH the stream; the
+          // post-drain latest-seq-per-doc resolution equals the full
+          // recompute — c5's oracle.
+          () => phase("seed_s16") {
+            val (s16split, cut) = stagedBoilerIngestSplit(s, dir)
+            val s16store = s"$s16Root/store"
+            val s16out = s"$s16Root/out"
+            val m = Tables.documents(s, dir).count() / 25
+            Boilerplate.buildStore(
+                corpusTicker(s, dir).filter(col("doc_id") <= cut),
+                "doc_id", "text", m, s16store)
+              .withColumn("seq", lit(-1L))
+              .write.parquet(s16out)
+            track(graft.streaming.StreamingJobs.streamingBoilerplateIngest(
+              s, s16split, nearDupStreamSchema, s16store, s16out,
+              trackCk("s16_ck").toString, m, nBuckets = 64,
+              nDocBuckets = 64, maxFilesPerTrigger = Some(1)))
           }))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -1094,8 +1147,20 @@ object SparkEntry {
             (col("p90") / 100.0).as("p90"))
           .write.parquet(outRoot.resolve("s15_stream_quantile_ingest").toString)
       }
+      // s16: resolve the accumulated changelog latest-seq-per-doc —
+      // boilerplate cleaning is retroactive, so later re-emissions
+      // supersede earlier segments (seed = seq -1, folds = batch id);
+      // the resolution equals the full recompute (c5's oracle)
+      val s16Task = "s16_stream_boilerplate_ingest" -> { () =>
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+        s.read.parquet(s"$s16Root/out")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("clean_text"), col("n_removed"))
+          .write.parquet(
+            outRoot.resolve("s16_stream_boilerplate_ingest").toString)
+      }
       val tasks = memTasks ++ Seq(s5Task, s9Task, s11Task, s12Task, s13Task,
-        s14Task, s15Task)
+        s14Task, s15Task, s16Task)
       inParallel(tasks.map(_._2))
       tasks.map { case (entry, _) =>
         entry -> outRoot.resolve(entry).toString
@@ -1270,6 +1335,13 @@ object SparkEntry {
       // s15 streams the same folds (exactly-once, commuting deltas)
       // and serves from the stream-grown store — q95's oracle again
       "s15_stream_quantile_ingest" -> base("q95_radix_quantiles"),
+      // s16 streams the c5 ticker corpus through the boilerplate
+      // changelog store (seed half + three monotone batches); the
+      // accumulated output resolved latest-seq-per-doc == the full
+      // recompute, so it shares c5's oracle — that equality IS the
+      // gate, and it can only hold if the mid-stream threshold
+      // crossing actually re-emitted the seed's ticker docs
+      "s16_stream_boilerplate_ingest" -> base("c5_boilerplate_ingest"),
       "d24_semdedup_ingest_farthest" -> base("d21_semdedup_farthest"))
   }
 
@@ -4087,7 +4159,15 @@ object SparkEntry {
       // stream-grown store alone; shares q95's oracle (served ==
       // direct computation IS the gate). Runs in the shared pass. ----
       "s15_stream_quantile_ingest" -> ((s, dir) =>
-        streamResult(s, dir, "s15_stream_quantile_ingest"))
+        streamResult(s, dir, "s15_stream_quantile_ingest")),
+
+      // ---- s16: streaming incremental boilerplate ingest — the c5
+      // changelog store grown through foreachBatch with the
+      // committed-staging exactly-once protocol; the accumulated
+      // output's latest-seq-per-doc resolution must equal the full
+      // removeCommonLines recompute (c5's oracle) ----
+      "s16_stream_boilerplate_ingest" -> ((s, dir) =>
+        streamResult(s, dir, "s16_stream_boilerplate_ingest"))
     )
   }
 

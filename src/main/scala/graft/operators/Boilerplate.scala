@@ -219,18 +219,19 @@ object Boilerplate {
       spark.read.parquet(s"$path/dict"))
   }
 
-  /** Fold a monotonic document batch into a [[buildStore]] layout and
-    * return the changelog emission: the batch cleaned under the
-    * updated dictionary, PLUS re-emissions of every stored document a
-    * threshold crossing invalidated. Latest emission per doc across
-    * build + folds equals the full [[removeCommonLines]] recompute
-    * bit-exactly — the c5 gate. The corpus is never rescanned: the
-    * pair store is read bucket-pruned and semi-joined to the batch's
-    * candidate lines (< minDocs rows per line by the store invariant)
-    * and the doc store only for the bounded invalidated-id set. */
-  def fold(spark: SparkSession, path: String, batch: DataFrame,
-           idCol: String, textCol: String, minDocs: Long,
-           nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {
+  /** One fold's full computation against the LIVE store WITHOUT
+    * mutating it — factored out of [[fold]] so the streaming twin can
+    * stage every artifact under the committed-staging exactly-once
+    * protocol before anything touches the live layout. Returns
+    * `(pairsDelta, docsAppend, dictAppend, newMaxDoc, changelog)`;
+    * every returned frame is either eagerly checkpointed or derives
+    * only from checkpointed frames and the input batch, so none
+    * re-reads the store after the caller starts mutating it. */
+  private[graft] def computeFold(spark: SparkSession, path: String,
+                                 batch: DataFrame, idCol: String,
+                                 textCol: String, minDocs: Long,
+                                 nBuckets: Int, nDocBuckets: Int):
+      (DataFrame, DataFrame, DataFrame, Long, DataFrame) = {
     val prevMax = readMeta(spark, path, minDocs, nBuckets, nDocBuckets)
     val mm = batch.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).head()
@@ -283,19 +284,39 @@ object Boilerplate {
         Some(cleanWithDict(inv, "doc_id", "text", dictNew)
           .withColumnRenamed("doc_id", idCol))
       }
-    // live mutations (all appends; crash-redo contract as d26)
-    bpairs.join(broadcast(dictNew), Seq("line"), "left_anti")
+    val pairsDelta = bpairs.join(broadcast(dictNew), Seq("line"), "left_anti")
       .withColumn("bucket", pairBucket(col("line"), nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
-    batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val docsApp = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
-      .repartition(col("dbucket"))
-      .write.mode("append").partitionBy("dbucket").parquet(s"$path/docs")
-    crossed.write.mode("append").parquet(s"$path/dict")
-    writeMeta(spark, path, mm.getLong(1), minDocs, nBuckets, nDocBuckets,
-      "append")
     val outBatch = cleanWithDict(batch, idCol, textCol, dictNew)
-    outInv.map(outBatch.unionByName(_)).getOrElse(outBatch)
+    val changelog = outInv.map(outBatch.unionByName(_)).getOrElse(outBatch)
+    (pairsDelta, docsApp, crossed, mm.getLong(1), changelog)
+  }
+
+  /** Fold a monotonic document batch into a [[buildStore]] layout and
+    * return the changelog emission: the batch cleaned under the
+    * updated dictionary, PLUS re-emissions of every stored document a
+    * threshold crossing invalidated. Latest emission per doc across
+    * build + folds equals the full [[removeCommonLines]] recompute
+    * bit-exactly — the c5 gate. The corpus is never rescanned: the
+    * pair store is read bucket-pruned and semi-joined to the batch's
+    * candidate lines (< minDocs rows per line by the store invariant)
+    * and the doc store only for the bounded invalidated-id set.
+    * Crash-redo contract as d26; the streaming twin (s16) wraps
+    * [[computeFold]] in the committed-staging exactly-once protocol
+    * instead. */
+  def fold(spark: SparkSession, path: String, batch: DataFrame,
+           idCol: String, textCol: String, minDocs: Long,
+           nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {
+    val (pairsDelta, docsApp, dictApp, newMax, changelog) =
+      computeFold(spark, path, batch, idCol, textCol, minDocs,
+        nBuckets, nDocBuckets)
+    pairsDelta.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
+    docsApp.repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket").parquet(s"$path/docs")
+    dictApp.write.mode("append").parquet(s"$path/dict")
+    writeMeta(spark, path, newMax, minDocs, nBuckets, nDocBuckets, "append")
+    changelog
   }
 }

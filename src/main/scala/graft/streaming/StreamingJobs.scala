@@ -522,6 +522,123 @@ object StreamingJobs {
       .start()
   }
 
+  /** Fold one document micro-batch into a persisted boilerplate store
+    * ([[graft.operators.Boilerplate.buildStore]] layout) exactly once —
+    * the committed-staging protocol around the fold's FIVE artifacts:
+    * the pair-store delta (bucket partitions), the doc-store append
+    * (dbucket partitions), the crossed-lines dictionary append, the
+    * `_meta` high-water row, and the batch's CHANGELOG emission
+    * (cleaned batch + re-emissions of stored docs a threshold crossing
+    * invalidated) accumulated under `outPath` with `seq = batchId` —
+    * boilerplate cleaning is RETROACTIVE, so unlike s14's disjoint
+    * outputs the accumulated changelog overlaps and readers resolve
+    * latest-seq-per-doc. Returns whether the batch was applied. */
+  def foldBoilerplateBatchIdempotent(spark: SparkSession, storePath: String,
+                                     outPath: String,
+                                     batch: org.apache.spark.sql.DataFrame,
+                                     batchId: Long, minDocs: Long,
+                                     nBuckets: Int,
+                                     nDocBuckets: Int): Boolean = {
+    import java.nio.file.Paths
+    val staging = Paths.get(storePath, s".boiler_staging_$batchId")
+    applyBatchIdempotent(
+        Paths.get(storePath, s"_boiler_batch_$batchId"), staging) { () =>
+      stageBoilerplateFold(spark, storePath, staging, batch, batchId,
+        minDocs, nBuckets, nDocBuckets)
+    } { () => promoteStagedBoilerplateFold(storePath, outPath, batchId) }
+  }
+
+  /** Stage step of [[foldBoilerplateBatchIdempotent]]: compute the fold
+    * against the LIVE (not-yet-mutated) store
+    * ([[graft.operators.Boilerplate.computeFold]] — reads nothing from
+    * the store after it returns) and stage all five artifacts, with a
+    * hand-written `_SUCCESS` LAST. Exposed for the spec's crash-window
+    * replays. */
+  private[graft] def stageBoilerplateFold(spark: SparkSession,
+                                          storePath: String,
+                                          staging: java.nio.file.Path,
+                                          batch: org.apache.spark.sql.DataFrame,
+                                          batchId: Long, minDocs: Long,
+                                          nBuckets: Int,
+                                          nDocBuckets: Int): Unit = {
+    deleteRecursively(staging)
+    val (pairsDelta, docsApp, dictApp, newMax, changelog) =
+      graft.operators.Boilerplate.computeFold(spark, storePath, batch,
+        "doc_id", "text", minDocs, nBuckets, nDocBuckets)
+    pairsDelta.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString)
+    docsApp.repartition(col("dbucket"))
+      .write.partitionBy("dbucket").parquet(staging.resolve("docs").toString)
+    dictApp.write.parquet(staging.resolve("dict").toString)
+    changelog.withColumn("seq", lit(batchId))
+      .write.parquet(staging.resolve("out").toString)
+    import spark.implicits._
+    Seq((newMax, minDocs, nBuckets, nDocBuckets))
+      .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets")
+      .coalesce(1).write.parquet(staging.resolve("meta").toString)
+    java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
+  }
+
+  /** Promote step of [[foldBoilerplateBatchIdempotent]]: copy the
+    * committed staging into the live sub-stores under DETERMINISTIC
+    * `bbatch<id>-<name>` names with REPLACE_EXISTING — a partial-crash
+    * re-copy overwrites the same targets byte-identically. Exposed for
+    * the spec's crash-window replays. */
+  private[graft] def promoteStagedBoilerplateFold(storePath: String,
+                                                  outPath: String,
+                                                  batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val staging = Paths.get(storePath, s".boiler_staging_$batchId")
+    require(Files.exists(staging.resolve("_SUCCESS")),
+      s"boilerplate staging for batch $batchId is not committed")
+    val stamp = s"bbatch$batchId"
+    Seq("pairs" -> "bucket=", "docs" -> "dbucket=").foreach {
+      case (sub, prefix) =>
+        val s = Files.list(staging.resolve(sub))
+        val parts = try s.iterator().asScala.toList finally s.close()
+        parts.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(prefix))
+          .foreach { bdir =>
+            promoteFiles(bdir,
+              Paths.get(storePath, sub, bdir.getFileName.toString), stamp)
+          }
+    }
+    promoteFiles(staging.resolve("dict"), Paths.get(storePath, "dict"), stamp)
+    promoteFiles(staging.resolve("meta"), Paths.get(s"${storePath}_meta"),
+      stamp)
+    promoteFiles(staging.resolve("out"), Paths.get(outPath), stamp)
+  }
+
+  /** Streaming incremental boilerplate ingest (s16): a stream of
+    * MONOTONICALLY-ID'd document batches folds into the persisted
+    * boilerplate store, each micro-batch emitting a changelog segment
+    * (its own cleaned docs + re-emissions of invalidated stored docs)
+    * exactly once. Because the common-line predicate is RETROACTIVE,
+    * the accumulated output is resolved latest-seq-per-doc — and that
+    * resolution equals the full [[graft.operators.Boilerplate.removeCommonLines]]
+    * recompute over corpus ∪ batches (c5's oracle). Per batch the
+    * pair store is read bucket-pruned and the doc store only for the
+    * bounded invalidated-id set — the corpus is never rescanned. */
+  def streamingBoilerplateIngest(spark: SparkSession, srcDir: String,
+                                 schema: StructType, storePath: String,
+                                 outPath: String, checkpoint: String,
+                                 minDocs: Long, nBuckets: Int,
+                                 nDocBuckets: Int,
+                                 maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldBoilerplateBatchIdempotent(spark, storePath, outPath,
+          batch.toDF(), batchId, minDocs, nBuckets, nDocBuckets)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming incremental IVF ingest (s13): a stream of vector
     * batches grows a persisted, centroid-partitioned IVF index —
     * each micro-batch is assigned against the FROZEN centroid set and

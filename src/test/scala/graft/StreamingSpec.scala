@@ -477,4 +477,88 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got === exp)
   }
+
+  test("s16 boilerplate-fold batches are replay-idempotent; latest-wins equals recompute") {
+    import graft.operators.Boilerplate
+    // 30 docs: "promo" on id%5==1 (crosses m=4 in batch 0 → re-emits
+    // seed docs 1,6), "footer" on id%7==0 (crosses in batch 1 →
+    // re-emits seed docs 0,7 AND batch-0 doc 14 — a streamed doc
+    // later invalidated by a later stream batch)
+    def mkDocs(ids: Seq[Long]) = ids.toDF("doc_id")
+      .select($"doc_id", concat(
+        when($"doc_id" % 5 === 1, lit("promo line\n")).otherwise(lit("")),
+        lit("unique body "), $"doc_id",
+        when($"doc_id" % 7 === 0, lit("\nfooter line")).otherwise(lit("")))
+        .as("text"))
+    val all = mkDocs(0L until 30L)
+    val m = 4L
+    val root = Files.createTempDirectory("boiler_stream")
+    val store = s"$root/store"
+    val out = s"$root/out"
+    Boilerplate.buildStore(mkDocs(0L until 10L), "doc_id", "text", m,
+        store, nBuckets = 8, nDocBuckets = 4)
+      .withColumn("seq", lit(-1L)).write.parquet(out)
+    def outRows = spark.read.parquet(out).count()
+    def metaRows = spark.read.parquet(s"${store}_meta").count()
+
+    // batch 0 applies once; promo crosses → re-emissions carry seq 0
+    val b0 = mkDocs(10L until 20L)
+    assert(StreamingJobs.foldBoilerplateBatchIdempotent(
+      spark, store, out, b0, 0L, m, 8, 4))
+    val (or0, mr0) = (outRows, metaRows)
+    assert(or0 == 10 + 10 + 2 && mr0 == 2,
+      "batch 0 must emit its 10 docs plus re-emissions of seed docs 1,6")
+    val reemitted = spark.read.parquet(out)
+      .filter($"seq" === 0 && $"doc_id" < 10)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(reemitted == Set(1L, 6L),
+      "the promo crossing must re-emit exactly its stored carriers")
+    assert(!StreamingJobs.foldBoilerplateBatchIdempotent(
+      spark, store, out, b0, 0L, m, 8, 4), "replayed batch must be skipped")
+    assert((outRows, metaRows) == ((or0, mr0)),
+      "replay must not double-append output or meta")
+
+    // crash window (c): staged AND promoted, marker never written —
+    // the replay must reuse the frozen staging, not recompute against
+    // the half-promoted store
+    val b1 = mkDocs(20L until 25L)
+    val staging1 = java.nio.file.Paths.get(store, ".boiler_staging_1")
+    StreamingJobs.stageBoilerplateFold(spark, store, staging1, b1, 1L, m, 8, 4)
+    StreamingJobs.promoteStagedBoilerplateFold(store, out, 1L)
+    val (or1, mr1) = (outRows, metaRows)
+    assert(StreamingJobs.foldBoilerplateBatchIdempotent(
+      spark, store, out, b1, 1L, m, 8, 4))
+    assert((outRows, metaRows) == ((or1, mr1)),
+      "replay over the crashed promote must not duplicate rows")
+    assert(Files.exists(java.nio.file.Paths.get(store, "_boiler_batch_1")))
+    assert(!Files.exists(staging1), "staging must be swept after commit")
+    // footer crossed in batch 1: its stored carriers span seed AND
+    // batch 0 — a streamed doc can itself be invalidated later
+    val reemitted1 = spark.read.parquet(out)
+      .filter($"seq" === 1 && $"doc_id" < 20)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(reemitted1 == Set(0L, 7L, 14L),
+      "the footer crossing must re-emit seed and batch-0 carriers")
+
+    // crash window (a): half-written staging without _SUCCESS is
+    // restaged cleanly and applied exactly once
+    val staging2 = java.nio.file.Paths.get(store, ".boiler_staging_2")
+    Files.createDirectories(staging2)
+    Files.write(staging2.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    assert(StreamingJobs.foldBoilerplateBatchIdempotent(
+      spark, store, out, mkDocs(25L until 30L), 2L, m, 8, 4))
+
+    // semantics: latest-seq-per-doc over the accumulated changelog
+    // equals the one-shot recompute over the full corpus, bit-for-bit
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"seq".desc)
+    val got = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"clean_text", $"n_removed")
+    val full = Boilerplate.removeCommonLines(all, "doc_id", "text", m)
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+      "latest-wins changelog must equal the full recompute")
+    assert(full.agg(sum($"n_removed")).head().getLong(0) >= 10,
+      "fixture must actually remove crossed lines")
+  }
 }
