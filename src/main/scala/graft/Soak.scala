@@ -615,3 +615,128 @@ object BloomSoak {
     spark.stop()
   }
 }
+
+/** c4/c5/s16 soak: boilerplate removal and its incremental changelog
+  * ingest over a 3 M-doc replica corpus (args(0) = 600 generations of
+  * the sf0.1 documents by default, built once under target/soak/)
+  * with a ticker line planted on every doc_id ≡ 0 (mod 20) and
+  * `minDocs = n/25` = 120 000 — 150 000 carriers total, with the
+  * crossing landing INSIDE fold 1 (the build holds 0.79·gens
+  * generations ≈ 118 500 carriers), so the retroactive re-emission
+  * path runs at scale: fold 1 must re-emit ~118 500 invalidated
+  * stored docs (dbucket-pruned read + broadcast id semi-join). Fold 2
+  * is a SMALL steady-state batch (one generation, 5 k docs) — the
+  * economics the store exists for: its cost is O(batch text +
+  * corpus-distinct-lines NARROW scan + fixed write jobs), reported
+  * beside the full recompute's O(corpus text). Invariants:
+  *
+  *  - changelog latest-wins across build + 2 folds equals the full
+  *    [[graft.operators.Boilerplate.removeCommonLines]] recompute
+  *    BIT-EXACT (exceptAll both ways);
+  *  - fold 1's re-emission set is exactly the build's ticker docs;
+  *  - the small fold must beat the full recompute — the crossover
+  *    that justifies the store.
+  */
+object BoilerplateSoak {
+  def main(args: Array[String]): Unit = {
+    val gens = args.headOption.map(_.toInt).getOrElse(600)
+    val spark = Sessions.local(32)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val path = s"target/soak/boiler_docs_$gens.parquet"
+    if (!new java.io.File(path).isDirectory) {
+      // generation fan-out as a crossJoin (a gens-way union's plan
+      // analysis is quadratic); odd generations get a per-generation
+      // suffix so their lines stay distinct
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      docs0.crossJoin(broadcast(spark.range(0, gens).select(col("id").as("r"))))
+        .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
+          when(col("r") % 2 === 1,
+            concat(col("text"), lit(" replica suffix "), col("r")))
+            .otherwise(col("text")).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    // deliberately NOT persisted: at corpus scale the text lives on
+    // storage, and the fold-vs-recompute comparison is only honest if
+    // the recompute pays the corpus read it would pay in production
+    val docs = spark.read.parquet(path).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(20)) === 0,
+        concat(col("text"), lit("\nbreaking news ticker updates every minute")))
+        .otherwise(col("text")).as("text"))
+    val nDocs = docs.count()
+    val m = nDocs / 25
+    val store = java.nio.file.Files.createTempDirectory("boiler_soak")
+      .toString + "/state"
+    // carriers/generation = nBase/20 and m = gens*nBase/25, so the
+    // ticker crosses at generation 0.8*gens: build = [0, 0.79*gens)
+    // stays just under, fold 1 = [0.79*gens, gens-1) carries the
+    // crossing, fold 2 = the last generation (small, steady-state)
+    val (cut1, cut2) = ((gens * 79 / 100) * 1000000L, (gens - 1) * 1000000L)
+    // batches arrive as their OWN files in production (the monotone
+    // ingest contract — new docs are new files); staging them keeps
+    // the fold timings from paying a full-corpus scan the fixture's
+    // id-filter would otherwise cost
+    val staged = java.nio.file.Files.createTempDirectory("boiler_batches")
+    docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2)
+      .write.parquet(s"$staged/b1")
+    docs.filter(col("doc_id") >= cut2).write.parquet(s"$staged/b2")
+
+    val ((e0, nTickBuild), tBuild) = time {
+      val out = operators.Boilerplate.buildStore(
+          docs.filter(col("doc_id") < cut1), "doc_id", "text", m, store)
+        .withColumn("seq", lit(0)).persist()
+      (out, out.filter(col("doc_id") % 20 === 0).count())
+    }
+    val (e1, tFold1) = time {
+      val out = operators.Boilerplate.fold(spark, store,
+        spark.read.parquet(s"$staged/b1"),
+        "doc_id", "text", m).withColumn("seq", lit(1)).persist()
+      out.count(); out
+    }
+    val (e2, tFold2) = time {
+      val out = operators.Boilerplate.fold(spark, store,
+          spark.read.parquet(s"$staged/b2"), "doc_id", "text", m)
+        .withColumn("seq", lit(2)).persist()
+      out.count(); out
+    }
+    // fold 1 re-emits exactly the build's ticker docs (ids < cut1,
+    // emitted a second time under the crossed dictionary)
+    val reemitted = e1.filter(col("doc_id") < cut1).count()
+    require(reemitted == nTickBuild,
+      s"fold-1 re-emission must equal the build's ticker docs: " +
+        s"$reemitted vs $nTickBuild")
+    require(e2.filter(col("doc_id") < cut2).count() == 0L,
+      "fold 2 must not re-emit (its ticker lines are already dictionary)")
+
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+    val latest = e0.unionByName(e1).unionByName(e2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+    val (full, tFull) = time {
+      val f = operators.Boilerplate.removeCommonLines(
+        docs, "doc_id", "text", m).persist()
+      f.count(); f
+    }
+    val diff = latest.exceptAll(full).count() + full.exceptAll(latest).count()
+    require(diff == 0L,
+      s"changelog latest-wins must equal the full recompute ($diff diffs)")
+    val removed = full.agg(sum(col("n_removed"))).head().getLong(0)
+    require(removed >= nDocs / 20,
+      s"ticker must be removed corpus-wide: $removed removals")
+    require(tFold2 < tFull,
+      s"small steady-state fold ($tFold2 s) must beat the full " +
+        s"recompute ($tFull s) — the store's reason to exist")
+
+    println(s"""{"docs":$nDocs,"min_docs":$m,"reemitted":$reemitted,""" +
+      s""""removed":$removed,""" +
+      s""""sec":{"build":$tBuild,"fold1_crossing":$tFold1,""" +
+      s""""fold2_small":$tFold2,"full_recompute":$tFull}}""")
+    spark.stop()
+  }
+}

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * minDocs entries, and in practice boilerplate is a tiny dictionary). */
 object Boilerplate {
 
-  private def lines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[graft] def lines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
 
@@ -111,19 +111,32 @@ object Boilerplate {
   // invalidated by a threshold crossing — and latest-emission-per-doc
   // across all folds equals the full removeCommonLines recompute
   // bit-exactly (the gate). Monotone corpus growth makes the
-  // dictionary monotone (nd only grows), which bounds the machinery:
-  //  * `pairs`  — (line, doc_id) distinct pairs for SUB-threshold
-  //    lines only, partitioned by crc32(line) mod nBuckets. A line in
-  //    the dictionary never returns to the candidate path, so every
-  //    stored line carries < minDocs pairs: the store is
-  //    O(minDocs × candidate lines), and a fold's pruned+semi-joined
-  //    read is O(minDocs × batch candidate lines) — mega boilerplate
-  //    lines never re-join the pair store after crossing.
+  // dictionary monotone (nd only grows), which bounds the machinery.
+  // Detection and lookup are split into TWO stores because their
+  // access patterns differ by orders of magnitude:
+  //  * `counts` — additive (line, nd_delta) rows for SUB-threshold
+  //    lines, partitioned by crc32(line) mod nBuckets; readers sum
+  //    deltas per line (the q92 mergeable-summary move). Crossing
+  //    detection joins the batch's candidate lines against this scan
+  //    — a batch's lines spread over every bucket, so this read is
+  //    honestly corpus-distinct-lines-sized, but NARROW (no doc ids,
+  //    no text) and semi-join-filtered.
+  //  * `pairs`  — (line, doc_id) distinct pairs for sub-threshold
+  //    lines, same partitioning. Read ONLY for lines that actually
+  //    CROSSED this fold — a handful of lines in a handful of
+  //    buckets, so the static `bucket IN (…)` partition filter here
+  //    genuinely prunes (unlike detection, where candidates hash
+  //    everywhere). A dictionary line never returns to the candidate
+  //    path, so every stored line carries < minDocs pairs.
   //  * `docs`   — (doc_id, text) partitioned by doc_id mod
-  //    nDocBuckets, read back ONLY for invalidated ids (static
-  //    partition filter + isin; ≤ (minDocs-1) × crossed lines ids,
-  //    collected driver-side — the q91 bounded-set economics).
+  //    nDocBuckets, read back ONLY for invalidated ids: a static
+  //    dbucket partition filter (≤ nDocBuckets values collected —
+  //    the q91 bounded-set economics) plus a broadcast semi-join on
+  //    the id set (≤ (minDocs-1) × crossed lines ids, distributed).
   //  * `dict`   — append-only crossed lines; the serving dictionary.
+  //    Crossed lines' dead counts/pairs rows are never read again
+  //    (the candidate path excludes dictionary lines) — compaction
+  //    may drop them.
   // ---------------------------------------------------------------
 
   private def metaPath(path: String): String = s"${path}_meta"
@@ -177,11 +190,12 @@ object Boilerplate {
   private def docBucket(id: Column, nDocBuckets: Int): Column =
     pmod(id, lit(nDocBuckets.toLong))
 
-  /** The fold's pruned pair-store read — `private[graft]` so the spec
-    * asserts the static `bucket IN (…)` partition filter on exactly
-    * the production scan (inside the fold it is consumed by an
-    * eagerly checkpointed join and never appears in a returned
-    * plan). */
+  /** The fold's pruned pair-store read — only ever called with the
+    * CROSSED lines' buckets (a handful), so the static `bucket IN (…)`
+    * partition filter genuinely prunes. `private[graft]` so the spec
+    * asserts the filter on exactly the production scan (inside the
+    * fold it is consumed by an eagerly collected join and never
+    * appears in a returned plan). */
   private[graft] def pairStoreRows(spark: SparkSession, path: String,
                                    buckets: Seq[Long]): DataFrame =
     spark.read.parquet(s"$path/pairs")
@@ -203,11 +217,16 @@ object Boilerplate {
     dict.write.mode("overwrite").parquet(s"$path/dict")
     // sub-threshold pairs only; bucket-aligned so the store is
     // nBuckets files, not shufflePartitions × nBuckets
-    pairs.join(nd.filter(col("nd") < minDocs).select(col("line")),
-        Seq("line"), "left_semi")
+    val sub = nd.filter(col("nd") < minDocs).localCheckpoint()
+    pairs.join(sub.select(col("line")), Seq("line"), "left_semi")
       .withColumn("bucket", pairBucket(col("line"), nBuckets))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/pairs")
+    // the narrow detection store: additive count deltas per line
+    sub.select(col("line"), col("nd").as("nd_delta"))
+      .withColumn("bucket", pairBucket(col("line"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/counts")
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
       .repartition(col("dbucket"))
@@ -223,18 +242,25 @@ object Boilerplate {
     * mutating it — factored out of [[fold]] so the streaming twin can
     * stage every artifact under the committed-staging exactly-once
     * protocol before anything touches the live layout. Returns
-    * `(pairsDelta, docsAppend, dictAppend, newMaxDoc, changelog)`;
-    * every returned frame is either eagerly checkpointed or derives
-    * only from checkpointed frames and the input batch, so none
-    * re-reads the store after the caller starts mutating it. */
+    * `(pairsDelta, countsDelta, docsAppend, dictAppend, newMaxDoc,
+    * changelog)`; every returned frame is either eagerly checkpointed
+    * or derives only from checkpointed frames and the input batch, so
+    * none re-reads the store after the caller starts mutating it. */
   private[graft] def computeFold(spark: SparkSession, path: String,
                                  batch: DataFrame, idCol: String,
                                  textCol: String, minDocs: Long,
                                  nBuckets: Int, nDocBuckets: Int):
-      (DataFrame, DataFrame, DataFrame, Long, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame, Long, DataFrame) = {
     val prevMax = readMeta(spark, path, minDocs, nBuckets, nDocBuckets)
-    val mm = batch.agg(min(col(idCol)).cast("long"),
-      max(col(idCol)).cast("long")).head()
+    // the batch feeds FOUR consumers (min/max guard, line pairs, the
+    // doc-store append, the changelog clean) — checkpoint it once so
+    // a batch defined as a filter over a large source is scanned
+    // once, not four times (batch-sized memory, the fold's working
+    // set either way)
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint()
+    val mm = b.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
     require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
       s"monotonic-ingest contract: batch min doc id " +
         s"${if (mm.isNullAt(0)) "(empty)" else mm.getLong(0)} must exceed " +
@@ -243,8 +269,8 @@ object Boilerplate {
     // returned frames must not re-list the dict path after the
     // crossed-lines append below)
     val dict0 = spark.read.parquet(s"$path/dict").localCheckpoint()
-    val bpairs = lines(batch, idCol, textCol)
-      .select(col("line"), col(idCol).as("doc_id")).distinct()
+    val bpairs = lines(b, "doc_id", "text")
+      .select(col("line"), col("doc_id")).distinct()
       .localCheckpoint() // feeds candidate agg + delta write
     // candidate lines = batch lines not yet in the dictionary (a
     // dict line's count can never matter again — monotone)
@@ -252,45 +278,62 @@ object Boilerplate {
       .join(broadcast(dict0), Seq("line"), "left_anti")
       .groupBy(col("line")).agg(count(lit(1)).as("ndb"))
       .localCheckpoint()
-    val buckets = candAgg
-      .select(pairBucket(col("line"), nBuckets).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    // stored pairs of candidate lines: ≤ (minDocs-1) rows per line
-    val storedPairs = pairStoreRows(spark, path, buckets.toIndexedSeq)
-      .join(candAgg.select(col("line")), Seq("line"), "left_semi")
-      .localCheckpoint()
+    // crossing detection against the NARROW counts store (candidate
+    // lines hash over every bucket, so this scan is honestly
+    // corpus-distinct-lines-sized — but it carries no doc ids and no
+    // text, and readers sum the additive deltas per line). The batch
+    // side is broadcast: the store scan must never be shuffled.
+    val nd0 = spark.read.parquet(s"$path/counts")
+      .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
+      .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd0"))
     val crossed = candAgg
-      .join(storedPairs.groupBy(col("line")).agg(count(lit(1)).as("nd0")),
-        Seq("line"), "left")
+      .join(nd0.hint("broadcast"), Seq("line"), "left")
       .filter(coalesce(col("nd0"), lit(0L)) + col("ndb") >= minDocs)
       .select(col("line"))
       .localCheckpoint()
+    // carrier lookup reads the WIDE pair store only for the crossed
+    // lines' buckets — a handful, so the partition filter genuinely
+    // prunes. The invalidated-id set is bounded (< minDocs ids per
+    // crossed line) but stays DISTRIBUTED: only its ≤ nDocBuckets
+    // dbucket values are collected for the doc store's partition
+    // filter; the ids themselves reach the pruned read as a broadcast
+    // semi-join (an `isin` over the ids would build a literal list
+    // that grows with the crossing size).
+    val crossedBuckets = crossed
+      .select(pairBucket(col("line"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
     val dictNew = dict0.unionByName(crossed).distinct().localCheckpoint()
-    // invalidated stored docs: carriers of a crossed line. Bounded
-    // driver-side set (< minDocs ids per crossed line).
-    val invIds = storedPairs
-      .join(crossed, Seq("line"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val outInv =
-      if (invIds.isEmpty) None
+    val invCarriers =
+      if (crossedBuckets.isEmpty) None
       else {
-        val dbuckets = invIds.map(_ % nDocBuckets).distinct.map(java.lang.Long.valueOf)
-        val inv = spark.read.parquet(s"$path/docs")
-          .filter(col("dbucket").isin(dbuckets: _*) &&
-            col("doc_id").isin(invIds.map(java.lang.Long.valueOf): _*))
-          .select(col("doc_id"), col("text"))
-          .localCheckpoint() // snapshot before the doc-store append below
-        Some(cleanWithDict(inv, "doc_id", "text", dictNew)
-          .withColumnRenamed("doc_id", idCol))
+        val ids = pairStoreRows(spark, path, crossedBuckets.toIndexedSeq)
+          .join(broadcast(crossed), Seq("line"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .localCheckpoint()
+        if (ids.head(1).isEmpty) None else Some(ids)
       }
+    val outInv = invCarriers.map { ids =>
+      val dbuckets = ids
+        .select(docBucket(col("doc_id"), nDocBuckets).as("dbucket"))
+        .distinct().collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
+      val inv = spark.read.parquet(s"$path/docs")
+        .filter(col("dbucket").isin(dbuckets.toIndexedSeq: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint() // snapshot before the doc-store append below
+      cleanWithDict(inv, "doc_id", "text", dictNew)
+        .withColumnRenamed("doc_id", idCol)
+    }
     val pairsDelta = bpairs.join(broadcast(dictNew), Seq("line"), "left_anti")
       .withColumn("bucket", pairBucket(col("line"), nBuckets))
-    val docsApp = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
-    val outBatch = cleanWithDict(batch, idCol, textCol, dictNew)
+    val countsDelta = candAgg.join(broadcast(dictNew), Seq("line"), "left_anti")
+      .select(col("line"), col("ndb").as("nd_delta"))
+      .withColumn("bucket", pairBucket(col("line"), nBuckets))
+    val docsApp = b.withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
+    val outBatch = cleanWithDict(b, "doc_id", "text", dictNew)
+      .withColumnRenamed("doc_id", idCol)
     val changelog = outInv.map(outBatch.unionByName(_)).getOrElse(outBatch)
-    (pairsDelta, docsApp, crossed, mm.getLong(1), changelog)
+    (pairsDelta, countsDelta, docsApp, crossed, mm.getLong(1), changelog)
   }
 
   /** Fold a monotonic document batch into a [[buildStore]] layout and
@@ -298,24 +341,43 @@ object Boilerplate {
     * updated dictionary, PLUS re-emissions of every stored document a
     * threshold crossing invalidated. Latest emission per doc across
     * build + folds equals the full [[removeCommonLines]] recompute
-    * bit-exactly — the c5 gate. The corpus is never rescanned: the
-    * pair store is read bucket-pruned and semi-joined to the batch's
-    * candidate lines (< minDocs rows per line by the store invariant)
-    * and the doc store only for the bounded invalidated-id set.
-    * Crash-redo contract as d26; the streaming twin (s16) wraps
-    * [[computeFold]] in the committed-staging exactly-once protocol
-    * instead. */
+    * bit-exactly — the c5 gate. The corpus text is never rescanned:
+    * crossing detection reads the NARROW counts store (semi-joined to
+    * the batch's candidate lines), the wide pair store is read
+    * bucket-pruned for the crossed lines only (< minDocs rows per
+    * line by the store invariant), and the doc store only for the
+    * bounded invalidated-id set. Crash-redo contract as d26; the
+    * streaming twin (s16) wraps [[computeFold]] in the
+    * committed-staging exactly-once protocol instead. */
+  /** Run independent store writes as concurrent Spark jobs — they
+    * target disjoint paths and all inputs are checkpoint-backed, so
+    * ordering is irrelevant; what serializing them costs is one
+    * fixed job latency (shuffle + dynamic-partition commit) per
+    * write, the small-fold floor. */
+  private[graft] def inParallel(writes: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = writes.map(w => scala.concurrent.Future(w())(ec))
+      fs.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   def fold(spark: SparkSession, path: String, batch: DataFrame,
            idCol: String, textCol: String, minDocs: Long,
            nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {
-    val (pairsDelta, docsApp, dictApp, newMax, changelog) =
+    val (pairsDelta, countsDelta, docsApp, dictApp, newMax, changelog) =
       computeFold(spark, path, batch, idCol, textCol, minDocs,
         nBuckets, nDocBuckets)
-    pairsDelta.repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
-    docsApp.repartition(col("dbucket"))
-      .write.mode("append").partitionBy("dbucket").parquet(s"$path/docs")
-    dictApp.write.mode("append").parquet(s"$path/dict")
+    inParallel(Seq(
+      () => pairsDelta.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs"),
+      () => countsDelta.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/counts"),
+      () => docsApp.repartition(col("dbucket"))
+        .write.mode("append").partitionBy("dbucket").parquet(s"$path/docs"),
+      () => dictApp.write.mode("append").parquet(s"$path/dict")))
     writeMeta(spark, path, newMax, minDocs, nBuckets, nDocBuckets, "append")
     changelog
   }

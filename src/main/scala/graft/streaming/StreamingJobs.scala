@@ -524,10 +524,11 @@ object StreamingJobs {
 
   /** Fold one document micro-batch into a persisted boilerplate store
     * ([[graft.operators.Boilerplate.buildStore]] layout) exactly once —
-    * the committed-staging protocol around the fold's FIVE artifacts:
-    * the pair-store delta (bucket partitions), the doc-store append
-    * (dbucket partitions), the crossed-lines dictionary append, the
-    * `_meta` high-water row, and the batch's CHANGELOG emission
+    * the committed-staging protocol around the fold's SIX artifacts:
+    * the pair-store delta (bucket partitions), the counts-store delta
+    * (bucket partitions), the doc-store append (dbucket partitions),
+    * the crossed-lines dictionary append, the `_meta` high-water row,
+    * and the batch's CHANGELOG emission
     * (cleaned batch + re-emissions of stored docs a threshold crossing
     * invalidated) accumulated under `outPath` with `seq = batchId` —
     * boilerplate cleaning is RETROACTIVE, so unlike s14's disjoint
@@ -562,16 +563,21 @@ object StreamingJobs {
                                           nBuckets: Int,
                                           nDocBuckets: Int): Unit = {
     deleteRecursively(staging)
-    val (pairsDelta, docsApp, dictApp, newMax, changelog) =
+    val (pairsDelta, countsDelta, docsApp, dictApp, newMax, changelog) =
       graft.operators.Boilerplate.computeFold(spark, storePath, batch,
         "doc_id", "text", minDocs, nBuckets, nDocBuckets)
-    pairsDelta.repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString)
-    docsApp.repartition(col("dbucket"))
-      .write.partitionBy("dbucket").parquet(staging.resolve("docs").toString)
-    dictApp.write.parquet(staging.resolve("dict").toString)
-    changelog.withColumn("seq", lit(batchId))
-      .write.parquet(staging.resolve("out").toString)
+    // independent staged artifacts fan out as concurrent jobs;
+    // `_SUCCESS` (the staging's commit point) is written strictly last
+    graft.operators.Boilerplate.inParallel(Seq(
+      () => pairsDelta.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString),
+      () => countsDelta.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging.resolve("counts").toString),
+      () => docsApp.repartition(col("dbucket"))
+        .write.partitionBy("dbucket").parquet(staging.resolve("docs").toString),
+      () => dictApp.write.parquet(staging.resolve("dict").toString),
+      () => changelog.withColumn("seq", lit(batchId))
+        .write.parquet(staging.resolve("out").toString)))
     import spark.implicits._
     Seq((newMax, minDocs, nBuckets, nDocBuckets))
       .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets")
@@ -593,7 +599,8 @@ object StreamingJobs {
     require(Files.exists(staging.resolve("_SUCCESS")),
       s"boilerplate staging for batch $batchId is not committed")
     val stamp = s"bbatch$batchId"
-    Seq("pairs" -> "bucket=", "docs" -> "dbucket=").foreach {
+    Seq("pairs" -> "bucket=", "counts" -> "bucket=",
+        "docs" -> "dbucket=").foreach {
       case (sub, prefix) =>
         val s = Files.list(staging.resolve(sub))
         val parts = try s.iterator().asScala.toList finally s.close()

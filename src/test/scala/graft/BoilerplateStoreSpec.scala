@@ -89,14 +89,20 @@ class BoilerplateStoreSpec extends SparkSpec {
     assert(allBuckets > buckets.size,
       "fixture must leave unread buckets for the proof to bite")
 
-    // a dictionary line's pairs are NOT stored (sub-threshold
-    // invariant: crossed lines never rejoin the candidate path)
+    // a dictionary line's pairs and count deltas are NOT appended
+    // (sub-threshold invariant: crossed lines never rejoin the
+    // candidate path)
     Boilerplate.fold(spark, store, batch1, "doc_id", "text", m, nB, 8).count()
     val promoBucket = Boilerplate.bucketOf("promo line", nB)
     val promoRows = Boilerplate.pairStoreRows(spark, store, Seq(promoBucket))
       .filter(col("line") === "promo line").count()
     assert(promoRows == 2L,
       "only the pre-crossing pairs remain; the crossing batch appends none")
+    val promoCounts = spark.read.parquet(s"$store/counts")
+      .filter(col("line") === "promo line")
+      .agg(count(lit(1)), sum(col("nd_delta"))).head()
+    assert(promoCounts.getLong(0) == 1L && promoCounts.getLong(1) == 2L,
+      "counts hold only the build's pre-crossing delta for a crossed line")
 
     // monotonicity and layout mismatches fail loudly
     val eMono = intercept[IllegalArgumentException] {
