@@ -3659,8 +3659,8 @@ object SparkEntry {
       // must be re-emitted. Pair store holds only sub-threshold
       // lines (< minDocs rows per line — crossed lines never rejoin
       // the candidate path), so fold reads are batch-bounded, never
-      // corpus-sized. Pairs+docs stores are compacted between folds;
-      // the gate proves post-compaction folds stay exact.
+      // corpus-sized. The store is vacuumed AND compacted between
+      // folds; the gate proves maintenance preserves exactness.
       "c5_boilerplate_ingest" -> ((s, dir) => {
         val all = corpusTicker(s, dir)
         val base = Tables.documents(s, dir)
@@ -3676,7 +3676,13 @@ object SparkEntry {
         val e1 = Boilerplate.fold(s, store,
           all.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
           "doc_id", "text", m)
+        // maintenance mid-gate: vacuum (drop the fold-1 crossing's
+        // dead rows, collapse count deltas) + compact — fold 2 then
+        // runs over the vacuumed+compacted store, so this oracle
+        // proves maintenance preserves exactness
+        Boilerplate.vacuumStore(s, store)
         StoreCompaction.compactStore(s, s"$store/pairs")
+        StoreCompaction.compactStore(s, s"$store/counts")
         StoreCompaction.compactStore(s, s"$store/docs")
         val e2 = Boilerplate.fold(s, store,
           all.filter(col("doc_id") > cut2), "doc_id", "text", m)

@@ -364,6 +364,28 @@ object Boilerplate {
     } finally pool.shutdown()
   }
 
+  /** Maintenance vacuum for a [[buildStore]] layout: crossed
+    * (dictionary) lines' counts and pairs rows are dead — the
+    * candidate path excludes dictionary lines, so no fold ever reads
+    * them again — and each fold appends one counts delta per
+    * still-sub-threshold candidate line, so a line folded daily for a
+    * year carries 365 delta rows. Drops the dead rows and collapses
+    * each line's deltas to one row, per partition, under
+    * [[StoreCompaction.rewriteStore]]'s crash-convergent swap. Both
+    * rewrites are read-invariant: detection sums deltas per line
+    * (one row sums the same) and never consults dictionary lines.
+    * Single-maintainer contract — do not run concurrently with
+    * folds. */
+  def vacuumStore(spark: SparkSession, path: String): Unit = {
+    val dict = spark.read.parquet(s"$path/dict")
+      .select(col("line")).distinct().localCheckpoint()
+    StoreCompaction.rewriteStore(spark, s"$path/counts", df =>
+      df.join(broadcast(dict), Seq("line"), "left_anti")
+        .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd_delta")))
+    StoreCompaction.rewriteStore(spark, s"$path/pairs", df =>
+      df.join(broadcast(dict), Seq("line"), "left_anti"))
+  }
+
   def fold(spark: SparkSession, path: String, batch: DataFrame,
            idCol: String, textCol: String, minDocs: Long,
            nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {

@@ -129,8 +129,27 @@ object StoreCompaction {
   def compactStore(spark: SparkSession, path: String,
                    targetBytes: Long = 128L * 1024 * 1024,
                    minFiles: Int = 2): CompactionReport = {
-    require(targetBytes > 0 && minFiles >= 2,
-      "targetBytes must be positive and minFiles at least 2")
+    require(minFiles >= 2, "minFiles at least 2")
+    rewritePartitions(spark, path, targetBytes, minFiles, identity)
+  }
+
+  /** [[compactStore]]'s machinery with a caller-supplied row
+    * transform — for maintenance that CHANGES rows (dropping dead
+    * rows, collapsing additive deltas), not just file grouping. The
+    * caller owns the semantic contract that every store read is
+    * transform-invariant; the crash-convergence protocol (stage with
+    * `_SUCCESS`, two atomic renames, [[repairStore]] on entry) is the
+    * same. Every partition is rewritten (`minFiles` 1): dead rows
+    * exist regardless of file count. */
+  def rewriteStore(spark: SparkSession, path: String,
+                   transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                   targetBytes: Long = 128L * 1024 * 1024): CompactionReport =
+    rewritePartitions(spark, path, targetBytes, 1, transform)
+
+  private def rewritePartitions(spark: SparkSession, path: String,
+                                targetBytes: Long, minFiles: Int,
+                                transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): CompactionReport = {
+    require(targetBytes > 0, "targetBytes must be positive")
     repairStore(path)
     val root = Paths.get(path)
     var compacted = 0
@@ -144,7 +163,7 @@ object StoreCompaction {
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         val staged = root.resolve(".compact_stage")
           .resolve(part.getFileName.toString)
-        spark.read.parquet(part.toString)
+        transform(spark.read.parquet(part.toString))
           .repartition(nOut)
           .write.mode("overwrite").parquet(staged.toString)
         // The swap below treats "staged has _SUCCESS" as "staged is

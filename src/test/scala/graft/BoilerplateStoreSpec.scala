@@ -114,4 +114,39 @@ class BoilerplateStoreSpec extends SparkSpec {
     }
     assert(eLayout.getMessage.contains("layout mismatch"))
   }
+
+  test("vacuum drops dead rows, collapses deltas; post-vacuum folds stay exact") {
+    // promo crosses in batch A (dead rows for the vacuum to drop);
+    // footer crosses in batch B AFTER the vacuum — collapsed counts
+    // must still detect it and the surviving pairs must still name
+    // its stored carriers (docs 3, 4) for re-emission
+    val vb = docsDf(
+      (1L, "promo line\na one"), (2L, "promo line\nb two"),
+      (3L, "footer line\nc three"), (4L, "footer line\nd four"))
+    val bA = docsDf((5L, "promo line\ne five"), (6L, "f six"))
+    val bB = docsDf((7L, "footer line\ng seven"), (8L, "h eight"))
+    def runTo(store: String, vacuum: Boolean) = {
+      Boilerplate.buildStore(vb, "doc_id", "text", m, store, nB, 8).count()
+      Boilerplate.fold(spark, store, bA, "doc_id", "text", m, nB, 8).count()
+      if (vacuum) Boilerplate.vacuumStore(spark, store)
+      Boilerplate.fold(spark, store, bB, "doc_id", "text", m, nB, 8)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("boiler_vac")
+    val (sv, sp) = (s"$tmp/vac", s"$tmp/plain")
+    val eVac = runTo(sv, vacuum = true)
+    val ePlain = runTo(sp, vacuum = false)
+    assert(eVac.exceptAll(ePlain).isEmpty && ePlain.exceptAll(eVac).isEmpty,
+      "a fold over a vacuumed store must be bit-identical")
+    assert(eVac.filter(col("doc_id").isin(3L, 4L)).count() == 2L,
+      "the post-vacuum crossing must re-emit its stored carriers")
+    // dead rows gone, live deltas collapsed to one row per line
+    val counts = spark.read.parquet(s"$sv/counts")
+    assert(counts.filter(col("line") === "promo line").count() == 0L &&
+      spark.read.parquet(s"$sv/pairs")
+        .filter(col("line") === "promo line").count() == 0L,
+      "the crossed line's counts and pairs rows are dead and dropped")
+    val maxRows = counts.groupBy(col("line")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxRows == 1L, "vacuum must collapse deltas to one row per line")
+  }
 }
