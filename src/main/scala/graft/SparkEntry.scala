@@ -1752,6 +1752,18 @@ object SparkEntry {
           size(tokens(col("text"))), binTokens = 4096,
           targetDocsPerShard = 64)),
 
+      // ---- GPT-style sequence packing with document SPLITTING
+      // (q97): the global token stream chunked into fixed 128-token
+      // training sequences, emitted as a per-doc span map. Exact
+      // global order via a two-phase distributed prefix sum —
+      // arithmetic shards cumsum locally, one-row-per-shard offsets
+      // cumsum on a bounded frame and broadcast back; the corpus
+      // pays one exchange and no global sort. docsPerShard = 100
+      // exercises multiple shards at every sf. ----
+      "q97_pack_spans" -> ((s, dir) =>
+        Pack.packSpans(Tables.documents(s, dir), "doc_id",
+          size(tokens(col("text"))), seqLen = 128, docsPerShard = 100)),
+
       // C4-style paragraph-level exact dedup: removes cross-document
       // boilerplate whole-doc dedup can't see. Winner per paragraph is
       // a partial-aggregable groupBy-min (map-side combined, so a hot
@@ -4827,6 +4839,32 @@ object SparkEntry {
          |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
          |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q97: the same two-level cumsum (shard-local + shard offsets);
+    // DuckDB could cumsum globally in one window, but mirroring the
+    // sharded arithmetic keeps the oracle a line-for-line twin
+    "q97_pack_spans" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n,
+         |             doc_id // 100 AS shard
+         |           FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT doc_id, n, shard,
+         |        COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS local_start
+         |      FROM t),
+         |o AS (SELECT shard,
+         |        COALESCE(SUM(stot) OVER (ORDER BY shard ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS off
+         |      FROM (SELECT shard, SUM(n) AS stot FROM t GROUP BY 1)),
+         |p AS (SELECT c.doc_id, o.off + c.local_start AS strt,
+         |             o.off + c.local_start + c.n AS fin
+         |      FROM c JOIN o USING (shard))
+         |SELECT CAST(u.seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(greatest(u.seq_id * 128, strt) - strt AS BIGINT) AS tok_start,
+         |  CAST(least((u.seq_id + 1) * 128, fin) - strt AS BIGINT) AS tok_end
+         |FROM p, unnest(range(CAST(strt // 128 AS BIGINT),
+         |  CAST((fin - 1) // 128 + 1 AS BIGINT))) AS u(seq_id)""".stripMargin,
 
     "d11_paragraph_dedup" ->
       s"""WITH $corpusParaSql,

@@ -28,6 +28,67 @@ import graft.functions.TextFunctions.hash32
   */
 object Pack {
 
+  /** GPT-style sequence packing WITH document splitting: concatenate
+    * every document's tokens in doc-id order into one global stream,
+    * chunk the stream into `seqLen`-token training sequences, and
+    * emit the span map — which token range of which document lands in
+    * which sequence. Unlike [[packBins]] (whole docs into bins,
+    * order traded for hash-shard parallelism), this keeps EXACT
+    * global order and splits long documents across sequence
+    * boundaries — the standard pretraining shape.
+    *
+    * The global running offset is a TWO-PHASE distributed prefix sum:
+    * docs shard by `doc_id div docsPerShard` (arithmetic, so the
+    * shard respects global order and is reproducible in any engine),
+    * each shard cumsums locally under a bounded-size window, and the
+    * per-shard totals — one row per shard — cumsum on a single
+    * partition and broadcast back. Nothing corpus-sized is ever
+    * sorted globally or moved to one task; the big side pays exactly
+    * one exchange (the shard key). Span extraction is a per-row
+    * `sequence()` explode: ~n/seqLen + 1 rows per doc.
+    *
+    * Returns (seq_id, doc_id, tok_start, tok_end): sequence `seq_id`
+    * carries doc tokens [tok_start, tok_end). Zero-token docs are
+    * excluded (they occupy no stream positions).
+    *
+    * `nTokens` is evaluated on BOTH sides of the two-phase sum (the
+    * shard-offset branch aggregates before its exchange, which is
+    * cheaper than paying the big exchange twice) — if counting is
+    * expensive (a real tokenizer), pass a precomputed counts column
+    * instead of an inline expression. */
+  def packSpans(docs: DataFrame, idCol: String, nTokens: Column,
+                seqLen: Long, docsPerShard: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0 && docsPerShard > 0,
+      "seqLen and docsPerShard must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+        nTokens.cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("shard", expr(s"doc_id div $docsPerShard"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = base
+      .withColumn("local_start", coalesce(sum(col("n")).over(wIn), lit(0L)))
+    // one row per shard; the only unpartitioned window in the plan
+    // runs over this bounded frame, never the corpus
+    val wSh = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("shard")).agg(sum(col("n")).as("stot"))
+      .withColumn("offset", coalesce(sum(col("stot")).over(wSh), lit(0L)))
+      .select(col("shard"), col("offset"))
+    within.join(broadcast(offsets), Seq("shard"))
+      .withColumn("start", col("offset") + col("local_start"))
+      .withColumn("fin", col("start") + col("n"))
+      .select(col("doc_id"), col("start"), col("fin"),
+        explode(sequence(expr(s"start div $seqLen"),
+          expr(s"(fin - 1) div $seqLen"))).as("seq_id"))
+      .select(col("seq_id"),
+        col("doc_id"),
+        (greatest(col("seq_id") * seqLen, col("start")) - col("start"))
+          .as("tok_start"),
+        (least((col("seq_id") + 1) * seqLen, col("fin")) - col("start"))
+          .as("tok_end"))
+  }
+
   /** Bin assignment + per-bin rollup. Returns
     * (shard, bin, n_docs, bin_tokens, first_doc). */
   def packBins(docs: DataFrame, idCol: String, nTokens: Column,
