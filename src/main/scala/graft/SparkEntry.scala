@@ -649,6 +649,38 @@ object SparkEntry {
         expr(s"(doc_id - $t1) * 3 div $span")), t1)
     })
 
+  private val packIngestSplitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private val packStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("n", LongType)))
+  }
+
+  /** The s17 ingest stream: precomputed (doc_id, n_tokens) rows for
+    * docs at or above the first-tercile boundary `t1`, staged as
+    * THREE ordered MONOTONE batches (the s14 tercile formula — the
+    * span fold's monotonicity contract rejects interleaved ids).
+    * Counts are staged instead of text: the packing fold needs only
+    * counts, and staging them exercises the 'precompute expensive
+    * token counts' path the packSpans scaladoc recommends. Returns
+    * (stagingDir, t1); one staging per (JVM, dir). */
+  private def stagedPackIngestSplit(s: SparkSession,
+                                    dir: String): (String, Long) =
+    packIngestSplitDirs.computeIfAbsent(dir, { d =>
+      import graft.functions.TextFunctions.tokens
+      val counts = Tables.documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      val maxId = counts.agg(max(col("doc_id")).cast("long"))
+        .head().getLong(0)
+      val t1 = maxId / 3
+      val span = maxId - t1 + 1
+      (stageOrderedSplit("s17_counts",
+        counts.filter(col("doc_id") >= t1),
+        expr(s"(doc_id - $t1) * 3 div $span")), t1)
+    })
+
   private val boilerIngestSplitDirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
@@ -927,6 +959,7 @@ object SparkEntry {
     val s14Root = s11Root(dir, "s14_substr")
     val s15Root = s11Root(dir, "s15_qstore")
     val s16Root = s11Root(dir, "s16_boiler")
+    val s17Root = s11Root(dir, "s17_pack")
     val results = try {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
@@ -1069,6 +1102,27 @@ object SparkEntry {
               s, s16split, nearDupStreamSchema, s16store, s16out,
               trackCk("s16_ck").toString, m, nBuckets = 64,
               nDocBuckets = 64, maxFilesPerTrigger = Some(1)))
+          },
+          // s17: foreachBatch incremental sequence packing — the span
+          // store is seeded with the first id tercile (its spans are
+          // the output's first segment; state = two high-water
+          // numbers), then (doc_id, n_tokens) batches extend the
+          // token stream at its high-water, each emitting FINAL
+          // spans exactly once. Accumulated output == the one-shot
+          // q97 recompute.
+          () => phase("seed_s17") {
+            import graft.functions.TextFunctions.tokens
+            val (s17split, t1) = stagedPackIngestSplit(s, dir)
+            val s17store = s"$s17Root/store"
+            val s17out = s"$s17Root/out"
+            Pack.buildSpanStore(
+                Tables.documents(s, dir).filter(col("doc_id") < t1),
+                "doc_id", size(tokens(col("text"))), 128, s17store, 100)
+              .write.parquet(s17out)
+            track(graft.streaming.StreamingJobs.streamingPackIngest(
+              s, s17split, packStreamSchema, s17store, s17out,
+              trackCk("s17_ck").toString, seqLen = 128,
+              docsPerShard = 100, maxFilesPerTrigger = Some(1)))
           }))
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -1159,8 +1213,16 @@ object SparkEntry {
           .write.parquet(
             outRoot.resolve("s16_stream_boilerplate_ingest").toString)
       }
+      // s17: the accumulated span segments — seed + one per streamed
+      // batch, disjoint and final on emission (no resolution needed)
+      val s17Task = "s17_stream_pack_spans" -> { () =>
+        s.read.parquet(s"$s17Root/out")
+          .select(col("seq_id"), col("doc_id"), col("tok_start"),
+            col("tok_end"))
+          .write.parquet(outRoot.resolve("s17_stream_pack_spans").toString)
+      }
       val tasks = memTasks ++ Seq(s5Task, s9Task, s11Task, s12Task, s13Task,
-        s14Task, s15Task, s16Task)
+        s14Task, s15Task, s16Task, s17Task)
       inParallel(tasks.map(_._2))
       tasks.map { case (entry, _) =>
         entry -> outRoot.resolve(entry).toString
@@ -1342,6 +1404,13 @@ object SparkEntry {
       // gate, and it can only hold if the mid-stream threshold
       // crossing actually re-emitted the seed's ticker docs
       "s16_stream_boilerplate_ingest" -> base("c5_boilerplate_ingest"),
+      // q98 folds monotone batches through the span store (state =
+      // two high-water numbers); spans are a pure function of order,
+      // counts, and seqLen, so build ∪ folds == the one-shot q97
+      // computation — its oracle gates both, and s17 streams the
+      // same folds under the exactly-once protocol
+      "q98_pack_spans_ingest" -> base("q97_pack_spans"),
+      "s17_stream_pack_spans" -> base("q97_pack_spans"),
       "d24_semdedup_ingest_farthest" -> base("d21_semdedup_farthest"))
   }
 
@@ -1763,6 +1832,31 @@ object SparkEntry {
       "q97_pack_spans" -> ((s, dir) =>
         Pack.packSpans(Tables.documents(s, dir), "doc_id",
           size(tokens(col("text"))), seqLen = 128, docsPerShard = 100)),
+
+      // ---- incremental sequence packing (q98): the cheapest ingest
+      // family — the persisted state is two numbers (token and doc-id
+      // high-water marks, additive meta rows), because spans are a
+      // pure function of (doc order, counts, seqLen) and the stream
+      // only grows at the end: emitted spans never change, so the
+      // union of build + fold emissions equals the one-shot q97
+      // recompute bit-exactly, which is this gate. ----
+      "q98_pack_spans_ingest" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nTok = size(tokens(col("text")))
+        val maxId = docs.agg(max(col("doc_id")).cast("long"))
+          .head().getLong(0)
+        val (c1, c2) = (maxId / 2, maxId * 9 / 10)
+        val tmp = java.nio.file.Files.createTempDirectory("q98_pack")
+        sys.addShutdownHook { rmTreeQuiet(tmp) }
+        val store = s"$tmp/state"
+        Pack.buildSpanStore(docs.filter(col("doc_id") <= c1),
+            "doc_id", nTok, 128, store, 100)
+          .unionByName(Pack.foldSpans(s, store,
+            docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+            "doc_id", nTok, 128, 100))
+          .unionByName(Pack.foldSpans(s, store,
+            docs.filter(col("doc_id") > c2), "doc_id", nTok, 128, 100))
+      }),
 
       // C4-style paragraph-level exact dedup: removes cross-document
       // boilerplate whole-doc dedup can't see. Winner per paragraph is
@@ -4185,7 +4279,14 @@ object SparkEntry {
       // output's latest-seq-per-doc resolution must equal the full
       // removeCommonLines recompute (c5's oracle) ----
       "s16_stream_boilerplate_ingest" -> ((s, dir) =>
-        streamResult(s, dir, "s16_stream_boilerplate_ingest"))
+        streamResult(s, dir, "s16_stream_boilerplate_ingest")),
+
+      // ---- s17: streaming incremental sequence packing — q97's
+      // span store grown through foreachBatch with the
+      // committed-staging exactly-once protocol; accumulated
+      // segments ∪-equal the one-shot recompute (q97's oracle) ----
+      "s17_stream_pack_spans" -> ((s, dir) =>
+        streamResult(s, dir, "s17_stream_pack_spans"))
     )
   }
 

@@ -57,9 +57,10 @@ object Pack {
     * expensive (a real tokenizer), pass a precomputed counts column
     * instead of an inline expression. */
   def packSpans(docs: DataFrame, idCol: String, nTokens: Column,
-                seqLen: Long, docsPerShard: Long = 1L << 20): DataFrame = {
-    require(seqLen > 0 && docsPerShard > 0,
-      "seqLen and docsPerShard must be positive")
+                seqLen: Long, docsPerShard: Long = 1L << 20,
+                baseOffset: Long = 0L): DataFrame = {
+    require(seqLen > 0 && docsPerShard > 0 && baseOffset >= 0,
+      "seqLen and docsPerShard must be positive, baseOffset non-negative")
     val base = docs.select(col(idCol).as("doc_id"),
         nTokens.cast("long").as("n"))
       .filter(col("n") > 0)
@@ -76,7 +77,7 @@ object Pack {
       .withColumn("offset", coalesce(sum(col("stot")).over(wSh), lit(0L)))
       .select(col("shard"), col("offset"))
     within.join(broadcast(offsets), Seq("shard"))
-      .withColumn("start", col("offset") + col("local_start"))
+      .withColumn("start", lit(baseOffset) + col("offset") + col("local_start"))
       .withColumn("fin", col("start") + col("n"))
       .select(col("doc_id"), col("start"), col("fin"),
         explode(sequence(expr(s"start div $seqLen"),
@@ -87,6 +88,101 @@ object Pack {
           .as("tok_start"),
         (least((col("seq_id") + 1) * seqLen, col("fin")) - col("start"))
           .as("tok_end"))
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental sequence packing (q98/s17). Packing is the CHEAPEST
+  // ingest family in the repo: spans are a pure function of (doc
+  // order, token counts, seqLen) and the stream only ever GROWS at
+  // the end, so previously emitted spans never change and the whole
+  // persisted state is two numbers — the token high-water (where the
+  // next batch's stream starts) and the doc-id high-water (the
+  // monotone guard). Meta rows are additive (token deltas summed,
+  // max_doc maxed), the q92 mergeable move; `seq_len` is pinned and
+  // checked loudly (a silently different seqLen re-chunks the whole
+  // stream). Union of build + fold emissions == a one-shot packSpans
+  // over the full corpus bit-exactly — the q98/s17 gate.
+  // ---------------------------------------------------------------
+
+  private def metaPath(path: String): String = s"${path}_meta"
+
+  private def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String, maxDoc: Long, tokenDelta: Long,
+                            seqLen: Long, mode: String): Unit = {
+    import spark.implicits._
+    Seq((maxDoc, tokenDelta, seqLen))
+      .toDF("max_doc", "token_delta", "seq_len")
+      .coalesce(1).write.mode(mode).parquet(metaPath(path))
+  }
+
+  /** Validate `seqLen` against the store and return
+    * (docHighWater, tokenHighWater). */
+  private[graft] def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, seqLen: Long): (Long, Long) = {
+    val rows = spark.read.parquet(metaPath(path)).collect()
+    require(rows.nonEmpty, s"no _meta at ${metaPath(path)}")
+    rows.foreach { meta =>
+      require(meta.getAs[Long]("seq_len") == seqLen,
+        s"span store layout mismatch: built with " +
+          s"seqLen=${meta.getAs[Long]("seq_len")}, called with " +
+          s"seqLen=$seqLen — a different seqLen re-chunks the stream")
+    }
+    (rows.map(_.getAs[Long]("max_doc")).max,
+      rows.map(_.getAs[Long]("token_delta")).sum)
+  }
+
+  /** Initialize the incremental span store (just its meta — see the
+    * family notes) and return the corpus's spans
+    * (== [[packSpans]] over `docs`). */
+  def buildSpanStore(docs: DataFrame, idCol: String, nTokens: Column,
+                     seqLen: Long, path: String,
+                     docsPerShard: Long = 1L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    val b = docs.select(col(idCol).as("doc_id"), nTokens.cast("long").as("n"))
+      .localCheckpoint()
+    val mm = b.agg(max(col("doc_id")).cast("long"), sum(col("n"))).head()
+    require(!mm.isNullAt(0), "cannot build a span store from an empty corpus")
+    writeSpanMeta(spark, path, mm.getLong(0),
+      if (mm.isNullAt(1)) 0L else mm.getLong(1), seqLen, "overwrite")
+    packSpans(b, "doc_id", col("n"), seqLen, docsPerShard)
+  }
+
+  /** One fold's computation WITHOUT mutating the store meta — the
+    * streaming twin stages on this. Returns
+    * (spans, newDocHighWater, tokenDelta). */
+  private[graft] def computeSpanFold(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, batch: DataFrame,
+                                     idCol: String, nTokens: Column,
+                                     seqLen: Long,
+                                     docsPerShard: Long): (DataFrame, Long, Long) = {
+    val (prevMax, prevTotal) = readSpanMeta(spark, path, seqLen)
+    val b = batch.select(col(idCol).as("doc_id"), nTokens.cast("long").as("n"))
+      .localCheckpoint() // one batch evaluation: guard agg + spans
+    val mm = b.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long"), sum(col("n"))).head()
+    require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
+      s"monotonic-ingest contract: batch min doc id " +
+        s"${if (mm.isNullAt(0)) "(empty)" else mm.getLong(0)} must exceed " +
+        s"stored max $prevMax")
+    (packSpans(b, "doc_id", col("n"), seqLen, docsPerShard,
+        baseOffset = prevTotal),
+      mm.getLong(1), if (mm.isNullAt(2)) 0L else mm.getLong(2))
+  }
+
+  /** Fold a monotonic document batch into a [[buildSpanStore]] layout
+    * and return ITS spans — the batch's token stream appended at the
+    * stored high-water, so the union of build + fold emissions equals
+    * the one-shot [[packSpans]] over the whole corpus bit-exactly.
+    * Crash-redo contract (a re-run double-appends meta); the
+    * streaming twin (s17) wraps [[computeSpanFold]] in the
+    * committed-staging exactly-once protocol instead. */
+  def foldSpans(spark: org.apache.spark.sql.SparkSession, path: String,
+                batch: DataFrame, idCol: String, nTokens: Column,
+                seqLen: Long, docsPerShard: Long = 1L << 20): DataFrame = {
+    val (spans, newMax, delta) = computeSpanFold(spark, path, batch,
+      idCol, nTokens, seqLen, docsPerShard)
+    writeSpanMeta(spark, path, newMax, delta, seqLen, "append")
+    spans
   }
 
   /** Bin assignment + per-bin rollup. Returns

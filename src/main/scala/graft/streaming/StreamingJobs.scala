@@ -646,6 +646,89 @@ object StreamingJobs {
       .start()
   }
 
+  /** Fold one (doc_id, n) token-count micro-batch into a persisted
+    * sequence-packing span store
+    * ([[graft.operators.Pack.buildSpanStore]] layout) exactly once —
+    * the committed-staging protocol around TWO artifacts: the batch's
+    * span emission (accumulated under `outPath`; spans are final on
+    * emission — the stream only grows at the end, so segments are
+    * disjoint and no latest-wins resolution is needed) and the
+    * additive `_meta` high-water row. Returns whether the batch was
+    * applied. */
+  def foldPackBatchIdempotent(spark: SparkSession, storePath: String,
+                              outPath: String,
+                              batch: org.apache.spark.sql.DataFrame,
+                              batchId: Long, seqLen: Long,
+                              docsPerShard: Long): Boolean = {
+    import java.nio.file.Paths
+    val staging = Paths.get(storePath, s".pack_staging_$batchId")
+    applyBatchIdempotent(
+        Paths.get(storePath, s"_pack_batch_$batchId"), staging) { () =>
+      stagePackFold(spark, storePath, staging, batch, seqLen, docsPerShard)
+    } { () => promoteStagedPackFold(storePath, outPath, batchId) }
+  }
+
+  /** Stage step of [[foldPackBatchIdempotent]] — compute against the
+    * LIVE (not-yet-mutated) meta, stage spans + the additive meta
+    * row, `_SUCCESS` last. Exposed for the spec's crash-window
+    * replays. */
+  private[graft] def stagePackFold(spark: SparkSession, storePath: String,
+                                   staging: java.nio.file.Path,
+                                   batch: org.apache.spark.sql.DataFrame,
+                                   seqLen: Long,
+                                   docsPerShard: Long): Unit = {
+    deleteRecursively(staging)
+    val (spans, newMax, delta) = graft.operators.Pack.computeSpanFold(
+      spark, storePath, batch, "doc_id", col("n"), seqLen, docsPerShard)
+    spans.write.parquet(staging.resolve("out").toString)
+    import spark.implicits._
+    Seq((newMax, delta, seqLen))
+      .toDF("max_doc", "token_delta", "seq_len")
+      .coalesce(1).write.parquet(staging.resolve("meta").toString)
+    java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
+  }
+
+  /** Promote step of [[foldPackBatchIdempotent]] — deterministic
+    * `pbatch<id>-<name>` names, REPLACE_EXISTING. Exposed for the
+    * spec's crash-window replays. */
+  private[graft] def promoteStagedPackFold(storePath: String,
+                                           outPath: String,
+                                           batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val staging = Paths.get(storePath, s".pack_staging_$batchId")
+    require(Files.exists(staging.resolve("_SUCCESS")),
+      s"pack staging for batch $batchId is not committed")
+    promoteFiles(staging.resolve("out"), Paths.get(outPath),
+      s"pbatch$batchId")
+    promoteFiles(staging.resolve("meta"),
+      Paths.get(s"${storePath}_meta"), s"pbatch$batchId")
+  }
+
+  /** Streaming incremental sequence packing (s17): a stream of
+    * MONOTONICALLY-ID'd (doc_id, n_tokens) batches extends the global
+    * token stream at its high-water mark, each micro-batch emitting
+    * its final spans exactly once. The accumulated output ∪-equals a
+    * one-shot [[graft.operators.Pack.packSpans]] over corpus ∪
+    * batches — q97's oracle — because spans are a pure function of
+    * (doc order, counts, seqLen) and emitted segments never change. */
+  def streamingPackIngest(spark: SparkSession, srcDir: String,
+                          schema: StructType, storePath: String,
+                          outPath: String, checkpoint: String,
+                          seqLen: Long, docsPerShard: Long,
+                          maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldPackBatchIdempotent(spark, storePath, outPath, batch.toDF(),
+          batchId, seqLen, docsPerShard)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming incremental IVF ingest (s13): a stream of vector
     * batches grows a persisted, centroid-partitioned IVF index —
     * each micro-batch is assigned against the FROZEN centroid set and

@@ -561,4 +561,61 @@ class StreamingSpec extends SparkSpec {
     assert(full.agg(sum($"n_removed")).head().getLong(0) >= 10,
       "fixture must actually remove crossed lines")
   }
+
+  test("s17 pack-fold batches are replay-idempotent; accumulated spans equal recompute") {
+    import graft.operators.Pack
+    // 30 docs; counts cycle 1..17 with one mega-doc so spans cross
+    // many sequence boundaries and a batch boundary lands mid-sequence
+    def mkCounts(ids: Seq[Long]) = ids.toDF("doc_id")
+      .select($"doc_id",
+        (when($"doc_id" === 12L, 500L).otherwise($"doc_id" % 17 + 1)).as("n"))
+    val all = mkCounts(0L until 30L)
+    val root = Files.createTempDirectory("pack_stream")
+    val store = s"$root/store"
+    val out = s"$root/out"
+    Pack.buildSpanStore(mkCounts(0L until 10L), "doc_id", $"n", 64, store, 7)
+      .write.parquet(out)
+    def outRows = spark.read.parquet(out).count()
+    def metaRows = spark.read.parquet(s"${store}_meta").count()
+
+    val b0 = mkCounts(10L until 20L)
+    assert(StreamingJobs.foldPackBatchIdempotent(
+      spark, store, out, b0, 0L, 64, 7))
+    val (or0, mr0) = (outRows, metaRows)
+    assert(mr0 == 2)
+    assert(!StreamingJobs.foldPackBatchIdempotent(
+      spark, store, out, b0, 0L, 64, 7), "replayed batch must be skipped")
+    assert((outRows, metaRows) == ((or0, mr0)),
+      "replay must not double-append output or meta")
+
+    // crash window (c): staged AND promoted, marker never written —
+    // replay reuses the frozen staging (restaging against the
+    // promoted meta would shift the stream and fail the guard)
+    val b1 = mkCounts(20L until 25L)
+    val staging1 = java.nio.file.Paths.get(store, ".pack_staging_1")
+    StreamingJobs.stagePackFold(spark, store, staging1, b1, 64, 7)
+    StreamingJobs.promoteStagedPackFold(store, out, 1L)
+    val (or1, mr1) = (outRows, metaRows)
+    assert(StreamingJobs.foldPackBatchIdempotent(
+      spark, store, out, b1, 1L, 64, 7))
+    assert((outRows, metaRows) == ((or1, mr1)),
+      "replay over the crashed promote must not duplicate rows")
+    assert(!Files.exists(staging1), "staging must be swept after commit")
+
+    // crash window (a): garbage staging without _SUCCESS is restaged
+    val staging2 = java.nio.file.Paths.get(store, ".pack_staging_2")
+    Files.createDirectories(staging2)
+    Files.write(staging2.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    assert(StreamingJobs.foldPackBatchIdempotent(
+      spark, store, out, mkCounts(25L until 30L), 2L, 64, 7))
+
+    // accumulated segments == one-shot recompute, bit-for-bit
+    val got = spark.read.parquet(out)
+      .select($"seq_id", $"doc_id", $"tok_start", $"tok_end")
+    val full = Pack.packSpans(all, "doc_id", $"n", 64, 7)
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+      "accumulated stream output must equal the full recompute")
+    // the mega-doc proves splitting: it spans many sequences
+    assert(got.filter($"doc_id" === 12L).count() >= 500 / 64)
+  }
 }
