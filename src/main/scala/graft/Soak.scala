@@ -740,3 +740,87 @@ object BoilerplateSoak {
     spark.stop()
   }
 }
+
+/** q97/q98 soak: sequence packing with document splitting at 20 M
+  * docs (~10 G tokens, seqLen 2048 → ~5 M sequences). Narrow
+  * synthetic counts (packing consumes counts, not text): token counts
+  * cycle 1..997 with a 100 k-token mega-doc every 1 M ids — spans
+  * must split it across ~49 sequences. Invariants:
+  *
+  *  - every sequence except the last holds exactly seqLen tokens and
+  *    the span total equals the corpus token total (stream coverage);
+  *  - the span map is shard-independent (1 M-doc vs 256 k-doc shards
+  *    bit-identical) — the two-phase prefix sum's correctness at a
+  *    shard count where the offset frame is real (20 vs 77 rows);
+  *  - build ∪ fold == one-shot recompute bit-exact, with the 1 M-doc
+  *    steady-state fold's cost reported beside the full recompute.
+  */
+object PackSoak {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val spark = Sessions.local(32)
+    import org.apache.spark.sql.functions._
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val L = 2048L
+    def counts(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(1000000L)) === 0, lit(100000L))
+          .otherwise(pmod(col("id"), lit(997L)) + 1).as("n"))
+
+    val (full, tFull) = time {
+      val f = operators.Pack.packSpans(counts(0, n), "doc_id", col("n"),
+        L, docsPerShard = 1L << 20).persist()
+      f.count(); f
+    }
+    val perSeq = full.groupBy(col("seq_id"))
+      .agg(sum(col("tok_end") - col("tok_start")).as("fill")).persist()
+    val lastSeq = perSeq.agg(max(col("seq_id"))).head().getLong(0)
+    val short = perSeq
+      .filter(col("seq_id") =!= lastSeq && col("fill") =!= L).count()
+    require(short == 0L, s"$short non-final sequences are not full")
+    val total = counts(0, n).agg(sum(col("n"))).head().getLong(0)
+    val covered = perSeq.agg(sum(col("fill"))).head().getLong(0)
+    require(covered == total, s"coverage $covered != corpus tokens $total")
+    require(perSeq.count() == lastSeq + 1, "sequence ids must be dense")
+    val megaSpans = full.filter(col("doc_id") === 1000000L).count()
+    require(megaSpans >= 100000 / L,
+      s"mega-doc must split across sequences, saw $megaSpans spans")
+    perSeq.unpersist()
+
+    // shard independence where the offset frame is real (20 vs 77 rows)
+    val (alt, tAlt) = time {
+      operators.Pack.packSpans(counts(0, n), "doc_id", col("n"), L,
+        docsPerShard = 1L << 18)
+    }
+    val shardDiff = full.exceptAll(alt).count() + alt.exceptAll(full).count()
+    require(shardDiff == 0L, s"shard-dependent span map: $shardDiff diffs")
+
+    // incremental: build 19M, fold the last 1M
+    val store = java.nio.file.Files.createTempDirectory("pack_soak")
+      .toString + "/state"
+    val cut = n - 1000000L
+    val (e0, tBuild) = time {
+      val b = operators.Pack.buildSpanStore(counts(0, cut), "doc_id",
+        col("n"), L, store, 1L << 20).persist()
+      b.count(); b
+    }
+    val (e1, tFold) = time {
+      val f = operators.Pack.foldSpans(spark, store, counts(cut, n),
+        "doc_id", col("n"), L, 1L << 20).persist()
+      f.count(); f
+    }
+    val merged = e0.unionByName(e1)
+    val foldDiff = merged.exceptAll(full).count() +
+      full.exceptAll(merged).count()
+    require(foldDiff == 0L, s"build ∪ fold != recompute: $foldDiff diffs")
+
+    println(s"""{"docs":$n,"tokens":$total,"sequences":${lastSeq + 1},""" +
+      s""""mega_spans":$megaSpans,""" +
+      s""""sec":{"full":$tFull,"alt_shards":$tAlt,"build":$tBuild,""" +
+      s""""fold_1m":$tFold}}""")
+    spark.stop()
+  }
+}
