@@ -1095,13 +1095,14 @@ object SparkEntry {
             val m = Tables.documents(s, dir).count() / 25
             Boilerplate.buildStore(
                 corpusTicker(s, dir).filter(col("doc_id") <= cut),
-                "doc_id", "text", m, s16store)
+                "doc_id", "text", m, s16store,
+                nBuckets = 16, nDocBuckets = 16)
               .withColumn("seq", lit(-1L))
               .write.parquet(s16out)
             track(graft.streaming.StreamingJobs.streamingBoilerplateIngest(
               s, s16split, nearDupStreamSchema, s16store, s16out,
-              trackCk("s16_ck").toString, m, nBuckets = 64,
-              nDocBuckets = 64, maxFilesPerTrigger = Some(1)))
+              trackCk("s16_ck").toString, m, nBuckets = 16,
+              nDocBuckets = 16, maxFilesPerTrigger = Some(1)))
           },
           // s17: foreachBatch incremental sequence packing — the span
           // store is seeded with the first id tercile (its spans are
@@ -3777,11 +3778,14 @@ object SparkEntry {
         val tmp = java.nio.file.Files.createTempDirectory("c5_boiler")
         sys.addShutdownHook { rmTreeQuiet(tmp) }
         val store = s"$tmp/state"
+        // 16 buckets: fixture-scale (the default 64 is a corpus-scale
+        // layout; maintenance cost is per-partition jobs)
         val e0 = Boilerplate.buildStore(
-          all.filter(col("doc_id") <= cut1), "doc_id", "text", m, store)
+          all.filter(col("doc_id") <= cut1), "doc_id", "text", m, store,
+          nBuckets = 16, nDocBuckets = 16)
         val e1 = Boilerplate.fold(s, store,
           all.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-          "doc_id", "text", m)
+          "doc_id", "text", m, nBuckets = 16, nDocBuckets = 16)
         // maintenance mid-gate: vacuum (drop the fold-1 crossing's
         // dead rows, collapse count deltas) + compact — fold 2 then
         // runs over the vacuumed+compacted store, so this oracle
@@ -3791,7 +3795,8 @@ object SparkEntry {
         StoreCompaction.compactStore(s, s"$store/counts")
         StoreCompaction.compactStore(s, s"$store/docs")
         val e2 = Boilerplate.fold(s, store,
-          all.filter(col("doc_id") > cut2), "doc_id", "text", m)
+          all.filter(col("doc_id") > cut2), "doc_id", "text", m,
+          nBuckets = 16, nDocBuckets = 16)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
         e0.withColumn("seq", lit(0))
           .unionByName(e1.withColumn("seq", lit(1)))

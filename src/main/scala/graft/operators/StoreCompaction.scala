@@ -152,12 +152,17 @@ object StoreCompaction {
     require(targetBytes > 0, "targetBytes must be positive")
     repairStore(path)
     val root = Paths.get(path)
-    var compacted = 0
-    var before = 0L
-    var after = 0L
-    partitionDirs(root).foreach { part =>
+    val parts = partitionDirs(root)
+    val compacted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val before = new java.util.concurrent.atomic.AtomicLong(0L)
+    val after = new java.util.concurrent.atomic.AtomicLong(0L)
+    // partitions rewrite independently (each owns its staged dir,
+    // trash slot, and the two renames) — fan them out as concurrent
+    // small Spark jobs; serializing them costs one fixed job latency
+    // per partition, which dominated maintenance on many-bucket stores
+    def rewriteOne(part: Path): Unit = {
       val dataFiles = listDir(part).filter(isDataFile)
-      before += dataFiles.size
+      before.addAndGet(dataFiles.size.toLong)
       if (dataFiles.size >= minFiles) {
         val bytes = dataFiles.map(Files.size).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -183,14 +188,30 @@ object StoreCompaction {
         Files.move(part, trash, StandardCopyOption.ATOMIC_MOVE)
         Files.move(staged, part, StandardCopyOption.ATOMIC_MOVE)
         deleteRecursively(trash)
-        compacted += 1
-        after += nOut
-      } else after += dataFiles.size
+        compacted.incrementAndGet()
+        after.addAndGet(nOut.toLong)
+      } else after.addAndGet(dataFiles.size.toLong)
+    }
+    if (parts.nonEmpty) {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(8, parts.size))
+      val results = try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        // await EVERY partition before surfacing any failure: a
+        // fail-fast return would leave sibling writes in flight for
+        // a later repairStore to race (deleting a stage dir under a
+        // live writer)
+        parts.map(p => scala.concurrent.Future(
+            scala.util.Try(rewriteOne(p)))(ec))
+          .map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+      results.collectFirst { case scala.util.Failure(e) => throw e }
     }
     val stageRoot = root.resolve(".compact_stage")
     if (Files.exists(stageRoot) && listDir(stageRoot).isEmpty)
       Files.delete(stageRoot)
-    CompactionReport(compacted, before, after)
+    CompactionReport(compacted.get(), before.get(), after.get())
   }
 
   /** File count per partition directory — the observable compaction
