@@ -214,23 +214,27 @@ object Boilerplate {
     val nd = pairs.groupBy(col("line")).agg(count(lit(1)).as("nd"))
       .localCheckpoint() // feeds dict write, pair filter, and nothing else twice
     val dict = nd.filter(col("nd") >= minDocs).select(col("line"))
-    dict.write.mode("overwrite").parquet(s"$path/dict")
-    // sub-threshold pairs only; bucket-aligned so the store is
-    // nBuckets files, not shufflePartitions × nBuckets
     val sub = nd.filter(col("nd") < minDocs).localCheckpoint()
-    pairs.join(sub.select(col("line")), Seq("line"), "left_semi")
-      .withColumn("bucket", pairBucket(col("line"), nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/pairs")
-    // the narrow detection store: additive count deltas per line
-    sub.select(col("line"), col("nd").as("nd_delta"))
-      .withColumn("bucket", pairBucket(col("line"), nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/counts")
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
-      .repartition(col("dbucket"))
-      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$path/docs")
+    // the four sub-store writes are independent (nd/sub are
+    // checkpointed; pairs and docs re-derive from the input) — fan
+    // them out as concurrent jobs. Bucket-aligned repartition so each
+    // store is nBuckets files, not shufflePartitions × nBuckets.
+    inParallel(Seq(
+      () => dict.write.mode("overwrite").parquet(s"$path/dict"),
+      // sub-threshold pairs only
+      () => pairs.join(sub.select(col("line")), Seq("line"), "left_semi")
+        .withColumn("bucket", pairBucket(col("line"), nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/pairs"),
+      // the narrow detection store: additive count deltas per line
+      () => sub.select(col("line"), col("nd").as("nd_delta"))
+        .withColumn("bucket", pairBucket(col("line"), nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/counts"),
+      () => docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(s"$path/docs")))
     val mr = docs.agg(max(col(idCol)).cast("long")).head()
     val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
     writeMeta(spark, path, maxDoc, minDocs, nBuckets, nDocBuckets, "overwrite")
