@@ -394,10 +394,11 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$tmp/summary")
       HeavyHitters.buildKeyStore(Tables.events(s, d), plantedSkewKey,
         s"$tmp/store", 32)
-      // maintenance pass (the q91/s13 discipline): squash the build's
-      // per-task file fan-out (up to one file per shuffle partition
-      // per bucket dir); the q92 gate then serves its exact recheck
-      // from the COMPACTED store — row identity oracle-checked
+      // maintenance pass (the q91/s13 discipline): collapse the
+      // build's count deltas + squash the per-task file fan-out; the
+      // q92 gate then serves its exact recheck from the
+      // VACUUMED+COMPACTED store — summed counts oracle-checked
+      HeavyHitters.vacuumKeyStore(s, s"$tmp/store")
       graft.operators.StoreCompaction.compactStore(s, s"$tmp/store")
       sys.addShutdownHook { rmTreeQuiet(tmp) }
       tmp.toString

@@ -175,21 +175,23 @@ object HeavyHitters {
       .filter(col("cnt") * k > lit(merged.n))
   }
 
-  /** Persist the keyed corpus as a parquet store PARTITIONED BY
-    * `bucket = crc32(k) mod nBuckets` — the q91 contribution-store
+  /** Persist the corpus's key counts as a parquet store PARTITIONED
+    * BY `bucket = crc32(k) mod nBuckets` — the q91 contribution-store
     * discipline applied to heavy hitters, so the exact recheck in
     * [[frequentItemsFoldedFromStore]] reads ONLY the buckets holding
     * a candidate key (static `PartitionFilters: [bucket IN (…)]`)
-    * instead of rescanning the full corpus per fold. CRC32 (not
-    * Murmur3 `hash()`) because it is bit-identical in every engine
-    * AND driver-side (`java.util.zip.CRC32`), so the candidate→bucket
-    * map needs no Spark job; a hot KEY does not skew a recheck read
-    * beyond its own row count, which the candidate bound already
-    * caps at heavy-hitter scale. Ingest is a plain mode=append into
-    * the batch's own bucket partitions ([[appendToKeyStore]]) — key
-    * counts are additive, so unlike the graph store nothing is ever
-    * rewritten. At 100 TB raise `nBuckets` so one bucket ≈ one
-    * comfortable read unit. */
+    * instead of rescanning the full corpus per fold. Rows are
+    * ADDITIVE (k, cnt) deltas — one row per distinct key per
+    * build/append, partial-aggregated before the bucket shuffle, so
+    * the store is O(distinct keys × appends), not O(corpus rows),
+    * and readers sum deltas per key ([[vacuumKeyStore]] collapses
+    * accumulated deltas). CRC32 (not Murmur3 `hash()`) because it is
+    * bit-identical in every engine AND driver-side
+    * (`java.util.zip.CRC32`), so the candidate→bucket map needs no
+    * Spark job. Ingest is a plain mode=append into the batch's own
+    * bucket partitions ([[appendToKeyStore]]) — counts are additive,
+    * so unlike the graph store nothing is ever rewritten. At 100 TB
+    * raise `nBuckets` so one bucket ≈ one comfortable read unit. */
   def buildKeyStore(df: DataFrame, key: Column, path: String,
                     nBuckets: Int = 32): Unit = {
     keyedWithBucket(df, key, nBuckets)
@@ -227,10 +229,27 @@ object HeavyHitters {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Maintenance vacuum for a [[buildKeyStore]] layout: a key folded
+    * daily for a year carries 365 delta rows — collapse each key's
+    * deltas to one row per partition, under
+    * [[StoreCompaction.rewriteStore]]'s crash-convergent swap.
+    * Read-invariant: readers sum deltas per key, and one row sums the
+    * same. Single-maintainer contract — do not run concurrently with
+    * appends. */
+  def vacuumKeyStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit =
+    StoreCompaction.rewriteStore(spark, path, df =>
+      df.groupBy(col("k")).agg(sum(col("cnt")).cast("bigint").as("cnt")))
+
+  /** Additive (k, cnt) delta rows — a build or append writes ONE row
+    * per distinct key, not one per occurrence (partial-aggregated
+    * before the bucket shuffle), so the store is O(distinct keys ×
+    * appends) and readers sum deltas per key. */
   private def keyedWithBucket(df: DataFrame, key: Column,
                               nBuckets: Int): DataFrame =
     df.select(key.cast("string").as("k"))
       .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).cast("bigint").as("cnt"))
       .withColumn("bucket", pmod(crc32(col("k")), lit(nBuckets.toLong)))
 
   /** Driver-side twin of the store's bucket function — must stay
@@ -241,8 +260,9 @@ object HeavyHitters {
     c.getValue % nBuckets // crc32 value is non-negative, % == pmod
   }
 
-  /** The partition-pruned read half of the store: corpus rows for the
-    * candidate keys, scanning ONLY their buckets. The candidate set
+  /** The partition-pruned read half of the store: (k, cnt) delta
+    * rows for the candidate keys, scanning ONLY their buckets — sum
+    * per key for exact counts. The candidate set
     * is ≤ 2k (an operator bound, not data), so its bucket set is
     * collected driver-side and pruned STATICALLY — the
     * [[Graph.affectedStoreRows]] economics: directory-level skip
@@ -269,9 +289,10 @@ object HeavyHitters {
     * batch's candidate rows. Fold cost is O(batch + candidate-bucket
     * rows), independent of corpus size — bit-identical to the naive
     * GROUP BY + HAVING over corpus ∪ batch (the q92 gate) because
-    * the store holds exactly the corpus's non-null keys and the
-    * merged summary's candidate set is a superset of the true heavy
-    * hitters (n/(k+1) bound, any merge tree). */
+    * the store's summed (k, cnt) deltas equal the corpus's exact
+    * non-null key counts and the merged summary's candidate set is a
+    * superset of the true heavy hitters (n/(k+1) bound, any merge
+    * tree). */
   def frequentItemsFoldedFromStore(spark: org.apache.spark.sql.SparkSession,
                                    storedSummary: DataFrame,
                                    storePath: String, batch: DataFrame,
@@ -288,13 +309,14 @@ object HeavyHitters {
       toSummary(storedSummary), toSummary(summarize(batch, batchKey, k)))
     val candidates = merged.counts.keysIterator.toSeq
     val storeRows = candidateStoreRows(spark, storePath, candidates, nBuckets)
-      .select(col("k").as(outName))
+      .select(col("k").as(outName), col("cnt"))
     val batchRows = batch.select(batchKey.cast("string").as(outName))
       .filter(if (candidates.isEmpty) lit(false)
               else col(outName).isInCollection(candidates))
+      .groupBy(outName).agg(count(lit(1)).cast("bigint").as("cnt"))
     storeRows.unionByName(batchRows)
       .groupBy(outName)
-      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .agg(sum(col("cnt")).cast("bigint").as("cnt"))
       .filter(col("cnt") * k > lit(merged.n))
   }
 

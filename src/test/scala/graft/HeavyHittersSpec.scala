@@ -179,6 +179,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(gotAppended === naiveU,
       "append-folded store must serve the union's heavy hitters")
 
+    // vacuum collapses each key's build+append deltas to one row and
+    // the served answer is unchanged (readers sum; one row sums the same)
+    HeavyHitters.vacuumKeyStore(spark, s"$root/store")
+    val maxDeltaRows = spark.read.parquet(s"$root/store")
+      .groupBy(col("k")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxDeltaRows == 1L, "vacuum must collapse deltas to one row per key")
+    val gotVacuumed = HeavyHitters.frequentItemsFoldedFromStore(spark,
+        spark.read.parquet(s"$root/summary2"), s"$root/store",
+        emptyBatch, col("k"), 8, nBuckets, "k")
+      .as[(String, Long)].collect().toSet
+    assert(gotVacuumed === naiveU,
+      "the vacuumed store must serve identical heavy hitters")
+
     // nBuckets defines where a key lives: a mismatched append would
     // write to the wrong buckets and a mismatched read would prune
     // the wrong ones, both silently — the store's _meta pins it
