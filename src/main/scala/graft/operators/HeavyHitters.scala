@@ -195,6 +195,8 @@ object HeavyHitters {
   def buildKeyStore(df: DataFrame, key: Column, path: String,
                     nBuckets: Int = 32): Unit = {
     keyedWithBucket(df, key, nBuckets)
+      .repartition(col("bucket")) // bucket-aligned: nBuckets file sets,
+      // not shufflePartitions x nBuckets tiny files
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     import df.sparkSession.implicits._
     Seq(nBuckets).toDF("n_buckets")
@@ -226,6 +228,7 @@ object HeavyHitters {
                        nBuckets: Int = 32): Unit = {
     requireStoreBuckets(batch.sparkSession, path, nBuckets)
     keyedWithBucket(batch, key, nBuckets)
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
