@@ -2532,10 +2532,12 @@ object SparkEntry {
         val out2 = DedupSuite.exactSubstrFold(s, store,
           docs.filter(col("doc_id") >= t1 && col("doc_id") < t2),
           "doc_id", "text", 8)
-        // maintenance between folds (the q91/s13 discipline): squash
-        // each bucket partition's build+delta files in place — the
-        // gate below then PROVES fold 3 reads the compacted store
-        // identically (post-compaction output still oracle-exact)
+        // maintenance between folds (the q91/s13 discipline): collapse
+        // each key's build+delta rows to its merged row, then squash
+        // each bucket partition's files in place — the gate below then
+        // PROVES fold 3 reads the vacuumed+compacted store identically
+        // (post-maintenance output still oracle-exact)
+        DedupSuite.vacuumSubstrStore(s, store)
         graft.operators.StoreCompaction.compactStore(s, store)
         val out3 = DedupSuite.exactSubstrFold(s, store,
           docs.filter(col("doc_id") >= t2), "doc_id", "text", 8)

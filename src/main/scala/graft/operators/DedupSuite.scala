@@ -725,6 +725,22 @@ object DedupSuite {
     substrClean(tk, substrMarked(occ, agg.filter(col("cnt") >= 2)), l)
   }
 
+  /** Maintenance vacuum for an [[exactSubstrBuildStore]] layout: each
+    * fold appends one (wkey, keep, cnt) delta row per batch key, so a
+    * window key hot across many folds accumulates one row per fold.
+    * Collapse each key to its merged row (min keep — the global keep
+    * under the monotone-id contract; summed cnt), per partition,
+    * under [[StoreCompaction.rewriteStore]]'s crash-convergent swap.
+    * Read-invariant: every store reader merges with exactly this
+    * min/sum. Single-maintainer contract — do not run concurrently
+    * with folds. */
+  def vacuumSubstrStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    StoreCompaction.rewriteStore(spark, path, df =>
+      df.groupBy(col("wkey"))
+        .agg(min(col("keep")).as("keep"),
+          sum(col("cnt")).cast("bigint").as("cnt")))
+
   /** Fold a document batch into an [[exactSubstrBuildStore]] layout
     * and return the BATCH's cleaned output — bit-identical to what a
     * full [[exactSubstrDedup]] over corpus ∪ batch emits for these

@@ -430,6 +430,15 @@ class DedupSuiteSpec extends SparkSpec {
       val out2 = DedupSuite.exactSubstrFold(spark, store,
         docs.filter(col("doc_id") >= 14 && col("doc_id") < 27),
         "doc_id", "text", 8, nBuckets = 16, hashKeys = hashed)
+      // maintenance mid-run: collapse each key's build+delta rows —
+      // fold 3 must read the vacuumed store identically, and every
+      // key holds exactly one row afterwards (out2 stays valid: the
+      // fold's store join is eagerly checkpointed, never re-scanned)
+      DedupSuite.vacuumSubstrStore(spark, store)
+      val maxRows = spark.read.parquet(store).groupBy(col("wkey"))
+        .count().agg(max(col("count"))).head().getLong(0)
+      assert(maxRows == 1L,
+        "vacuum must collapse deltas to one row per window key")
       val out3 = DedupSuite.exactSubstrFold(spark, store,
         docs.filter(col("doc_id") >= 27), "doc_id", "text", 8,
         nBuckets = 16, hashKeys = hashed)
