@@ -219,7 +219,7 @@ object Boilerplate {
     // checkpointed; pairs and docs re-derive from the input) — fan
     // them out as concurrent jobs. Bucket-aligned repartition so each
     // store is nBuckets files, not shufflePartitions × nBuckets.
-    inParallel(Seq(
+    Par.run(Seq(
       () => dict.write.mode("overwrite").parquet(s"$path/dict"),
       // sub-threshold pairs only
       () => pairs.join(sub.select(col("line")), Seq("line"), "left_semi")
@@ -353,21 +353,6 @@ object Boilerplate {
     * bounded invalidated-id set. Crash-redo contract as d26; the
     * streaming twin (s16) wraps [[computeFold]] in the
     * committed-staging exactly-once protocol instead. */
-  /** Run independent store writes as concurrent Spark jobs — they
-    * target disjoint paths and all inputs are checkpoint-backed, so
-    * ordering is irrelevant; what serializing them costs is one
-    * fixed job latency (shuffle + dynamic-partition commit) per
-    * write, the small-fold floor. */
-  private[graft] def inParallel(writes: Seq[() => Unit]): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
-    try {
-      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val fs = writes.map(w => scala.concurrent.Future(w())(ec))
-      fs.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
-  }
-
   /** Maintenance vacuum for a [[buildStore]] layout: crossed
     * (dictionary) lines' counts and pairs rows are dead — the
     * candidate path excludes dictionary lines, so no fold ever reads
@@ -396,7 +381,7 @@ object Boilerplate {
     val (pairsDelta, countsDelta, docsApp, dictApp, newMax, changelog) =
       computeFold(spark, path, batch, idCol, textCol, minDocs,
         nBuckets, nDocBuckets)
-    inParallel(Seq(
+    Par.run(Seq(
       () => pairsDelta.repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs"),
       () => countsDelta.repartition(col("bucket"))

@@ -400,10 +400,13 @@ object StreamingJobs {
     val (delta, out, newMax) = graft.operators.DedupSuite
       .computeSubstrFold(spark, storePath, batch, "doc_id", "text",
         l, nBuckets, hashKeys)
-    delta.repartition(org.apache.spark.sql.functions.col("bucket"))
-      .write.partitionBy("bucket")
-      .parquet(staging.resolve("delta").toString)
-    out.write.parquet(staging.resolve("out").toString)
+    // delta and out derive from the fold's checkpointed join — fan
+    // out as concurrent jobs; `_SUCCESS` is written strictly last
+    graft.operators.Par.run(Seq(
+      () => delta.repartition(org.apache.spark.sql.functions.col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(staging.resolve("delta").toString),
+      () => out.write.parquet(staging.resolve("out").toString)))
     import spark.implicits._
     Seq((newMax, l, nBuckets, hashKeys))
       .toDF("max_doc", "l", "n_buckets", "hash_keys")
@@ -568,7 +571,7 @@ object StreamingJobs {
         "doc_id", "text", minDocs, nBuckets, nDocBuckets)
     // independent staged artifacts fan out as concurrent jobs;
     // `_SUCCESS` (the staging's commit point) is written strictly last
-    graft.operators.Boilerplate.inParallel(Seq(
+    graft.operators.Par.run(Seq(
       () => pairsDelta.repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString),
       () => countsDelta.repartition(col("bucket"))
