@@ -1835,6 +1835,16 @@ object SparkEntry {
         Pack.packSpans(Tables.documents(s, dir), "doc_id",
           size(tokens(col("text"))), seqLen = 128, docsPerShard = 100)),
 
+      // ---- length-bucketed inference batching (q99): sort by token
+      // count within derived hash shards, batch each consecutive 16,
+      // account the padding waste (n_docs·max_len − batch_tokens) —
+      // the serving-cost lever length bucketing exists for. Same
+      // bounded-shard-sort economics as q68. ----
+      "q99_length_batches" -> ((s, dir) =>
+        Pack.lengthBatches(Tables.documents(s, dir), "doc_id",
+          size(tokens(col("text"))), batchSize = 16,
+          targetDocsPerShard = 64)),
+
       // ---- incremental sequence packing (q98): the cheapest ingest
       // family — the persisted state is two numbers (token and doc-id
       // high-water marks, additive meta rows), because spans are a
@@ -4947,6 +4957,28 @@ object SparkEntry {
          |             doc_id, n_tokens FROM c)
          |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q99: same derived-shard arithmetic as q68, ROW_NUMBER over
+    // (n, doc_id) within shard, consecutive-16 batches, padding =
+    // n_docs*max_len - batch_tokens
+    "q99_length_batches" ->
+      s"""WITH nn AS (SELECT greatest((COUNT(*) + 63) // 64, 1) AS n_shards
+         |            FROM documents),
+         |t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n,
+         |    ${hash32Sql(3, "CAST(doc_id AS VARCHAR)")} % (SELECT n_shards FROM nn) AS shard
+         |  FROM documents),
+         |r AS (SELECT doc_id, n, shard,
+         |        ROW_NUMBER() OVER (PARTITION BY shard
+         |          ORDER BY n ASC, doc_id ASC) AS rn
+         |      FROM t),
+         |b AS (SELECT shard, CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+         |             doc_id, n FROM r)
+         |SELECT shard, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MAX(n) AS BIGINT) AS max_len,
+         |  CAST(SUM(n) AS BIGINT) AS batch_tokens,
+         |  CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padding,
+         |  MIN(doc_id) AS first_doc
          |FROM b GROUP BY 1, 2""".stripMargin,
 
     // q97: the same two-level cumsum (shard-local + shard offsets);

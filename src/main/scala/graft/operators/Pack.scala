@@ -185,6 +185,50 @@ object Pack {
     spans
   }
 
+  /** Length-bucketed inference batching: sort documents by token
+    * count within a shard, group each consecutive `batchSize` into a
+    * batch, and account the PADDING WASTE — a batch pads every member
+    * to its longest sequence, so batching similar lengths together is
+    * the standard serving-cost lever. Output one row per batch:
+    * (shard, batch_id, n_docs, max_len, batch_tokens, padding,
+    * first_doc), padding = n_docs·max_len − batch_tokens.
+    *
+    * Shard discipline is [[packBins]]'s: hash shards sized by a
+    * DERIVED in-plan count, so every per-shard sort stays a bounded
+    * `targetDocsPerShard`-row task and parallelism grows with the
+    * data; hash sharding trades a little cross-shard length mixing
+    * for that parallelism (a global sort would serialize), and each
+    * shard's tail batch may run short — the same corpus-scale
+    * tradeoff as bin packing. */
+  def lengthBatches(docs: DataFrame, idCol: String, nTokens: Column,
+                    batchSize: Int,
+                    targetDocsPerShard: Long = 1L << 20,
+                    hashSalt: Int = 3): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+      nTokens.cast("long").as("n"))
+    val n = base.agg(count(lit(1)).cast("long").as("n_docs_total"))
+    val t = base.crossJoin(broadcast(n))
+      .withColumn("n_shards",
+        greatest(expr(s"(n_docs_total + ${targetDocsPerShard - 1}) div $targetDocsPerShard"),
+          lit(1L)))
+      .withColumn("shard", pmod(hash32(col("doc_id").cast("string"), hashSalt),
+        col("n_shards")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n").asc, col("doc_id").asc)
+    t.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(rn - 1) div $batchSize").cast("bigint"))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        max(col("n")).cast("bigint").as("max_len"),
+        sum(col("n")).cast("bigint").as("batch_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("shard"), col("batch_id"), col("n_docs"), col("max_len"),
+        col("batch_tokens"),
+        (col("n_docs") * col("max_len") - col("batch_tokens")).as("padding"),
+        col("first_doc"))
+  }
+
   /** Bin assignment + per-bin rollup. Returns
     * (shard, bin, n_docs, bin_tokens, first_doc). */
   def packBins(docs: DataFrame, idCol: String, nTokens: Column,

@@ -44,6 +44,48 @@ class PackSpec extends SparkSpec {
     spans.unpersist(); perSeq.unpersist()
   }
 
+  test("length batches: full batches, monotone lengths, padding beats arrival order") {
+    import org.apache.spark.sql.expressions.Window
+    val batches = Pack.lengthBatches(fixture, "doc_id", col("n_tokens"),
+      batchSize = 8, targetDocsPerShard = 40).persist()
+    // doc conservation and batch fill: every batch but each shard's
+    // last holds exactly batchSize docs
+    assert(batches.agg(sum($"n_docs")).head().getLong(0) ==
+      fixture.count())
+    val lastPerShard = batches.groupBy($"shard")
+      .agg(max($"batch_id").as("last_b"))
+    assert(batches.join(lastPerShard, Seq("shard"))
+      .filter($"batch_id" =!= $"last_b" && $"n_docs" =!= 8L)
+      .count() == 0, "only a shard's last batch may run short")
+    // sorted by length => max_len non-decreasing across a shard's batches
+    val wS = Window.partitionBy($"shard").orderBy($"batch_id")
+    assert(batches.withColumn("prev", lag($"max_len", 1).over(wS))
+      .filter($"prev".isNotNull && $"max_len" < $"prev").count() == 0,
+      "batch max lengths must be monotone within a shard")
+    // the point of length bucketing: total padding is no worse than
+    // batching in arrival (doc_id) order under the same shards
+    def paddingWithOrder(by: Seq[org.apache.spark.sql.Column]): Long = {
+      val n = fixture.agg(count(lit(1)).cast("long").as("nt"))
+      val t = fixture.select($"doc_id", $"n_tokens".cast("long").as("n"))
+        .crossJoin(broadcast(n))
+        .withColumn("n_shards", greatest(expr("(nt + 39) div 40"), lit(1L)))
+        .withColumn("shard", pmod(
+          graft.functions.TextFunctions.hash32($"doc_id".cast("string"), 3),
+          $"n_shards"))
+      val w = Window.partitionBy($"shard").orderBy(by: _*)
+      t.withColumn("rn", row_number().over(w))
+        .withColumn("b", expr("(rn - 1) div 8"))
+        .groupBy($"shard", $"b")
+        .agg((count(lit(1)) * max($"n") - sum($"n")).as("pad"))
+        .agg(sum($"pad")).head().getLong(0)
+    }
+    val sortedPad = batches.agg(sum($"padding")).head().getLong(0)
+    assert(sortedPad == paddingWithOrder(Seq($"n".asc, $"doc_id".asc)))
+    assert(sortedPad <= paddingWithOrder(Seq($"doc_id".asc)),
+      "length-sorted batching must not pad more than arrival order")
+    batches.unpersist()
+  }
+
   test("the span map is shard-independent (two-phase prefix sum correctness)") {
     val byOne = Pack.packSpans(fixture, "doc_id", col("n_tokens"), 64,
       docsPerShard = 1)
