@@ -286,7 +286,10 @@ object Boilerplate {
     // lines hash over every bucket, so this scan is honestly
     // corpus-distinct-lines-sized — but it carries no doc ids and no
     // text, and readers sum the additive deltas per line). The batch
-    // side is broadcast: the store scan must never be shuffled.
+    // side is broadcast so the store scan is never shuffled — which
+    // makes "batch distinct lines fit a broadcast" part of the fold
+    // contract (batches are ingest-sized by definition; a
+    // corpus-sized "batch" belongs in buildStore, not here).
     val nd0 = spark.read.parquet(s"$path/counts")
       .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
       .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd0"))
