@@ -3254,6 +3254,10 @@ object SparkEntry {
           e.filter(col("event_id") % 3 === 1), col("event_type"), col("xl"))
         Quantiles.foldQuantileStore(s, store,
           e.filter(col("event_id") % 3 === 2), col("event_type"), col("xl"))
+        // maintenance: collapse the build+fold delta files/rows into
+        // one summed file set — the serve below then PROVES the
+        // vacuumed store ranks identically (oracle-exact)
+        Quantiles.vacuumQuantileStore(s, store)
         Quantiles.quantilesFromStore(s, store, e, col("event_type"),
             col("xl"), Seq(Quantiles.Quantile("p25", 25, 100),
               Quantiles.Quantile("p50", 50, 100),

@@ -312,6 +312,21 @@ object Quantiles {
       .coalesce(1).write.parquet(dir)
   }
 
+  /** Maintenance vacuum for a [[buildQuantileStore]] layout: each
+    * fold appends one small delta file, so a store folded daily for a
+    * year serves from hundreds of files and repeated (g, cell) delta
+    * rows. Collapse to one summed row per cell in ~one file, under
+    * [[StoreCompaction.rewriteFlatStore]]'s crash-convergent swap —
+    * read-invariant because readers sum cnt per (g, cell).
+    * Single-maintainer contract — do not run concurrently with
+    * folds. */
+  def vacuumQuantileStore(spark: SparkSession, path: String): Unit = {
+    StoreCompaction.rewriteFlatStore(spark, path, df =>
+      df.groupBy(col("g"), col("cell"))
+        .agg(sum(col("cnt")).cast("bigint").as("cnt")))
+    ()
+  }
+
   /** Exact quantiles served FROM the store: global ranks come from
     * the store's cell counts alone (no scan of `rows`), and only the
     * in-cell refinement touches `rows` — a pushed-down range read of
@@ -329,6 +344,7 @@ object Quantiles {
                          fanout: Int = 65536,
                          maxCellsPerGroup: Int = 1 << 20): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
+    StoreCompaction.repairFlatStore(path) // converge a crashed vacuum
     val cellBits = readQuantileMeta(spark, path)
     val w = 1L << cellBits
     val cells = spark.read.parquet(path)

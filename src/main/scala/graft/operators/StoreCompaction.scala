@@ -220,4 +220,95 @@ object StoreCompaction {
     partitionDirs(Paths.get(path)).map { part =>
       part.getFileName.toString -> listDir(part).count(isDataFile)
     }.toMap
+
+  // ----- flat (unpartitioned) stores ------------------------------
+  //
+  // The quantile cell store appends one small delta file per fold
+  // into an UNPARTITIONED root — there is no partition dir to swap,
+  // so the maintenance unit is the root itself:
+  //
+  //  1. Write the rewritten replacement under `<root>/.flat_stage`
+  //     (dot dir: invisible to readers); Spark's `_SUCCESS` lands
+  //     last, so a committed stage is complete by construction.
+  //  2. Move every pre-existing data file into `<root>/.flat_trash`.
+  //  3. COPY each staged part into the root under the deterministic
+  //     name `flatc-<part>` (part names carry write-unique UUIDs, so
+  //     successive rewrites never collide) — a partial-crash re-copy
+  //     overwrites the same targets byte-identically.
+  //  4. Drop stage, then trash.
+  //
+  // Crash convergence ([[repairFlatStore]], run on entry and by
+  // store readers): a committed stage means steps 2–3 may be
+  // unfinished — finish them (files already trashed stay trashed,
+  // staged copies re-copy); an UNCOMMITTED stage is a crashed step 1
+  // and is dropped with the live root untouched; trash with no stage
+  // means step 4 crashed mid-way — the promote completed, drop the
+  // trash. Data is never both absent from the root and absent from
+  // (stage ∪ trash). Readers see the same brief mixed window
+  // compactStore's swap has; single-maintainer contract.
+  // ----------------------------------------------------------------
+
+  /** Converge a flat store out of any crashed [[rewriteFlatStore]]
+    * state. Idempotent; safe on a clean store. */
+  def repairFlatStore(path: String): Unit = {
+    val root = Paths.get(path)
+    val stage = root.resolve(".flat_stage")
+    val trash = root.resolve(".flat_trash")
+    if (Files.exists(stage)) {
+      if (Files.exists(stage.resolve("_SUCCESS"))) {
+        finishFlatSwap(root, stage, trash)
+      } else deleteRecursively(stage) // crashed mid-stage; root intact
+    }
+    if (Files.exists(trash)) deleteRecursively(trash)
+  }
+
+  /** Steps 2–4 of the flat swap, resumable from any point: trash
+    * every live data file that is not one of the stage's promote
+    * targets, copy the staged parts in under `flatc-` names, drop
+    * stage then trash. */
+  private def finishFlatSwap(root: Path, stage: Path, trash: Path): Unit = {
+    val staged = listDir(stage).filter(isDataFile)
+    val targets = staged.map(p => s"flatc-${p.getFileName.toString}").toSet
+    Files.createDirectories(trash)
+    listDir(root).filter(isDataFile)
+      .filterNot(p => targets.contains(p.getFileName.toString))
+      .foreach { old =>
+        Files.move(old, trash.resolve(old.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    staged.foreach { p =>
+      Files.copy(p, root.resolve(s"flatc-${p.getFileName.toString}"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteRecursively(stage)
+    deleteRecursively(trash)
+  }
+
+  /** Rewrite a FLAT (unpartitioned) parquet store in place through a
+    * caller-supplied row transform — the root-granularity sibling of
+    * [[rewriteStore]] for stores with no partition dirs (one delta
+    * file per fold otherwise accumulates forever). The caller owns
+    * the contract that every store read is transform-invariant. */
+  def rewriteFlatStore(spark: SparkSession, path: String,
+                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                       targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    repairFlatStore(path)
+    val root = Paths.get(path)
+    val dataFiles = listDir(root).filter(isDataFile)
+    if (dataFiles.isEmpty) return CompactionReport(0, 0L, 0L)
+    val bytes = dataFiles.map(Files.size).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val stage = root.resolve(".flat_stage")
+    transform(spark.read.parquet(path))
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(stage.toString)
+    require(Files.exists(stage.resolve("_SUCCESS")),
+      s"staged flat rewrite for $path has no _SUCCESS marker " +
+        "(success markers disabled in this session?) — aborting " +
+        "before touching the live store; the store is intact")
+    finishFlatSwap(root, stage, root.resolve(".flat_trash"))
+    CompactionReport(1, dataFiles.size.toLong,
+      listDir(root).count(isDataFile).toLong)
+  }
 }

@@ -132,4 +132,100 @@ class StoreCompactionSpec extends SparkSpec {
     assert(!Files.exists(staged), "uncommitted stage must be discarded")
     assert(rows(store) === expect)
   }
+
+  // ----- flat (unpartitioned) store rewrite -----------------------
+
+  private def buildFlatStore(nAppends: Int): String = {
+    val root = Files.createTempDirectory("fstore").toString + "/store"
+    (0 until nAppends).foreach { i =>
+      (0L until 50L).map(j => (s"g${j % 3}", j % 10, 1L))
+        .toDF("g", "cell", "cnt")
+        .coalesce(1).write.mode("append").parquet(root)
+    }
+    root
+  }
+
+  private def flatTotals(path: String): Map[(String, Long), Long] =
+    spark.read.parquet(path).groupBy($"g", $"cell")
+      .agg(sum($"cnt").as("c"))
+      .select($"g", $"cell".cast("long"), $"c").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+
+  private def dataFiles(path: String): Seq[String] = {
+    val l = Files.list(Paths.get(path))
+    try {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.toList.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_"))
+    } finally l.close()
+  }
+
+  private val collapse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => df.groupBy($"g", $"cell").agg(sum($"cnt").cast("bigint").as("cnt"))
+
+  test("flat rewrite collapses deltas, shrinks files, keeps summed reads; idempotent") {
+    val store = buildFlatStore(5)
+    val expect = flatTotals(store)
+    assert(dataFiles(store).size == 5)
+    val rep = StoreCompaction.rewriteFlatStore(spark, store, collapse)
+    assert(rep.filesBefore == 5 && dataFiles(store).size < 5)
+    assert(flatTotals(store) === expect, "summed reads must be invariant")
+    assert(spark.read.parquet(store).groupBy($"g", $"cell").count()
+      .agg(max($"count")).head().getLong(0) == 1L,
+      "deltas must collapse to one row per cell")
+    StoreCompaction.rewriteFlatStore(spark, store, collapse)
+    assert(flatTotals(store) === expect)
+    // appends after a rewrite land and read normally
+    Seq(("g0", 0, 7L)).toDF("g", "cell", "cnt")
+      .coalesce(1).write.mode("append").parquet(store)
+    assert(flatTotals(store)(("g0", 0L)) == expect(("g0", 0L)) + 7L)
+  }
+
+  test("flat rewrite crash windows converge via repairFlatStore") {
+    // (a) committed stage, crash BEFORE any promote: repair finishes
+    val s1 = buildFlatStore(4)
+    val expect1 = flatTotals(s1)
+    collapse(spark.read.parquet(s1)).coalesce(1)
+      .write.parquet(Paths.get(s1, ".flat_stage").toString)
+    StoreCompaction.repairFlatStore(s1)
+    assert(flatTotals(s1) === expect1, "repair must finish a committed swap")
+    assert(!Files.exists(Paths.get(s1, ".flat_stage")) &&
+      !Files.exists(Paths.get(s1, ".flat_trash")))
+    assert(dataFiles(s1).forall(_.startsWith("flatc-")))
+
+    // (b) committed stage, crash MID-promote (old files trashed,
+    // staged copies not yet in place): repair finishes
+    val s2 = buildFlatStore(4)
+    val expect2 = flatTotals(s2)
+    collapse(spark.read.parquet(s2)).coalesce(1)
+      .write.parquet(Paths.get(s2, ".flat_stage").toString)
+    val trash2 = Paths.get(s2, ".flat_trash")
+    Files.createDirectories(trash2)
+    dataFiles(s2).foreach { n =>
+      Files.move(Paths.get(s2, n), trash2.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    StoreCompaction.repairFlatStore(s2)
+    assert(flatTotals(s2) === expect2,
+      "repair must promote the staged copy after a mid-swap crash")
+
+    // (c) uncommitted stage (no _SUCCESS): dropped, live store intact
+    val s3 = buildFlatStore(3)
+    val expect3 = flatTotals(s3)
+    val stage3 = Paths.get(s3, ".flat_stage")
+    Files.createDirectories(stage3)
+    Files.write(stage3.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    StoreCompaction.repairFlatStore(s3)
+    assert(!Files.exists(stage3) && flatTotals(s3) === expect3)
+
+    // (d) trash with no stage (crash after stage cleanup): dropped
+    val s4 = buildFlatStore(3)
+    val expect4 = flatTotals(s4)
+    val trash4 = Paths.get(s4, ".flat_trash")
+    Files.createDirectories(trash4)
+    Files.write(trash4.resolve("stale.parquet"), Array[Byte](1))
+    StoreCompaction.repairFlatStore(s4)
+    assert(!Files.exists(trash4) && flatTotals(s4) === expect4)
+  }
 }
