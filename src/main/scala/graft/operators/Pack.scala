@@ -67,8 +67,24 @@ object Pack {
       .withColumn("shard", expr(s"doc_id div $docsPerShard"))
     val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // duplicate doc ids would make the cumsum's tie order (and so
+    // every start offset) run-nondeterministic — detect them for
+    // free: equal ids share a shard (shard = id div docsPerShard)
+    // and are adjacent under the window's sort, so a same-window lag
+    // comparison sees every duplicate without any extra exchange or
+    // job. assert_true yields NULL when the check passes; threading
+    // it through local_start (+0) keeps the column-pruner from
+    // dropping it.
+    val prevId = lag(col("doc_id"), 1)
+      .over(Window.partitionBy(col("shard")).orderBy(col("doc_id")))
+    val dupGuard = coalesce(
+      assert_true(prevId.isNull || prevId =!= col("doc_id"),
+        lit("packSpans requires unique doc ids — duplicate id found; " +
+          "offsets would be tie-order nondeterministic")).cast("long"),
+      lit(0L))
     val within = base
-      .withColumn("local_start", coalesce(sum(col("n")).over(wIn), lit(0L)))
+      .withColumn("local_start",
+        coalesce(sum(col("n")).over(wIn), lit(0L)) + dupGuard)
     // one row per shard; the only unpartitioned window in the plan
     // runs over this bounded frame, never the corpus
     val wSh = Window.orderBy(col("shard"))

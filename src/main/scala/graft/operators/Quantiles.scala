@@ -139,8 +139,17 @@ object Quantiles {
         val widthOfIv: ((String, Long, Long)) => BigInt = iv =>
           (BigInt(iv._3) - BigInt(iv._2) + fanout) / fanout
         val iv = spark.createDataFrame(
-          spark.sparkContext.parallelize(intervals.map(i =>
-            Row(i._1, i._2, i._3, widthOfIv(i).toLong)), 1),
+          spark.sparkContext.parallelize(intervals.map { i =>
+            val w = widthOfIv(i)
+            // fanout >= 2 admits widths up to 2^63 (a fanout-2 split
+            // of the full 64-bit domain), which does not fit the
+            // BIGINT width column — fail loudly instead of shipping a
+            // negative width that miscounts every bucket
+            require(w.isValidLong,
+              s"interval width $w of $i exceeds Long — raise fanout " +
+                s"(>= 4 covers the full 64-bit domain at any interval)")
+            Row(i._1, i._2, i._3, w.toLong)
+          }, 1),
           StructType(Seq(StructField("ig", StringType),
             StructField("ilo", LongType),
             StructField("ihi", LongType), StructField("w", LongType))))

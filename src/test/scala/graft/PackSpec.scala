@@ -96,4 +96,22 @@ class PackSpec extends SparkSpec {
     assert(byOne.exceptAll(bySeven).isEmpty && bySeven.exceptAll(byOne).isEmpty)
     assert(byAll.exceptAll(bySeven).isEmpty && bySeven.exceptAll(byAll).isEmpty)
   }
+
+  test("duplicate doc ids fail loudly instead of packing nondeterministically") {
+    // equal ids share a shard and sort adjacent, so the in-window
+    // guard must see them with no extra exchange
+    val dup = Seq((1L, 5L), (1L, 7L), (2L, 3L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Pack.packSpans(dup, "doc_id", col("n_tokens"), seqLen = 4,
+        docsPerShard = 16).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unique doc ids")))
+    // and the guard is free for unique ids: same results as before
+    val spans = Pack.packSpans(fixture, "doc_id", col("n_tokens"), 64,
+      docsPerShard = 16)
+    assert(spans.agg(sum($"tok_end" - $"tok_start")).head().getLong(0) ==
+      fixture.agg(sum($"n_tokens")).head().getLong(0))
+  }
 }

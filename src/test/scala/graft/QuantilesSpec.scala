@@ -77,6 +77,20 @@ class QuantilesSpec extends SparkSpec {
     assert(run(rows, mm) === brute(rows, mm))
   }
 
+  test("fanout too small for the interval width fails loudly, not garbage") {
+    // a fanout-2 split of the full 64-bit domain has width 2^63,
+    // which does not fit the BIGINT width column — the descent must
+    // refuse rather than ship a negative width that miscounts
+    val rows = Seq(("x", Long.MinValue), ("x", Long.MaxValue))
+    val e = intercept[IllegalArgumentException] {
+      run(rows, Seq(Quantile("p50", 1, 2)), fanout = 2)
+    }
+    assert(e.getMessage.contains("raise fanout"))
+    // fanout 4 over the same domain is in-range and exact
+    assert(run(rows, Seq(Quantile("p50", 1, 2)), fanout = 4) ===
+      brute(rows, Seq(Quantile("p50", 1, 2))))
+  }
+
   test("null groups and null values are excluded; empty input -> empty") {
     val df = Seq[(Option[String], Option[Long])](
       (Some("g"), Some(1L)), (Some("g"), None), (None, Some(5L)),
