@@ -62,17 +62,32 @@ object Boilerplate {
         count(col("is_common")).as("n_removed"))
 
   /** Clean `docs` against an EXPLICIT boilerplate dictionary `dict`
-    * (one `line` column) — the serving half of the incremental store:
-    * dictionary broadcast (boilerplate-sized by construction), one
-    * map-side mark join, one doc-keyed shuffle to reassemble. */
+    * (one `line` column) — the serving half of the incremental store.
+    * The mark join keys on the 16-byte md5 digest of the line (the
+    * d25 `hashKeys` move: boilerplate lines are long — banners,
+    * footers — and the digest makes the broadcast table and the join
+    * comparisons fixed-width; md5 collisions are treated as
+    * impossible, the repo-wide content-hash discipline).
+    *
+    * `broadcastDict` (default true): one map-side mark join, dict
+    * digests broadcast (boilerplate-sized by construction). With
+    * false the mark join runs as a shuffle join on the digest — the
+    * escape for a corpus whose dictionary outgrows the driver, the
+    * same contract [[removeCommonLines]]'s `broadcastCommon=false`
+    * gives the batch path. */
   def cleanWithDict(docs: DataFrame, idCol: String, textCol: String,
-                    dict: DataFrame): DataFrame =
+                    dict: DataFrame,
+                    broadcastDict: Boolean = true): DataFrame = {
+    val dk0 = dict.select(unhex(md5(col("line"))).as("lk")).distinct()
+      .withColumn("is_common", lit(true))
+    val dk = if (broadcastDict) broadcast(dk0) else dk0
     assemble(
-      lines(docs, idCol, textCol).join(
-        broadcast(dict.select(col("line")).distinct()
-          .withColumn("is_common", lit(true))),
-        Seq("line"), "left"),
+      lines(docs, idCol, textCol)
+        .withColumn("lk", unhex(md5(col("line"))))
+        .join(dk, Seq("lk"), "left")
+        .drop("lk"),
       idCol)
+  }
 
   /** Gopher-style within-document line repetition signals: for each
     * document, the number of lines, the fraction of lines that are
@@ -137,16 +152,46 @@ object Boilerplate {
   //    Crossed lines' dead counts/pairs rows are never read again
   //    (the candidate path excludes dictionary lines) — compaction
   //    may drop them.
+  //  * `sidecar` — the NEAR-THRESHOLD detection accelerator: (line,
+  //    nd, as_of) for sub-threshold lines with nd ≥ minDocs − eps at
+  //    the last refresh (build or vacuum), plus one null-line
+  //    sentinel row carrying `as_of` even when no line qualifies.
+  //    Counts rows are stamped with the fold sequence `fseq` (the
+  //    fold's doc high-water — monotone by the ingest contract), so
+  //    "deltas since the refresh" is the pushed-down predicate
+  //    `fseq > as_of`, which parquet row-group stats resolve against
+  //    pre-refresh files footer-only. Per-fold detection then reads
+  //    sidecar + post-refresh slice instead of the whole counts
+  //    store; only a line OUTSIDE the sidecar that accumulated
+  //    > eps occurrences since the refresh (rare — it was ≥ eps+1
+  //    below the threshold then) escalates to a full counts read,
+  //    and only for those lines. Exactness: a non-sidecar line has
+  //    nd ≤ minDocs − eps − 1 at the refresh, so it cannot cross
+  //    without > eps post-refresh occurrences — the escalation
+  //    predicate is the contrapositive, not a heuristic.
   // ---------------------------------------------------------------
 
   private def metaPath(path: String): String = s"${path}_meta"
 
-  private def writeMeta(spark: SparkSession, path: String, maxDoc: Long,
-                        minDocs: Long, nBuckets: Int, nDocBuckets: Int,
-                        mode: String): Unit = {
+  /** Auto eps (sentinel −1): a quarter of nothing — near-threshold
+    * width 4, clamped below minDocs. eps = 0 disables the sidecar
+    * (every potentially-crossing line escalates to a full counts
+    * read — the pre-sidecar behavior, still exact). */
+  private def resolveEps(minDocs: Long, eps: Long): Long =
+    if (eps >= 0) {
+      require(eps < minDocs,
+        s"eps $eps must be < minDocs $minDocs (the sidecar holds " +
+          "SUB-threshold lines only)")
+      eps
+    } else math.max(0L, math.min(4L, minDocs - 1))
+
+  private[graft] def writeMeta(spark: SparkSession, path: String,
+                               maxDoc: Long, minDocs: Long, nBuckets: Int,
+                               nDocBuckets: Int, eps: Long,
+                               mode: String): Unit = {
     import spark.implicits._
-    Seq((maxDoc, minDocs, nBuckets, nDocBuckets))
-      .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets")
+    Seq((maxDoc, minDocs, nBuckets, nDocBuckets, eps))
+      .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets", "eps")
       .coalesce(1)
       .write.mode(mode).parquet(metaPath(path))
   }
@@ -154,10 +199,12 @@ object Boilerplate {
   /** Validate layout params against the store's meta (the d26/q92
     * loud-mismatch discipline — a silently different minDocs or
     * bucket count mis-prunes or mis-thresholds with no error) and
-    * return the ingest high-water mark. */
+    * return (ingest high-water mark, pinned eps). eps is READ, never
+    * passed — the Quantiles `cell_bits` free-parameter-removed
+    * discipline. */
   private[graft] def readMeta(spark: SparkSession, path: String,
                               minDocs: Long, nBuckets: Int,
-                              nDocBuckets: Int): Long = {
+                              nDocBuckets: Int): (Long, Long) = {
     val rows = spark.read.parquet(metaPath(path)).collect()
     require(rows.nonEmpty, s"no _meta at ${metaPath(path)}")
     rows.foreach { meta =>
@@ -170,7 +217,22 @@ object Boilerplate {
           s"nDocBuckets=${meta.getAs[Int]("n_doc_buckets")}), called with " +
           s"(minDocs=$minDocs, nBuckets=$nBuckets, nDocBuckets=$nDocBuckets)")
     }
-    rows.map(_.getAs[Long]("max_doc")).max
+    val eps = rows.map(_.getAs[Long]("eps")).distinct
+    require(eps.size == 1, s"boilerplate store meta eps inconsistent: $eps")
+    (rows.map(_.getAs[Long]("max_doc")).max, eps.head)
+  }
+
+  /** The sidecar's one frame shape: qualifying (line, nd) rows plus
+    * the null-line sentinel that carries `as_of` when nothing
+    * qualifies. */
+  private def sidecarFrame(spark: SparkSession, qualifying: DataFrame,
+                           asOf: Long): DataFrame = {
+    import spark.implicits._
+    qualifying
+      .select(col("line"), col("nd").cast("long").as("nd"),
+        lit(asOf).as("as_of"))
+      .unionByName(Seq((Option.empty[String], 0L, asOf))
+        .toDF("line", "nd", "as_of"))
   }
 
   private def pairBucket(line: Column, nBuckets: Int): Column =
@@ -204,18 +266,22 @@ object Boilerplate {
 
   /** Initialize the incremental boilerplate store from a corpus and
     * return the corpus's cleaned output (== [[removeCommonLines]]
-    * over `docs`). */
+    * over `docs`). `eps` (pinned in `_meta`; −1 = auto) is the
+    * sidecar's near-threshold width — see the layout notes above. */
   def buildStore(docs: DataFrame, idCol: String, textCol: String,
                  minDocs: Long, path: String, nBuckets: Int = 64,
-                 nDocBuckets: Int = 64): DataFrame = {
+                 nDocBuckets: Int = 64, eps: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
+    val ep = resolveEps(minDocs, eps)
     val pairs = lines(docs, idCol, textCol)
       .select(col("line"), col(idCol).as("doc_id")).distinct()
     val nd = pairs.groupBy(col("line")).agg(count(lit(1)).as("nd"))
       .localCheckpoint() // feeds dict write, pair filter, and nothing else twice
     val dict = nd.filter(col("nd") >= minDocs).select(col("line"))
     val sub = nd.filter(col("nd") < minDocs).localCheckpoint()
-    // the four sub-store writes are independent (nd/sub are
+    val mr = docs.agg(max(col(idCol)).cast("long")).head()
+    val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
+    // the five sub-store writes are independent (nd/sub are
     // checkpointed; pairs and docs re-derive from the input) — fan
     // them out as concurrent jobs. Bucket-aligned repartition so each
     // store is nBuckets files, not shufflePartitions × nBuckets.
@@ -226,36 +292,56 @@ object Boilerplate {
         .withColumn("bucket", pairBucket(col("line"), nBuckets))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/pairs"),
-      // the narrow detection store: additive count deltas per line
-      () => sub.select(col("line"), col("nd").as("nd_delta"))
+      // the narrow detection store: additive count deltas per line,
+      // fold-sequence-stamped so post-refresh slices prune on fseq
+      () => sub.select(col("line"), col("nd").as("nd_delta"),
+          lit(maxDoc).as("fseq"))
         .withColumn("bucket", pairBucket(col("line"), nBuckets))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/counts"),
+      // near-threshold sidecar, exact as of this build
+      () => sidecarFrame(spark, sub.filter(col("nd") >= minDocs - ep),
+          maxDoc)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sidecar"),
       () => docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
         .repartition(col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket").parquet(s"$path/docs")))
-    val mr = docs.agg(max(col(idCol)).cast("long")).head()
-    val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
-    writeMeta(spark, path, maxDoc, minDocs, nBuckets, nDocBuckets, "overwrite")
+    writeMeta(spark, path, maxDoc, minDocs, nBuckets, nDocBuckets, ep,
+      "overwrite")
     cleanWithDict(docs, idCol, textCol,
       spark.read.parquet(s"$path/dict"))
   }
 
+  /** Everything one fold must publish, plus the changelog it emits.
+    * Every frame is either eagerly checkpointed or derives only from
+    * checkpointed frames and the input batch, so none re-reads the
+    * store after the caller starts mutating it. */
+  private[graft] final case class FoldArtifacts(
+      pairsDelta: DataFrame, countsDelta: DataFrame, docsApp: DataFrame,
+      dictApp: DataFrame, newMax: Long, eps: Long, changelog: DataFrame)
+
   /** One fold's full computation against the LIVE store WITHOUT
     * mutating it — factored out of [[fold]] so the streaming twin can
     * stage every artifact under the committed-staging exactly-once
-    * protocol before anything touches the live layout. Returns
-    * `(pairsDelta, countsDelta, docsAppend, dictAppend, newMaxDoc,
-    * changelog)`; every returned frame is either eagerly checkpointed
-    * or derives only from checkpointed frames and the input batch, so
-    * none re-reads the store after the caller starts mutating it. */
+    * protocol before anything touches the live layout.
+    *
+    * Crossing detection is SIDECAR-FIRST: candidates join the
+    * near-threshold sidecar (tiny, batch-semi-filtered) plus the
+    * post-refresh counts slice (`fseq > as_of` — parquet row-group
+    * stats resolve pre-refresh delta files footer-only), and only
+    * candidates OUTSIDE the sidecar whose post-refresh occurrences
+    * could bridge the eps gap (pnd + ndb ≥ eps + 1 — usually none)
+    * escalate to a full counts read, semi-joined to just those
+    * lines. The full corpus-distinct-lines scan the pre-sidecar fold
+    * paid EVERY fold is now paid only by escalations and by the
+    * vacuum's refresh. */
   private[graft] def computeFold(spark: SparkSession, path: String,
                                  batch: DataFrame, idCol: String,
                                  textCol: String, minDocs: Long,
-                                 nBuckets: Int, nDocBuckets: Int):
-      (DataFrame, DataFrame, DataFrame, DataFrame, Long, DataFrame) = {
-    val prevMax = readMeta(spark, path, minDocs, nBuckets, nDocBuckets)
+                                 nBuckets: Int,
+                                 nDocBuckets: Int): FoldArtifacts = {
+    val (prevMax, eps) = readMeta(spark, path, minDocs, nBuckets, nDocBuckets)
     // the batch feeds FOUR consumers (min/max guard, line pairs, the
     // doc-store append, the changelog clean) — checkpoint it once so
     // a batch defined as a filter over a large source is scanned
@@ -282,21 +368,54 @@ object Boilerplate {
       .join(broadcast(dict0), Seq("line"), "left_anti")
       .groupBy(col("line")).agg(count(lit(1)).as("ndb"))
       .localCheckpoint()
-    // crossing detection against the NARROW counts store (candidate
-    // lines hash over every bucket, so this scan is honestly
-    // corpus-distinct-lines-sized — but it carries no doc ids and no
-    // text, and readers sum the additive deltas per line). The batch
-    // side is broadcast so the store scan is never shuffled — which
-    // makes "batch distinct lines fit a broadcast" part of the fold
-    // contract (batches are ingest-sized by definition; a
-    // corpus-sized "batch" belongs in buildStore, not here).
-    val nd0 = spark.read.parquet(s"$path/counts")
+    // crossing detection, sidecar-first (see scaladoc). The batch
+    // side is broadcast in every store-facing join so no store scan
+    // is ever shuffled — which makes "batch distinct lines fit a
+    // broadcast" part of the fold contract (batches are ingest-sized
+    // by definition; a corpus-sized "batch" belongs in buildStore,
+    // not here).
+    StoreCompaction.repairFlatStore(s"$path/sidecar")
+    val sc = spark.read.parquet(s"$path/sidecar")
+    val asOf = sc.agg(max(col("as_of"))).head().getLong(0)
+    val sideHits = sc.filter(col("line").isNotNull)
       .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
-      .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd0"))
-    val crossed = candAgg
-      .join(nd0.hint("broadcast"), Seq("line"), "left")
-      .filter(coalesce(col("nd0"), lit(0L)) + col("ndb") >= minDocs)
+      .select(col("line"), col("nd").as("snd"))
+    // post-refresh deltas for this batch's candidates: pushed-down
+    // fseq > as_of skips every pre-refresh delta file on footer stats
+    val pnd = spark.read.parquet(s"$path/counts")
+      .filter(col("fseq") > asOf)
+      .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
+      .groupBy(col("line")).agg(sum(col("nd_delta")).as("pnd"))
+    val cand2 = candAgg
+      .join(sideHits.hint("broadcast"), Seq("line"), "left")
+      .join(pnd.hint("broadcast"), Seq("line"), "left")
+      .select(col("line"), col("ndb"), col("snd"),
+        coalesce(col("pnd"), lit(0L)).as("pnd"))
+      .localCheckpoint()
+    // a line outside the sidecar had nd ≤ minDocs − eps − 1 at the
+    // refresh: it can only cross with > eps occurrences since — the
+    // exact escalation predicate, not a heuristic
+    val escalated = cand2
+      .filter(col("snd").isNull && col("pnd") + col("ndb") >= eps + 1L)
+      .localCheckpoint()
+    val escCrossed =
+      if (escalated.head(1).isEmpty) None
+      else {
+        val ndFull = spark.read.parquet(s"$path/counts")
+          .join(broadcast(escalated.select(col("line"))),
+            Seq("line"), "left_semi")
+          .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd0"))
+        Some(escalated
+          .join(ndFull.hint("broadcast"), Seq("line"), "left")
+          .filter(coalesce(col("nd0"), lit(0L)) + col("ndb") >= minDocs)
+          .select(col("line")))
+      }
+    val sideCrossed = cand2
+      .filter(col("snd").isNotNull &&
+        col("snd") + col("pnd") + col("ndb") >= minDocs)
       .select(col("line"))
+    val crossed = escCrossed.map(sideCrossed.unionByName(_))
+      .getOrElse(sideCrossed)
       .localCheckpoint()
     // carrier lookup reads the WIDE pair store only for the crossed
     // lines' buckets — a handful, so the partition filter genuinely
@@ -334,13 +453,134 @@ object Boilerplate {
     val pairsDelta = bpairs.join(broadcast(dictNew), Seq("line"), "left_anti")
       .withColumn("bucket", pairBucket(col("line"), nBuckets))
     val countsDelta = candAgg.join(broadcast(dictNew), Seq("line"), "left_anti")
-      .select(col("line"), col("ndb").as("nd_delta"))
+      .select(col("line"), col("ndb").as("nd_delta"),
+        lit(mm.getLong(1)).as("fseq"))
       .withColumn("bucket", pairBucket(col("line"), nBuckets))
     val docsApp = b.withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
     val outBatch = cleanWithDict(b, "doc_id", "text", dictNew)
       .withColumnRenamed("doc_id", idCol)
     val changelog = outInv.map(outBatch.unionByName(_)).getOrElse(outBatch)
-    (pairsDelta, countsDelta, docsApp, crossed, mm.getLong(1), changelog)
+    FoldArtifacts(pairsDelta, countsDelta, docsApp, crossed,
+      mm.getLong(1), eps, changelog)
+  }
+
+  /** Maintenance vacuum for a [[buildStore]] layout — three
+    * read-invariant rewrites plus the sidecar REFRESH:
+    *
+    *  1. Sidecar refresh: rebuild the near-threshold sidecar from
+    *     the (pre-compaction) counts store with `as_of` = the
+    *     current fold high-water S, under
+    *     [[StoreCompaction.rewriteFlatStore]]'s crash-convergent
+    *     swap. Ordering makes every crash window exact: with the NEW
+    *     sidecar and uncompacted counts, `fseq > S` selects nothing
+    *     (sidecar nd already covers it); with the OLD sidecar,
+    *     `fseq > old as_of` still selects every delta the old nd
+    *     missed.
+    *  2. Counts: drop dead (dictionary) lines — the candidate path
+    *     never consults them again — and collapse each line's
+    *     accumulated deltas to ONE row stamped `fseq = S` (covered
+    *     by the new sidecar, so post-refresh slices skip it).
+    *  3. Pairs: drop dead lines.
+    *
+    * Single-maintainer contract — do not run concurrently with
+    * folds. */
+  def vacuumStore(spark: SparkSession, path: String): Unit = {
+    val dict = spark.read.parquet(s"$path/dict")
+      .select(col("line")).distinct().localCheckpoint()
+    StoreCompaction.repairFlatStore(s"$path/sidecar")
+    val oldAsOf = spark.read.parquet(s"$path/sidecar")
+      .agg(max(col("as_of"))).head().getLong(0)
+    val counts = spark.read.parquet(s"$path/counts")
+    val sRow = counts.agg(max(col("fseq"))).head()
+    val s = if (sRow.isNullAt(0)) oldAsOf
+            else math.max(oldAsOf, sRow.getLong(0))
+    // thresholds come from the pinned meta, not the caller
+    val metaRows = spark.read.parquet(metaPath(path)).collect()
+    val minDocs = metaRows.map(_.getAs[Long]("min_docs")).distinct
+    val eps = metaRows.map(_.getAs[Long]("eps")).distinct
+    require(minDocs.size == 1 && eps.size == 1,
+      s"boilerplate store meta inconsistent: min_docs $minDocs eps $eps")
+    // EAGER before any swap: the new sidecar reads the live counts
+    val newSidecar = sidecarFrame(spark,
+        counts.join(broadcast(dict), Seq("line"), "left_anti")
+          .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd"))
+          .filter(col("nd") >= minDocs.head - eps.head),
+        s)
+      .localCheckpoint()
+    StoreCompaction.rewriteFlatStore(spark, s"$path/sidecar",
+      _ => newSidecar)
+    StoreCompaction.rewriteStore(spark, s"$path/counts", df =>
+      df.join(broadcast(dict), Seq("line"), "left_anti")
+        .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd_delta"))
+        .withColumn("fseq", lit(s)))
+    StoreCompaction.rewriteStore(spark, s"$path/pairs", df =>
+      df.join(broadcast(dict), Seq("line"), "left_anti"))
+  }
+
+  /** Stage one fold's SIX artifacts under `staging` WITHOUT touching
+    * the live store — the [[StoreFiles.applyBatchIdempotent]] stage
+    * step shared by the batch [[fold]] and the streaming twin (s16):
+    * pair/counts/docs deltas, the dictionary append, the `_meta`
+    * high-water row, and the changelog (stamped `seq`). `_SUCCESS`
+    * is written strictly last — its presence freezes the staging, so
+    * a crash-replay reuses it verbatim and never recomputes against
+    * a half-promoted store. */
+  private[graft] def stageFold(spark: SparkSession, path: String,
+                               staging: java.nio.file.Path,
+                               batch: DataFrame, idCol: String,
+                               textCol: String, minDocs: Long,
+                               nBuckets: Int, nDocBuckets: Int,
+                               seq: Long): Unit = {
+    StoreFiles.deleteRecursively(staging)
+    val a = computeFold(spark, path, batch, idCol, textCol, minDocs,
+      nBuckets, nDocBuckets)
+    // independent staged artifacts fan out as concurrent jobs
+    Par.run(Seq(
+      () => a.pairsDelta.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString),
+      () => a.countsDelta.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging.resolve("counts").toString),
+      () => a.docsApp.repartition(col("dbucket"))
+        .write.partitionBy("dbucket").parquet(staging.resolve("docs").toString),
+      () => a.dictApp.write.parquet(staging.resolve("dict").toString),
+      () => a.changelog.withColumn("seq", lit(seq))
+        .write.parquet(staging.resolve("out").toString)))
+    import spark.implicits._
+    Seq((a.newMax, minDocs, nBuckets, nDocBuckets, a.eps))
+      .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets", "eps")
+      .coalesce(1).write.parquet(staging.resolve("meta").toString)
+    java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
+  }
+
+  /** Promote a committed staging into the live sub-stores under
+    * DETERMINISTIC `<stamp>-` names with REPLACE_EXISTING — a
+    * partial-crash re-copy overwrites the same targets
+    * byte-identically. `outPath` None = the caller consumes the
+    * staged changelog itself (the batch [[fold]]). */
+  private[graft] def promoteFold(storePath: String,
+                                 staging: java.nio.file.Path,
+                                 stamp: String,
+                                 outPath: Option[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    require(Files.exists(staging.resolve("_SUCCESS")),
+      s"boilerplate staging $staging is not committed")
+    Seq("pairs" -> "bucket=", "counts" -> "bucket=",
+        "docs" -> "dbucket=").foreach {
+      case (sub, prefix) =>
+        StoreFiles.listDir(staging.resolve(sub))
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(prefix))
+          .foreach { bdir =>
+            StoreFiles.promoteFiles(bdir,
+              Paths.get(storePath, sub, bdir.getFileName.toString), stamp)
+          }
+    }
+    StoreFiles.promoteFiles(staging.resolve("dict"),
+      Paths.get(storePath, "dict"), stamp)
+    StoreFiles.promoteFiles(staging.resolve("meta"),
+      Paths.get(s"${storePath}_meta"), stamp)
+    outPath.foreach(o =>
+      StoreFiles.promoteFiles(staging.resolve("out"), Paths.get(o), stamp))
   }
 
   /** Fold a monotonic document batch into a [[buildStore]] layout and
@@ -349,50 +589,47 @@ object Boilerplate {
     * threshold crossing invalidated. Latest emission per doc across
     * build + folds equals the full [[removeCommonLines]] recompute
     * bit-exactly — the c5 gate. The corpus text is never rescanned:
-    * crossing detection reads the NARROW counts store (semi-joined to
-    * the batch's candidate lines), the wide pair store is read
-    * bucket-pruned for the crossed lines only (< minDocs rows per
-    * line by the store invariant), and the doc store only for the
-    * bounded invalidated-id set. Crash-redo contract as d26; the
-    * streaming twin (s16) wraps [[computeFold]] in the
-    * committed-staging exactly-once protocol instead. */
-  /** Maintenance vacuum for a [[buildStore]] layout: crossed
-    * (dictionary) lines' counts and pairs rows are dead — the
-    * candidate path excludes dictionary lines, so no fold ever reads
-    * them again — and each fold appends one counts delta per
-    * still-sub-threshold candidate line, so a line folded daily for a
-    * year carries 365 delta rows. Drops the dead rows and collapses
-    * each line's deltas to one row, per partition, under
-    * [[StoreCompaction.rewriteStore]]'s crash-convergent swap. Both
-    * rewrites are read-invariant: detection sums deltas per line
-    * (one row sums the same) and never consults dictionary lines.
-    * Single-maintainer contract — do not run concurrently with
-    * folds. */
-  def vacuumStore(spark: SparkSession, path: String): Unit = {
-    val dict = spark.read.parquet(s"$path/dict")
-      .select(col("line")).distinct().localCheckpoint()
-    StoreCompaction.rewriteStore(spark, s"$path/counts", df =>
-      df.join(broadcast(dict), Seq("line"), "left_anti")
-        .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd_delta")))
-    StoreCompaction.rewriteStore(spark, s"$path/pairs", df =>
-      df.join(broadcast(dict), Seq("line"), "left_anti"))
-  }
-
+    * crossing detection reads the sidecar + the post-refresh counts
+    * slice (full counts only for rare escalations), the wide pair
+    * store is read bucket-pruned for the crossed lines only
+    * (< minDocs rows per line by the store invariant), and the doc
+    * store only for the bounded invalidated-id set.
+    *
+    * ATOMIC-BY-REPLAY: the fold publishes its five store artifacts
+    * through the same committed-staging protocol as the streaming
+    * twin — stage everything + `_SUCCESS`, promote under
+    * deterministic names, marker, sweep — keyed by the batch's doc
+    * high-water (monotone, so unique per fold). A crash anywhere
+    * re-runs exactly: before `_SUCCESS` the store is unmutated and
+    * the fold recomputes; after it, the frozen staging re-promotes
+    * byte-identically. A fold whose marker exists was FULLY applied
+    * — replaying it is the same caller error the monotonic-ingest
+    * guard rejects, and fails as loudly. */
   def fold(spark: SparkSession, path: String, batch: DataFrame,
            idCol: String, textCol: String, minDocs: Long,
            nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {
-    val (pairsDelta, countsDelta, docsApp, dictApp, newMax, changelog) =
-      computeFold(spark, path, batch, idCol, textCol, minDocs,
-        nBuckets, nDocBuckets)
-    Par.run(Seq(
-      () => pairsDelta.repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs"),
-      () => countsDelta.repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/counts"),
-      () => docsApp.repartition(col("dbucket"))
-        .write.mode("append").partitionBy("dbucket").parquet(s"$path/docs"),
-      () => dictApp.write.mode("append").parquet(s"$path/dict")))
-    writeMeta(spark, path, newMax, minDocs, nBuckets, nDocBuckets, "append")
+    import java.nio.file.{Files, Paths}
+    val mr = batch.agg(max(col(idCol)).cast("long")).head()
+    require(!mr.isNullAt(0),
+      "monotonic-ingest contract: batch is empty")
+    val foldId = mr.getLong(0)
+    val marker = Paths.get(path, s"_boiler_fold_$foldId")
+    val staging = Paths.get(path, s".boiler_fold_staging_$foldId")
+    require(!Files.exists(marker),
+      s"fold $foldId was already applied (its changelog was returned " +
+        "then) — replaying a completed fold violates the " +
+        "monotonic-ingest contract")
+    if (!Files.exists(staging.resolve("_SUCCESS")))
+      stageFold(spark, path, staging, batch, idCol, textCol, minDocs,
+        nBuckets, nDocBuckets, seq = foldId)
+    promoteFold(path, staging, s"bfold$foldId", None)
+    // secure the changelog BEFORE the commit point: the staged copy
+    // is the only one that survives a crash-replay
+    val changelog = spark.read.parquet(staging.resolve("out").toString)
+      .select(col(idCol), col("clean_text"), col("n_removed"))
+      .localCheckpoint()
+    Files.createFile(marker)
+    StoreFiles.deleteRecursively(staging)
     changelog
   }
 }

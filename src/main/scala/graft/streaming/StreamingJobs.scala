@@ -284,68 +284,28 @@ object StreamingJobs {
       }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.operators.StoreFiles.deleteRecursively(p)
 
-  /** The committed-staging exactly-once protocol, factored once for
-    * every streaming ingest twin (IVF s13, ExactSubstr s14, quantile
-    * store s15). Parquet append has no natural idempotency and a bare
-    * marker-after-append leaves a window (append committed, marker
-    * not yet) where a replayed micro-batch double-appends; this
-    * closes every window:
-    *
-    *  1. `marker` exists → already applied, skip (sweep leaked
-    *     staging).
-    *  2. `staging/_SUCCESS` absent → crashed attempt: `stage` must
-    *     rebuild the staging from the LIVE (not-yet-mutated) state
-    *     and write `_SUCCESS` LAST — its presence freezes the
-    *     staging, so a replay after a half-promote reuses it verbatim
-    *     and never recomputes against mutated state.
-    *  3. `promote` copies staged files to their live destinations
-    *     under DETERMINISTIC batch-stamped names with
-    *     REPLACE_EXISTING — a partial-crash re-copy overwrites the
-    *     same targets byte-identically.
-    *  4. Marker (the commit point), then sweep staging.
-    *
-    * Returns whether the batch was applied (false = replay skip). */
+  /** The committed-staging exactly-once protocol, shared by every
+    * streaming ingest twin (IVF s13, ExactSubstr s14, quantile store
+    * s15, boilerplate s16) AND the batch store folds — implementation
+    * and full protocol notes in
+    * [[graft.operators.StoreFiles.applyBatchIdempotent]]. */
   private[graft] def applyBatchIdempotent(
       marker: java.nio.file.Path, staging: java.nio.file.Path)(
-      stage: () => Unit)(promote: () => Unit): Boolean = {
-    import java.nio.file.Files
-    if (Files.exists(marker)) {
-      if (Files.exists(staging)) deleteRecursively(staging)
-      false
-    } else {
-      if (!Files.exists(staging.resolve("_SUCCESS"))) stage()
-      promote()
-      Files.createFile(marker)
-      deleteRecursively(staging)
-      true
-    }
-  }
+      stage: () => Unit)(promote: () => Unit): Boolean =
+    graft.operators.StoreFiles.applyBatchIdempotent(marker, staging)(
+      stage)(promote)
 
   /** Copy every `*.parquet` under `srcDir` into `dstDir` under the
     * deterministic name `<stamp>-<file>` with REPLACE_EXISTING — the
-    * promote step's shared file move. */
+    * promote step's shared file move
+    * ([[graft.operators.StoreFiles.promoteFiles]]). */
   private[graft] def promoteFiles(srcDir: java.nio.file.Path,
                                   dstDir: java.nio.file.Path,
-                                  stamp: String): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    Files.createDirectories(dstDir)
-    val s = Files.list(srcDir)
-    val files = try s.iterator().asScala.toList finally s.close()
-    files.filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach { f =>
-        Files.copy(f, dstDir.resolve(s"$stamp-${f.getFileName.toString}"),
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-  }
+                                  stamp: String): Unit =
+    graft.operators.StoreFiles.promoteFiles(srcDir, dstDir, stamp)
 
   /** Fold one document micro-batch into a persisted ExactSubstr
     * window-key store (the [[graft.operators.DedupSuite.exactSubstrBuildStore]]
@@ -564,29 +524,10 @@ object StreamingJobs {
                                           batch: org.apache.spark.sql.DataFrame,
                                           batchId: Long, minDocs: Long,
                                           nBuckets: Int,
-                                          nDocBuckets: Int): Unit = {
-    deleteRecursively(staging)
-    val (pairsDelta, countsDelta, docsApp, dictApp, newMax, changelog) =
-      graft.operators.Boilerplate.computeFold(spark, storePath, batch,
-        "doc_id", "text", minDocs, nBuckets, nDocBuckets)
-    // independent staged artifacts fan out as concurrent jobs;
-    // `_SUCCESS` (the staging's commit point) is written strictly last
-    graft.operators.Par.run(Seq(
-      () => pairsDelta.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString),
-      () => countsDelta.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging.resolve("counts").toString),
-      () => docsApp.repartition(col("dbucket"))
-        .write.partitionBy("dbucket").parquet(staging.resolve("docs").toString),
-      () => dictApp.write.parquet(staging.resolve("dict").toString),
-      () => changelog.withColumn("seq", lit(batchId))
-        .write.parquet(staging.resolve("out").toString)))
-    import spark.implicits._
-    Seq((newMax, minDocs, nBuckets, nDocBuckets))
-      .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets")
-      .coalesce(1).write.parquet(staging.resolve("meta").toString)
-    java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
-  }
+                                          nDocBuckets: Int): Unit =
+    graft.operators.Boilerplate.stageFold(spark, storePath, staging,
+      batch, "doc_id", "text", minDocs, nBuckets, nDocBuckets,
+      seq = batchId)
 
   /** Promote step of [[foldBoilerplateBatchIdempotent]]: copy the
     * committed staging into the live sub-stores under DETERMINISTIC
@@ -595,30 +536,10 @@ object StreamingJobs {
     * the spec's crash-window replays. */
   private[graft] def promoteStagedBoilerplateFold(storePath: String,
                                                   outPath: String,
-                                                  batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val staging = Paths.get(storePath, s".boiler_staging_$batchId")
-    require(Files.exists(staging.resolve("_SUCCESS")),
-      s"boilerplate staging for batch $batchId is not committed")
-    val stamp = s"bbatch$batchId"
-    Seq("pairs" -> "bucket=", "counts" -> "bucket=",
-        "docs" -> "dbucket=").foreach {
-      case (sub, prefix) =>
-        val s = Files.list(staging.resolve(sub))
-        val parts = try s.iterator().asScala.toList finally s.close()
-        parts.filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(prefix))
-          .foreach { bdir =>
-            promoteFiles(bdir,
-              Paths.get(storePath, sub, bdir.getFileName.toString), stamp)
-          }
-    }
-    promoteFiles(staging.resolve("dict"), Paths.get(storePath, "dict"), stamp)
-    promoteFiles(staging.resolve("meta"), Paths.get(s"${storePath}_meta"),
-      stamp)
-    promoteFiles(staging.resolve("out"), Paths.get(outPath), stamp)
-  }
+                                                  batchId: Long): Unit =
+    graft.operators.Boilerplate.promoteFold(storePath,
+      java.nio.file.Paths.get(storePath, s".boiler_staging_$batchId"),
+      s"bbatch$batchId", Some(outPath))
 
   /** Streaming incremental boilerplate ingest (s16): a stream of
     * MONOTONICALLY-ID'd document batches folds into the persisted

@@ -52,6 +52,13 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
 
+  private def runInc(docs: Seq[String], k: Int,
+                     rewriteEvery: Int = 3): Seq[(Int, String, String, Long)] =
+    Bpe.bpeTrainIncremental(docs.toDF("text"), "text", k, rewriteEvery)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
   private def refFromDocs(docs: Seq[String],
                           k: Int): Seq[(Int, String, String, Long)] = {
     val freq = docs.flatMap(_.toLowerCase.split("[^a-z0-9]+"))
@@ -88,6 +95,45 @@ class BpeSpec extends SparkSpec {
     val got = run(docs, 10)
     assert(got === refFromDocs(docs, 10))
     assert(got.isEmpty, "single-char vocabulary has no pairs to merge")
+  }
+
+  test("incremental trainer equals the recount trainer and the reference") {
+    val docs = Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "lower lowest low", "newer newest new", "the the them theme",
+      "hugging tugging jogging", "a ab abc abcd abcde",
+      "aaa aaa aaaa aaaaa baaab", "ab ab ab cd cd cd")
+    // rewriteEvery straddling, dividing, and exceeding k — the lazy
+    // state rewrite must never change the merge table
+    for (re <- Seq(1, 3, 100)) {
+      assert(runInc(docs, 14, rewriteEvery = re) === refFromDocs(docs, 14))
+    }
+    assert(runInc(docs, 14) === run(docs, 14))
+  }
+
+  test("incremental trainer: overlapping runs and saturation") {
+    assert(runInc(Seq("aaa aaa aaaa aaaaa baaab"), 6) ===
+      refFromDocs(Seq("aaa aaa aaaa aaaaa baaab"), 6))
+    val got = runInc(Seq("a b c a b c"), 10)
+    assert(got.isEmpty, "single-char vocabulary has no pairs to merge")
+  }
+
+  test("incremental trainer: randomized property vs reference") {
+    // deterministic pseudo-random corpora (seeded) — many small
+    // vocabularies with heavy pair collisions and ties
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 5) {
+      val alphabet = "abcd"
+      val docs = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(5))).map { _ =>
+          (1 to (1 + rnd.nextInt(6)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val k = 1 + rnd.nextInt(12)
+      assert(runInc(docs, k, rewriteEvery = 1 + rnd.nextInt(6)) ===
+        refFromDocs(docs, k))
+    }
   }
 
   /** Reference encode: index-greedy application of the merge list in
