@@ -2422,9 +2422,12 @@ object SparkEntry {
       // iteration is vocabulary-sized. Oracle: the same k iterations
       // as chained CTEs — the delimited-string literal replace IS
       // greedy BPE in both engines, making the merge table
-      // hash-exact.
+      // hash-exact. The gate runs the INCREMENTAL trainer (pair-count
+      // delta maintenance — the real-vocab scale path; BpeSpec pins
+      // it equal to the recount form, BpeSoak measures the k=512
+      // crossover), so the oracle proves the delta bookkeeping exact.
       "t15_bpe_merges" -> ((s, dir) =>
-        graft.functions.Bpe.bpeTrain(
+        graft.functions.Bpe.bpeTrainIncremental(
           Tables.documents(s, dir).select(col("text")), "text", k = 6)),
 
       // ---- BPE encoding under the learned merges (t16): the serving
@@ -2436,7 +2439,7 @@ object SparkEntry {
       // corpus token frequency table under the k=6 tokenizer.
       "t16_bpe_encode" -> ((s, dir) => {
         val docs = Tables.documents(s, dir).select(col("text"))
-        val merges = graft.functions.Bpe.bpeTrain(docs, "text", k = 6)
+        val merges = graft.functions.Bpe.bpeTrainIncremental(docs, "text", k = 6)
           .orderBy(col("mrank")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.functions.Bpe.encodeTokenCounts(docs, "text", merges)
@@ -3266,6 +3269,28 @@ object SparkEntry {
             (col("p25") / 100.0).as("p25"),
             (col("p50") / 100.0).as("p50"),
             (col("p90") / 100.0).as("p90"))
+      }),
+
+      // ---- many-groups exact quantiles (q100): q95's radix descent
+      // with the per-(group, quantile) interval/rank state IN THE
+      // PLAN (a joined DataFrame) instead of on the driver — the
+      // variant that removes q95's bounded-groups contract. ~15 k
+      // lineitem orders here; 10⁹ groups cost the same driver
+      // footprint (per-pass driver actions are one emptiness probe
+      // and a 2-value bounds fetch). Same pinned type-1 rank, same
+      // ROW_NUMBER oracle shape as q95; ×100 fixed-point cents via
+      // the q64 floor(x·s + 0.5) discipline.
+      "q100_manygroup_quantiles" -> ((s, dir) => {
+        import graft.operators.Quantiles
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("xl"))
+        Quantiles.radixQuantilesManyGroups(li, col("l_orderkey"),
+            col("xl"), Seq(Quantiles.Quantile("p50", 50, 100),
+              Quantiles.Quantile("p95", 95, 100)))
+          .select(col("grp").cast("bigint").as("l_orderkey"),
+            (col("p50") / 100.0).as("p50"),
+            (col("p95") / 100.0).as("p95"))
       }),
 
       // ---- streaming (micro-batch over the events file; same oracle as q18;
@@ -4881,6 +4906,25 @@ object SparkEntry {
         |       MAX(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN xl END) / 100.0 AS p50,
         |       MAX(CASE WHEN rn = ((n-1)*90)//100 + 1 THEN xl END) / 100.0 AS p90
         |FROM r GROUP BY event_type""".stripMargin,
+
+    // q100: q95's rank discipline over ~15 k groups — the many-groups
+    // in-plan descent must agree with the same ROW_NUMBER filter
+    "q100_manygroup_quantiles" ->
+      """WITH e AS (
+        |  SELECT l_orderkey,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xl
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_orderkey IS NOT NULL),
+        |r AS (
+        |  SELECT l_orderkey, xl,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY xl ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+        |  FROM e)
+        |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |       MAX(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN xl END) / 100.0 AS p50,
+        |       MAX(CASE WHEN rn = ((n-1)*95)//100 + 1 THEN xl END) / 100.0 AS p95
+        |FROM r GROUP BY 1""".stripMargin,
 
     "t7_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -239,6 +239,154 @@ object Quantiles {
         quantiles.map(q => StructField(q.name, LongType))))
   }
 
+  /** [[radixQuantiles]] WITHOUT the bounded-groups contract: the
+    * descent state (one (group, quantile) → (interval, rank) row)
+    * lives IN THE PLAN as a DataFrame instead of on the driver, so
+    * group count is unbounded — 10⁵ groups (the q100 gate) or 10⁹
+    * cost the same driver footprint. Driver actions per pass are
+    * O(1): one emptiness probe and one 2-value global-bounds fetch
+    * (for the pushed-down scan filter); NOTHING group-sized is ever
+    * collected.
+    *
+    * Per pass (≤ ⌈log_fanout(range)⌉ passes, ≤ 4 at the default
+    * fanout for the full 64-bit domain):
+    *  1. distinct open intervals (per GROUP, not per quantile — a
+    *     group's quantiles share one interval until their descents
+    *     diverge, and shared intervals are counted once);
+    *  2. rows × intervals equi-join on the group key (shuffle on g —
+    *     the one rows-sized exchange; the scan carries a literal
+    *     global [min lo, max hi] range filter, so once every group's
+    *     interval narrows, parquet row-group stats skip the rest),
+    *     counted into fanout equal-width buckets — partial-aggregated,
+    *     output bounded by distinct (group, bucket) pairs;
+    *  3. a running-sum window over each interval's ≤ fanout non-empty
+    *     bucket rows (interval-sized sort, never rows-sized — no
+    *     SortExec touches the data) locates each target's spanning
+    *     bucket via a (g, lo, hi) join back to the open targets.
+    *
+    * All interval arithmetic runs in DECIMAL(38,0) with
+    * IntegralDivide (the [[radixQuantiles]] overflow discipline —
+    * fanout-2 widths up to 2^63 stay exact). Output, rank definition,
+    * and null handling are identical to [[radixQuantiles]]; the spec
+    * pins equality and the q100 gate runs this form at ~10⁴ groups
+    * against the ROW_NUMBER oracle. */
+  def radixQuantilesManyGroups(df: DataFrame, grp: Column, value: Column,
+                               quantiles: Seq[Quantile],
+                               fanout: Int = 65536): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(fanout >= 2, "fanout must be at least 2")
+    val spark = df.sparkSession
+    val keyed = keyedOf(df, grp, value)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // exact integer floor division that STAYS IN DECIMAL: `div`
+    // (IntegralDivide) returns BIGINT, which a fanout-2 split of the
+    // full 64-bit domain overflows (width 2^63) — where the
+    // driver-state form must refuse, this form subtracts the pmod
+    // remainder first so the decimal division is an exact integer
+    // (representable at any result scale; no scale-6 rounding can
+    // flip a boundary) and every fanout ≥ 2 is in-range
+    val floorDiv = (a: Column, b: Column) =>
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    // materialize loop state with RESET size stats: localCheckpoint
+    // alone propagates the checkpointed plan's sizeInBytes, and since
+    // each pass joins the checkpoint with a frame derived from the
+    // same checkpoint, the estimate would square per pass — see
+    // [[org.apache.spark.sql.GraftColumnBridge.resetStats]]
+    val materialize = (d: DataFrame) =>
+      org.apache.spark.sql.GraftColumnBridge.resetStats(d.localCheckpoint())
+    import spark.implicits._
+    val qdf = quantiles.zipWithIndex
+      .map { case (q, qi) => (qi, q.num, q.den) }.toDF("qi", "num", "den")
+    // one partial-aggregated stats pass; the type-1 rank in
+    // decimal so (n−1)·num cannot overflow before the division
+    var targets = keyed.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
+        max(col("x")).as("hi"))
+      .crossJoin(broadcast(qdf))
+      .select(col("g"), col("qi"), col("lo"), col("hi"),
+        (floorDiv(dec(col("n") - 1) * dec(col("num")), dec(col("den")))
+          .cast("long") + lit(1)).as("r"))
+    targets = materialize(targets)
+    val nTargets = targets.count()
+    var doneDf = targets.filter(lit(false))
+      .select(col("g"), col("qi"), col("lo").as("x"))
+    var pass = 0
+    var bounds: Row = null
+    // one O(1) driver action decides continuation AND fetches the
+    // global bounds literal for the scan filter (targets is always
+    // freshly checkpointed here, so the filters below are free)
+    def openBounds(): Boolean = {
+      doneDf = doneDf.unionByName(targets.filter(col("lo") === col("hi"))
+        .select(col("g"), col("qi"), col("lo").as("x")))
+      targets = targets.filter(col("lo") =!= col("hi"))
+      bounds = targets.agg(count(lit(1)), min(col("lo")), max(col("hi")))
+        .head()
+      bounds.getLong(0) > 0
+    }
+    while (openBounds()) {
+      pass += 1
+      require(pass <= 64,
+        "radix descent did not converge in 64 passes — impossible " +
+          "unless the input changed between passes")
+      // interval width ceil((hi−lo+1)/fanout) in decimal (fanout-2
+      // splits of the full domain exceed Long); derived from the
+      // checkpointed targets, so both uses recompute it for free
+      val intervals = targets.select(col("g"), col("lo"), col("hi"))
+        .distinct()
+        .withColumn("w",
+          floorDiv(dec(col("hi")) - dec(col("lo")) + lit(fanout),
+            dec(lit(fanout))))
+      // the global bounds literal is the only scan-reachable filter
+      // (per-group ranges live on the join's other side) — after
+      // pass 1 it prunes row groups outside the surviving envelope
+      val b0 = bounds
+      val counts = keyed
+        .filter(col("x") >= lit(b0.getLong(1)) &&
+          col("x") <= lit(b0.getLong(2)))
+        .join(intervals.withColumnRenamed("g", "ig"),
+          col("g") === col("ig") &&
+            col("x") >= col("lo") && col("x") <= col("hi"))
+        .groupBy(col("g"), col("lo"), col("hi"), col("w"),
+          floorDiv(dec(col("x")) - dec(col("lo")), dec(col("w")))
+            .cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"), col("lo"), col("hi"))
+        .orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = counts.withColumn("cum", sum(col("c")).over(win))
+      // each target matches exactly the one bucket spanning its rank;
+      // new bounds in decimal, clamped at hi — always back in Long
+      targets = targets.join(
+          cum.select(col("g"), col("lo"), col("hi"), col("w"),
+            col("b"), col("c"), col("cum")),
+          Seq("g", "lo", "hi"))
+        .filter(col("r") > col("cum") - col("c") && col("r") <= col("cum"))
+        .select(col("g"), col("qi"),
+          (dec(col("lo")) + dec(col("w")) * dec(col("b")))
+            .cast("long").as("lo2"),
+          least(dec(col("lo")) + dec(col("w")) * (dec(col("b")) + lit(1)) -
+            lit(1), dec(col("hi"))).cast("long").as("hi2"),
+          (col("r") - (col("cum") - col("c"))).as("r"))
+        .withColumnsRenamed(Map("lo2" -> "lo", "hi2" -> "hi"))
+      targets = materialize(targets)
+    }
+    // every initial target must have descended to a solved value — a
+    // target silently dropped by the bucket join (impossible unless
+    // the input changed between passes) must fail, not thin the output
+    doneDf = doneDf.localCheckpoint()
+    val nSolved = doneDf.count()
+    require(nSolved == nTargets,
+      s"solved $nSolved of $nTargets targets — the input changed " +
+        "between descent passes")
+    // assemble: one row per group, quantiles as named columns
+    val aggs = quantiles.zipWithIndex.map { case (q, qi) =>
+      max(when(col("qi") === qi, col("x"))).as(q.name)
+    }
+    doneDf.groupBy(col("g").as("grp")).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ==== Incremental quantile store (q96) ====
   //
   // The q91/q92 persisted-state discipline applied to order

@@ -20,4 +20,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-wrap a materialized Dataset's internal RDD as a fresh
+    * `LogicalRDD` with DEFAULT size statistics.
+    *
+    * Why: `Dataset.localCheckpoint` propagates the checkpointed
+    * plan's estimated `sizeInBytes` into the `LogicalRDD` it returns.
+    * In an iterative operator whose next iteration joins the
+    * checkpoint with a frame derived FROM THE SAME checkpoint (the
+    * radix-descent loop: open targets ⋈ counts-over-intervals, both
+    * sides rooted at the targets checkpoint), the size estimate of
+    * iteration k+1 is a product of two copies of iteration k's — the
+    * BigInt's DIGIT COUNT doubles per iteration and
+    * `SizeInBytesOnlyStatsPlanVisitor`'s multiplications come to
+    * dominate the driver (Toom-Cook territory by ~20 iterations, the
+    * classic iterative-Spark stats explosion). Wrapping the same
+    * already-materialized RDD in a stats-free `LogicalRDD` resets the
+    * estimate to the conf default and keeps estimation bounded. */
+  def resetStats(df: Dataset[Row]): DataFrame = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
+    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, df.schema)
+  }
 }

@@ -105,6 +105,70 @@ class QuantilesSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  private def runMany(rows: Seq[(String, Long)],
+                      quantiles: Seq[Quantile] = qs,
+                      fanout: Int = 4096): Map[String, Seq[Long]] =
+    Quantiles.radixQuantilesManyGroups(rows.toDF("g", "x"), col("g"),
+        col("x"), quantiles, fanout)
+      .collect()
+      .map(r => r.getString(0) ->
+        quantiles.indices.map(i => r.getLong(i + 1)))
+      .toMap
+
+  test("many-groups variant equals brute force at 900 groups") {
+    // 800 groups of wildly varied sizes: singletons, all-equal,
+    // mega-skew, negatives — the in-plan state must match the
+    // driver-state descent bit-for-bit
+    val rows = (0 until 20000).map { i =>
+      val g = s"g${i % 800}"
+      val x = if (i % 800 < 10 && i % 3 == 0) -42L // mega-dup in tiny groups
+              else ((i * 2654435761L) % 100003L) - 50000L
+      (g, x)
+    } ++ (0 until 100).map(i => (s"solo$i", i.toLong)) // singleton groups
+    // brute force is the authority at this group count — the
+    // driver-state form's literal pushdown predicate is itself
+    // group-bounded (its contract), so equality with `run` is pinned
+    // on the small fixture below instead
+    assert(runMany(rows) === brute(rows, qs))
+  }
+
+  test("many-groups: small fanouts force deep descents, result unchanged") {
+    // range 1e5 at fanout 2 ≈ 17 passes — deep enough to exercise the
+    // loop without unit-test-hostile pass counts
+    val rows = (0 until 3000).map(i => (s"g${i % 13}", (i * 104729L) % 100003L))
+    assert(runMany(rows, qs, fanout = 2) === brute(rows, qs))
+    assert(runMany(rows, qs, fanout = 7) === brute(rows, qs))
+    assert(runMany(rows, qs) === run(rows, qs))
+  }
+
+  test("many-groups: full 64-bit domain stays exact even at fanout 2") {
+    // a fanout-2 split of the full domain has width 2^63 — beyond
+    // Long, where the driver-state form must refuse: the in-plan
+    // form's DECIMAL(38,0) interval arithmetic stays exact through
+    // all 64 descent passes
+    val rows = Seq(("x", Long.MinValue), ("x", -1L), ("x", 0L),
+      ("x", 1L), ("x", Long.MaxValue), ("y", Long.MinValue),
+      ("y", Long.MaxValue))
+    val mm = Seq(Quantile("min", 0, 1), Quantile("p50", 1, 2),
+      Quantile("max", 1, 1))
+    assert(runMany(rows, mm, fanout = 2) === brute(rows, mm))
+  }
+
+  test("many-groups: nulls excluded, empty input -> empty, schema kept") {
+    val df = Seq[(Option[String], Option[Long])](
+      (Some("g"), Some(1L)), (Some("g"), None), (None, Some(5L)),
+      (Some("g"), Some(3L))).toDF("g", "x")
+    val got = Quantiles.radixQuantilesManyGroups(df, col("g"), col("x"),
+        Seq(Quantile("p50", 1, 2)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("g" -> 1L))
+    val empty = Quantiles.radixQuantilesManyGroups(
+      Seq.empty[(String, Long)].toDF("g", "x"), col("g"), col("x"),
+      Seq(Quantile("p50", 1, 2)))
+    assert(empty.columns.toSeq === Seq("grp", "p50"))
+    assert(empty.count() === 0)
+  }
+
   private def served(store: String, rows: Seq[(String, Long)],
                      quantiles: Seq[Quantile] = qs): Map[String, Seq[Long]] =
     Quantiles.quantilesFromStore(spark, store, rows.toDF("g", "x"),
