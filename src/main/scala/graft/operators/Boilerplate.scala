@@ -171,8 +171,6 @@ object Boilerplate {
   //    predicate is the contrapositive, not a heuristic.
   // ---------------------------------------------------------------
 
-  private def metaPath(path: String): String = s"${path}_meta"
-
   /** Auto eps (sentinel −1): a quarter of nothing — near-threshold
     * width 4, clamped below minDocs. eps = 0 disables the sidecar
     * (every potentially-crossing line escalates to a full counts
@@ -185,41 +183,36 @@ object Boilerplate {
       eps
     } else math.max(0L, math.min(4L, minDocs - 1))
 
+  /** The boilerplate store's meta row shape — shared with the
+    * streaming twin's staged meta artifact (identical schema; promote
+    * copies its files into the live meta dir). */
+  private def boilerMetaFields(maxDoc: Long, minDocs: Long, nBuckets: Int,
+                               nDocBuckets: Int,
+                               eps: Long): Seq[(String, Any)] =
+    Seq("max_doc" -> maxDoc, "min_docs" -> minDocs,
+      "n_buckets" -> nBuckets, "n_doc_buckets" -> nDocBuckets,
+      "eps" -> eps)
+
   private[graft] def writeMeta(spark: SparkSession, path: String,
                                maxDoc: Long, minDocs: Long, nBuckets: Int,
                                nDocBuckets: Int, eps: Long,
-                               mode: String): Unit = {
-    import spark.implicits._
-    Seq((maxDoc, minDocs, nBuckets, nDocBuckets, eps))
-      .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets", "eps")
-      .coalesce(1)
-      .write.mode(mode).parquet(metaPath(path))
-  }
+                               mode: String): Unit =
+    StoreMeta.write(spark, path, mode,
+      boilerMetaFields(maxDoc, minDocs, nBuckets, nDocBuckets, eps))
 
-  /** Validate layout params against the store's meta (the d26/q92
-    * loud-mismatch discipline — a silently different minDocs or
-    * bucket count mis-prunes or mis-thresholds with no error) and
-    * return (ingest high-water mark, pinned eps). eps is READ, never
-    * passed — the Quantiles `cell_bits` free-parameter-removed
-    * discipline. */
+  /** Validate layout params against the store's meta ([[StoreMeta]] —
+    * a silently different minDocs or bucket count mis-prunes or
+    * mis-thresholds with no error) and return (ingest high-water
+    * mark, pinned eps). eps is READ, never passed — the Quantiles
+    * `cell_bits` free-parameter-removed discipline. */
   private[graft] def readMeta(spark: SparkSession, path: String,
                               minDocs: Long, nBuckets: Int,
                               nDocBuckets: Int): (Long, Long) = {
-    val rows = spark.read.parquet(metaPath(path)).collect()
-    require(rows.nonEmpty, s"no _meta at ${metaPath(path)}")
-    rows.foreach { meta =>
-      require(meta.getAs[Long]("min_docs") == minDocs &&
-          meta.getAs[Int]("n_buckets") == nBuckets &&
-          meta.getAs[Int]("n_doc_buckets") == nDocBuckets,
-        s"store layout mismatch: built with " +
-          s"(minDocs=${meta.getAs[Long]("min_docs")}, " +
-          s"nBuckets=${meta.getAs[Int]("n_buckets")}, " +
-          s"nDocBuckets=${meta.getAs[Int]("n_doc_buckets")}), called with " +
-          s"(minDocs=$minDocs, nBuckets=$nBuckets, nDocBuckets=$nDocBuckets)")
-    }
-    val eps = rows.map(_.getAs[Long]("eps")).distinct
-    require(eps.size == 1, s"boilerplate store meta eps inconsistent: $eps")
-    (rows.map(_.getAs[Long]("max_doc")).max, eps.head)
+    val rows = StoreMeta.readRequire(spark, path,
+      Seq("min_docs" -> minDocs, "n_buckets" -> nBuckets,
+        "n_doc_buckets" -> nDocBuckets))
+    (StoreMeta.maxLong(rows, "max_doc"),
+      StoreMeta.pinnedOf[Long](rows, path, "eps"))
   }
 
   /** The sidecar's one frame shape: qualifying (line, nd) rows plus
@@ -495,16 +488,14 @@ object Boilerplate {
     val s = if (sRow.isNullAt(0)) oldAsOf
             else math.max(oldAsOf, sRow.getLong(0))
     // thresholds come from the pinned meta, not the caller
-    val metaRows = spark.read.parquet(metaPath(path)).collect()
-    val minDocs = metaRows.map(_.getAs[Long]("min_docs")).distinct
-    val eps = metaRows.map(_.getAs[Long]("eps")).distinct
-    require(minDocs.size == 1 && eps.size == 1,
-      s"boilerplate store meta inconsistent: min_docs $minDocs eps $eps")
+    val metaRows = StoreMeta.readRequire(spark, path, Nil)
+    val minDocs = StoreMeta.pinnedOf[Long](metaRows, path, "min_docs")
+    val eps = StoreMeta.pinnedOf[Long](metaRows, path, "eps")
     // EAGER before any swap: the new sidecar reads the live counts
     val newSidecar = sidecarFrame(spark,
         counts.join(broadcast(dict), Seq("line"), "left_anti")
           .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd"))
-          .filter(col("nd") >= minDocs.head - eps.head),
+          .filter(col("nd") >= minDocs - eps),
         s)
       .localCheckpoint()
     StoreCompaction.rewriteFlatStore(spark, s"$path/sidecar",
@@ -545,9 +536,8 @@ object Boilerplate {
       () => a.dictApp.write.parquet(staging.resolve("dict").toString),
       () => a.changelog.withColumn("seq", lit(seq))
         .write.parquet(staging.resolve("out").toString)))
-    import spark.implicits._
-    Seq((a.newMax, minDocs, nBuckets, nDocBuckets, a.eps))
-      .toDF("max_doc", "min_docs", "n_buckets", "n_doc_buckets", "eps")
+    StoreMeta.frame(spark,
+        boilerMetaFields(a.newMax, minDocs, nBuckets, nDocBuckets, a.eps))
       .coalesce(1).write.parquet(staging.resolve("meta").toString)
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
   }

@@ -621,51 +621,41 @@ object DedupSuite {
         sum(col("cov")).cast("bigint").as("n_removed"))
   }
 
-  private def substrMetaPath(path: String): String = s"${path}_meta"
-
   /** The store's layout parameters ride in its `_meta` file alongside
     * the ingest high-water mark: `l` and `hashKeys` define what a
     * window KEY IS, and `nBuckets` defines where a key LIVES — a fold
     * run with any of them different would silently mis-join keys or
     * prune the wrong bucket partitions (keeping batch duplicates of
     * stored text with no error), so [[readSubstrMeta]] requires
-    * equality loudly, the same discipline as the MG summary's
-    * stored-k check. The meta is APPEND-ONLY past the build (one row
-    * per ingest; readers take the max high-water mark and validate
-    * every row's layout): an append promotes idempotently under a
-    * deterministic file name, which is what lets the streaming twin
-    * replay a crashed batch without a read-modify-write window. */
+    * equality loudly ([[StoreMeta]]). The meta is APPEND-ONLY past the
+    * build (one row per ingest; readers take the max high-water mark
+    * and validate every row's layout): an append promotes
+    * idempotently under a deterministic file name, which is what lets
+    * the streaming twin replay a crashed batch without a
+    * read-modify-write window. [[substrMetaFields]] is the row shape,
+    * shared with the streaming twin's staged meta artifact. */
   private def writeSubstrMeta(spark: org.apache.spark.sql.SparkSession,
                               path: String, maxDoc: Long, l: Int,
                               nBuckets: Int, hashKeys: Boolean,
-                              mode: String): Unit = {
-    import spark.implicits._
-    Seq((maxDoc, l, nBuckets, hashKeys))
-      .toDF("max_doc", "l", "n_buckets", "hash_keys")
-      .coalesce(1)
-      .write.mode(mode).parquet(substrMetaPath(path))
-  }
+                              mode: String): Unit =
+    StoreMeta.write(spark, path, mode,
+      substrMetaFields(maxDoc, l, nBuckets, hashKeys))
+
+  private[graft] def substrMetaFields(maxDoc: Long, l: Int, nBuckets: Int,
+                                      hashKeys: Boolean): Seq[(String, Any)] =
+    Seq("max_doc" -> maxDoc, "l" -> l, "n_buckets" -> nBuckets,
+      "hash_keys" -> hashKeys)
 
   /** Validate the store's layout against the caller's parameters and
     * return the ingest high-water mark (max over the append-only meta
     * rows). Loud on any mismatch — see [[writeSubstrMeta]]. */
   private[graft] def readSubstrMeta(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      l: Int, nBuckets: Int, hashKeys: Boolean): Long = {
-    val rows = spark.read.parquet(substrMetaPath(path)).collect()
-    require(rows.nonEmpty, s"no _meta at ${substrMetaPath(path)}")
-    rows.foreach { meta =>
-      require(meta.getAs[Int]("l") == l &&
-          meta.getAs[Int]("n_buckets") == nBuckets &&
-          meta.getAs[Boolean]("hash_keys") == hashKeys,
-        s"store layout mismatch: built with (l=${meta.getAs[Int]("l")}, " +
-          s"nBuckets=${meta.getAs[Int]("n_buckets")}, " +
-          s"hashKeys=${meta.getAs[Boolean]("hash_keys")}), fold called " +
-          s"with (l=$l, nBuckets=$nBuckets, hashKeys=$hashKeys) — a " +
-          "mismatch mis-keys or mis-buckets silently")
-    }
-    rows.map(_.getAs[Long]("max_doc")).max
-  }
+      l: Int, nBuckets: Int, hashKeys: Boolean): Long =
+    StoreMeta.maxLong(
+      StoreMeta.readRequire(spark, path, Seq("l" -> l,
+        "n_buckets" -> nBuckets, "hash_keys" -> hashKeys)),
+      "max_doc")
 
   private def substrWithBucket(agg: DataFrame, nBuckets: Int): DataFrame =
     agg.withColumn("bucket", pmod(crc32(col("wkey")), lit(nBuckets.toLong)))

@@ -198,27 +198,20 @@ object HeavyHitters {
       .repartition(col("bucket")) // bucket-aligned: nBuckets file sets,
       // not shufflePartitions x nBuckets tiny files
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    import df.sparkSession.implicits._
-    Seq(nBuckets).toDF("n_buckets")
-      .write.mode("overwrite").parquet(keyStoreMetaPath(path))
+    StoreMeta.write(df.sparkSession, path, "overwrite",
+      Seq("n_buckets" -> nBuckets))
   }
-
-  private def keyStoreMetaPath(path: String): String = s"${path}_meta"
 
   /** `nBuckets` defines where a key LIVES in the store layout; an
     * append or pruned read run with a different value writes to /
     * prunes the WRONG bucket partitions — silently wrong results, no
-    * error. The build persists it in `_meta`; every later store
-    * operation requires equality loudly (the MG summary's stored-k
-    * discipline). */
+    * error. The build pins it in `_meta`; every later store operation
+    * requires equality loudly ([[StoreMeta]] — the MG summary's
+    * stored-k discipline). */
   private def requireStoreBuckets(spark: org.apache.spark.sql.SparkSession,
                                   path: String, nBuckets: Int): Unit = {
-    val stored = spark.read.parquet(keyStoreMetaPath(path))
-      .select(col("n_buckets")).head().getInt(0)
-    require(stored == nBuckets,
-      s"key store at $path was built with nBuckets=$stored, " +
-        s"operation called with nBuckets=$nBuckets — a mismatch " +
-        "mis-buckets keys silently")
+    StoreMeta.readRequire(spark, path, Seq("n_buckets" -> nBuckets))
+    ()
   }
 
   /** Fold a batch into a [[buildKeyStore]] layout: append-only (no

@@ -120,31 +120,28 @@ object Pack {
   // over the full corpus bit-exactly — the q98/s17 gate.
   // ---------------------------------------------------------------
 
-  private def metaPath(path: String): String = s"${path}_meta"
-
   private def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
                             path: String, maxDoc: Long, tokenDelta: Long,
-                            seqLen: Long, mode: String): Unit = {
-    import spark.implicits._
-    Seq((maxDoc, tokenDelta, seqLen))
-      .toDF("max_doc", "token_delta", "seq_len")
-      .coalesce(1).write.mode(mode).parquet(metaPath(path))
-  }
+                            seqLen: Long, mode: String): Unit =
+    StoreMeta.write(spark, path, mode, spanMetaFields(maxDoc, tokenDelta,
+      seqLen))
 
-  /** Validate `seqLen` against the store and return
+  /** The span store's meta row shape — shared with the streaming
+    * twin's STAGED meta artifact, which must write the identical
+    * schema (promote copies its files into the live meta dir). */
+  private[graft] def spanMetaFields(maxDoc: Long, tokenDelta: Long,
+                                    seqLen: Long): Seq[(String, Any)] =
+    Seq("max_doc" -> maxDoc, "token_delta" -> tokenDelta,
+      "seq_len" -> seqLen)
+
+  /** Validate `seqLen` against the store ([[StoreMeta]] — a different
+    * seqLen re-chunks the whole stream) and return
     * (docHighWater, tokenHighWater). */
   private[graft] def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
                                   path: String, seqLen: Long): (Long, Long) = {
-    val rows = spark.read.parquet(metaPath(path)).collect()
-    require(rows.nonEmpty, s"no _meta at ${metaPath(path)}")
-    rows.foreach { meta =>
-      require(meta.getAs[Long]("seq_len") == seqLen,
-        s"span store layout mismatch: built with " +
-          s"seqLen=${meta.getAs[Long]("seq_len")}, called with " +
-          s"seqLen=$seqLen — a different seqLen re-chunks the stream")
-    }
-    (rows.map(_.getAs[Long]("max_doc")).max,
-      rows.map(_.getAs[Long]("token_delta")).sum)
+    val rows = StoreMeta.readRequire(spark, path, Seq("seq_len" -> seqLen))
+    (StoreMeta.maxLong(rows, "max_doc"),
+      StoreMeta.sumLong(rows, "token_delta"))
   }
 
   /** Initialize the incremental span store (just its meta — see the

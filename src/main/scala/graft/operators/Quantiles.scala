@@ -404,8 +404,6 @@ object Quantiles {
   // row-group min/max skip everything else). Unlike a sketch
   // (t-digest/KLL), the answers stay EXACT at every rank.
 
-  private def quantileMetaPath(path: String): String = s"${path}_meta"
-
   /** Per-(g, cell) counts of `keyed` at the store's resolution. */
   private def cellCounts(keyed: DataFrame, cellBits: Int): DataFrame =
     keyed.groupBy(col("g"),
@@ -415,15 +413,11 @@ object Quantiles {
   /** The store's one layout parameter, pinned in `_meta` at build
     * time and READ (never passed) by fold and serve — a mismatched
     * resolution is impossible by construction, the loud-pinning
-    * discipline with the free parameter removed entirely. */
-  private def readQuantileMeta(spark: SparkSession, path: String): Int = {
-    val rows = spark.read.parquet(quantileMetaPath(path)).collect()
-    require(rows.nonEmpty, s"no _meta at ${quantileMetaPath(path)}")
-    val bits = rows.map(_.getAs[Int]("cell_bits")).distinct
-    require(bits.size == 1,
-      s"quantile store meta is inconsistent: cell_bits $bits")
-    bits.head
-  }
+    * discipline ([[StoreMeta]]) with the free parameter removed
+    * entirely. */
+  private def readQuantileMeta(spark: SparkSession, path: String): Int =
+    StoreMeta.pinnedOf[Int](
+      StoreMeta.readRequire(spark, path, Nil), path, "cell_bits")
 
   /** Initialize a persisted cell-count store: one row per (group,
     * cell = x >> cellBits), counts over `df`'s non-null (grp, value)
@@ -438,9 +432,7 @@ object Quantiles {
     val spark = df.sparkSession
     cellCounts(keyedOf(df, grp, value), cellBits)
       .coalesce(1).write.mode("overwrite").parquet(path)
-    import spark.implicits._
-    Seq(cellBits).toDF("cell_bits").coalesce(1)
-      .write.mode("overwrite").parquet(quantileMetaPath(path))
+    StoreMeta.write(spark, path, "overwrite", Seq("cell_bits" -> cellBits))
   }
 
   /** Fold a batch into the store: append its per-cell counts — counts

@@ -566,13 +566,10 @@ object Similarity {
       // so the store is nClusters files, not tasks × clusters
       .repartition(col("cpart"))
       .write.mode("overwrite").partitionBy("cpart").parquet(path)
-    import vectors.sparkSession.implicits._
-    Seq((tau, keepFarthest, centroidFingerprint(centroids)))
-      .toDF("tau", "keep_farthest", "centroid_fp")
-      .write.mode("overwrite").parquet(semMetaPath(path))
+    StoreMeta.write(vectors.sparkSession, path, "overwrite",
+      Seq("tau" -> tau, "keep_farthest" -> keepFarthest,
+        "centroid_fp" -> centroidFingerprint(centroids)))
   }
-
-  private def semMetaPath(path: String): String = s"${path}_meta"
 
   /** Order-independent fingerprint of a frozen centroid frame:
     * bit_xor of per-row xxhash64 over (centroid_id, 10-bit
@@ -611,18 +608,11 @@ object Similarity {
                         path: String, batch: DataFrame, idCol: String,
                         vecCol: String, tau: Double, centroids: DataFrame,
                         keepFarthest: Boolean = false): Unit = {
-    val meta = spark.read.parquet(semMetaPath(path)).head()
-    require(meta.getAs[Double]("tau") == tau &&
-        meta.getAs[Boolean]("keep_farthest") == keepFarthest &&
-        meta.getAs[Long]("centroid_fp") == centroidFingerprint(centroids),
-      s"SemDeDup state at $path was built with (tau=" +
-        s"${meta.getAs[Double]("tau")}, keepFarthest=" +
-        s"${meta.getAs[Boolean]("keep_farthest")}, centroid_fp=" +
-        s"${meta.getAs[Long]("centroid_fp")}); fold called with (tau=" +
-        s"$tau, keepFarthest=$keepFarthest, centroid_fp=" +
-        s"${centroidFingerprint(centroids)}) — a mismatched tau/rule " +
-        "mis-classifies pairs and moved centroids re-assign old " +
-        "members, both silently")
+    // a mismatched tau/rule mis-classifies pairs and moved centroids
+    // re-assign old members, both silently — [[StoreMeta]] loudness
+    StoreMeta.readRequire(spark, path,
+      Seq("tau" -> tau, "keep_farthest" -> keepFarthest,
+        "centroid_fp" -> centroidFingerprint(centroids)))
     val bm = assignSemMembers(batch, centroids, idCol, vecCol)
       .localCheckpoint()
     val clusters = bm.select(col("centroid_id")).distinct()

@@ -367,9 +367,9 @@ object StreamingJobs {
         .write.partitionBy("bucket")
         .parquet(staging.resolve("delta").toString),
       () => out.write.parquet(staging.resolve("out").toString)))
-    import spark.implicits._
-    Seq((newMax, l, nBuckets, hashKeys))
-      .toDF("max_doc", "l", "n_buckets", "hash_keys")
+    graft.operators.StoreMeta.frame(spark,
+        graft.operators.DedupSuite.substrMetaFields(newMax, l, nBuckets,
+          hashKeys))
       .coalesce(1).write.parquet(staging.resolve("meta").toString)
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
   }
@@ -605,9 +605,8 @@ object StreamingJobs {
     val (spans, newMax, delta) = graft.operators.Pack.computeSpanFold(
       spark, storePath, batch, "doc_id", col("n"), seqLen, docsPerShard)
     spans.write.parquet(staging.resolve("out").toString)
-    import spark.implicits._
-    Seq((newMax, delta, seqLen))
-      .toDF("max_doc", "token_delta", "seq_len")
+    graft.operators.StoreMeta.frame(spark,
+        graft.operators.Pack.spanMetaFields(newMax, delta, seqLen))
       .coalesce(1).write.parquet(staging.resolve("meta").toString)
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
   }

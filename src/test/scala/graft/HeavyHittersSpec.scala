@@ -198,12 +198,12 @@ class HeavyHittersSpec extends SparkSpec {
     val eA = intercept[IllegalArgumentException] {
       HeavyHitters.appendToKeyStore(batch, col("k"), s"$root/store", 8)
     }
-    assert(eA.getMessage.contains("nBuckets"))
+    assert(eA.getMessage.contains("n_buckets"))
     val eR = intercept[IllegalArgumentException] {
       HeavyHitters.candidateStoreRows(spark, s"$root/store",
         candidates, 8).count()
     }
-    assert(eR.getMessage.contains("nBuckets"))
+    assert(eR.getMessage.contains("n_buckets"))
   }
 
   test("stored summary built with a different k is rejected loudly") {

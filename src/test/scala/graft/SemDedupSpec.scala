@@ -233,7 +233,7 @@ class SemDedupSpec extends SparkSpec {
         "vec_id", "embedding", tau = 0.95, centroids = cents,
         keepFarthest = true)
     }
-    assert(wrongRule.getMessage.contains("keepFarthest"))
+    assert(wrongRule.getMessage.contains("keep_farthest"))
     val moved = Seq((0L, lean(0.31f))).toDF("centroid_id", "centroid_vec")
     val wrongCents = intercept[IllegalArgumentException] {
       Similarity.foldSemDedupState(spark, s"$root/state", batch2,
