@@ -515,13 +515,16 @@ object Boilerplate {
     * high-water row, and the changelog (stamped `seq`). `_SUCCESS`
     * is written strictly last — its presence freezes the staging, so
     * a crash-replay reuses it verbatim and never recomputes against
-    * a half-promoted store. */
+    * a half-promoted store. Returns the changelog frame (derived only
+    * from checkpointed inputs, so it stays valid after the staging is
+    * swept) — the batch [[fold]] returns it directly instead of
+    * re-reading its own staged copy. */
   private[graft] def stageFold(spark: SparkSession, path: String,
                                staging: java.nio.file.Path,
                                batch: DataFrame, idCol: String,
                                textCol: String, minDocs: Long,
                                nBuckets: Int, nDocBuckets: Int,
-                               seq: Long): Unit = {
+                               seq: Long): DataFrame = {
     StoreFiles.deleteRecursively(staging)
     val a = computeFold(spark, path, batch, idCol, textCol, minDocs,
       nBuckets, nDocBuckets)
@@ -540,6 +543,7 @@ object Boilerplate {
         boilerMetaFields(a.newMax, minDocs, nBuckets, nDocBuckets, a.eps))
       .coalesce(1).write.parquet(staging.resolve("meta").toString)
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
+    a.changelog
   }
 
   /** Promote a committed staging into the live sub-stores under
@@ -609,15 +613,19 @@ object Boilerplate {
       s"fold $foldId was already applied (its changelog was returned " +
         "then) — replaying a completed fold violates the " +
         "monotonic-ingest contract")
-    if (!Files.exists(staging.resolve("_SUCCESS")))
-      stageFold(spark, path, staging, batch, idCol, textCol, minDocs,
-        nBuckets, nDocBuckets, seq = foldId)
+    val fresh =
+      if (Files.exists(staging.resolve("_SUCCESS"))) None
+      else Some(stageFold(spark, path, staging, batch, idCol, textCol,
+        minDocs, nBuckets, nDocBuckets, seq = foldId))
     promoteFold(path, staging, s"bfold$foldId", None)
-    // secure the changelog BEFORE the commit point: the staged copy
-    // is the only one that survives a crash-replay
-    val changelog = spark.read.parquet(staging.resolve("out").toString)
-      .select(col(idCol), col("clean_text"), col("n_removed"))
-      .localCheckpoint()
+    // the freshly staged changelog derives only from checkpointed
+    // inputs (valid after the sweep below); a crash-replay has no
+    // in-memory frame, so it secures the frozen staged copy BEFORE
+    // the commit point
+    val changelog = fresh.getOrElse(
+      spark.read.parquet(staging.resolve("out").toString)
+        .select(col(idCol), col("clean_text"), col("n_removed"))
+        .localCheckpoint())
     Files.createFile(marker)
     StoreFiles.deleteRecursively(staging)
     changelog

@@ -524,10 +524,12 @@ object StreamingJobs {
                                           batch: org.apache.spark.sql.DataFrame,
                                           batchId: Long, minDocs: Long,
                                           nBuckets: Int,
-                                          nDocBuckets: Int): Unit =
+                                          nDocBuckets: Int): Unit = {
     graft.operators.Boilerplate.stageFold(spark, storePath, staging,
       batch, "doc_id", "text", minDocs, nBuckets, nDocBuckets,
       seq = batchId)
+    ()
+  }
 
   /** Promote step of [[foldBoilerplateBatchIdempotent]]: copy the
     * committed staging into the live sub-stores under DETERMINISTIC
