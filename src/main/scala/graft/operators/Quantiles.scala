@@ -269,7 +269,18 @@ object Quantiles {
     * fanout-2 widths up to 2^63 stay exact). Output, rank definition,
     * and null handling are identical to [[radixQuantiles]]; the spec
     * pins equality and the q100 gate runs this form at ~10⁴ groups
-    * against the ROW_NUMBER oracle. */
+    * against the ROW_NUMBER oracle; ManyGroupsQuantilesSoak pins it
+    * at 2×10⁵ groups with a 10 M-row mega-group.
+    *
+    * WHEN TO USE WHICH (measured cost model, not a guess): pass-1's
+    * count table is bounded by distinct (group, bucket) pairs ≤ rows,
+    * so with near-unique spread values each pass costs about one
+    * partitioned sort — q26 / a window sort is then CHEAPER (soak:
+    * 13.5 s vs 93.9 s at 20 M rows / 200 k sortable groups). This
+    * form is for the regimes a sort cannot enter: a group too large
+    * for one task's sorter (selection never buffers a group) or
+    * duplicate-heavy / narrow-range values (counts ≪ rows), combined
+    * with group counts beyond [[radixQuantiles]]'s driver state. */
   def radixQuantilesManyGroups(df: DataFrame, grp: Column, value: Column,
                                quantiles: Seq[Quantile],
                                fanout: Int = 65536): DataFrame = {
