@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scale soak for t15 BPE training (dev tool): the incremental
+/** Scale soak for t15/t16 BPE (dev tool): the BATCHED incremental
   * pair-count trainer vs the recount trainer at a REAL merge count
-  * (k = 512, override via SPARK_GRAFT_BPE_K) over a ~100k-word
+  * (k = 2048, override via SPARK_GRAFT_BPE_K) over a ~100k-word
   * hex-alphabet vocabulary (16 base symbols — the byte-level-BPE
   * shape, where the pair table starts at ≤ 256 rows and grows only
   * with learned symbols).
@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * Claims verified at volume:
   *  - EXACTNESS: both trainers emit the identical merge table
   *    (rank, lhs, rhs, cnt) for all k merges;
-  *  - ECONOMICS: the recount form pays k vocabulary-sized explode +
-  *    shuffle rounds; the incremental form pays k pair-table-sized
-  *    delta aggregations plus amortized state rewrites — the soak
-  *    prints both wall-clocks and their ratio.
+  *  - ECONOMICS: the recount form pays 2 vocabulary-sized jobs per
+  *    merge (2k driver round-trips); the batched incremental form
+  *    pays ~k/acceptance delta jobs — the soak counts ACTUAL Spark
+  *    jobs on both sides (the fixed-latency figure that dominates at
+  *    real k) alongside the wall-clocks;
+  *  - ENCODING at real k: the learned table is applied through the
+  *    chunked [[graft.functions.Bpe.encodeTokenCounts]] under
+  *    CODEGEN_ONLY (a codegen fallback — the silent failure mode of a
+  *    k-deep replace chain — THROWS instead), and two different chunk
+  *    boundaries must agree token-for-token.
   *
   * Deterministic fixture (md5 of id arithmetic, no RNG).
   * `sbt "runMain graft.BpeSoak"` — one JSON line.
@@ -27,7 +33,16 @@ object BpeSoak {
       val t0 = System.nanoTime(); val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    val k = sys.env.get("SPARK_GRAFT_BPE_K").map(_.toInt).getOrElse(512)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    def jobsOf[A](body: => A): (A, Int) = {
+      val s = jobs.get(); val a = body; (a, jobs.get() - s)
+    }
+    val k = sys.env.get("SPARK_GRAFT_BPE_K").map(_.toInt).getOrElse(2048)
     val vocab = 100000L
     val rows = 1000000L
     val path = "target/soak/bpe/docs.parquet"
@@ -43,27 +58,49 @@ object BpeSoak {
       .repartition(32).write.mode("overwrite").parquet(path)
     val docs = spark.read.parquet(path)
 
-    val (inc, tInc) = time {
-      graft.functions.Bpe.bpeTrainIncremental(docs, "text", k)
-        .collect().map(r =>
-          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq
+    val ((inc, jInc), tInc) = time {
+      jobsOf {
+        graft.functions.Bpe.bpeTrainIncremental(docs, "text", k)
+          .collect().map(r =>
+            (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+      }
     }
-    val (rec, tRec) = time {
-      graft.functions.Bpe.bpeTrain(docs, "text", k)
-        .collect().map(r =>
-          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq
+    val ((rec, jRec), tRec) = time {
+      jobsOf {
+        graft.functions.Bpe.bpeTrain(docs, "text", k)
+          .collect().map(r =>
+            (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+      }
     }
     val equal = inc == rec
     require(equal, s"incremental and recount merge tables diverge " +
       s"(first diff at rank ${inc.zip(rec).indexWhere(p => p._1 != p._2) + 1})")
     require(inc.size == k, s"expected $k merges, got ${inc.size}")
+
+    // encoding at real k: chunked application, fallback = failure
+    val mergeList = inc.map(m => (m._2, m._3))
+    val (nTokens, tEnc) = time {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      try {
+        val a = graft.functions.Bpe.encodeTokenCounts(docs, "text", mergeList)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val b = graft.functions.Bpe
+          .encodeTokenCounts(docs, "text", mergeList, chunk = 100)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        require(a == b, "encode changed across chunk boundaries")
+        a.size
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
     println(
       s"""{"metric":"bpe_soak","k":$k,"vocab":$vocab,"rows":$rows,""" +
         s""""sec_incremental":${"%.1f".format(tInc)},""" +
         s""""sec_recount":${"%.1f".format(tRec)},""" +
-        s""""speedup":${"%.2f".format(tRec / tInc)},"equal":$equal}""")
+        s""""speedup":${"%.2f".format(tRec / tInc)},""" +
+        s""""jobs_incremental":$jInc,"jobs_recount":$jRec,""" +
+        s""""sec_encode":${"%.1f".format(tEnc)},""" +
+        s""""encode_tokens":$nTokens,"equal":$equal}""")
     spark.stop()
   }
 }

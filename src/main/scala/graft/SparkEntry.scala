@@ -3293,6 +3293,36 @@ object SparkEntry {
             (col("p95") / 100.0).as("p95"))
       }),
 
+      // ---- auto-dispatched exact quantiles (q101): the prose cost
+      // model of the three exact forms made EXECUTABLE
+      // (Quantiles.chooseQuantileForm) — one cheap stats pass routes
+      // each input to sort (small sortable spread groups), the
+      // driver-state descent (duplicate-heavy, few groups), or the
+      // in-plan descent (duplicate-heavy, ~2k groups). Three inputs,
+      // one per regime at this SF, all against ONE ROW_NUMBER oracle:
+      // the dispatch must be invisible in the results.
+      "q101_auto_quantiles" -> ((s, dir) => {
+        import graft.operators.Quantiles
+        val qs2 = Seq(Quantiles.Quantile("p50", 50, 100),
+          Quantiles.Quantile("p90", 90, 100))
+        def shaped(df: DataFrame, src: String, g: Column): DataFrame =
+          Quantiles.exactQuantilesAuto(df, g, col("xl"), qs2)
+            .select(lit(src).as("src"), col("grp"),
+              col("p50").cast("bigint").as("p50"),
+              col("p90").cast("bigint").as("p90"))
+        val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("xl"))
+        val evDup = ev.select(col("event_type"),
+          pmod(col("xl"), lit(100L)).as("xl"))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"),
+            (col("l_quantity").cast("long") % 5).as("xl"))
+        shaped(ev, "spread", col("event_type"))
+          .unionByName(shaped(evDup, "dup_few", col("event_type")))
+          .unionByName(shaped(li, "dup_many", col("l_partkey")))
+      }),
+
       // ---- streaming (micro-batch over the events file; same oracle as q18;
       // runs in the shared concurrent pass — see runStreamPass/streamJobs) ----
       "s1_stream_tumbling" -> ((s, dir) =>
@@ -4925,6 +4955,35 @@ object SparkEntry {
         |       MAX(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN xl END) / 100.0 AS p50,
         |       MAX(CASE WHEN rn = ((n-1)*95)//100 + 1 THEN xl END) / 100.0 AS p95
         |FROM r GROUP BY 1""".stripMargin,
+
+    // q101: three regime-shaped inputs through the auto dispatcher,
+    // one ROW_NUMBER rank oracle — the form choice must be invisible
+    "q101_auto_quantiles" ->
+      """WITH ea AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xl
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |eb AS (SELECT grp, ((xl % 100) + 100) % 100 AS xl FROM ea),
+        |lc AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS grp,
+        |         CAST(l_quantity AS BIGINT) % 5 AS xl
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_partkey IS NOT NULL),
+        |u AS (
+        |  SELECT 'spread' AS src, grp, xl FROM ea
+        |  UNION ALL SELECT 'dup_few' AS src, grp, xl FROM eb
+        |  UNION ALL SELECT 'dup_many' AS src, grp, xl FROM lc),
+        |r AS (
+        |  SELECT src, grp, xl,
+        |         ROW_NUMBER() OVER (PARTITION BY src, grp
+        |                            ORDER BY xl ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY src, grp) AS n
+        |  FROM u)
+        |SELECT src, grp,
+        |       MAX(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN xl END) AS p50,
+        |       MAX(CASE WHEN rn = ((n-1)*90)//100 + 1 THEN xl END) AS p90
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "t7_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

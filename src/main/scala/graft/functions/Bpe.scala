@@ -103,6 +103,18 @@ object Bpe {
       (a, b) => struct(a.as("l"), b.as("r"), d.as("d")))
   }
 
+  /** [[pairArr]] with a batch-step tag `j` — the batched trainer's
+    * per-step delta shape. */
+  private def pairArrStep(s: org.apache.spark.sql.Column,
+                          d: org.apache.spark.sql.Column,
+                          j: Int): org.apache.spark.sql.Column = {
+    val sy = syms(s)
+    zip_with(
+      slice(sy, lit(1), size(sy) - 1),
+      slice(sy, lit(2), size(sy) - 1),
+      (a, b) => struct(a.as("l"), b.as("r"), d.as("d"), lit(j).as("j")))
+  }
+
   /** Learn the top-`k` BPE merges with PAIR-COUNT DELTA maintenance —
     * the same merge table as [[bpeTrain]] bit-for-bit (same counts,
     * same pinned tie-break), at the cost profile a real tokenizer
@@ -122,26 +134,53 @@ object Bpe {
     *    vocabulary-wide count (the only full pair derivation
     *    anywhere), updated additively per merge. Argmax and
     *    tie-break are a driver scan — no job at all.
-    *  - per merge, ONE Spark job: words whose current state contains
-    *    the merged pattern (a codegen'd `contains` filter — map-only
-    *    vocab scan, no explode, no shuffle for the non-matching
-    *    rest) emit their old pairs at −freq and post-merge pairs at
-    *    +freq in a single explode; the collected delta (pair-table-
-    *    bounded) folds into the driver map.
+    *  - merges are applied in BATCHES of guesses per Spark job (the
+    *    r14 trainer paid one driver-coordinated job per merge — a
+    *    real vocabulary, k ≈ 32 000, is then 32 000 sequential
+    *    round-trips of pure job latency). The guess for a batch of m
+    *    is simply the pinned-order TOP-m of the current pair table —
+    *    sharing symbols is allowed, because a shared symbol does not
+    *    imply a changed count, and exactness never rests on the
+    *    guess; ONE job computes the per-step count deltas of applying
+    *    the guessed sequence IN ORDER (words matching any batch
+    *    pattern emit, per step they change at, old pairs at −freq and
+    *    new pairs at +freq — valid for any sequence, interacting or
+    *    not).
+    *  - the driver VERIFIES each guess: step j is accepted only if
+    *    the exact table argmax — after folding the deltas of steps
+    *    < j — still equals guess j (pinned tie-break included); a
+    *    merge CAN reorder the top (decrementing an overlapping pair
+    *    below its neighbor, or promoting a freshly-created pair above
+    *    it), and on the first such mismatch the batch tail's deltas
+    *    are discarded, nothing having been mutated for them, and the
+    *    loop re-selects from the exact table. Every accepted merge is
+    *    therefore bit-identical to the one-at-a-time trainer; the
+    *    guess quality only buys the acceptance rate (adversarial
+    *    corpora degrade gracefully toward one merge per job, never
+    *    toward a wrong table).
+    *  - batch size is ADAPTIVE (AIMD on the live acceptance rate,
+    *    capped at `batchMerges`): a rejected tail is wasted executor
+    *    work, so the size doubles from 4 on fully-accepted batches
+    *    and resets to what was actually accepted on a rejection —
+    *    corpora whose top reorders every merge settle near 1–2 guesses
+    *    per job, stable ones ride at the cap.
     *  - symbol state is rewritten lazily: pending merges stay
     *    chained codegen'd `replace`s and the state column only
     *    materializes every `rewriteEvery` merges, so k merges cost
     *    k/rewriteEvery state writes, not k.
     *
-    * Per merge: 1 delta-sized job against [[bpeTrain]]'s 2
-    * vocabulary-sized jobs. Exactness is gated (t15's DuckDB oracle
-    * runs this form) and BpeSpec pins equality with the recount
-    * trainer; BpeSoak measures the k = 512 crossover. */
+    * Per ACCEPTED BATCH: 1 delta-sized job against [[bpeTrain]]'s 2
+    * vocabulary-sized jobs per merge. Exactness is gated (t15's
+    * DuckDB oracle runs this form) and BpeSpec pins equality with the
+    * recount trainer; BpeSoak measures the crossover and the batch
+    * acceptance rate. */
   def bpeTrainIncremental(docs: DataFrame, textCol: String, k: Int,
                           rewriteEvery: Int = 16,
-                          maxPairs: Int = 1 << 22): DataFrame = {
+                          maxPairs: Int = 1 << 22,
+                          batchMerges: Int = 64): DataFrame = {
     require(k >= 1, "need at least one merge")
     require(rewriteEvery >= 1, "rewriteEvery must be positive")
+    require(batchMerges >= 1, "batchMerges must be positive")
     val spark = docs.sparkSession
     // the one corpus-sized pass: word occurrence frequencies, folded
     // straight into the initial symbol state
@@ -172,36 +211,84 @@ object Bpe {
       .agg(sum(col("p.d")).as("cnt"))
       .collect())
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    // pinned trainer order: count desc, then l asc, r asc
+    val pinned = Ordering.by[((String, String), Long), (Long, String, String)] {
+      case ((pl, pr), c) => (-c, pl, pr)
+    }
     var i = 1
     var exhausted = false
+    var aimd = 4 // adaptive batch size: double on full acceptance,
+                 // reset to the accepted count on a rejection
     while (i <= k && !exhausted) {
       if (pc.isEmpty) exhausted = true
       else {
-        // argmax with the pinned tie-break (count desc, l asc, r asc)
-        // — a driver scan of the bounded table, no job
-        val ((l, r), cnt) = pc.minBy { case ((pl, pr), c) => (-c, pl, pr) }
-        merges += ((i, l, r, cnt))
-        val pat = Sep + l + Sep + Sep + r + Sep
-        val rep = Sep + l + r + Sep
-        // only words whose CURRENT state contains the merged pair
-        // change any count; one explode emits their old pairs at
-        // −freq and new pairs at +freq
-        foldInto(base
-          .select(col("freq"), curState.as("s"))
-          .filter(col("s").contains(pat))
-          .withColumn("s2", replace(col("s"), lit(pat), lit(rep)))
-          .select(explode(concat(
-            pairArr(col("s"), -col("freq")),
-            pairArr(col("s2"), col("freq")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        // ---- guess a batch: the pinned-order TOP-cap of the table.
+        // Only the top `cap` entries matter, so a bounded partial
+        // selection replaces a full table sort.
+        val cap = math.max(1,
+          math.min(math.min(aimd, batchMerges), k - i + 1))
+        val top = scala.collection.mutable.PriorityQueue
+          .empty[((String, String), Long)](pinned) // max = pinned-LAST
+        pc.foreach { e =>
+          if (top.size < cap) top.enqueue(e)
+          else if (pinned.lt(e, top.head)) { top.dequeue(); top.enqueue(e) }
+        }
+        // pinned order, best first
+        val drained: Seq[((String, String), Long)] = top.dequeueAll
+        val batch = drained.toVector.reverse.map(e => e._1)
+        // ---- ONE job: per-step deltas of applying the batch
+        // SEQUENTIALLY. Each state st_j is its own projected column,
+        // referenced 3× (next replace, the change probe, the pair
+        // explode) so CollapseProject keeps the chain un-inlined and
+        // codegen evaluates each replace once per row.
+        val pats = batch.map { case (l, r) =>
+          (Sep + l + Sep + Sep + r + Sep, Sep + l + r + Sep)
+        }
+        var df = base.select(col("freq"), curState.as("st0"))
+          .filter(pats.map(p => col("st0").contains(lit(p._1))).reduce(_ || _))
+        pats.zipWithIndex.foreach { case ((pat, rep), j) =>
+          df = df.withColumn(s"st${j + 1}",
+            replace(col(s"st$j"), lit(pat), lit(rep)))
+        }
+        val emptyArr = array().cast(
+          "array<struct<l:string,r:string,d:bigint,j:int>>")
+        val stepArrs = pats.zipWithIndex.map { case ((pat, _), j) =>
+          when(col(s"st$j").contains(lit(pat)),
+              concat(pairArrStep(col(s"st$j"), -col("freq"), j),
+                pairArrStep(col(s"st${j + 1}"), col("freq"), j)))
+            .otherwise(emptyArr)
+        }
+        val byStep = df
+          .select(explode(flatten(array(stepArrs.toSeq: _*))).as("p"))
+          .groupBy(col("p.j").as("j"), col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("p.d")).as("cnt"))
-          .collect())
-        pending :+= ((l, r))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (j, rs) =>
+            j -> rs.map(r => Row(r.getString(1), r.getString(2), r.getLong(3)))
+          }
+        // ---- verify-and-accept: step j stands only if the EXACT
+        // argmax (post steps < j) still equals the guess; the first
+        // mismatch discards the tail (its deltas assumed a merge that
+        // will not happen)
+        var j = 0
+        var ok = true
+        while (j < batch.length && ok && i <= k) {
+          val guess = batch(j)
+          val ((bl, br), cnt) = pc.min(pinned)
+          if ((bl, br) == guess) {
+            merges += ((i, bl, br, cnt))
+            foldInto(byStep.getOrElse(j, Array.empty))
+            pending :+= guess
+            i += 1
+            j += 1
+          } else ok = false
+        }
+        aimd = if (ok) aimd * 2 else math.max(1, j)
         if (pending.size >= rewriteEvery) {
           base = base.select(col("freq"), curState.as("s")).localCheckpoint()
           pending = Vector.empty
         }
-        i += 1
       }
     }
     spark.createDataFrame(
@@ -223,7 +310,16 @@ object Bpe {
     * string: k chained literal replaces, all codegen'd — encoding is a
     * map-only pass, no shuffle, no per-row loop. Greedy left-to-right
     * per merge, merges in training order: exactly reference BPE
-    * encoding. */
+    * encoding.
+    *
+    * DEPTH BOUND: the k replaces nest into ONE expression tree, and a
+    * real-vocabulary k (≈ 32 000) overflows the JVM's 64 KB method
+    * limit in generated code — Spark then silently degrades to
+    * interpreted eval. Callers applying more than a few hundred
+    * merges must segment the fold and materialize between segments;
+    * [[encodeTokenCounts]] does exactly that (`chunk`), and the
+    * trainer's lazy-rewrite cadence (`rewriteEvery` + one batch)
+    * keeps its own chains far below the bound. */
   def applyMerges(state: org.apache.spark.sql.Column,
                   merges: Seq[(String, String)]): org.apache.spark.sql.Column =
     merges.foldLeft(state) { case (s, (l, r)) =>
@@ -239,14 +335,27 @@ object Bpe {
     * t15's training pays) and every downstream step is
     * VOCABULARY-sized with counts weighted by word frequency —
     * bit-identical to encoding every occurrence, at a fraction of the
-    * shuffle. */
+    * shuffle.
+    *
+    * Real-vocabulary merge tables are applied in `chunk`-sized
+    * segments with the vocab-sized state materialized between them
+    * ([[applyMerges]]'s depth bound — k ≈ 32 000 chained replaces in
+    * one tree would fall out of codegen); tables at or below `chunk`
+    * take the exact single-plan path of earlier rounds. */
   def encodeTokenCounts(docs: DataFrame, textCol: String,
-                        merges: Seq[(String, String)]): DataFrame = {
-    docs
+                        merges: Seq[(String, String)],
+                        chunk: Int = 256): DataFrame = {
+    require(chunk >= 1, "chunk must be positive")
+    var st = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), applyMerges(initState(col("w")), merges).as("s"))
-      .select(col("freq"), explode(syms(col("s"))).as("token"))
+      .select(col("freq"), initState(col("w")).as("s"))
+    val groups = merges.grouped(chunk).toSeq
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      st = st.select(col("freq"), applyMerges(col("s"), g).as("s"))
+      if (gi < groups.length - 1) st = st.localCheckpoint()
+    }
+    st.select(col("freq"), explode(syms(col("s"))).as("token"))
       .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
   }
 }

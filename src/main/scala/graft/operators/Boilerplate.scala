@@ -309,10 +309,24 @@ object Boilerplate {
   /** Everything one fold must publish, plus the changelog it emits.
     * Every frame is either eagerly checkpointed or derives only from
     * checkpointed frames and the input batch, so none re-reads the
-    * store after the caller starts mutating it. */
+    * store after the caller starts mutating it. `escalatedFull`
+    * records whether THIS fold took the full-counts escalation branch
+    * (the only code path that reads the counts store without the
+    * `fseq > as_of` slice) — exposed so the escalation spec pins the
+    * branch actually taken, not just the output. */
   private[graft] final case class FoldArtifacts(
       pairsDelta: DataFrame, countsDelta: DataFrame, docsApp: DataFrame,
-      dictApp: DataFrame, newMax: Long, eps: Long, changelog: DataFrame)
+      dictApp: DataFrame, newMax: Long, eps: Long, changelog: DataFrame,
+      escalatedFull: Boolean)
+
+  /** The detection-side post-refresh counts slice: `fseq > asOf` is
+    * the pushed-down predicate parquet row-group stats resolve
+    * against pre-refresh delta files footer-only. `private[graft]` so
+    * the spec asserts the pushed filter on exactly the production
+    * scan. */
+  private[graft] def postRefreshCounts(spark: SparkSession, path: String,
+                                       asOf: Long): DataFrame =
+    spark.read.parquet(s"$path/counts").filter(col("fseq") > asOf)
 
   /** One fold's full computation against the LIVE store WITHOUT
     * mutating it — factored out of [[fold]] so the streaming twin can
@@ -329,21 +343,30 @@ object Boilerplate {
     * lines. The full corpus-distinct-lines scan the pre-sidecar fold
     * paid EVERY fold is now paid only by escalations and by the
     * vacuum's refresh. */
+  /** The fold's one batch materialization: the batch feeds FOUR
+    * consumers (min/max guard, line pairs, the doc-store append, the
+    * changelog clean) — checkpoint it once so a batch defined as a
+    * filter over a large source is scanned once, not four times
+    * (batch-sized memory, the fold's working set either way). Returns
+    * the checkpoint and its (min, max) id row; [[fold]] calls this
+    * FIRST (the max is its replay key) and passes the result through,
+    * so the batch [[fold]] path never scans the batch twice. */
+  private[graft] def prepBatch(batch: DataFrame, idCol: String,
+                               textCol: String): (DataFrame, org.apache.spark.sql.Row) = {
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint()
+    (b, b.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head())
+  }
+
   private[graft] def computeFold(spark: SparkSession, path: String,
                                  batch: DataFrame, idCol: String,
                                  textCol: String, minDocs: Long,
                                  nBuckets: Int,
-                                 nDocBuckets: Int): FoldArtifacts = {
+                                 nDocBuckets: Int,
+                                 prepped: Option[(DataFrame, org.apache.spark.sql.Row)] = None): FoldArtifacts = {
     val (prevMax, eps) = readMeta(spark, path, minDocs, nBuckets, nDocBuckets)
-    // the batch feeds FOUR consumers (min/max guard, line pairs, the
-    // doc-store append, the changelog clean) — checkpoint it once so
-    // a batch defined as a filter over a large source is scanned
-    // once, not four times (batch-sized memory, the fold's working
-    // set either way)
-    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .localCheckpoint()
-    val mm = b.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
+    val (b, mm) = prepped.getOrElse(prepBatch(batch, idCol, textCol))
     require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
       s"monotonic-ingest contract: batch min doc id " +
         s"${if (mm.isNullAt(0)) "(empty)" else mm.getLong(0)} must exceed " +
@@ -369,14 +392,17 @@ object Boilerplate {
     // not here).
     StoreCompaction.repairFlatStore(s"$path/sidecar")
     val sc = spark.read.parquet(s"$path/sidecar")
-    val asOf = sc.agg(max(col("as_of"))).head().getLong(0)
+    // every sidecar row carries the refresh's as_of, so parquet footer
+    // stats resolve it driver-side — no job (agg fallback if any file
+    // lacks stats)
+    val asOf = StoreMeta.footerMaxLong(spark, s"$path/sidecar", "as_of")
+      .getOrElse(sc.agg(max(col("as_of"))).head().getLong(0))
     val sideHits = sc.filter(col("line").isNotNull)
       .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
       .select(col("line"), col("nd").as("snd"))
     // post-refresh deltas for this batch's candidates: pushed-down
     // fseq > as_of skips every pre-refresh delta file on footer stats
-    val pnd = spark.read.parquet(s"$path/counts")
-      .filter(col("fseq") > asOf)
+    val pnd = postRefreshCounts(spark, path, asOf)
       .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
       .groupBy(col("line")).agg(sum(col("nd_delta")).as("pnd"))
     val cand2 = candAgg
@@ -388,11 +414,14 @@ object Boilerplate {
     // a line outside the sidecar had nd ≤ minDocs − eps − 1 at the
     // refresh: it can only cross with > eps occurrences since — the
     // exact escalation predicate, not a heuristic
+    // derived from the checkpointed cand2 only (no store scan), so it
+    // needs no checkpoint of its own — each consumer recomputes one
+    // cheap filter instead of the fold paying a whole extra job
     val escalated = cand2
       .filter(col("snd").isNull && col("pnd") + col("ndb") >= eps + 1L)
-      .localCheckpoint()
+    val escAny = escalated.head(1).nonEmpty
     val escCrossed =
-      if (escalated.head(1).isEmpty) None
+      if (!escAny) None
       else {
         val ndFull = spark.read.parquet(s"$path/counts")
           .join(broadcast(escalated.select(col("line"))),
@@ -454,7 +483,7 @@ object Boilerplate {
       .withColumnRenamed("doc_id", idCol)
     val changelog = outInv.map(outBatch.unionByName(_)).getOrElse(outBatch)
     FoldArtifacts(pairsDelta, countsDelta, docsApp, crossed,
-      mm.getLong(1), eps, changelog)
+      mm.getLong(1), eps, changelog, escAny)
   }
 
   /** Maintenance vacuum for a [[buildStore]] layout — three
@@ -475,22 +504,40 @@ object Boilerplate {
     *     by the new sidecar, so post-refresh slices skip it).
     *  3. Pairs: drop dead lines.
     *
+    * Also sweeps the `_boiler_fold_<id>` replay markers of cleanly
+    * completed folds (they otherwise accumulate one file per fold
+    * forever) — safe because the monotonic-ingest guard already
+    * rejects a replay of any fold at or below the meta high-water,
+    * which every marker is. A marker whose committed staging
+    * SURVIVES is a crashed fold awaiting replay; vacuum REFUSES to
+    * run then, because its rewrites collapse the very delta files
+    * that replay would re-promote (a silent double-apply) — replay
+    * the fold first.
+    *
     * Single-maintainer contract — do not run concurrently with
     * folds. */
   def vacuumStore(spark: SparkSession, path: String): Unit = {
+    import java.nio.file.Files
+    val root = java.nio.file.Paths.get(path)
+    val pendingStaging = StoreFiles.listDir(root)
+      .filter(_.getFileName.toString.startsWith(".boiler_fold_staging_"))
+    require(pendingStaging.isEmpty,
+      s"crashed fold staging ${pendingStaging.headOption.map(_.getFileName).getOrElse("")} " +
+        "survives under the store — replay that fold (re-call fold with " +
+        "its batch) before vacuuming; a vacuum now would collapse the " +
+        "delta files its replay re-promotes, double-applying them")
     val dict = spark.read.parquet(s"$path/dict")
       .select(col("line")).distinct().localCheckpoint()
-    StoreCompaction.repairFlatStore(s"$path/sidecar")
-    val oldAsOf = spark.read.parquet(s"$path/sidecar")
-      .agg(max(col("as_of"))).head().getLong(0)
-    val counts = spark.read.parquet(s"$path/counts")
-    val sRow = counts.agg(max(col("fseq"))).head()
-    val s = if (sRow.isNullAt(0)) oldAsOf
-            else math.max(oldAsOf, sRow.getLong(0))
-    // thresholds come from the pinned meta, not the caller
+    // thresholds and the refresh high-water come from the pinned meta
+    // (driver-side read, no job): every counts fseq equals some fold's
+    // max_doc, so the meta high-water bounds them all and stamping the
+    // refresh with it is exact — `fseq > as_of` selects nothing until
+    // the next fold appends rows stamped above it
     val metaRows = StoreMeta.readRequire(spark, path, Nil)
     val minDocs = StoreMeta.pinnedOf[Long](metaRows, path, "min_docs")
     val eps = StoreMeta.pinnedOf[Long](metaRows, path, "eps")
+    val s = StoreMeta.maxLong(metaRows, "max_doc")
+    val counts = spark.read.parquet(s"$path/counts")
     // EAGER before any swap: the new sidecar reads the live counts
     val newSidecar = sidecarFrame(spark,
         counts.join(broadcast(dict), Seq("line"), "left_anti")
@@ -506,6 +553,11 @@ object Boilerplate {
         .withColumn("fseq", lit(s)))
     StoreCompaction.rewriteStore(spark, s"$path/pairs", df =>
       df.join(broadcast(dict), Seq("line"), "left_anti"))
+    // replay markers of cleanly completed folds (no staging survives —
+    // checked above): the monotonic guard subsumes them
+    StoreFiles.listDir(root)
+      .filter(_.getFileName.toString.startsWith("_boiler_fold_"))
+      .foreach(p => Files.deleteIfExists(p))
   }
 
   /** Stage one fold's SIX artifacts under `staging` WITHOUT touching
@@ -524,10 +576,11 @@ object Boilerplate {
                                batch: DataFrame, idCol: String,
                                textCol: String, minDocs: Long,
                                nBuckets: Int, nDocBuckets: Int,
-                               seq: Long): DataFrame = {
+                               seq: Long,
+                               prepped: Option[(DataFrame, org.apache.spark.sql.Row)] = None): DataFrame = {
     StoreFiles.deleteRecursively(staging)
     val a = computeFold(spark, path, batch, idCol, textCol, minDocs,
-      nBuckets, nDocBuckets)
+      nBuckets, nDocBuckets, prepped)
     // independent staged artifacts fan out as concurrent jobs
     Par.run(Seq(
       () => a.pairsDelta.repartition(col("bucket"))
@@ -539,9 +592,8 @@ object Boilerplate {
       () => a.dictApp.write.parquet(staging.resolve("dict").toString),
       () => a.changelog.withColumn("seq", lit(seq))
         .write.parquet(staging.resolve("out").toString)))
-    StoreMeta.frame(spark,
-        boilerMetaFields(a.newMax, minDocs, nBuckets, nDocBuckets, a.eps))
-      .coalesce(1).write.parquet(staging.resolve("meta").toString)
+    StoreMeta.writeFile(spark, staging.resolve("meta").toString,
+      boilerMetaFields(a.newMax, minDocs, nBuckets, nDocBuckets, a.eps))
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
     a.changelog
   }
@@ -596,38 +648,50 @@ object Boilerplate {
     * high-water (monotone, so unique per fold). A crash anywhere
     * re-runs exactly: before `_SUCCESS` the store is unmutated and
     * the fold recomputes; after it, the frozen staging re-promotes
-    * byte-identically. A fold whose marker exists was FULLY applied
-    * — replaying it is the same caller error the monotonic-ingest
-    * guard rejects, and fails as loudly. */
+    * byte-identically. A fold whose marker exists was FULLY applied;
+    * if its committed staging survives, the crash hit the window
+    * between the marker and the sweep — the staged changelog was
+    * never delivered, so the replay returns it (then sweeps) instead
+    * of stranding the only copy behind an error. With no surviving
+    * staging the changelog WAS returned, and replaying is the same
+    * caller error the monotonic-ingest guard rejects — as loud. */
   def fold(spark: SparkSession, path: String, batch: DataFrame,
            idCol: String, textCol: String, minDocs: Long,
            nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val mr = batch.agg(max(col(idCol)).cast("long")).head()
-    require(!mr.isNullAt(0),
+    val (b, mm) = prepBatch(batch, idCol, textCol)
+    require(!mm.isNullAt(1),
       "monotonic-ingest contract: batch is empty")
-    val foldId = mr.getLong(0)
+    val foldId = mm.getLong(1)
     val marker = Paths.get(path, s"_boiler_fold_$foldId")
     val staging = Paths.get(path, s".boiler_fold_staging_$foldId")
-    require(!Files.exists(marker),
-      s"fold $foldId was already applied (its changelog was returned " +
-        "then) — replaying a completed fold violates the " +
-        "monotonic-ingest contract")
-    val fresh =
-      if (Files.exists(staging.resolve("_SUCCESS"))) None
-      else Some(stageFold(spark, path, staging, batch, idCol, textCol,
-        minDocs, nBuckets, nDocBuckets, seq = foldId))
-    promoteFold(path, staging, s"bfold$foldId", None)
-    // the freshly staged changelog derives only from checkpointed
-    // inputs (valid after the sweep below); a crash-replay has no
-    // in-memory frame, so it secures the frozen staged copy BEFORE
-    // the commit point
-    val changelog = fresh.getOrElse(
+    // a crash-replay has no in-memory frame, so it secures the frozen
+    // staged copy BEFORE sweeping the staging
+    def stagedChangelog(): DataFrame =
       spark.read.parquet(staging.resolve("out").toString)
         .select(col(idCol), col("clean_text"), col("n_removed"))
-        .localCheckpoint())
-    Files.createFile(marker)
-    StoreFiles.deleteRecursively(staging)
-    changelog
+        .localCheckpoint()
+    if (Files.exists(marker)) {
+      require(Files.exists(staging.resolve("_SUCCESS")),
+        s"fold $foldId was already applied (its changelog was returned " +
+          "then) — replaying a completed fold violates the " +
+          "monotonic-ingest contract")
+      val changelog = stagedChangelog()
+      StoreFiles.deleteRecursively(staging)
+      changelog
+    } else {
+      val fresh =
+        if (Files.exists(staging.resolve("_SUCCESS"))) None
+        else Some(stageFold(spark, path, staging, batch, idCol, textCol,
+          minDocs, nBuckets, nDocBuckets, seq = foldId,
+          prepped = Some((b, mm))))
+      promoteFold(path, staging, s"bfold$foldId", None)
+      // the freshly staged changelog derives only from checkpointed
+      // inputs (valid after the sweep below)
+      val changelog = fresh.getOrElse(stagedChangelog())
+      Files.createFile(marker)
+      StoreFiles.deleteRecursively(staging)
+      changelog
+    }
   }
 }

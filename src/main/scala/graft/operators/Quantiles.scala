@@ -102,6 +102,125 @@ object Quantiles {
   private def typeOneRank(n: Long, q: Quantile): Long =
     ((BigInt(n - 1) * q.num) / q.den).toLong + 1
 
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Exact integer floor division that STAYS IN DECIMAL: `div`
+    * (IntegralDivide) returns BIGINT, which a fanout-2 split of the
+    * full 64-bit domain overflows (width 2^63) — subtracting the pmod
+    * remainder first makes the decimal division an exact integer
+    * (representable at any result scale; no scale-6 rounding can flip
+    * a boundary). Requires a ≥ 0 semantics only through pmod (which
+    * is non-negative), so the quotient is a true floor for the
+    * non-negative differences used here. */
+  private def decFloorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+
+  /** The in-plan type-1 rank: (n−1)·num ÷ den + 1 with the product in
+    * DECIMAL(38,0) so a huge n cannot overflow before the division. */
+  private def typeOneRankCol(n: Column, q: Quantile): Column =
+    decFloorDiv(dec(n - 1) * dec(lit(q.num)), dec(lit(q.den)))
+      .cast("long") + lit(1)
+
+  /** Exact per-group quantiles via ONE partitioned window sort — the
+    * cheapest form when every group fits a task's sorter and values
+    * are spread (near-unique values make the descent's count table
+    * row-sized; ManyGroupsQuantilesSoak measured the sort at 13.5 s
+    * vs the descent's 93.9 s on 20 M rows / 200 k sortable groups).
+    * The sort BUFFERS A GROUP PER TASK, so max group size is the
+    * regime bound ([[chooseQuantileForm]]'s `sorterBudget`) — the
+    * form that cannot enter the mega-group regime the descents exist
+    * for. Output shape, pinned type-1 rank, and null handling are
+    * identical to [[radixQuantiles]]. */
+  def sortQuantiles(df: DataFrame, grp: Column, value: Column,
+                    quantiles: Seq[Quantile]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val ranked = keyedOf(df, grp, value)
+      .withColumn("rn", row_number().over(w.orderBy(col("x"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val aggs = quantiles.map(q =>
+      max(when(col("rn") === typeOneRankCol(col("n"), q), col("x")))
+        .as(q.name))
+    ranked.groupBy(col("g").as("grp")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ==== Auto-dispatch (the q94 playbook applied to q26/q95/q100) ====
+  //
+  // The engine carries THREE exact-quantile forms with disjoint
+  // economics; the cost model used to live in prose. Executable form:
+  // route on cheap observed stats — one partial-aggregated pass.
+  //
+  //  - sort (q26 regime): wins when every group fits a task's sorter
+  //    AND values are spread (the descent's count table would be
+  //    row-count-sized, costing it a sort per pass anyway).
+  //  - descent, driver state (q95): group sizes a sorter cannot hold
+  //    or duplicate-heavy values (count table ≪ rows), with few
+  //    enough groups for per-group driver state — bounded well below
+  //    the ~500-term OR-pushdown limit the driver form's literal
+  //    scan filter hits.
+  //  - descent, in-plan state (q100): the same selection regime with
+  //    unbounded group count.
+
+  /** Cheap observed routing stats: group count, max group size, row
+    * count, and the Σ over groups of per-group approx-distinct values
+    * — the latter approximates the descent's pass-1 count-table size,
+    * the quantity that decides sort-vs-count. One aggregation tree
+    * (groupBy + tiny re-agg), one job. */
+  final case class QuantileStats(nGroups: Long, maxGroup: Long,
+                                 rows: Long, sumDistinct: Long)
+
+  sealed trait QuantileForm
+  case object SortForm extends QuantileForm
+  case object DriverDescentForm extends QuantileForm
+  case object PlanDescentForm extends QuantileForm
+
+  def observeQuantileStats(df: DataFrame, grp: Column,
+                           value: Column): QuantileStats = {
+    val r = keyedOf(df, grp, value)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"),
+        approx_count_distinct(col("x")).as("ad"))
+      .agg(count(lit(1)), coalesce(max(col("c")), lit(0L)),
+        coalesce(sum(col("c")), lit(0L)),
+        coalesce(sum(col("ad")), lit(0L)))
+      .head()
+    QuantileStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** The executable cost model. Pure — the spec pins which form each
+    * regime selects without running anything. */
+  def chooseQuantileForm(st: QuantileStats,
+                         maxDriverGroups: Long = 256,
+                         sorterBudget: Long = 4L * 1000 * 1000,
+                         dupRatio: Double = 0.25): QuantileForm = {
+    val selectionRegime =
+      st.maxGroup > sorterBudget ||
+        (st.rows > 0 && st.sumDistinct <= (st.rows * dupRatio).toLong)
+    if (!selectionRegime) SortForm
+    else if (st.nGroups <= maxDriverGroups) DriverDescentForm
+    else PlanDescentForm
+  }
+
+  /** Exact grouped quantiles with the form CHOSEN FROM OBSERVED
+    * STATS — one cheap stats job, then the regime-appropriate engine.
+    * All three forms share the pinned type-1 rank and output shape,
+    * so the choice is invisible in results (the q101 gate runs all
+    * three regimes against one ROW_NUMBER oracle). */
+  def exactQuantilesAuto(df: DataFrame, grp: Column, value: Column,
+                         quantiles: Seq[Quantile],
+                         fanout: Int = 65536,
+                         maxDriverGroups: Long = 256,
+                         sorterBudget: Long = 4L * 1000 * 1000,
+                         dupRatio: Double = 0.25): DataFrame =
+    chooseQuantileForm(observeQuantileStats(df, grp, value),
+        maxDriverGroups, sorterBudget, dupRatio) match {
+      case SortForm => sortQuantiles(df, grp, value, quantiles)
+      case DriverDescentForm =>
+        radixQuantiles(df, grp, value, quantiles, fanout)
+      case PlanDescentForm =>
+        radixQuantilesManyGroups(df, grp, value, quantiles, fanout)
+    }
+
   /** The shared radix-descent loop: solve every target to its exact
     * value by fanout-counting passes over `keyed`, then assemble one
     * row per group. `expected` (store-served path) cross-checks the
@@ -288,16 +407,11 @@ object Quantiles {
     require(fanout >= 2, "fanout must be at least 2")
     val spark = df.sparkSession
     val keyed = keyedOf(df, grp, value)
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    // exact integer floor division that STAYS IN DECIMAL: `div`
-    // (IntegralDivide) returns BIGINT, which a fanout-2 split of the
-    // full 64-bit domain overflows (width 2^63) — where the
-    // driver-state form must refuse, this form subtracts the pmod
-    // remainder first so the decimal division is an exact integer
-    // (representable at any result scale; no scale-6 rounding can
-    // flip a boundary) and every fanout ≥ 2 is in-range
-    val floorDiv = (a: Column, b: Column) =>
-      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    // all interval arithmetic in DECIMAL(38,0) via [[decFloorDiv]]:
+    // where the driver-state form must refuse a fanout-2 split of the
+    // full 64-bit domain (width 2^63 overflows its BIGINT width
+    // column), the decimal form stays exact at every fanout >= 2
+    val floorDiv = decFloorDiv _
     // materialize loop state with RESET size stats: localCheckpoint
     // alone propagates the checkpointed plan's sizeInBytes, and since
     // each pass joins the checkpoint with a frame derived from the

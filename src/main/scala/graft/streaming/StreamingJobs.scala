@@ -367,10 +367,10 @@ object StreamingJobs {
         .write.partitionBy("bucket")
         .parquet(staging.resolve("delta").toString),
       () => out.write.parquet(staging.resolve("out").toString)))
-    graft.operators.StoreMeta.frame(spark,
-        graft.operators.DedupSuite.substrMetaFields(newMax, l, nBuckets,
-          hashKeys))
-      .coalesce(1).write.parquet(staging.resolve("meta").toString)
+    graft.operators.StoreMeta.writeFile(spark,
+      staging.resolve("meta").toString,
+      graft.operators.DedupSuite.substrMetaFields(newMax, l, nBuckets,
+        hashKeys))
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
   }
 
@@ -607,9 +607,9 @@ object StreamingJobs {
     val (spans, newMax, delta) = graft.operators.Pack.computeSpanFold(
       spark, storePath, batch, "doc_id", col("n"), seqLen, docsPerShard)
     spans.write.parquet(staging.resolve("out").toString)
-    graft.operators.StoreMeta.frame(spark,
-        graft.operators.Pack.spanMetaFields(newMax, delta, seqLen))
-      .coalesce(1).write.parquet(staging.resolve("meta").toString)
+    graft.operators.StoreMeta.writeFile(spark,
+      staging.resolve("meta").toString,
+      graft.operators.Pack.spanMetaFields(newMax, delta, seqLen))
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
   }
 

@@ -115,6 +115,170 @@ class BoilerplateStoreSpec extends SparkSpec {
     assert(eLayout.getMessage.contains("layout mismatch"))
   }
 
+  test("escalation branch: a below-sidecar line bridging the eps gap takes the full-counts read; sidecar crossings never do") {
+    // m=5, eps=2 → the sidecar holds sub-threshold lines with nd >= 3.
+    // "ghost line" is planted at nd=2 — BELOW the sidecar at the build
+    // refresh (nd <= minDocs - eps - 1) — and crosses within ONE fold
+    // via ndb=3 >= eps+1 post-refresh occurrences: the exact
+    // contrapositive path (pnd + ndb >= eps + 1 -> full counts read)
+    // that the promo-line fixtures above never take, because their
+    // crossing line already sits IN the sidecar.
+    val m5 = 5L
+    val tmp = java.nio.file.Files.createTempDirectory("boiler_esc")
+    val store = s"$tmp/state"
+    val b0 = docsDf(
+      (1L, "ghost line\na one"), (2L, "ghost line\nb two"),
+      (3L, "promo line\nc three"), (4L, "promo line\nd four"),
+      (5L, "promo line\ne five"), (6L, "f six"))
+    val e0 = Boilerplate.buildStore(b0, "doc_id", "text", m5, store, nB, 8,
+        eps = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    // control: a crossing carried by a SIDECAR line (promo, snd=3)
+    // must not escalate — detection stays sidecar + post-refresh slice
+    val promoBatch = docsDf((7L, "promo line\np seven"),
+      (8L, "promo line\np eight"))
+    val aCtl = Boilerplate.computeFold(spark, store, promoBatch,
+      "doc_id", "text", m5, nB, 8)
+    assert(!aCtl.escalatedFull,
+      "a sidecar-covered crossing must never read the full counts store")
+
+    // the planted gap-bridge: ghost (snd null, pnd=0, ndb=3) escalates
+    val ghostBatch = docsDf((7L, "ghost line\ng seven"),
+      (8L, "ghost line\ng eight"), (9L, "ghost line\ng nine"))
+    val aEsc = Boilerplate.computeFold(spark, store, ghostBatch,
+      "doc_id", "text", m5, nB, 8)
+    assert(aEsc.escalatedFull,
+      "a below-sidecar line with pnd + ndb >= eps + 1 must escalate")
+
+    // end-to-end through the public fold: the escalated crossing
+    // re-emits its stored carriers and latest-wins equals the recompute
+    val e1 = Boilerplate.fold(spark, store, ghostBatch, "doc_id", "text",
+        m5, nB, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(e1.keySet === Set(1L, 2L, 7L, 8L, 9L))
+    assert(e1(1L) === (("a one", 1L)) && e1(2L) === (("b two", 1L)),
+      "stored carriers of the escalated crossing are re-emitted cleaned")
+    val latest = e0 ++ e1
+    val full = Boilerplate.removeCommonLines(
+        b0.unionByName(ghostBatch), "doc_id", "text", m5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(latest === full)
+  }
+
+  test("escalation with pnd > 0: post-refresh deltas bridge the gap across folds") {
+    // ghost at nd=1 at the build refresh (below the m=5/eps=2 sidecar).
+    // Fold 1 adds one occurrence: pnd(0) + ndb(1) < eps+1 — no
+    // escalation, no crossing. Fold 2 adds three: pnd(1) + ndb(3) >=
+    // eps+1 escalates, full counts (1+1) + 3 = 5 crosses — the pnd
+    // term doing real work.
+    val m5 = 5L
+    val tmp = java.nio.file.Files.createTempDirectory("boiler_esc2")
+    val store = s"$tmp/state"
+    val b0 = docsDf((1L, "ghost line\na one"), (2L, "b two"))
+    val e0 = Boilerplate.buildStore(b0, "doc_id", "text", m5, store, nB, 8,
+        eps = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val batch1 = docsDf((3L, "ghost line\nc three"))
+    assert(!Boilerplate.computeFold(spark, store, batch1, "doc_id", "text",
+        m5, nB, 8).escalatedFull,
+      "pnd + ndb below the gap must not escalate")
+    val e1 = Boilerplate.fold(spark, store, batch1, "doc_id", "text", m5, nB, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(e1.keySet === Set(3L), "no crossing at nd=2")
+    val batch2 = docsDf((4L, "ghost line\nd four"),
+      (5L, "ghost line\ne five"), (6L, "ghost line\nf six"))
+    assert(Boilerplate.computeFold(spark, store, batch2, "doc_id", "text",
+        m5, nB, 8).escalatedFull,
+      "post-refresh deltas must count toward the escalation gap")
+    val e2 = Boilerplate.fold(spark, store, batch2, "doc_id", "text", m5, nB, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(e2.keySet === Set(1L, 3L, 4L, 5L, 6L),
+      "carriers from the build AND the earlier fold are re-emitted")
+    val full = Boilerplate.removeCommonLines(
+        b0.unionByName(batch1).unionByName(batch2), "doc_id", "text", m5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert((e0 ++ e1 ++ e2) === full)
+  }
+
+  test("detection's counts slice carries the pushed fseq predicate") {
+    val tmp = java.nio.file.Files.createTempDirectory("boiler_slice")
+    val store = s"$tmp/state"
+    Boilerplate.buildStore(build, "doc_id", "text", m, store, nB, 8).count()
+    val planStr = Boilerplate.postRefreshCounts(spark, store, 4L)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") &&
+      "GreaterThan\\(fseq,4\\)".r.findFirstIn(planStr).isDefined,
+      s"the detection slice must push fseq > as_of into the scan:\n" +
+        planStr.take(2000))
+  }
+
+  test("crash window between marker and sweep: replay returns the staged changelog, then sweeps") {
+    import java.nio.file.{Files, Paths}
+    val tmp = java.nio.file.Files.createTempDirectory("boiler_crash")
+    val store = s"$tmp/state"
+    Boilerplate.buildStore(build, "doc_id", "text", m, store, nB, 8).count()
+    // reproduce the exact window: staged + promoted + marker created,
+    // but the staging never swept and the changelog never delivered
+    val foldId = 6L // batch1's doc high-water
+    val staging = Paths.get(store, s".boiler_fold_staging_$foldId")
+    Boilerplate.stageFold(spark, store, staging, batch1, "doc_id", "text",
+      m, nB, 8, seq = foldId)
+    Boilerplate.promoteFold(store, staging, s"bfold$foldId", None)
+    Files.createFile(Paths.get(store, s"_boiler_fold_$foldId"))
+    // the replay must recover the staged changelog instead of
+    // stranding it behind an 'already applied' error
+    val e1 = Boilerplate.fold(spark, store, batch1, "doc_id", "text", m, nB, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(e1.keySet === Set(1L, 2L, 5L, 6L))
+    assert(e1(5L) === (("zeta six", 1L)) && e1(1L) === (("alpha one", 1L)))
+    assert(!Files.exists(staging), "recovery sweeps the staging")
+    // with the changelog delivered and the staging gone, a THIRD run
+    // is a genuine caller replay and fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.fold(spark, store, batch1, "doc_id", "text", m, nB, 8)
+    }
+    assert(e.getMessage.contains("already applied"))
+    // the store was promoted exactly once: a later fold stays exact
+    val e2 = Boilerplate.fold(spark, store, batch2, "doc_id", "text", m, nB, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val full = Boilerplate.removeCommonLines(
+        build.unionByName(batch1).unionByName(batch2), "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val e0 = Boilerplate.removeCommonLines(build, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert((e0 ++ e1 ++ e2) === full)
+  }
+
+  test("vacuum sweeps completed-fold markers and refuses while a crashed staging survives") {
+    import java.nio.file.{Files, Paths}
+    val tmp = java.nio.file.Files.createTempDirectory("boiler_sweep")
+    val store = s"$tmp/state"
+    Boilerplate.buildStore(build, "doc_id", "text", m, store, nB, 8).count()
+    Boilerplate.fold(spark, store, batch1, "doc_id", "text", m, nB, 8).count()
+    assert(Files.exists(Paths.get(store, "_boiler_fold_6")))
+    // a surviving fold staging = a crashed fold awaiting replay; the
+    // vacuum's rewrites would collapse the delta files its replay
+    // re-promotes — refuse loudly
+    val pending = Paths.get(store, ".boiler_fold_staging_99")
+    Files.createDirectories(pending)
+    val eV = intercept[IllegalArgumentException] {
+      Boilerplate.vacuumStore(spark, store)
+    }
+    assert(eV.getMessage.contains("replay"))
+    graft.operators.StoreFiles.deleteRecursively(pending)
+    Boilerplate.vacuumStore(spark, store)
+    assert(graft.operators.StoreFiles.listDir(Paths.get(store))
+      .forall(!_.getFileName.toString.startsWith("_boiler_fold_")),
+      "completed-fold markers are swept by the vacuum")
+    // a swept marker cannot enable a silent replay: the monotonic
+    // guard still rejects it
+    val eM = intercept[IllegalArgumentException] {
+      Boilerplate.fold(spark, store, batch1, "doc_id", "text", m, nB, 8)
+    }
+    assert(eM.getMessage.contains("monotonic"))
+  }
+
   test("vacuum drops dead rows, collapses deltas; post-vacuum folds stay exact") {
     // promo crosses in batch A (dead rows for the vacuum to drop);
     // footer crosses in batch B AFTER the vacuum — collapsed counts

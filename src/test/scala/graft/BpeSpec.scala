@@ -53,8 +53,10 @@ class BpeSpec extends SparkSpec {
       .toSeq
 
   private def runInc(docs: Seq[String], k: Int,
-                     rewriteEvery: Int = 3): Seq[(Int, String, String, Long)] =
-    Bpe.bpeTrainIncremental(docs.toDF("text"), "text", k, rewriteEvery)
+                     rewriteEvery: Int = 3,
+                     batchMerges: Int = 64): Seq[(Int, String, String, Long)] =
+    Bpe.bpeTrainIncremental(docs.toDF("text"), "text", k, rewriteEvery,
+        batchMerges = batchMerges)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -120,7 +122,9 @@ class BpeSpec extends SparkSpec {
 
   test("incremental trainer: randomized property vs reference") {
     // deterministic pseudo-random corpora (seeded) — many small
-    // vocabularies with heavy pair collisions and ties
+    // vocabularies with heavy pair collisions and ties; batchMerges
+    // sweeps from per-merge (1) through full-batch guessing, so the
+    // verify-and-accept protocol is exercised at every cadence
     val rnd = new scala.util.Random(20260815L)
     for (_ <- 1 to 5) {
       val alphabet = "abcd"
@@ -131,8 +135,42 @@ class BpeSpec extends SparkSpec {
         }.mkString(" ")
       }
       val k = 1 + rnd.nextInt(12)
-      assert(runInc(docs, k, rewriteEvery = 1 + rnd.nextInt(6)) ===
-        refFromDocs(docs, k))
+      assert(runInc(docs, k, rewriteEvery = 1 + rnd.nextInt(6),
+        batchMerges = 1 + rnd.nextInt(8)) === refFromDocs(docs, k))
+    }
+  }
+
+  test("batched guessing: a merge-promoted pair forces rejection of a disjoint guess") {
+    // counts: (a,b)=102 > (x,a)=100 > (c,d)=50. The batch scan takes
+    // (a,b), stops (x,a) on the shared symbol, takes the DISJOINT
+    // (c,d) — but merging (a,b) creates (x,ab)=100, which the true
+    // greedy picks BEFORE (c,d). The driver's verify step must reject
+    // the (c,d) guess and re-select; the final table must equal the
+    // reference exactly.
+    val docs = Seq(
+      (("xab " * 100) + ("ab " * 2) + ("cd " * 50)).trim)
+    val ref = refFromDocs(docs, 5)
+    assert(ref.map(m => (m._2, m._3)).take(2) === Seq(("a", "b"), ("x", "ab")),
+      "fixture must actually promote (x,ab) above (c,d) after merge 1")
+    for (bm <- Seq(2, 4, 64); re <- Seq(1, 2, 100)) {
+      assert(runInc(docs, 5, rewriteEvery = re, batchMerges = bm) === ref,
+        s"batchMerges=$bm rewriteEvery=$re")
+    }
+  }
+
+  test("chunked encoding equals the single-plan form across chunk boundaries") {
+    val train = Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "lower lowest low", "hugging tugging jogging")
+    val merges = run(train, 9).map(m => (m._2, m._3))
+    val docs = train ++ Seq("loth thug mats unseenword zzz the")
+    val whole = Bpe.encodeTokenCounts(docs.toDF("text"), "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for (chunk <- Seq(1, 2, 4, 9, 100)) {
+      val got = Bpe.encodeTokenCounts(docs.toDF("text"), "text", merges,
+          chunk = chunk)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === whole, s"chunk=$chunk")
     }
   }
 

@@ -234,6 +234,69 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  // ---- auto-dispatch (q101): the executable cost model ----
+
+  test("sortQuantiles equals brute force (shared rank discipline)") {
+    val rows = (0 until 4000).map { i =>
+      (s"g${i % 11}", ((i * 2654435761L) % 5003L) - 2500L)
+    }
+    val got = Quantiles.sortQuantiles(rows.toDF("g", "x"),
+        col("g"), col("x"), qs)
+      .collect()
+      .map(r => r.getString(0) -> qs.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    assert(got === brute(rows, qs))
+  }
+
+  test("chooseQuantileForm pins the regime -> form table") {
+    import Quantiles._
+    // small sortable spread groups -> the window sort
+    assert(chooseQuantileForm(QuantileStats(nGroups = 1000,
+      maxGroup = 50000, rows = 1000000, sumDistinct = 900000)) === SortForm)
+    // a group no task's sorter can hold -> descent; few groups keep
+    // the state on the driver
+    assert(chooseQuantileForm(QuantileStats(5, 100L * 1000 * 1000,
+      120L * 1000 * 1000, 110L * 1000 * 1000)) === DriverDescentForm)
+    // mega-groups AND many groups -> the in-plan descent
+    assert(chooseQuantileForm(QuantileStats(200000, 10L * 1000 * 1000,
+      500L * 1000 * 1000, 400L * 1000 * 1000)) === PlanDescentForm)
+    // duplicate-heavy values -> descent even when groups are small
+    // (counting beats sorting when the count table is tiny)
+    assert(chooseQuantileForm(QuantileStats(5, 10000, 1000000, 5000)) ===
+      DriverDescentForm)
+    assert(chooseQuantileForm(QuantileStats(100000, 10000, 1000000,
+      5000)) === PlanDescentForm)
+    // empty input -> sort form (returns the empty frame cheaply)
+    assert(chooseQuantileForm(QuantileStats(0, 0, 0, 0)) === SortForm)
+  }
+
+  test("auto dispatch: observed stats route each fixture as pinned; results equal brute force") {
+    import Quantiles._
+    // near-unique values over 7 small groups — the q26 sort regime
+    val spread = (0 until 5000).map(i =>
+      (s"g${i % 7}", (i * 2654435761L) % 100003L))
+    // 8 distinct values over 5 groups — duplicate-heavy, driver-sized
+    val dupFew = (0 until 5000).map(i => (s"g${i % 5}", (i % 8).toLong))
+    // 4 distinct values over 600 groups — duplicate-heavy, beyond the
+    // driver-state bound
+    val dupMany = (0 until 12000).map(i =>
+      (s"g${i % 600}", (i % 4).toLong))
+    def formOf(rows: Seq[(String, Long)]) =
+      chooseQuantileForm(observeQuantileStats(rows.toDF("g", "x"),
+        col("g"), col("x")))
+    assert(formOf(spread) === SortForm)
+    assert(formOf(dupFew) === DriverDescentForm)
+    assert(formOf(dupMany) === PlanDescentForm)
+    for (rows <- Seq(spread, dupFew, dupMany)) {
+      val got = Quantiles.exactQuantilesAuto(rows.toDF("g", "x"),
+          col("g"), col("x"), qs)
+        .collect()
+        .map(r => r.getString(0) -> qs.indices.map(i => r.getLong(i + 1)))
+        .toMap
+      assert(got === brute(rows, qs))
+    }
+  }
+
   test("no sort appears in any selection pass plan") {
     // the operator's promise: counting, never sorting. The per-pass
     // aggregation is issued internally, so assert on the equivalent

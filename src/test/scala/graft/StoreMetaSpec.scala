@@ -81,19 +81,67 @@ class StoreMetaSpec extends SparkSpec {
       StoreMeta.readRequire(spark, tmpStore(), Nil)
     }
     intercept[IllegalArgumentException] {
-      StoreMeta.frame(spark, Seq("bad" -> Seq(1, 2)))
+      StoreMeta.write(spark, tmpStore(), "overwrite", Seq("bad" -> Seq(1, 2)))
     }
   }
 
-  test("frame writes the field's natural parquet type (staged == live)") {
+  test("driver-written meta reads back in Spark with natural types") {
+    // the staged == live schema contract: promote copies driver-written
+    // files verbatim, and anything else (Spark included) must read them
+    // with the exact types Spark itself would have written
     val store = tmpStore()
-    StoreMeta.frame(spark, Seq("max_doc" -> 5L, "l" -> 40,
-        "hash_keys" -> false))
-      .coalesce(1).write.parquet(StoreMeta.metaPath(store))
-    val schema = spark.read.parquet(StoreMeta.metaPath(store)).schema
+    StoreMeta.write(spark, store, "overwrite",
+      Seq("max_doc" -> 5L, "l" -> 40, "hash_keys" -> false,
+        "tau" -> 0.25, "name" -> "layout-v1"))
+    val df = spark.read.parquet(StoreMeta.metaPath(store))
     import org.apache.spark.sql.types._
-    assert(schema("max_doc").dataType === LongType)
-    assert(schema("l").dataType === IntegerType)
-    assert(schema("hash_keys").dataType === BooleanType)
+    assert(df.schema("max_doc").dataType === LongType)
+    assert(df.schema("l").dataType === IntegerType)
+    assert(df.schema("hash_keys").dataType === BooleanType)
+    assert(df.schema("tau").dataType === DoubleType)
+    assert(df.schema("name").dataType === StringType)
+    val r = df.head()
+    assert(r.getAs[Long]("max_doc") === 5L && r.getAs[Int]("l") === 40 &&
+      !r.getAs[Boolean]("hash_keys") && r.getAs[Double]("tau") === 0.25 &&
+      r.getAs[String]("name") === "layout-v1")
+  }
+
+  test("Spark-written meta rows (pre-change stores) read back driver-side") {
+    import spark.implicits._
+    val store = tmpStore()
+    Seq((5L, 40, false)).toDF("max_doc", "l", "hash_keys")
+      .coalesce(1).write.parquet(StoreMeta.metaPath(store))
+    val rows = StoreMeta.readRequire(spark, store,
+      Seq("l" -> 40, "hash_keys" -> false))
+    assert(rows.length === 1)
+    assert(StoreMeta.maxLong(rows, "max_doc") === 5L)
+  }
+
+  test("a row missing a later-added field names the migration, not a raw lookup error") {
+    val store = tmpStore()
+    StoreMeta.write(spark, store, "overwrite", Seq("min_docs" -> 3L))
+    val rows = StoreMeta.readRequire(spark, store, Seq("min_docs" -> 3L))
+    val e = intercept[IllegalArgumentException] {
+      StoreMeta.pinnedOf[Long](rows, store, "eps")
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      StoreMeta.readRequire(spark, store, Seq("eps" -> 4L))
+    }
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+  }
+
+  test("footerMaxLong matches an agg over flat-store files, without a job") {
+    import spark.implicits._
+    val dir = tmpStore()
+    Seq((1L, "a"), (7L, "b")).toDF("fseq", "line")
+      .coalesce(1).write.parquet(dir)
+    Seq((12L, "c"), (3L, "d")).toDF("fseq", "line")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(StoreMeta.footerMaxLong(spark, dir, "fseq") === Some(12L))
+    intercept[IllegalArgumentException] {
+      StoreMeta.footerMaxLong(spark, dir, "nope")
+    }
+    assert(StoreMeta.footerMaxLong(spark, tmpStore(), "fseq") === None)
   }
 }
