@@ -3315,7 +3315,11 @@ object SparkEntry {
             (dec2(col("value")) * 100).cast("long").as("xl"))
         val evDup = ev.select(col("event_type"),
           pmod(col("xl"), lit(100L)).as("xl"))
+        // a 1-in-7 part slice keeps the many-groups regime (>256
+        // groups from sf0.01 up) at a seventh of the descent's row
+        // volume — the gate buys regime coverage, not bench weight
         val li = Tables.lineitem(s, dir)
+          .filter(col("l_partkey") % 7 === 0)
           .select(col("l_partkey"),
             (col("l_quantity").cast("long") % 5).as("xl"))
         shaped(ev, "spread", col("event_type"))
@@ -4969,7 +4973,8 @@ object SparkEntry {
         |  SELECT CAST(l_partkey AS VARCHAR) AS grp,
         |         CAST(l_quantity AS BIGINT) % 5 AS xl
         |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_partkey IS NOT NULL),
+        |  WHERE l_quantity IS NOT NULL AND l_partkey IS NOT NULL
+        |    AND l_partkey % 7 = 0),
         |u AS (
         |  SELECT 'spread' AS src, grp, xl FROM ea
         |  UNION ALL SELECT 'dup_few' AS src, grp, xl FROM eb

@@ -373,11 +373,17 @@ object Boilerplate {
         s"stored max $prevMax")
     // snapshot the dictionary BEFORE any mutation (eager — the
     // returned frames must not re-list the dict path after the
-    // crossed-lines append below)
-    val dict0 = spark.read.parquet(s"$path/dict").localCheckpoint()
-    val bpairs = lines(b, "doc_id", "text")
-      .select(col("line"), col("doc_id")).distinct()
-      .localCheckpoint() // feeds candidate agg + delta write
+    // crossed-lines append below). Independent of the batch's line
+    // pairs, so the two checkpoints run as concurrent jobs — one
+    // fixed latency, not two.
+    var dict0: DataFrame = null
+    var bpairs: DataFrame = null
+    Par.run(Seq(
+      () => dict0 = spark.read.parquet(s"$path/dict").localCheckpoint(),
+      () => bpairs = lines(b, "doc_id", "text")
+        .select(col("line"), col("doc_id")).distinct()
+        .localCheckpoint() // feeds candidate agg + delta write
+    ))
     // candidate lines = batch lines not yet in the dictionary (a
     // dict line's count can never matter again — monotone)
     val candAgg = bpairs
@@ -519,8 +525,13 @@ object Boilerplate {
   def vacuumStore(spark: SparkSession, path: String): Unit = {
     import java.nio.file.Files
     val root = java.nio.file.Paths.get(path)
-    val pendingStaging = StoreFiles.listDir(root)
-      .filter(_.getFileName.toString.startsWith(".boiler_fold_staging_"))
+    val pendingStaging = StoreFiles.listDir(root).filter { p =>
+      val n = p.getFileName.toString
+      // the batch fold's staging AND the streaming twin's (s16) — a
+      // replay of either re-promotes delta files a vacuum would have
+      // collapsed into the store already
+      n.startsWith(".boiler_fold_staging_") || n.startsWith(".boiler_staging_")
+    }
     require(pendingStaging.isEmpty,
       s"crashed fold staging ${pendingStaging.headOption.map(_.getFileName).getOrElse("")} " +
         "survives under the store — replay that fold (re-call fold with " +

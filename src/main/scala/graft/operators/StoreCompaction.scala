@@ -193,8 +193,11 @@ object StoreCompaction {
       } else after.addAndGet(dataFiles.size.toLong)
     }
     if (parts.nonEmpty) {
+      // per-partition jobs are tiny (one bucket read + write); 16-way
+      // fan-out turns a 16-bucket store's maintenance into one wave
+      // instead of two — pure fixed-latency savings
       val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(8, parts.size))
+        .newFixedThreadPool(math.min(16, parts.size))
       val results = try {
         val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
         // await EVERY partition before surfacing any failure: a
