@@ -3305,8 +3305,12 @@ object SparkEntry {
         import graft.operators.Quantiles
         val qs2 = Seq(Quantiles.Quantile("p50", 50, 100),
           Quantiles.Quantile("p90", 90, 100))
+        // minSelectionRows = 0: at fixture SFs the default floor would
+        // (correctly) sort everything — zeroing it pins all three
+        // regime ENGINES under one oracle, which is what this gate buys
         def shaped(df: DataFrame, src: String, g: Column): DataFrame =
-          Quantiles.exactQuantilesAuto(df, g, col("xl"), qs2)
+          Quantiles.exactQuantilesAuto(df, g, col("xl"), qs2,
+              minSelectionRows = 0L)
             .select(lit(src).as("src"), col("grp"),
               col("p50").cast("bigint").as("p50"),
               col("p90").cast("bigint").as("p90"))

@@ -188,14 +188,23 @@ object Quantiles {
   }
 
   /** The executable cost model. Pure — the spec pins which form each
-    * regime selects without running anything. */
+    * regime selects without running anything.
+    *
+    * `minSelectionRows`: duplicate-heaviness only pays once the scan
+    * cost dominates the descent's fixed per-pass latencies — below
+    * the floor one partitioned sort is cheaper than ANY multi-pass
+    * plan (the ManyGroupsQuantilesSoak cost model), so small inputs
+    * sort regardless of value shape. A group no sorter can hold
+    * overrides the floor: sorting is then not an option at all. */
   def chooseQuantileForm(st: QuantileStats,
                          maxDriverGroups: Long = 256,
                          sorterBudget: Long = 4L * 1000 * 1000,
-                         dupRatio: Double = 0.25): QuantileForm = {
+                         dupRatio: Double = 0.25,
+                         minSelectionRows: Long = 5L * 1000 * 1000): QuantileForm = {
     val selectionRegime =
       st.maxGroup > sorterBudget ||
-        (st.rows > 0 && st.sumDistinct <= (st.rows * dupRatio).toLong)
+        (st.rows >= minSelectionRows &&
+          st.sumDistinct <= (st.rows * dupRatio).toLong)
     if (!selectionRegime) SortForm
     else if (st.nGroups <= maxDriverGroups) DriverDescentForm
     else PlanDescentForm
@@ -211,9 +220,10 @@ object Quantiles {
                          fanout: Int = 65536,
                          maxDriverGroups: Long = 256,
                          sorterBudget: Long = 4L * 1000 * 1000,
-                         dupRatio: Double = 0.25): DataFrame =
+                         dupRatio: Double = 0.25,
+                         minSelectionRows: Long = 5L * 1000 * 1000): DataFrame =
     chooseQuantileForm(observeQuantileStats(df, grp, value),
-        maxDriverGroups, sorterBudget, dupRatio) match {
+        maxDriverGroups, sorterBudget, dupRatio, minSelectionRows) match {
       case SortForm => sortQuantiles(df, grp, value, quantiles)
       case DriverDescentForm =>
         radixQuantiles(df, grp, value, quantiles, fanout)

@@ -262,10 +262,21 @@ class QuantilesSpec extends SparkSpec {
       500L * 1000 * 1000, 400L * 1000 * 1000)) === PlanDescentForm)
     // duplicate-heavy values -> descent even when groups are small
     // (counting beats sorting when the count table is tiny)
+    assert(chooseQuantileForm(QuantileStats(5, 10000, 10000000,
+      50000)) === DriverDescentForm)
+    assert(chooseQuantileForm(QuantileStats(100000, 10000, 10000000,
+      50000)) === PlanDescentForm)
+    // ... but only above the rows floor: below it one sort beats any
+    // multi-pass plan's fixed latencies, duplicate-heavy or not
     assert(chooseQuantileForm(QuantileStats(5, 10000, 1000000, 5000)) ===
-      DriverDescentForm)
-    assert(chooseQuantileForm(QuantileStats(100000, 10000, 1000000,
-      5000)) === PlanDescentForm)
+      SortForm)
+    assert(chooseQuantileForm(QuantileStats(5, 10000, 1000000, 5000),
+      minSelectionRows = 0L) === DriverDescentForm)
+    // a group no sorter can hold overrides the floor (sorting is not
+    // an option)
+    assert(chooseQuantileForm(QuantileStats(5, 100L * 1000 * 1000,
+      120L * 1000 * 1000, 110L * 1000 * 1000),
+      minSelectionRows = Long.MaxValue) === DriverDescentForm)
     // empty input -> sort form (returns the empty frame cheaply)
     assert(chooseQuantileForm(QuantileStats(0, 0, 0, 0)) === SortForm)
   }
@@ -281,15 +292,17 @@ class QuantilesSpec extends SparkSpec {
     // driver-state bound
     val dupMany = (0 until 12000).map(i =>
       (s"g${i % 600}", (i % 4).toLong))
+    // floor zeroed: these fixtures pin the VALUE-SHAPE routing; the
+    // default floor's small-input sort override is pinned above
     def formOf(rows: Seq[(String, Long)]) =
       chooseQuantileForm(observeQuantileStats(rows.toDF("g", "x"),
-        col("g"), col("x")))
+        col("g"), col("x")), minSelectionRows = 0L)
     assert(formOf(spread) === SortForm)
     assert(formOf(dupFew) === DriverDescentForm)
     assert(formOf(dupMany) === PlanDescentForm)
     for (rows <- Seq(spread, dupFew, dupMany)) {
       val got = Quantiles.exactQuantilesAuto(rows.toDF("g", "x"),
-          col("g"), col("x"), qs)
+          col("g"), col("x"), qs, minSelectionRows = 0L)
         .collect()
         .map(r => r.getString(0) -> qs.indices.map(i => r.getLong(i + 1)))
         .toMap
