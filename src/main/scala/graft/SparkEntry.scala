@@ -3871,9 +3871,13 @@ object SparkEntry {
         // runs over the vacuumed+compacted store, so this oracle
         // proves maintenance preserves exactness
         Boilerplate.vacuumStore(s, store)
-        StoreCompaction.compactStore(s, s"$store/pairs")
-        StoreCompaction.compactStore(s, s"$store/counts")
-        StoreCompaction.compactStore(s, s"$store/docs")
+        // independent sub-stores compact concurrently (the vacuum just
+        // left pairs/counts at one file per partition, so those two
+        // are listing-only)
+        graft.operators.Par.run(Seq(
+          () => { StoreCompaction.compactStore(s, s"$store/pairs"); () },
+          () => { StoreCompaction.compactStore(s, s"$store/counts"); () },
+          () => { StoreCompaction.compactStore(s, s"$store/docs"); () }))
         val e2 = Boilerplate.fold(s, store,
           all.filter(col("doc_id") > cut2), "doc_id", "text", m,
           nBuckets = 16, nDocBuckets = 16)

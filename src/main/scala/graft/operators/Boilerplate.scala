@@ -556,14 +556,27 @@ object Boilerplate {
           .filter(col("nd") >= minDocs - eps),
         s)
       .localCheckpoint()
-    StoreCompaction.rewriteFlatStore(spark, s"$path/sidecar",
-      _ => newSidecar)
-    StoreCompaction.rewriteStore(spark, s"$path/counts", df =>
-      df.join(broadcast(dict), Seq("line"), "left_anti")
-        .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd_delta"))
-        .withColumn("fseq", lit(s)))
-    StoreCompaction.rewriteStore(spark, s"$path/pairs", df =>
-      df.join(broadcast(dict), Seq("line"), "left_anti"))
+    // ORDERING: the sidecar swap must COMPLETE before the counts
+    // rewrite starts — a crash leaving compacted counts (one row per
+    // line, fseq = S) under the OLD sidecar would double-count: the
+    // old `fseq > old as_of` slice returns each line's FULL collapsed
+    // total on top of the old sidecar nd. The pairs rewrite carries
+    // no fseq semantics and runs concurrently with that chain.
+    Par.run(Seq(
+      () => {
+        StoreCompaction.rewriteFlatStore(spark, s"$path/sidecar",
+          _ => newSidecar)
+        StoreCompaction.rewriteStore(spark, s"$path/counts", df =>
+          df.join(broadcast(dict), Seq("line"), "left_anti")
+            .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd_delta"))
+            .withColumn("fseq", lit(s)))
+        ()
+      },
+      () => {
+        StoreCompaction.rewriteStore(spark, s"$path/pairs", df =>
+          df.join(broadcast(dict), Seq("line"), "left_anti"))
+        ()
+      }))
     // replay markers of cleanly completed folds (no staging survives —
     // checked above): the monotonic guard subsumes them
     StoreFiles.listDir(root)
