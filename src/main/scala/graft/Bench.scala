@@ -72,6 +72,42 @@ object Bench {
       }
       (1 to 3).map(_ => once()).min
     }
+    // Two more deterministic probes, because the CPU loop alone cannot
+    // attribute two drift modes the round-15 analysis hit:
+    //  - calib_job_sec: median wall time of a trivial Spark job
+    //    (spark.range(1).count) over 20 reps — the per-job FIXED
+    //    LATENCY that dominates maintenance-heavy gates (c5, q100,
+    //    ingest folds run dozens of tiny jobs; their variance tracks
+    //    this number, not CPU speed).
+    //  - calib_mem_sec: xor-fold a 256 MiB heap buffer (min of 3) —
+    //    memory-bandwidth drift, which co-tenant pressure moves
+    //    independently of the arithmetic loop (round-15 runs showed
+    //    broad ~0.7-0.8x moves on UNTOUCHED queries that the CPU
+    //    calib could not explain).
+    // Both are reported per run; round-over-round comparisons can then
+    // normalize fixed-latency-bound and scan-bound queries separately
+    // instead of hand-waving "ambient drift".
+    def calibrateJob(): Double = {
+      val times = (1 to 20).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(times.length / 2)
+    }
+    def calibrateMem(): Double = {
+      val buf = new Array[Long](32 * 1024 * 1024) // 256 MiB
+      var i = 0
+      while (i < buf.length) { buf(i) = i * 0x9e3779b97f4a7c15L; i += 1 }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var acc = 0L; var j = 0
+        while (j < buf.length) { acc ^= buf(j); j += 1 }
+        if (acc == 42L) System.err.println("mem calib sentinel")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => once()).min
+    }
     val calibPre = calibrate()
     // best-of-3: single-shot timings at this scale carry ±20% scheduler/
     // GC noise and the host shows sustained background load; min-of-n
@@ -107,6 +143,9 @@ object Bench {
     // makes that attribution data, not archaeology.
     val loadavg = readLoadavg()
     val calibPost = calibrate()
+    // warm-JVM samples, bracketing the same window as calibPost
+    val calibJob = calibrateJob()
+    val calibMem = calibrateMem()
     // Headline calib: the faster of the pre/post probes — the best
     // estimate of unloaded host speed bracketing the run. value_norm
     // (total / calib_sec) is the round-over-round comparison number:
@@ -128,7 +167,7 @@ object Bench {
         s""""${k.substring(sfDir.length + 1)}":${"%.3f".format(v)}""" }
       .sorted.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"stream_pass_phases":$streamPhases,"calib_sec":$calibSec,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"stream_pass_phases":$streamPhases,"calib_sec":$calibSec,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_job_sec":$calibJob,"calib_mem_sec":$calibMem,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
     // stdout goes through sbt's "[info] " prefix, which broke the
     // driver's JSON extraction in round 1 — also land the raw line in a
     // well-known file.
