@@ -194,11 +194,13 @@ object Bpe {
     // the full pair derivation runs ONCE, here; the aggregated table
     // (diversity-bounded, guarded) moves to the driver
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    def foldInto(rows: Array[Row]): Unit = {
+    def foldInto(rows: Array[Row],
+                 changed: scala.collection.mutable.Set[(String, String)] = null): Unit = {
       rows.foreach { row =>
         val key = (row.getString(0), row.getString(1))
         val cnt = pc.getOrElse(key, 0L) + row.getLong(2)
         if (cnt == 0L) pc.remove(key) else pc.update(key, cnt)
+        if (changed != null) changed += key
       }
       require(pc.size <= maxPairs,
         s"pair table ${pc.size} exceeds maxPairs $maxPairs — adjacent-" +
@@ -227,15 +229,23 @@ object Bpe {
         // selection replaces a full table sort.
         val cap = math.max(1,
           math.min(math.min(aimd, batchMerges), k - i + 1))
+        // select top cap+1: the extra entry is the FENCE — every
+        // unchanged non-batch pair is pinned-worse than it, so the
+        // per-step verification argmax below only has to scan the
+        // batch tail plus keys the folded deltas touched, falling back
+        // to a full table scan only when nothing beats the fence.
+        // Without it, verification is an O(P) scan per ACCEPTED merge
+        // — O(k·P) on the driver at real vocabulary scale.
         val top = scala.collection.mutable.PriorityQueue
           .empty[((String, String), Long)](pinned) // max = pinned-LAST
         pc.foreach { e =>
-          if (top.size < cap) top.enqueue(e)
+          if (top.size < cap + 1) top.enqueue(e)
           else if (pinned.lt(e, top.head)) { top.dequeue(); top.enqueue(e) }
         }
-        // pinned order, best first
+        // dequeueAll yields priority (pinned-WORST) first
         val drained: Seq[((String, String), Long)] = top.dequeueAll
-        val batch = drained.toVector.reverse.map(e => e._1)
+        val fence = if (drained.length > cap) Some(drained.head) else None
+        val batch = drained.toVector.reverse.take(cap).map(e => e._1)
         // ---- ONE job: per-step deltas of applying the batch
         // SEQUENTIALLY. Each state st_j is its own projected column,
         // referenced 3× (next replace, the change probe, the pair
@@ -270,19 +280,32 @@ object Bpe {
         // ---- verify-and-accept: step j stands only if the EXACT
         // argmax (post steps < j) still equals the guess; the first
         // mismatch discards the tail (its deltas assumed a merge that
-        // will not happen)
+        // will not happen). The argmax scans only batch tail + keys
+        // the deltas changed, bounded by the selection-time fence
+        // (unchanged outsiders cannot beat it; a changed fence is in
+        // `changed` and covered); full scan only if the fence wins.
+        val changed = scala.collection.mutable.HashSet.empty[(String, String)]
         var j = 0
         var ok = true
         while (j < batch.length && ok && i <= k) {
-          val guess = batch(j)
-          val ((bl, br), cnt) = pc.min(pinned)
-          if ((bl, br) == guess) {
-            merges += ((i, bl, br, cnt))
-            foldInto(byStep.getOrElse(j, Array.empty))
-            pending :+= guess
-            i += 1
-            j += 1
-          } else ok = false
+          if (pc.isEmpty) ok = false
+          else {
+            val guess = batch(j)
+            val candBest = (batch.iterator.drop(j) ++ changed.iterator)
+              .flatMap(key => pc.get(key).map(c => (key, c)))
+              .minOption(pinned)
+            val ((bl, br), cnt) = candBest match {
+              case Some(b) if fence.forall(f => pinned.lt(b, f)) => b
+              case _ => pc.min(pinned)
+            }
+            if ((bl, br) == guess) {
+              merges += ((i, bl, br, cnt))
+              foldInto(byStep.getOrElse(j, Array.empty), changed)
+              pending :+= guess
+              i += 1
+              j += 1
+            } else ok = false
+          }
         }
         aimd = if (ok) aimd * 2 else math.max(1, j)
         if (pending.size >= rewriteEvery) {
