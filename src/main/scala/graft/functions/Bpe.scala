@@ -307,7 +307,10 @@ object Bpe {
             } else ok = false
           }
         }
-        aimd = if (ok) aimd * 2 else math.max(1, j)
+        // growth clamped at the configured cap: unbounded doubling
+        // overflows Int after ~29 fully-accepted batches and pins the
+        // batch size at 1 for the rest of a real k≈32000 run
+        aimd = if (ok) math.min(aimd * 2, batchMerges) else math.max(1, j)
         if (pending.size >= rewriteEvery) {
           base = base.select(col("freq"), curState.as("s")).localCheckpoint()
           pending = Vector.empty

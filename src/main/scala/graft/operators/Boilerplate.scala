@@ -683,10 +683,14 @@ object Boilerplate {
            idCol: String, textCol: String, minDocs: Long,
            nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val (b, mm) = prepBatch(batch, idCol, textCol)
-    require(!mm.isNullAt(1),
+    // the replay key needs only the batch max — a cheap agg on the raw
+    // frame, NOT prepBatch (full-batch localCheckpoint), so a
+    // crash-replay that merely re-serves the staged changelog never
+    // materializes the batch
+    val mx = batch.agg(max(col(idCol)).cast("long")).head()
+    require(!mx.isNullAt(0),
       "monotonic-ingest contract: batch is empty")
-    val foldId = mm.getLong(1)
+    val foldId = mx.getLong(0)
     val marker = Paths.get(path, s"_boiler_fold_$foldId")
     val staging = Paths.get(path, s".boiler_fold_staging_$foldId")
     // a crash-replay has no in-memory frame, so it secures the frozen
@@ -708,7 +712,7 @@ object Boilerplate {
         if (Files.exists(staging.resolve("_SUCCESS"))) None
         else Some(stageFold(spark, path, staging, batch, idCol, textCol,
           minDocs, nBuckets, nDocBuckets, seq = foldId,
-          prepped = Some((b, mm))))
+          prepped = Some(prepBatch(batch, idCol, textCol))))
       promoteFold(path, staging, s"bfold$foldId", None)
       // the freshly staged changelog derives only from checkpointed
       // inputs (valid after the sweep below)
