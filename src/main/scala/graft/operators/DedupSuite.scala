@@ -589,36 +589,45 @@ object DedupSuite {
     * key except its keep. `dup` carries (wkey, keep). Renamed columns:
     * marked shares lineage with the token side downstream, and a
     * same-name join condition would degenerate to the trivially-true
-    * self-comparison Spark warns about. */
+    * self-comparison Spark warns about. No distinct: `dup` is unique
+    * per wkey (it comes from a groupBy) and `occ` is unique per
+    * (doc_id, wpos) by construction, so the join output is already
+    * row-unique — a distinct here would be a free-standing shuffle of
+    * every marked occurrence (corpus-sized in the full dedup). */
   private def substrMarked(occ: DataFrame, dup: DataFrame): DataFrame =
     occ.join(dup.select(col("wkey"), col("keep")), Seq("wkey"))
       .filter(struct(col("doc_id"), col("wpos")) =!= col("keep"))
-      .select(col("doc_id").as("m_doc"), col("wpos")).distinct()
-      .withColumn("flag", lit(1))
+      .select(col("doc_id").as("m_doc"), col("wpos"))
 
   /** Coverage + reconstruction: a token is covered iff a marked window
-    * STARTS within the l-1 positions at or before it — a RANGE window
-    * per document over contiguous positions, never a cross-document
-    * sort. Returns (doc_id, clean_text, n_removed). */
+    * STARTS within the l-1 positions at or before it. The marked
+    * starts are grouped to ONE sorted array per document (the only
+    * shuffle here, bounded by the marked-occurrence count), then a
+    * codegen'd two-pointer walk ([[graft.plans.SpanRemoveClean]] /
+    * [[graft.plans.SpanRemoveCount]]) reconstructs each document in a
+    * single map-only pass over `tk` — the previous relational form
+    * (posexplode → join → per-doc RANGE window → collect_list regroup)
+    * paid two token-level corpus-sized shuffles for the same answer.
+    * Returns (doc_id, clean_text, n_removed) for every document with
+    * at least one token (posexplode semantics preserved). */
   private def substrClean(tk: DataFrame, marked: DataFrame,
                           l: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = tk.select(col("doc_id"), posexplode(col("toks")))
-      .withColumnRenamed("col", "tok").withColumnRenamed("pos", "p")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
-      .rangeBetween(-(l - 1).toLong, 0L)
-    tok.join(marked, col("doc_id") === col("m_doc") &&
-        col("p") === col("wpos"), "left")
-      .select(col("doc_id"), col("p"), col("tok"),
-        coalesce(col("flag"), lit(0)).as("flag"))
-      .withColumn("cov", max(col("flag")).over(w))
-      .groupBy(col("doc_id"))
-      .agg(
-        coalesce(array_join(transform(
-          array_sort(collect_list(when(col("cov") === 0,
-            struct(col("p"), col("tok"))))),
-          x => x.getField("tok")), " "), lit("")).as("clean_text"),
-        sum(col("cov")).cast("bigint").as("n_removed"))
+    val fr = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    fr.createOrReplaceTempFunction(s"graft_span_clean_$l",
+      exprs => graft.plans.SpanRemoveClean(exprs(0), exprs(1), l), "built-in")
+    fr.createOrReplaceTempFunction(s"graft_span_count_$l",
+      exprs => graft.plans.SpanRemoveCount(exprs(0), exprs(1), l), "built-in")
+    val starts = marked.groupBy(col("m_doc"))
+      .agg(sort_array(collect_list(col("wpos"))).as("starts"))
+    val sts = coalesce(col("starts"), array().cast("array<int>"))
+    tk.filter(size(col("toks")) > 0)
+      .join(starts, col("doc_id") === col("m_doc"), "left")
+      .select(col("doc_id"),
+        call_function(s"graft_span_clean_$l", col("toks"), sts)
+          .as("clean_text"),
+        call_function(s"graft_span_count_$l", col("toks"), sts)
+          .as("n_removed"))
   }
 
   /** The store's layout parameters ride in its `_meta` file alongside
@@ -660,20 +669,41 @@ object DedupSuite {
   private def substrWithBucket(agg: DataFrame, nBuckets: Int): DataFrame =
     agg.withColumn("bucket", pmod(crc32(col("wkey")), lit(nBuckets.toLong)))
 
-  /** The fold's pruned store read — store delta rows for a bounded
-    * bucket set, a STATIC `bucket IN (…)` partition filter (the q92
-    * directory-skip guarantee). `private[graft]` so the spec asserts
-    * the partition pruning on EXACTLY the production read (the
-    * [[HeavyHitters.candidateStoreRows]] discipline) — inside
-    * [[exactSubstrFold]] the read is consumed by an eagerly
-    * checkpointed join, so its scan never appears in a returned
-    * plan for a spec to inspect. */
-  private[graft] def substrStoreRows(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      buckets: Seq[Long]): DataFrame =
-    spark.read.parquet(path)
-      .filter(if (buckets.isEmpty) lit(false)
-              else col("bucket").isin(buckets: _*))
+  /** The fold's pruned store read, as an EXPLICIT file snapshot: the
+    * parquet files currently under exactly the requested bucket
+    * directories (the q92 directory-skip guarantee, enforced by file
+    * selection rather than by a partition filter the optimizer must
+    * honor). Pinning the concrete file list does double duty:
+    *
+    *  - PRUNING is driver-decided and absolute — no directory outside
+    *    the batch's bucket set is even listed (`private[graft]` so the
+    *    spec asserts the inventory on EXACTLY the production
+    *    selection);
+    *  - SNAPSHOT ISOLATION is structural — a plan built over these
+    *    files can never observe a later delta append, so the fold's
+    *    returned output frame stays lazily composable (no eager
+    *    checkpoint barrier) and two folds' store scans can never
+    *    canonicalize equal (their file lists differ by the earlier
+    *    fold's delta), which closes the exchange-reuse duplicate-keep
+    *    regression the previous checkpoint existed to prevent. */
+  private[graft] def substrStoreFiles(path: String,
+                                      buckets: Seq[Long]): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    buckets.flatMap { b =>
+      val d = Paths.get(path, s"bucket=$b")
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(_.toString).toList
+        finally s.close()
+      } else Nil
+    }
+  }
 
   /** Initialize a persisted window-key store for incremental
     * ExactSubstr ingest AND return the corpus's cleaned output (the
@@ -763,18 +793,30 @@ object DedupSuite {
                       hashKeys: Boolean = false): DataFrame = {
     val (delta, out, newMax) = computeSubstrFold(spark, path, batch,
       idCol, textCol, l, nBuckets, hashKeys)
-    delta
-      .repartition(col("bucket")) // one delta file per touched bucket
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    // the delta append (mapper-only — delta is already clustered by
+    // bucket) and the output materialization are independent: the
+    // output's store read is pinned to the pre-append file snapshot,
+    // so the two run as CONCURRENT jobs instead of paying two
+    // serialized fixed latencies
+    var outCp: DataFrame = null
+    Par.run(Seq(
+      () => {
+        spark.sparkContext.setJobDescription("substr-fold: delta append")
+        try delta.write.mode("append").partitionBy("bucket").parquet(path)
+        finally spark.sparkContext.setJobDescription(null)
+      },
+      () => outCp = out.localCheckpoint()))
     writeSubstrMeta(spark, path, newMax, l, nBuckets, hashKeys, "append")
-    out
+    outCp
   }
 
   /** The fold's pure computation — everything [[exactSubstrFold]]
     * does EXCEPT touching the store: validates layout + monotonicity,
     * reads the live store (pruned, semi-filtered), and returns
-    * (delta rows WITH their bucket column, the batch's cleaned
-    * output, the new high-water mark). The store joins inside are
+    * (delta rows WITH their bucket column — already CLUSTERED by it,
+    * so writers `partitionBy("bucket")` directly with no repartition —
+    * the batch's cleaned output, the new high-water mark). The store
+    * joins inside are
     * eagerly checkpointed, so neither returned frame re-reads the
     * store when materialized later. Exposed for the streaming twin's
     * committed-staging protocol, which must stage both frames BEFORE
@@ -785,10 +827,21 @@ object DedupSuite {
       textCol: String, l: Int, nBuckets: Int,
       hashKeys: Boolean): (DataFrame, DataFrame, Long) = {
     require(l >= 2, "window length must be at least 2")
-    val tk = substrTokens(batch, idCol, textCol)
+    def desc[A](s: String)(body: => A): A = {
+      spark.sparkContext.setJobDescription(s"substr-fold: $s")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
+    // tokenize ONCE: tk feeds the monotonic check, the window
+    // aggregation, the marked join-back, and the final reconstruction
+    // — left lazy each consumer would re-tokenize the batch
+    val tk = desc("tokenize checkpoint") {
+      substrTokens(batch, idCol, textCol).localCheckpoint()
+    }
     val prevMax = readSubstrMeta(spark, path, l, nBuckets, hashKeys)
-    val mm = tk.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
+    val mm = desc("batch min/max") {
+      tk.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+    }
     require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
       s"monotonic-ingest contract: batch min doc id " +
         s"${if (mm.isNullAt(0)) "(empty)" else mm.getLong(0)} must exceed " +
@@ -799,52 +852,56 @@ object DedupSuite {
     // must be computed once — but a CacheManager-tracked persist with
     // no unpersist would accumulate cached blocks across folds, while
     // checkpoint blocks are context-cleaned once the frame is
-    // unreferenced
-    val batchAgg = occ.groupBy(col("wkey"))
-      .agg(min(struct(col("doc_id"), col("wpos"))).as("bkeep"),
-        count(lit(1)).as("bcnt"))
-      .localCheckpoint()
+    // unreferenced. The bucket column rides along and the checkpoint
+    // is CLUSTERED by it, so the delta append (and the streaming
+    // twin's staged delta write) is a mapper-only pass with no
+    // further shuffle.
+    val batchAgg = desc("batchAgg checkpoint") {
+      substrWithBucket(
+          occ.groupBy(col("wkey"))
+            .agg(min(struct(col("doc_id"), col("wpos"))).as("bkeep"),
+              count(lit(1)).as("bcnt")), nBuckets)
+        .repartition(col("bucket"))
+        .localCheckpoint()
+    }
     // the batch's bucket set, collected for a STATIC partition filter
     // (≤ nBuckets longs — the q92 directory-skip guarantee, no
-    // optimizer heuristic in the loop)
-    val buckets = substrWithBucket(batchAgg.select(col("wkey")), nBuckets)
-      .select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted
-    // semi-filter BEFORE aggregating: the left join below drops every
-    // store key the batch doesn't carry, so re-aggregating a whole
-    // bucket's keys first is wasted shuffle — the semi join (AQE
-    // broadcasts the checkpointed batch-key side when it is small)
-    // shrinks the delta re-aggregation from bucket-sized to
-    // matched-keys-sized
-    val stored = substrStoreRows(spark, path, buckets.toIndexedSeq)
-      .join(batchAgg.select(col("wkey")), Seq("wkey"), "left_semi")
+    // optimizer heuristic in the loop). ONE single-row agg job on the
+    // checkpoint — not a distinct + collect pair.
+    val buckets = desc("bucket set") {
+      batchAgg.agg(collect_set(col("bucket"))).head()
+        .getSeq[Long](0).sorted
+    }
+    // The stored side of the key merge reads the PINNED file snapshot
+    // ([[substrStoreFiles]]) — structural isolation from any later
+    // delta append, so nothing downstream needs an eager checkpoint
+    // barrier and the whole merge + reconstruction stays ONE fused
+    // DAG whose independent stages AQE runs concurrently (the same
+    // concurrency the full recompute enjoys). Semi-filter the scan
+    // down to batch-carried keys BEFORE any shuffle (AQE broadcasts
+    // the checkpointed batch-key side when it is small), then merge
+    // store rows and batch rows in ONE union + groupBy — `min(keep)`
+    // picks the stored keep whenever one exists because stored doc
+    // ids are strictly below batch doc ids (the monotonic contract),
+    // and `sum(cnt)` is the total. One shuffle of matched-plus-batch
+    // keys, vs the previous two (stored re-aggregation, then a second
+    // join back to the batch side). An empty snapshot degrades to the
+    // batch-only aggregation with the same schema.
+    val storeFiles = substrStoreFiles(path, buckets)
+    val batchSide = batchAgg
+      .select(col("wkey"), col("bkeep").as("keep"), col("bcnt").as("cnt"))
+    val matched = (if (storeFiles.isEmpty) batchSide.limit(0)
+      else spark.read.parquet(storeFiles: _*)
+        .join(batchAgg.select(col("wkey")), Seq("wkey"), "left_semi")
+        .select(col("wkey"), col("keep"), col("cnt")))
+    val dup = batchSide
+      .unionByName(matched)
       .groupBy(col("wkey"))
-      .agg(min(col("keep")).as("skeep"), sum(col("cnt")).as("scnt"))
-    // monotonicity ⇒ a stored keep is the global keep when present.
-    // localCheckpoint (eager): the store join MUST execute inside
-    // this fold, in its own job. Left lazy, the returned frame
-    // carries a file scan over the store path; when a caller unions
-    // several folds' outputs into one plan, the folds' store scans
-    // canonicalize identically (same path; both batches usually
-    // touch every bucket, so even the IN-sets match) and exchange
-    // reuse serves a LATER fold's scan from an EARLIER fold's
-    // materialization — whose listing predates the later delta —
-    // silently keeping cross-batch duplicates (the d26 regression).
-    // Checkpointing `dup` (batch-key-bounded, ≤ the batch's distinct
-    // window keys — never corpus-sized) removes every store scan
-    // from the returned plan, which also makes the documented
-    // stable-against-later-appends snapshot a materialized fact
-    // rather than a listing-cache accident.
-    val dup = batchAgg.join(stored, Seq("wkey"), "left")
-      .select(col("wkey"),
-        when(col("scnt").isNotNull, col("skeep"))
-          .otherwise(col("bkeep")).as("keep"),
-        (col("bcnt") + coalesce(col("scnt"), lit(0L))).as("cnt"))
+      .agg(min(col("keep")).as("keep"), sum(col("cnt")).as("cnt"))
       .filter(col("cnt") >= 2)
-      .localCheckpoint()
     val out = substrClean(tk, substrMarked(occ, dup), l)
-    val delta = substrWithBucket(
-      batchAgg.select(col("wkey"), col("bkeep").as("keep"),
-        col("bcnt").as("cnt")), nBuckets)
+    val delta = batchAgg.select(col("wkey"), col("bkeep").as("keep"),
+      col("bcnt").as("cnt"), col("bucket"))
     (delta, out, mm.getLong(1))
   }
 }

@@ -363,8 +363,7 @@ object StreamingJobs {
     // delta and out derive from the fold's checkpointed join — fan
     // out as concurrent jobs; `_SUCCESS` is written strictly last
     graft.operators.Par.run(Seq(
-      () => delta.repartition(org.apache.spark.sql.functions.col("bucket"))
-        .write.partitionBy("bucket")
+      () => delta.write.partitionBy("bucket") // pre-clustered by bucket
         .parquet(staging.resolve("delta").toString),
       () => out.write.parquet(staging.resolve("out").toString)))
     graft.operators.StoreMeta.writeFile(spark,

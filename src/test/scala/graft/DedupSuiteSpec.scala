@@ -505,12 +505,11 @@ class DedupSuiteSpec extends SparkSpec {
   }
 
   test("exactSubstr fold reads only the batch's bucket partitions") {
-    // the q92 unread-proof, applied to the fold's pruned store read
-    // (substrStoreRows — asserted directly, the candidateStoreRows
-    // discipline: inside the fold the read feeds an eagerly
-    // checkpointed join, so its scan never survives into a returned
-    // plan for inspection): the read must carry a static bucket
-    // filter and select no file outside the requested buckets
+    // the q92 unread-proof, applied to the fold's pinned store read
+    // (substrStoreFiles — asserted directly, the candidateStoreRows
+    // discipline, on EXACTLY the selection the fold issues): the
+    // driver-side file snapshot must inventory every file of the
+    // requested buckets and no file outside them
     val store = java.nio.file.Files
       .createTempDirectory("substr_prune").toString + "/state"
     DedupSuite.exactSubstrBuildStore(substrFixture, "doc_id", "text", 8,
@@ -524,20 +523,24 @@ class DedupSuiteSpec extends SparkSpec {
     val c = new java.util.zip.CRC32
     c.update(wkey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val b = c.getValue % 16
-    val pruned = DedupSuite.substrStoreRows(spark, store, Seq(b))
-    pruned.collect() // resolve selectedPartitions
-    val planStr = pruned.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[bucket(#\\d+)? IN".r
-        .findFirstIn(planStr).isDefined ||
-        planStr.contains(s"bucket#") && planStr.contains("PartitionFilters"),
-      s"store read must carry a static bucket partition filter:\n" +
-        planStr.take(2500))
+    val files = DedupSuite.substrStoreFiles(store, Seq(b))
+    assert(files.nonEmpty, "requested bucket must hold files")
+    assert(files.forall(_.contains(s"bucket=$b/")),
+      s"snapshot must list only bucket $b, saw:\n${files.mkString("\n")}")
+    // completeness: the snapshot holds every key row of its bucket
+    val viaSnapshot = spark.read.parquet(files: _*).count()
+    val viaStore = spark.read.parquet(store)
+      .filter(col("bucket") === b).count()
+    assert(viaSnapshot === viaStore,
+      "snapshot must cover the full bucket")
+    // and the scan built on the snapshot touches exactly those files
+    val pruned = spark.read.parquet(files: _*)
+    pruned.collect()
     val scanned = pruned.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
     }.flatten
-    assert(scanned.nonEmpty, "requested bucket must hold files")
-    assert(scanned.forall(_.contains(s"bucket=$b/")),
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"bucket=$b/")),
       s"scan must touch only bucket $b, saw:\n${scanned.mkString("\n")}")
     // and the fold built on this read still cuts a stored duplicate
     val batchText = substrFixture.filter(col("doc_id") === 1L)
