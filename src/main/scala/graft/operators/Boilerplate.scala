@@ -566,15 +566,22 @@ object Boilerplate {
       () => {
         StoreCompaction.rewriteFlatStore(spark, s"$path/sidecar",
           _ => newSidecar)
-        StoreCompaction.rewriteStore(spark, s"$path/counts", df =>
-          df.join(broadcast(dict), Seq("line"), "left_anti")
-            .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd_delta"))
-            .withColumn("fseq", lit(s)))
+        // fused ONE-JOB collapse (line determines bucket, so
+        // (bucket, line) grouping is the per-partition collapse
+        // exactly) — the per-partition form paid one fixed job
+        // latency per bucket, ~2×16 jobs per vacuum
+        StoreCompaction.rewriteStoreFused(spark, s"$path/counts",
+          "bucket", df =>
+            df.join(broadcast(dict), Seq("line"), "left_anti")
+              .groupBy(col("bucket"), col("line"))
+              .agg(sum(col("nd_delta")).as("nd_delta"))
+              .withColumn("fseq", lit(s)))
         ()
       },
       () => {
-        StoreCompaction.rewriteStore(spark, s"$path/pairs", df =>
-          df.join(broadcast(dict), Seq("line"), "left_anti"))
+        StoreCompaction.rewriteStoreFused(spark, s"$path/pairs",
+          "bucket", df =>
+            df.join(broadcast(dict), Seq("line"), "left_anti"))
         ()
       }))
     // replay markers of cleanly completed folds (no staging survives —
@@ -681,7 +688,8 @@ object Boilerplate {
     * caller error the monotonic-ingest guard rejects — as loud. */
   def fold(spark: SparkSession, path: String, batch: DataFrame,
            idCol: String, textCol: String, minDocs: Long,
-           nBuckets: Int = 64, nDocBuckets: Int = 64): DataFrame = {
+           nBuckets: Int = 64, nDocBuckets: Int = 64,
+           autoVacuumTrigger: Int = 24): DataFrame = {
     import java.nio.file.{Files, Paths}
     // the replay key needs only the batch max — a cheap agg on the raw
     // frame, NOT prepBatch (full-batch localCheckpoint), so a
@@ -719,6 +727,23 @@ object Boilerplate {
       val changelog = fresh.getOrElse(stagedChangelog())
       Files.createFile(marker)
       StoreFiles.deleteRecursively(staging)
+      // self-scheduled maintenance: each fold appends one delta file
+      // set per touched counts bucket, so bucket file count IS the
+      // uncollapsed-fold count. When it reaches the trigger
+      // (listing-only check, no job) run the vacuum — fold cost stays
+      // flat over unbounded folds with no operator-remembered vacuum
+      // call. Skipped (not failed) if another fold's crashed staging
+      // survives: vacuuming then would double-apply its replay, and
+      // maintenance deferral is always safe. ≤ 0 disables.
+      if (autoVacuumTrigger > 0 &&
+          StoreCompaction.needsMaintenance(s"$path/counts",
+            autoVacuumTrigger) &&
+          !StoreFiles.listDir(Paths.get(path)).exists { p =>
+            val n = p.getFileName.toString
+            n.startsWith(".boiler_fold_staging_") ||
+              n.startsWith(".boiler_staging_")
+          })
+        vacuumStore(spark, path)
       changelog
     }
   }

@@ -749,17 +749,21 @@ object DedupSuite {
     * fold appends one (wkey, keep, cnt) delta row per batch key, so a
     * window key hot across many folds accumulates one row per fold.
     * Collapse each key to its merged row (min keep — the global keep
-    * under the monotone-id contract; summed cnt), per partition,
-    * under [[StoreCompaction.rewriteStore]]'s crash-convergent swap.
+    * under the monotone-id contract; summed cnt), under the fused
+    * ONE-JOB crash-convergent swap
+    * ([[StoreCompaction.rewriteStoreFused]]; wkey determines bucket,
+    * so (bucket, wkey) grouping is the per-partition collapse exactly).
     * Read-invariant: every store reader merges with exactly this
     * min/sum. Single-maintainer contract — do not run concurrently
     * with folds. */
   def vacuumSubstrStore(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit =
-    StoreCompaction.rewriteStore(spark, path, df =>
-      df.groupBy(col("wkey"))
+                        path: String): Unit = {
+    StoreCompaction.rewriteStoreFused(spark, path, "bucket", df =>
+      df.groupBy(col("bucket"), col("wkey"))
         .agg(min(col("keep")).as("keep"),
           sum(col("cnt")).cast("bigint").as("cnt")))
+    ()
+  }
 
   /** Fold a document batch into an [[exactSubstrBuildStore]] layout
     * and return the BATCH's cleaned output — bit-identical to what a
@@ -790,7 +794,8 @@ object DedupSuite {
   def exactSubstrFold(spark: org.apache.spark.sql.SparkSession,
                       path: String, batch: DataFrame, idCol: String,
                       textCol: String, l: Int, nBuckets: Int = 64,
-                      hashKeys: Boolean = false): DataFrame = {
+                      hashKeys: Boolean = false,
+                      autoVacuumTrigger: Int = 24): DataFrame = {
     val (delta, out, newMax) = computeSubstrFold(spark, path, batch,
       idCol, textCol, l, nBuckets, hashKeys)
     // the delta append (mapper-only — delta is already clustered by
@@ -807,6 +812,13 @@ object DedupSuite {
       },
       () => outCp = out.localCheckpoint()))
     writeSubstrMeta(spark, path, newMax, l, nBuckets, hashKeys, "append")
+    // self-scheduled maintenance: once a bucket's delta-file count
+    // reaches the trigger (listing-only check), collapse the store in
+    // place — fold cost stays O(batch + matched rows) forever without
+    // an operator-remembered vacuum call. ≤ 0 disables.
+    if (autoVacuumTrigger > 0 &&
+        StoreCompaction.needsMaintenance(path, autoVacuumTrigger))
+      vacuumSubstrStore(spark, path)
     outCp
   }
 

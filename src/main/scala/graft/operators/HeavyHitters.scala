@@ -216,26 +216,40 @@ object HeavyHitters {
 
   /** Fold a batch into a [[buildKeyStore]] layout: append-only (no
     * partition is read or rewritten — counts are additive), cost
-    * O(batch) regardless of store size. */
+    * O(batch) regardless of store size. Maintenance is self-scheduled:
+    * when any bucket's delta-file count reaches `autoVacuumTrigger`
+    * (listing-only check, no job), the fold runs [[vacuumKeyStore]]
+    * before returning — a store folded daily stays O(keys) rows and
+    * O(1) files per bucket with no operator-remembered vacuum call.
+    * `autoVacuumTrigger` ≤ 0 disables (explicit-maintenance callers,
+    * e.g. a separate maintenance scheduler, keep full control). */
   def appendToKeyStore(batch: DataFrame, key: Column, path: String,
-                       nBuckets: Int = 32): Unit = {
+                       nBuckets: Int = 32,
+                       autoVacuumTrigger: Int = 24): Unit = {
     requireStoreBuckets(batch.sparkSession, path, nBuckets)
     keyedWithBucket(batch, key, nBuckets)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
+    if (autoVacuumTrigger > 0 &&
+        StoreCompaction.needsMaintenance(path, autoVacuumTrigger))
+      vacuumKeyStore(batch.sparkSession, path)
   }
 
   /** Maintenance vacuum for a [[buildKeyStore]] layout: a key folded
     * daily for a year carries 365 delta rows — collapse each key's
-    * deltas to one row per partition, under
-    * [[StoreCompaction.rewriteStore]]'s crash-convergent swap.
-    * Read-invariant: readers sum deltas per key, and one row sums the
-    * same. Single-maintainer contract — do not run concurrently with
-    * appends. */
+    * deltas to one row, under the fused ONE-JOB crash-convergent swap
+    * ([[StoreCompaction.rewriteStoreFused]]; the bucket column is a
+    * function of k, so grouping by (bucket, k) is the per-partition
+    * `groupBy(k)` exactly). Read-invariant: readers sum deltas per
+    * key, and one row sums the same. Single-maintainer contract — do
+    * not run concurrently with appends. */
   def vacuumKeyStore(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Unit =
-    StoreCompaction.rewriteStore(spark, path, df =>
-      df.groupBy(col("k")).agg(sum(col("cnt")).cast("bigint").as("cnt")))
+                     path: String): Unit = {
+    StoreCompaction.rewriteStoreFused(spark, path, "bucket", df =>
+      df.groupBy(col("bucket"), col("k"))
+        .agg(sum(col("cnt")).cast("bigint").as("cnt")))
+    ()
+  }
 
   /** Additive (k, cnt) delta rows — a build or append writes ONE row
     * per distinct key, not one per occurrence (partial-aggregated

@@ -86,15 +86,26 @@ object Quantiles {
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
         max(col("x")).as("hi"))
       .collect()
+    radixFromStats(keyed, stats.toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))),
+      quantiles, fanout)
+  }
 
-    val initial = stats.toSeq.flatMap { row =>
-      val (g, n) = (row.getString(0), row.getLong(1))
-      val (lo, hi) = (row.getLong(2), row.getLong(3))
+  /** [[radixQuantiles]] with the pre-pass ALREADY PAID: `stats` is
+    * the collected per-group (g, n, lo, hi). The auto dispatcher's
+    * observation pass computes exactly these beside its routing
+    * stats, so routing to this entry point costs zero extra scans. */
+  private def radixFromStats(keyed: DataFrame,
+                             stats: Seq[(String, Long, Long, Long)],
+                             quantiles: Seq[Quantile],
+                             fanout: Int): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val initial = stats.flatMap { case (g, n, lo, hi) =>
       quantiles.zipWithIndex.map { case (q, qi) =>
         Target(g, qi, lo, hi, typeOneRank(n, q))
       }
     }
-    descend(df.sparkSession, keyed, initial, quantiles, fanout, Map.empty)
+    descend(keyed.sparkSession, keyed, initial, quantiles, fanout, Map.empty)
   }
 
   /** The pinned type-1 rank r = (n−1)·num ÷ den + 1, the product in
@@ -211,25 +222,57 @@ object Quantiles {
   }
 
   /** Exact grouped quantiles with the form CHOSEN FROM OBSERVED
-    * STATS — one cheap stats job, then the regime-appropriate engine.
-    * All three forms share the pinned type-1 rank and output shape,
-    * so the choice is invisible in results (the q101 gate runs all
-    * three regimes against one ROW_NUMBER oracle). */
+    * STATS — one observation scan, then the regime-appropriate
+    * engine. All three forms share the pinned type-1 rank and output
+    * shape, so the choice is invisible in results (the q101 gate runs
+    * all three regimes against one ROW_NUMBER oracle).
+    *
+    * The observation is FUSED with the engines' pre-passes: one
+    * grouped aggregation computes the routing stats (n, distinct)
+    * AND the descent seeds (n, lo, hi) per group, materialized
+    * group-count-sized. Both descent forms consume it instead of
+    * re-scanning `df` — the auto path pays exactly one full scan
+    * before descent passes, the same as calling an engine directly
+    * (previously: observation scan + the engine's own stats scan).
+    * The sort regime's engine has no separable pre-pass to fuse
+    * into, so it still pays observation + sort — the floor for a
+    * data-dependent choice. */
   def exactQuantilesAuto(df: DataFrame, grp: Column, value: Column,
                          quantiles: Seq[Quantile],
                          fanout: Int = 65536,
                          maxDriverGroups: Long = 256,
                          sorterBudget: Long = 4L * 1000 * 1000,
                          dupRatio: Double = 0.25,
-                         minSelectionRows: Long = 5L * 1000 * 1000): DataFrame =
-    chooseQuantileForm(observeQuantileStats(df, grp, value),
-        maxDriverGroups, sorterBudget, dupRatio, minSelectionRows) match {
+                         minSelectionRows: Long = 5L * 1000 * 1000): DataFrame = {
+    val keyed = keyedOf(df, grp, value)
+    // one scan: routing stats AND per-group descent seeds together.
+    // localCheckpoint: group-count-sized (distributed — never
+    // collected before the bounded-groups route is CHOSEN)
+    val grouped = keyed.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("x")).as("ad"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .localCheckpoint()
+    val r = grouped.agg(count(lit(1)), coalesce(max(col("n")), lit(0L)),
+        coalesce(sum(col("n")), lit(0L)),
+        coalesce(sum(col("ad")), lit(0L)))
+      .head()
+    val st = QuantileStats(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    chooseQuantileForm(st, maxDriverGroups, sorterBudget, dupRatio,
+        minSelectionRows) match {
       case SortForm => sortQuantiles(df, grp, value, quantiles)
       case DriverDescentForm =>
-        radixQuantiles(df, grp, value, quantiles, fanout)
+        // collect is bounded: this branch implies nGroups ≤ maxDriverGroups
+        radixFromStats(keyed,
+          grouped.select(col("g"), col("n"), col("lo"), col("hi"))
+            .collect().toSeq.map(row => (row.getString(0), row.getLong(1),
+              row.getLong(2), row.getLong(3))),
+          quantiles, fanout)
       case PlanDescentForm =>
-        radixQuantilesManyGroups(df, grp, value, quantiles, fanout)
+        manyGroupsFromStats(keyed, Some(grouped), quantiles, fanout)
     }
+  }
 
   /** The shared radix-descent loop: solve every target to its exact
     * value by fanout-counting passes over `keyed`, then assemble one
@@ -412,11 +455,21 @@ object Quantiles {
     * with group counts beyond [[radixQuantiles]]'s driver state. */
   def radixQuantilesManyGroups(df: DataFrame, grp: Column, value: Column,
                                quantiles: Seq[Quantile],
-                               fanout: Int = 65536): DataFrame = {
+                               fanout: Int = 65536): DataFrame =
+    manyGroupsFromStats(keyedOf(df, grp, value), None, quantiles, fanout)
+
+  /** [[radixQuantilesManyGroups]] with an optional PRE-PAID stats
+    * frame: `groupedOpt`, when present, is a materialized per-group
+    * (g, n, lo, hi) — the auto dispatcher's observation pass computes
+    * it beside its routing stats, so this entry point skips the
+    * engine's own stats scan (one full pass over `keyed` saved). */
+  private def manyGroupsFromStats(keyed: DataFrame,
+                                  groupedOpt: Option[DataFrame],
+                                  quantiles: Seq[Quantile],
+                                  fanout: Int): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     require(fanout >= 2, "fanout must be at least 2")
-    val spark = df.sparkSession
-    val keyed = keyedOf(df, grp, value)
+    val spark = keyed.sparkSession
     // all interval arithmetic in DECIMAL(38,0) via [[decFloorDiv]]:
     // where the driver-state form must refuse a fanout-2 split of the
     // full 64-bit domain (width 2^63 overflows its BIGINT width
@@ -432,11 +485,14 @@ object Quantiles {
     import spark.implicits._
     val qdf = quantiles.zipWithIndex
       .map { case (q, qi) => (qi, q.num, q.den) }.toDF("qi", "num", "den")
-    // one partial-aggregated stats pass; the type-1 rank in
-    // decimal so (n−1)·num cannot overflow before the division
-    var targets = keyed.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
-        max(col("x")).as("hi"))
+    // one partial-aggregated stats pass (skipped when the dispatcher
+    // pre-paid it); the type-1 rank in decimal so (n−1)·num cannot
+    // overflow before the division
+    var targets = groupedOpt.getOrElse(
+        keyed.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
+            max(col("x")).as("hi")))
+      .select(col("g"), col("n"), col("lo"), col("hi"))
       .crossJoin(broadcast(qdf))
       .select(col("g"), col("qi"), col("lo"), col("hi"),
         (floorDiv(dec(col("n") - 1) * dec(col("num")), dec(col("den")))
@@ -578,10 +634,19 @@ object Quantiles {
     * [[HeavyHitters.appendToKeyStore]] economics. */
   def foldQuantileStore(spark: SparkSession, path: String,
                         batch: DataFrame, grp: Column,
-                        value: Column): Unit = {
+                        value: Column,
+                        autoVacuumTrigger: Int = 24): Unit = {
     val cellBits = readQuantileMeta(spark, path)
     cellCounts(keyedOf(batch, grp, value), cellBits)
       .coalesce(1).write.mode("append").parquet(path)
+    // self-scheduled maintenance: each fold appends one delta file,
+    // so the root's data-file count IS the uncollapsed-delta count —
+    // when it reaches the trigger (listing-only check, no job),
+    // collapse in place. Fold cost stays flat over unbounded folds
+    // with no operator-remembered vacuum call. ≤ 0 disables.
+    if (autoVacuumTrigger > 0 &&
+        StoreCompaction.flatNeedsMaintenance(path, autoVacuumTrigger))
+      vacuumQuantileStore(spark, path)
   }
 
   /** Stage one fold's delta (the batch's per-cell counts at the

@@ -90,9 +90,14 @@ object StoreCompaction {
     val stageRoot = root.resolve(".compact_stage")
     val trashRoot = root.resolve(".compact_trash")
     if (Files.exists(stageRoot)) {
-      listDir(stageRoot).foreach { staged =>
+      // a FUSED stage (one Spark write covering many partitions) has
+      // ONE root-level `_SUCCESS` committing every staged partition
+      // dir at once; per-partition stages carry their own marker
+      val rootCommitted = Files.exists(stageRoot.resolve("_SUCCESS"))
+      listDir(stageRoot).filter(Files.isDirectory(_)).foreach { staged =>
         val target = root.resolve(staged.getFileName.toString)
-        val committed = Files.exists(staged.resolve("_SUCCESS"))
+        val committed = rootCommitted ||
+          Files.exists(staged.resolve("_SUCCESS"))
         if (committed && !Files.exists(target)) {
           // crash between the two renames: finish the publish
           Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
@@ -104,7 +109,10 @@ object StoreCompaction {
           deleteRecursively(staged)
         }
       }
-      if (listDir(stageRoot).isEmpty) Files.delete(stageRoot)
+      // the root marker (and any stray files) go LAST: a crash midway
+      // through the loop above must leave the remaining committed
+      // staged dirs still provably committed on the next repair
+      deleteRecursively(stageRoot)
     }
     if (Files.exists(trashRoot)) {
       listDir(trashRoot).foreach { trashed =>
@@ -223,6 +231,130 @@ object StoreCompaction {
     partitionDirs(Paths.get(path)).map { part =>
       part.getFileName.toString -> listDir(part).count(isDataFile)
     }.toMap
+
+  // ----- fused (one-job) rewrite -----------------------------------
+  //
+  // The per-partition forms above run ONE Spark job per rewritten
+  // bucket — the right unit when few buckets changed, but a full
+  // vacuum of a 16-bucket store is 16 tiny jobs whose cost is almost
+  // entirely per-job fixed latency (the calib_job_sec probe measures
+  // it at ~0.07-0.11 s/job on this host; c5's vacuum paid ~45 of
+  // them). The fused form stages EVERY due partition with ONE
+  // partitionBy write — one root-level `_SUCCESS` commits them all
+  // (repairStore honors it) — then runs the same per-partition
+  // two-rename swap, which is pure driver-side filesystem work.
+  // ----------------------------------------------------------------
+
+  /** One-job sibling of [[rewriteStore]]: read every partition in a
+    * single pruned scan, transform, stage all replacements with one
+    * `partitionBy` write, swap each atomically. The transform sees
+    * the WHOLE store frame INCLUDING the hive partition column
+    * `partCol` and must PRESERVE it (the per-partition form's
+    * transform sees one bucket with the column hive-erased — a
+    * key-collapse `groupBy(key)` there becomes
+    * `groupBy(partCol, key)` here; equivalent because a key lives in
+    * exactly one bucket). Each partition lands as ~one output file —
+    * the fused form targets many-small-bucket maintenance; a store
+    * whose single partitions exceed `targetBytes` should use the
+    * per-partition form, which sizes files within a bucket. */
+  def rewriteStoreFused(spark: SparkSession, path: String,
+                        partCol: String,
+                        transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        targetBytes: Long = 128L * 1024 * 1024): CompactionReport =
+    fusedRewrite(spark, path, partCol, targetBytes, 1, transform)
+
+  /** One-job sibling of [[compactStore]] — file regrouping only.
+    * Partitions below `minFiles` are neither read nor rewritten, so
+    * repeated maintenance costs one job over the delta. */
+  def compactStoreFused(spark: SparkSession, path: String,
+                        partCol: String,
+                        targetBytes: Long = 128L * 1024 * 1024,
+                        minFiles: Int = 2): CompactionReport = {
+    require(minFiles >= 2, "minFiles at least 2")
+    fusedRewrite(spark, path, partCol, targetBytes, minFiles, identity)
+  }
+
+  private def fusedRewrite(spark: SparkSession, path: String,
+                           partCol: String, targetBytes: Long, minFiles: Int,
+                           transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): CompactionReport = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    repairStore(path)
+    val root = Paths.get(path)
+    val byPart = partitionDirs(root).map(p => p -> listDir(p).filter(isDataFile))
+    val before = byPart.map(_._2.size.toLong).sum
+    val todo = byPart.filter(_._2.size >= minFiles)
+    if (todo.isEmpty) return CompactionReport(0, before, before)
+    require(todo.forall(_._1.getFileName.toString.startsWith(partCol + "=")),
+      s"store $path partition dirs do not match partCol=$partCol")
+    val stageRoot = root.resolve(".compact_stage")
+    // basePath keeps the hive partition column in the frame so the
+    // transform can group by it and partitionBy can re-emit it
+    val src = spark.read.option("basePath", root.toString)
+      .parquet(todo.map(_._1.toString): _*)
+    // hash-partition on partCol: all of a bucket's rows land in one
+    // task → exactly one file per staged partition. nOut only bounds
+    // task count (several buckets may share a task).
+    val nOut = math.min(todo.size,
+      math.max(1L, (todo.flatMap(_._2).map(Files.size).sum +
+        targetBytes - 1) / targetBytes).toInt)
+    transform(src)
+      .repartition(nOut, org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(stageRoot.toString)
+    require(Files.exists(stageRoot.resolve("_SUCCESS")),
+      s"fused stage for $path has no _SUCCESS marker (success markers " +
+        "disabled in this session?) — aborting before touching the " +
+        "live store; the store is intact")
+    var after = before - todo.map(_._2.size.toLong).sum
+    val trashRoot = root.resolve(".compact_trash")
+    Files.createDirectories(trashRoot)
+    todo.foreach { case (part, _) =>
+      val staged = stageRoot.resolve(part.getFileName.toString)
+      // a partition the transform emptied entirely writes no staged
+      // dir — swap in an explicit empty one so its dead files are
+      // still retired (read-invariant by the transform's contract);
+      // created after `_SUCCESS`, so a crash before this line leaves
+      // the original in place, which is equally read-correct
+      if (!Files.exists(staged)) Files.createDirectories(staged)
+      val trash = trashRoot.resolve(part.getFileName.toString)
+      Files.move(part, trash, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(staged, part, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(trash)
+      after += listDir(part).count(isDataFile).toLong
+    }
+    deleteRecursively(stageRoot)
+    if (Files.exists(trashRoot) && listDir(trashRoot).isEmpty)
+      Files.delete(trashRoot)
+    CompactionReport(todo.size, before, after)
+  }
+
+  // ----- auto-maintenance trigger ----------------------------------
+
+  /** Listing-only maintenance trigger for a hive-partitioned delta
+    * store — TRUE when any partition holds ≥ `trigger` data files.
+    * Delta-file count IS the dead/duplicate-row proxy for these
+    * stores: every fold appends exactly one file set per touched
+    * bucket, so a bucket with F files carries ~F delta rows per key
+    * and F× the planning/footer cost. Pure driver-side directory
+    * listing — no Spark jobs, safe to evaluate on every fold; at
+    * 1000-executor scale this is one object-store LIST per bucket,
+    * amortized by the fold's own store read. A store's fold() calls
+    * this and runs its vacuum when due, so serving stores stay fast
+    * WITHOUT an operator remembering to schedule maintenance. */
+  def needsMaintenance(path: String, trigger: Int): Boolean = {
+    require(trigger >= 2, "trigger at least 2")
+    val root = Paths.get(path)
+    Files.exists(root) && partitionDirs(root)
+      .exists(p => listDir(p).count(isDataFile) >= trigger)
+  }
+
+  /** [[needsMaintenance]] for FLAT (unpartitioned) stores: the root's
+    * own data-file count is the delta count. */
+  def flatNeedsMaintenance(path: String, trigger: Int): Boolean = {
+    require(trigger >= 2, "trigger at least 2")
+    val root = Paths.get(path)
+    Files.exists(root) && listDir(root).count(isDataFile) >= trigger
+  }
 
   // ----- flat (unpartitioned) stores ------------------------------
   //

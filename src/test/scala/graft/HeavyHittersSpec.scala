@@ -206,6 +206,46 @@ class HeavyHittersSpec extends SparkSpec {
     assert(eR.getMessage.contains("n_buckets"))
   }
 
+  test("auto-maintenance: folds self-schedule the vacuum at the file-count trigger") {
+    val nBuckets = 4
+    val root = java.nio.file.Files.createTempDirectory("mg_auto").toString
+    val store = s"$root/store"
+    val corpus = (0 until 200).map(i => s"k${i % 20}").toDF("k")
+    HeavyHitters.buildKeyStore(corpus, col("k"), store, nBuckets)
+    // NO explicit vacuum anywhere below: the fold itself must fire it
+    // when a bucket reaches the trigger's delta-file count
+    (1 to 6).foreach { i =>
+      val batch = (0 until 100).map(j => s"k${(i + j) % 20}").toDF("k")
+      HeavyHitters.appendToKeyStore(batch, col("k"), store, nBuckets,
+        autoVacuumTrigger = 4)
+    }
+    val counts = graft.operators.StoreCompaction.partitionFileCounts(store)
+    assert(counts.values.max < 4,
+      s"auto policy must keep every bucket under the trigger: $counts")
+    // served reads equal the naive union aggregation — maintenance
+    // changed file grouping and delta collapse, never totals
+    val expect = (corpus +: (1 to 6).map(i =>
+        (0 until 100).map(j => s"k${(i + j) % 20}").toDF("k")))
+      .reduce(_ unionByName _)
+      .groupBy("k").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val served = spark.read.parquet(store)
+      .groupBy("k").agg(sum(col("cnt")).cast("bigint").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(served === expect, "auto-maintained store must serve exact totals")
+    // trigger ≤ 0 disables: delta files accumulate untouched
+    val store2 = s"$root/store2"
+    HeavyHitters.buildKeyStore(corpus, col("k"), store2, nBuckets)
+    (1 to 5).foreach { i =>
+      val batch = (0 until 100).map(j => s"k${(i + j) % 20}").toDF("k")
+      HeavyHitters.appendToKeyStore(batch, col("k"), store2, nBuckets,
+        autoVacuumTrigger = 0)
+    }
+    val counts2 = graft.operators.StoreCompaction.partitionFileCounts(store2)
+    assert(counts2.values.max >= 5,
+      s"disabled trigger must leave deltas untouched: $counts2")
+  }
+
   test("stored summary built with a different k is rejected loudly") {
     val corpus = (0 until 100).map(i => s"k${i % 5}").toDF("k")
     val stored = HeavyHitters.summarize(corpus, col("k"), 8)

@@ -133,6 +133,101 @@ class StoreCompactionSpec extends SparkSpec {
     assert(rows(store) === expect)
   }
 
+  // ----- fused (one-job) rewrite -----------------------------------
+
+  private def deltaStore(nFolds: Int): String = {
+    val root = Files.createTempDirectory("dstore").toString + "/store"
+    (0 until nFolds).foreach { i =>
+      // bucket is a FUNCTION of k (j%10 → (j%10)%4) — the delta-store
+      // invariant the fused (bucket, k) collapse relies on
+      (0L until 40L).map(j => (s"k${j % 10}", 1L, (j % 10) % 4))
+        .toDF("k", "cnt", "bucket")
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(root)
+    }
+    root
+  }
+
+  private def summed(path: String): Map[String, Long] =
+    spark.read.parquet(path).groupBy($"k").agg(sum($"cnt").as("c"))
+      .as[(String, Long)].collect().toMap
+
+  test("fused rewrite collapses all partitions in one pass, summed reads invariant, idempotent") {
+    val store = deltaStore(5)
+    val expect = summed(store)
+    val before = StoreCompaction.partitionFileCounts(store)
+    assert(before.values.forall(_ >= 5), s"fixture too small: $before")
+    val rep = StoreCompaction.rewriteStoreFused(spark, store, "bucket",
+      df => df.groupBy($"bucket", $"k")
+        .agg(sum($"cnt").cast("bigint").as("cnt")))
+    assert(rep.partitionsCompacted == 4 && rep.filesAfter < rep.filesBefore)
+    val after = StoreCompaction.partitionFileCounts(store)
+    assert(after.values.forall(_ == 1), s"expected 1 file/partition: $after")
+    assert(summed(store) === expect, "summed reads must be invariant")
+    // one collapsed row per key
+    assert(spark.read.parquet(store).groupBy($"k").count()
+      .agg(max($"count")).head().getLong(0) == 1L)
+    StoreCompaction.rewriteStoreFused(spark, store, "bucket",
+      df => df.groupBy($"bucket", $"k")
+        .agg(sum($"cnt").cast("bigint").as("cnt")))
+    assert(summed(store) === expect)
+    // appends after a fused rewrite land and read normally
+    Seq(("k0", 5L, 0)).toDF("k", "cnt", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(store)
+    assert(summed(store)("k0") == expect("k0") + 5L)
+  }
+
+  test("fused rewrite retires a partition the transform empties entirely") {
+    val store = deltaStore(3)
+    val keep = summed(store).filter(_._1 != "k0") // k0 → bucket 0? no: j%10 / j%4
+    // drop EVERY row of bucket=2 (dead-partition case)
+    StoreCompaction.rewriteStoreFused(spark, store, "bucket",
+      df => df.filter($"bucket" =!= 2))
+    val counts = StoreCompaction.partitionFileCounts(store)
+    assert(counts("bucket=2") == 0,
+      s"emptied partition must have its files retired: $counts")
+    assert(spark.read.parquet(store)
+      .filter($"bucket" === 2).count() == 0L)
+    // untouched buckets still read (silence unused-val warning on keep)
+    assert(keep.nonEmpty && spark.read.parquet(store).count() > 0L)
+  }
+
+  test("fused stage crash windows converge via the root _SUCCESS marker") {
+    val store = deltaStore(3)
+    val expect = summed(store)
+    // stage a fused replacement (root-level _SUCCESS, no per-dir
+    // markers) exactly as rewriteStoreFused writes it
+    val stage = Paths.get(store, ".compact_stage")
+    spark.read.option("basePath", store).parquet(store)
+      .groupBy($"bucket", $"k").agg(sum($"cnt").cast("bigint").as("cnt"))
+      .repartition(1, $"bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    assert(Files.exists(stage.resolve("_SUCCESS")))
+    assert(!Files.exists(stage.resolve("bucket=1").resolve("_SUCCESS")),
+      "fixture must exercise the fused (root-marker-only) layout")
+    // crash mid-swap: bucket=1 already moved to trash, not yet published
+    val trash = Paths.get(store, ".compact_trash", "bucket=1")
+    Files.createDirectories(trash.getParent)
+    Files.move(Paths.get(store, "bucket=1"), trash,
+      StandardCopyOption.ATOMIC_MOVE)
+    StoreCompaction.repairStore(store)
+    assert(Files.exists(Paths.get(store, "bucket=1")),
+      "repair must publish the root-committed staged partition")
+    assert(!Files.exists(Paths.get(store, ".compact_stage")))
+    assert(!Files.exists(Paths.get(store, ".compact_trash")))
+    assert(summed(store) === expect, "no delta lost or double-counted")
+  }
+
+  test("maintenance triggers fire on file counts, listing-only") {
+    val store = deltaStore(3) // 3 files per partition
+    assert(StoreCompaction.needsMaintenance(store, 3))
+    assert(!StoreCompaction.needsMaintenance(store, 4))
+    assert(!StoreCompaction.needsMaintenance(store + "/absent", 2))
+    val flat = buildFlatStore(4) // 4 root data files
+    assert(StoreCompaction.flatNeedsMaintenance(flat, 4))
+    assert(!StoreCompaction.flatNeedsMaintenance(flat, 5))
+  }
+
   // ----- flat (unpartitioned) store rewrite -----------------------
 
   private def buildFlatStore(nAppends: Int): String = {
