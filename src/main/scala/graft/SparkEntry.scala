@@ -374,7 +374,7 @@ object SparkEntry {
       // maintenance pass: squash the append's file accumulation; the
       // q91 gate then serves ranks from the COMPACTED store — the
       // row-identity contract is oracle-checked, not assumed
-      graft.operators.StoreCompaction.compactStore(s, store)
+      graft.operators.StoreCompaction.compactStoreFused(s, store, "bucket")
       sys.addShutdownHook { rmTreeQuiet(tmp) }
       store
     })
@@ -1171,7 +1171,8 @@ object SparkEntry {
       // its own file set per centroid partition): the gate below
       // proves post-compaction serving is hash-identical.
       val s13Task = "s13_stream_ivf_ingest" -> { () =>
-        graft.operators.StoreCompaction.compactStore(s, s"$s13Index/index")
+        graft.operators.StoreCompaction.compactStoreFused(s,
+          s"$s13Index/index", "centroid_id")
         Similarity.queryIvfIndex(s, s"$s13Index/index",
             s.read.parquet(s"$s13Index/centroids"),
             Tables.embeddings(s, dir).filter(col("vec_id") < 8),
@@ -2551,7 +2552,8 @@ object SparkEntry {
         // PROVES fold 3 reads the vacuumed+compacted store identically
         // (post-maintenance output still oracle-exact)
         DedupSuite.vacuumSubstrStore(s, store)
-        graft.operators.StoreCompaction.compactStore(s, store)
+        graft.operators.StoreCompaction.compactStoreFused(s, store,
+          "bucket")
         val out3 = DedupSuite.exactSubstrFold(s, store,
           docs.filter(col("doc_id") >= t2), "doc_id", "text", 8)
         out1.unionByName(out2).unionByName(out3)
@@ -3875,9 +3877,12 @@ object SparkEntry {
         // left pairs/counts at one file per partition, so those two
         // are listing-only)
         graft.operators.Par.run(Seq(
-          () => { StoreCompaction.compactStore(s, s"$store/pairs"); () },
-          () => { StoreCompaction.compactStore(s, s"$store/counts"); () },
-          () => { StoreCompaction.compactStore(s, s"$store/docs"); () }))
+          () => { StoreCompaction.compactStoreFused(s, s"$store/pairs",
+            "bucket"); () },
+          () => { StoreCompaction.compactStoreFused(s, s"$store/counts",
+            "bucket"); () },
+          () => { StoreCompaction.compactStoreFused(s, s"$store/docs",
+            "dbucket"); () }))
         val e2 = Boilerplate.fold(s, store,
           all.filter(col("doc_id") > cut2), "doc_id", "text", m,
           nBuckets = 16, nDocBuckets = 16)

@@ -43,13 +43,18 @@ object Bpe {
   /** Learn the top-`k` BPE merges over `textCol`'s token stream.
     * Output: (mrank INT, lhs, rhs, cnt BIGINT) — merge rank (1-based),
     * the merged pair, and its weighted occurrence count at the time it
-    * was chosen. */
-  def bpeTrain(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    * was chosen. `tokenize` overrides the corpus tokenizer (default:
+    * the engine's [a-z0-9] word splitter) — e.g. a whitespace split
+    * for unicode-alphabet corpora; tokens must not contain the
+    * internal separator (U+001F). */
+  def bpeTrain(docs: DataFrame, textCol: String, k: Int,
+               tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 TextFunctions.tokens): DataFrame = {
     require(k >= 1, "need at least one merge")
     val spark = docs.sparkSession
     // the one corpus-sized pass: word occurrence frequencies
     val words = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .select(explode(tokenize(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // initial state: every character its own symbol
     var state = words.select(col("w"), col("freq"),
@@ -126,14 +131,20 @@ object Bpe {
     * trainer distributed the HeavyHitters way (decide on the driver,
     * count on the cluster):
     *
-    *  - the pair-count table lives ON THE DRIVER — it is bounded by
-    *    the corpus's distinct adjacent-pair DIVERSITY (≲ |symbols|²;
-    *    a byte-level alphabet starts at ≤ 65 536 entries and grows
-    *    by O(1) per merge), never by corpus or vocabulary size, and
-    *    `maxPairs` enforces the bound loudly. Built by ONE
-    *    vocabulary-wide count (the only full pair derivation
-    *    anywhere), updated additively per merge. Argmax and
-    *    tie-break are a driver scan — no job at all.
+    *  - the pair-count table lives ON THE DRIVER — TRUNCATED to the
+    *    pinned-order top `maxPairs` entries plus a COUNT FLOOR: every
+    *    absent pair's exact count is ≤ floor (0 while the table is
+    *    complete), so the argmax is provably global while the best
+    *    retained count strictly beats the floor, and a recount
+    *    refills the table when it no longer does. A unicode-rich
+    *    corpus whose adjacent-pair diversity outgrows `maxPairs`
+    *    therefore degrades to an extra vocabulary-sized recount per
+    *    ~maxPairs-deep descent instead of failing (or overflowing
+    *    driver heap). Built/refilled by a vocabulary-wide count whose
+    *    COLLECT is capped at maxPairs rows (a count histogram picks
+    *    the floor first — the full diversity never reaches the
+    *    driver), updated additively per merge. Argmax and tie-break
+    *    are a driver scan — no job at all.
     *  - merges are applied in BATCHES of guesses per Spark job (the
     *    r14 trainer paid one driver-coordinated job per merge — a
     *    real vocabulary, k ≈ 32 000, is then 32 000 sequential
@@ -177,7 +188,9 @@ object Bpe {
   def bpeTrainIncremental(docs: DataFrame, textCol: String, k: Int,
                           rewriteEvery: Int = 16,
                           maxPairs: Int = 1 << 22,
-                          batchMerges: Int = 64): DataFrame = {
+                          batchMerges: Int = 64,
+                          tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                            TextFunctions.tokens): DataFrame = {
     require(k >= 1, "need at least one merge")
     require(rewriteEvery >= 1, "rewriteEvery must be positive")
     require(batchMerges >= 1, "batchMerges must be positive")
@@ -185,44 +198,150 @@ object Bpe {
     // the one corpus-sized pass: word occurrence frequencies, folded
     // straight into the initial symbol state
     var base = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .select(explode(tokenize(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), initState(col("w")).as("s"))
       .localCheckpoint()
     var pending = Vector.empty[(String, String)] // merges not yet in base
     def curState = applyMerges(col("s"), pending)
-    // the full pair derivation runs ONCE, here; the aggregated table
-    // (diversity-bounded, guarded) moves to the driver
+    // the TRUNCATED driver pair table. Invariants:
+    //  - pc holds EXACT counts for every retained key;
+    //  - every ABSENT key's exact count is ≤ `floor` (0 while the
+    //    table is complete);
+    //  - `slackOf(key)` marks the rare keys whose recorded count may
+    //    UNDERSTATE by at most that bound (same symbol string minted
+    //    by two different merges after the key was truncated — the
+    //    unknowable base was ≤ the floor at insert time).
+    // The selection guard below refuses any argmax these bounds
+    // cannot prove global and refills instead.
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    def foldInto(rows: Array[Row],
-                 changed: scala.collection.mutable.Set[(String, String)] = null): Unit = {
-      rows.foreach { row =>
-        val key = (row.getString(0), row.getString(1))
-        val cnt = pc.getOrElse(key, 0L) + row.getLong(2)
-        if (cnt == 0L) pc.remove(key) else pc.update(key, cnt)
-        if (changed != null) changed += key
-      }
-      require(pc.size <= maxPairs,
-        s"pair table ${pc.size} exceeds maxPairs $maxPairs — adjacent-" +
-          "pair diversity outgrew the driver bound; raise maxPairs or " +
-          "pre-segment the token alphabet")
-    }
-    foldInto(base
-      .select(explode(pairArr(col("s"), col("freq"))).as("p"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum(col("p.d")).as("cnt"))
-      .collect())
-    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var floor = 0L
+    // when the floor's tie class is SPLIT on the pinned (lex) order,
+    // the lex-smallest EXCLUDED key: every absent pair is then
+    // provably pinned-worse than (floorKey, floor), which lets a
+    // retained tie-class entry win; None = conservative strict floor
+    var floorKey: Option[(String, String)] = None
+    val slackOf = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val minted = scala.collection.mutable.HashSet.empty[String]
     // pinned trainer order: count desc, then l asc, r asc
     val pinned = Ordering.by[((String, String), Long), (Long, String, String)] {
       case ((pl, pr), c) => (-c, pl, pr)
     }
+    def foldInto(rows: Array[Row],
+                 changed: scala.collection.mutable.Set[(String, String)] = null,
+                 slackForInserts: Long = 0L): Unit =
+      rows.foreach { row =>
+        val key = (row.getString(0), row.getString(1))
+        val d = row.getLong(2)
+        pc.get(key) match {
+          case Some(c) =>
+            val cnt = c + d
+            if (cnt <= 0L) { pc.remove(key); slackOf.remove(key) }
+            else pc.update(key, cnt)
+            if (changed != null) changed += key
+          case None if d > 0L =>
+            // positive delta to an absent key: increments only ever
+            // touch pairs containing the symbol minted THIS step, so
+            // the base count is exactly 0 — except when the same
+            // symbol string was minted before (slackForInserts then
+            // bounds the truncated base)
+            pc.update(key, d)
+            if (slackForInserts > 0L) slackOf.update(key, slackForInserts)
+            if (changed != null) changed += key
+          case None =>
+            // negative delta to a truncated key: its exact count only
+            // sank further below the floor — the bound stands
+            ()
+        }
+      }
+    /** Recount the pair table of the CURRENT state (base + pending)
+      * distributed and retain the top of it: the count histogram
+      * (distinct counts — tiny) picks the smallest floor whose
+      * STRICT survivors fit `maxPairs`, and only survivors are
+      * collected — the driver never holds more than maxPairs rows
+      * regardless of corpus pair diversity. Clears all slack (the
+      * recount is exact). */
+    def refill(): Unit = {
+      val tbl = base.select(col("freq"), curState.as("s"))
+        .select(explode(pairArr(col("s"), col("freq"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("p.d")).as("cnt"))
+        .localCheckpoint() // one recount job; histogram + survivors read it
+      val hist = tbl.groupBy(col("cnt")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1)
+      var kept = 0L
+      var idx = 0
+      while (idx < hist.length && kept + hist(idx)._2 <= maxPairs) {
+        kept += hist(idx)._2; idx += 1
+      }
+      pc.clear(); slackOf.clear()
+      floor = if (idx < hist.length) hist(idx)._1 else 0L
+      floorKey = None
+      if (kept > 0L)
+        tbl.filter(col("cnt") > lit(floor)).collect().foreach { r =>
+          pc.update((r.getString(0), r.getString(1)), r.getLong(2))
+        }
+      if (idx < hist.length) {
+        // the floor's tie class is wider than the remaining room —
+        // split it on the pinned (lex) order: retain its lex-smallest
+        // keys exactly, remember the first excluded one. Guarantees
+        // ≥ 1 retained entry that provably beats every absent pair,
+        // so a fresh refill can always select (no all-ties deadlock).
+        val room = (maxPairs - kept).toInt
+        if (room > 0) {
+          val tie = tbl.filter(col("cnt") === lit(floor))
+            .orderBy(col("l"), col("r")).limit(room + 1).collect()
+          tie.take(room).foreach { r =>
+            pc.update((r.getString(0), r.getString(1)), r.getLong(2))
+          }
+          // the class outgrew the room, so the (room+1)-th row exists
+          floorKey = Some((tie(room).getString(0), tie(room).getString(1)))
+        }
+      }
+      tbl.unpersist()
+      ()
+    }
+    refill()
+    /** TRUE iff the truncation bounds prove `best` is the GLOBAL
+      * pinned argmax: it strictly beats the floor (any absent pair)
+      * and every slack entry's upper bound, and is not itself slack
+      * (its own exact count — reported in the merge table — could be
+      * understated). */
+    def provenBest(best: ((String, String), Long)): Boolean = {
+      val beatsAbsent = best._2 > floor ||
+        (best._2 == floor &&
+          floorKey.exists(fk => pinned.lt(best, (fk, floor))))
+      beatsAbsent && !slackOf.contains(best._1) &&
+        slackOf.forall { case (sk, sb) =>
+          pinned.lt(best, (sk, pc.getOrElse(sk, 0L) + sb))
+        }
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var i = 1
     var exhausted = false
     var aimd = 4 // adaptive batch size: double on full acceptance,
                  // reset to the accepted count on a rejection
+    var refilledAt = -1 // merge index of the last refill (loop guard)
     while (i <= k && !exhausted) {
-      if (pc.isEmpty) exhausted = true
+      // truncation guard: the table's pinned-best must be PROVABLY
+      // global (see provenBest) — refill once when it is not; a
+      // refill that still cannot prove a best means the descent
+      // reached the floor with nothing retained above it
+      // (the proof is free when the table is complete and slack-free
+      // — every retained count is then exact and positive)
+      val needRefill = pc.size > maxPairs ||
+        ((floor > 0L || slackOf.nonEmpty) &&
+          pc.minOption(pinned).forall(b => !provenBest(b)))
+      if (needRefill && (pc.nonEmpty || floor > 0L)) {
+        require(refilledAt != i,
+          s"pair table cannot isolate a provable argmax at merge $i " +
+            s"even freshly refilled (floor $floor, ${pc.size} retained) " +
+            "— the top of the count distribution is wider than " +
+            s"maxPairs $maxPairs; raise maxPairs")
+        refill()
+        refilledAt = i
+      } else if (pc.isEmpty) exhausted = true
       else {
         // ---- guess a batch: the pinned-order TOP-cap of the table.
         // Only the top `cap` entries matter, so a bounded partial
@@ -298,9 +417,20 @@ object Bpe {
               case Some(b) if fence.forall(f => pinned.lt(b, f)) => b
               case _ => pc.min(pinned)
             }
-            if ((bl, br) == guess) {
+            if ((floor > 0L || slackOf.nonEmpty) &&
+                !provenBest(((bl, br), cnt))) {
+              // mid-batch decrements sank the exact best to where the
+              // truncation bounds no longer prove it global — discard
+              // the tail; the loop head refills and re-selects
+              ok = false
+            } else if ((bl, br) == guess) {
               merges += ((i, bl, br, cnt))
-              foldInto(byStep.getOrElse(j, Array.empty), changed)
+              // a symbol string minted TWICE (e.g. (a,bc) and (ab,c)
+              // both yield "abc") can resurrect a truncated key with
+              // an unknowable base — mark this step's inserts slack
+              val dup = !minted.add(bl + br)
+              foldInto(byStep.getOrElse(j, Array.empty), changed,
+                slackForInserts = if (dup && floor > 0L) floor else 0L)
               pending :+= guess
               i += 1
               j += 1

@@ -54,9 +54,10 @@ class BpeSpec extends SparkSpec {
 
   private def runInc(docs: Seq[String], k: Int,
                      rewriteEvery: Int = 3,
-                     batchMerges: Int = 64): Seq[(Int, String, String, Long)] =
+                     batchMerges: Int = 64,
+                     maxPairs: Int = 1 << 22): Seq[(Int, String, String, Long)] =
     Bpe.bpeTrainIncremental(docs.toDF("text"), "text", k, rewriteEvery,
-        batchMerges = batchMerges)
+        maxPairs = maxPairs, batchMerges = batchMerges)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -137,6 +138,38 @@ class BpeSpec extends SparkSpec {
       val k = 1 + rnd.nextInt(12)
       assert(runInc(docs, k, rewriteEvery = 1 + rnd.nextInt(6),
         batchMerges = 1 + rnd.nextInt(8)) === refFromDocs(docs, k))
+    }
+  }
+
+  test("truncated pair table: tiny maxPairs still equals the reference exactly") {
+    // maxPairs far below the corpora's pair diversity forces the
+    // floor-bounded truncation and its refills on every descent —
+    // the merge table (counts included) must stay bit-identical to
+    // the complete-table reference at every bound
+    val docs = Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "lower lowest low", "newer newest new", "the the them theme",
+      "hugging tugging jogging", "a ab abc abcd abcde",
+      "aaa aaa aaaa aaaaa baaab", "ab ab ab cd cd cd")
+    for (mp <- Seq(2, 3, 8)) {
+      assert(runInc(docs, 14, maxPairs = mp) === refFromDocs(docs, 14),
+        s"maxPairs=$mp")
+    }
+    // randomized: heavy ties + truncation + batch sweep together
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 4) {
+      val alphabet = "abcde"
+      val corpus = (1 to 30).map { _ =>
+        (1 to (1 + rnd.nextInt(5))).map { _ =>
+          (1 to (1 + rnd.nextInt(6)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val k = 1 + rnd.nextInt(10)
+      assert(runInc(corpus, k, rewriteEvery = 1 + rnd.nextInt(4),
+          batchMerges = 1 + rnd.nextInt(8),
+          maxPairs = 2 + rnd.nextInt(6)) === refFromDocs(corpus, k),
+        s"k=$k")
     }
   }
 
