@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Dev profiling harness for the c5 boilerplate-ingest gate (judge
+  * r15 item 5): runs the gate body once warm and prints PER-JOB wall
+  * times with their job descriptions, so the gate's cost decomposes
+  * into build / fold / vacuum / compaction and fixed-latency tax.
+  * `sbt "runMain graft.C5Profile [sfDir]"`. */
+object C5Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new scala.collection.mutable.ArrayBuffer[(Int, Double, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, (js.time,
+          Option(js.properties.getProperty("spark.job.description"))
+            .orElse(Option(js.properties.getProperty("callSite.short")))
+            .getOrElse("?")))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val st = jobs.get(je.jobId)
+        if (st != null) done.synchronized {
+          done += ((je.jobId, (je.time - st._1) / 1e3, st._2))
+        }
+      }
+    })
+    def runOnce(tag: String): Double = {
+      done.synchronized(done.clear())
+      val t0 = System.nanoTime()
+      SparkEntry.queries("c5_boilerplate_ingest")(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // listener bus drain
+      val snap = done.synchronized(done.toList)
+      println(f"== $tag: ${sec}%.2f s wall, ${snap.size} jobs, " +
+        f"${snap.map(_._2).sum}%.2f s summed job time ==")
+      snap.groupBy(_._3).toSeq
+        .map { case (d, js) => (d, js.size, js.map(_._2).sum) }
+        .sortBy(-_._3)
+        .foreach { case (d, n, s) =>
+          println(f"  ${s}%6.2f s  $n%3d jobs  $d")
+        }
+      sec
+    }
+    runOnce("warmup")
+    runOnce("measured")
+    spark.stop()
+  }
+}

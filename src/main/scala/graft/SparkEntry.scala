@@ -3862,30 +3862,37 @@ object SparkEntry {
         val store = s"$tmp/state"
         // 16 buckets: fixture-scale (the default 64 is a corpus-scale
         // layout; maintenance cost is per-partition jobs)
-        val e0 = Boilerplate.buildStore(
+        // phase descriptions: C5Profile attributes per-job cost to
+        // build / fold / maintenance (thread-local, queries here run
+        // sequentially)
+        def desc[A](d: String)(body: => A): A = {
+          s.sparkContext.setJobDescription(s"c5: $d")
+          try body finally s.sparkContext.setJobDescription(null)
+        }
+        val e0 = desc("build") { Boilerplate.buildStore(
           all.filter(col("doc_id") <= cut1), "doc_id", "text", m, store,
-          nBuckets = 16, nDocBuckets = 16)
-        val e1 = Boilerplate.fold(s, store,
+          nBuckets = 16, nDocBuckets = 16) }
+        val e1 = desc("fold1") { Boilerplate.fold(s, store,
           all.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-          "doc_id", "text", m, nBuckets = 16, nDocBuckets = 16)
+          "doc_id", "text", m, nBuckets = 16, nDocBuckets = 16) }
         // maintenance mid-gate: vacuum (drop the fold-1 crossing's
         // dead rows, collapse count deltas) + compact — fold 2 then
         // runs over the vacuumed+compacted store, so this oracle
         // proves maintenance preserves exactness
-        Boilerplate.vacuumStore(s, store)
+        desc("vacuum") { Boilerplate.vacuumStore(s, store) }
         // independent sub-stores compact concurrently (the vacuum just
         // left pairs/counts at one file per partition, so those two
         // are listing-only)
-        graft.operators.Par.run(Seq(
+        desc("compact") { graft.operators.Par.run(Seq(
           () => { StoreCompaction.compactStoreFused(s, s"$store/pairs",
             "bucket"); () },
           () => { StoreCompaction.compactStoreFused(s, s"$store/counts",
             "bucket"); () },
           () => { StoreCompaction.compactStoreFused(s, s"$store/docs",
-            "dbucket"); () }))
-        val e2 = Boilerplate.fold(s, store,
+            "dbucket"); () })) }
+        val e2 = desc("fold2") { Boilerplate.fold(s, store,
           all.filter(col("doc_id") > cut2), "doc_id", "text", m,
-          nBuckets = 16, nDocBuckets = 16)
+          nBuckets = 16, nDocBuckets = 16) }
         val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
         e0.withColumn("seq", lit(0))
           .unionByName(e1.withColumn("seq", lit(1)))

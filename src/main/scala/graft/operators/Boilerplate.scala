@@ -353,10 +353,15 @@ object Boilerplate {
     * so the batch [[fold]] path never scans the batch twice. */
   private[graft] def prepBatch(batch: DataFrame, idCol: String,
                                textCol: String): (DataFrame, org.apache.spark.sql.Row) = {
+    // the batch min/max RIDES the checkpoint job as observed metrics
+    // — one fixed job latency per fold saved vs a separate agg
+    val obs = org.apache.spark.sql.Observation()
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .observe(obs, min(col("doc_id").cast("long")).as("mn"),
+        max(col("doc_id").cast("long")).as("mx"))
       .localCheckpoint()
-    (b, b.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head())
+    val m = obs.get
+    (b, org.apache.spark.sql.Row(m("mn"), m("mx")))
   }
 
   private[graft] def computeFold(spark: SparkSession, path: String,
@@ -411,11 +416,17 @@ object Boilerplate {
     val pnd = postRefreshCounts(spark, path, asOf)
       .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
       .groupBy(col("line")).agg(sum(col("nd_delta")).as("pnd"))
+    // the escalation probe RIDES the checkpoint job as an observed
+    // metric (max over the exact escalation predicate) — the head(1)
+    // probe job it replaces was pure fixed latency
+    val cand2Obs = org.apache.spark.sql.Observation()
     val cand2 = candAgg
       .join(sideHits.hint("broadcast"), Seq("line"), "left")
       .join(pnd.hint("broadcast"), Seq("line"), "left")
       .select(col("line"), col("ndb"), col("snd"),
         coalesce(col("pnd"), lit(0L)).as("pnd"))
+      .observe(cand2Obs, max(when(col("snd").isNull &&
+          col("pnd") + col("ndb") >= eps + 1L, 1).otherwise(0)).as("esc"))
       .localCheckpoint()
     // a line outside the sidecar had nd ≤ minDocs − eps − 1 at the
     // refresh: it can only cross with > eps occurrences since — the
@@ -425,7 +436,10 @@ object Boilerplate {
     // cheap filter instead of the fold paying a whole extra job
     val escalated = cand2
       .filter(col("snd").isNull && col("pnd") + col("ndb") >= eps + 1L)
-    val escAny = escalated.head(1).nonEmpty
+    val escAny = {
+      val e = cand2Obs.get("esc")
+      e != null && e.asInstanceOf[Int] == 1
+    }
     val escCrossed =
       if (!escAny) None
       else {
@@ -442,8 +456,14 @@ object Boilerplate {
       .filter(col("snd").isNotNull &&
         col("snd") + col("pnd") + col("ndb") >= minDocs)
       .select(col("line"))
+    // the crossed lines' pair-store bucket set RIDES the checkpoint
+    // job as an observed collect_set (bounded by nBuckets — operator
+    // parameter, not data) instead of a distinct+collect job
+    val crossedObs = org.apache.spark.sql.Observation()
     val crossed = escCrossed.map(sideCrossed.unionByName(_))
       .getOrElse(sideCrossed)
+      .observe(crossedObs,
+        collect_set(pairBucket(col("line"), nBuckets)).as("buckets"))
       .localCheckpoint()
     // carrier lookup reads the WIDE pair store only for the crossed
     // lines' buckets — a handful, so the partition filter genuinely
@@ -453,23 +473,27 @@ object Boilerplate {
     // filter; the ids themselves reach the pruned read as a broadcast
     // semi-join (an `isin` over the ids would build a literal list
     // that grows with the crossing size).
-    val crossedBuckets = crossed
-      .select(pairBucket(col("line"), nBuckets).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    val crossedBuckets = crossedObs.get("buckets")
+      .asInstanceOf[scala.collection.Seq[Long]].sorted
     val dictNew = dict0.unionByName(crossed).distinct().localCheckpoint()
     val invCarriers =
       if (crossedBuckets.isEmpty) None
       else {
+        // emptiness + the doc store's dbucket set both RIDE the
+        // checkpoint as observed metrics (the head(1) probe and the
+        // distinct+collect each cost a fixed job latency)
+        val idsObs = org.apache.spark.sql.Observation()
         val ids = pairStoreRows(spark, path, crossedBuckets.toIndexedSeq)
           .join(broadcast(crossed), Seq("line"), "left_semi")
           .select(col("doc_id")).distinct()
+          .observe(idsObs, count(lit(1)).as("n"),
+            collect_set(docBucket(col("doc_id"), nDocBuckets)).as("dbuckets"))
           .localCheckpoint()
-        if (ids.head(1).isEmpty) None else Some(ids)
+        if (idsObs.get("n").asInstanceOf[Long] == 0L) None
+        else Some((ids, idsObs.get("dbuckets")
+          .asInstanceOf[scala.collection.Seq[Long]].sorted))
       }
-    val outInv = invCarriers.map { ids =>
-      val dbuckets = ids
-        .select(docBucket(col("doc_id"), nDocBuckets).as("dbucket"))
-        .distinct().collect().map(r => java.lang.Long.valueOf(r.getLong(0)))
+    val outInv = invCarriers.map { case (ids, dbuckets) =>
       val inv = spark.read.parquet(s"$path/docs")
         .filter(col("dbucket").isin(dbuckets.toIndexedSeq: _*))
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -522,8 +546,9 @@ object Boilerplate {
     *
     * Single-maintainer contract — do not run concurrently with
     * folds. */
-  def vacuumStore(spark: SparkSession, path: String): Unit = {
+  def vacuumStore(spark0: SparkSession, path: String): Unit = {
     import java.nio.file.Files
+    val spark = StoreCompaction.quietSession(spark0)
     val root = java.nio.file.Paths.get(path)
     val pendingStaging = StoreFiles.listDir(root).filter { p =>
       val n = p.getFileName.toString
@@ -691,11 +716,19 @@ object Boilerplate {
            nBuckets: Int = 64, nDocBuckets: Int = 64,
            autoVacuumTrigger: Int = 24): DataFrame = {
     import java.nio.file.{Files, Paths}
+    // the fold's ~15 tiny actions run on an AQE-off session clone:
+    // under AQE each action's 1-3 exchanges schedule as separate
+    // stage-jobs (~40 jobs per fold measured — pure fixed-latency tax
+    // at ingest-batch scale, where runtime re-planning has nothing to
+    // buy). Clone-local, so the caller's session conf is untouched.
+    val qs = StoreCompaction.quietSession(spark)
+    val qBatch = org.apache.spark.sql.GraftColumnBridge
+      .onSession(qs, batch)
     // the replay key needs only the batch max — a cheap agg on the raw
     // frame, NOT prepBatch (full-batch localCheckpoint), so a
     // crash-replay that merely re-serves the staged changelog never
     // materializes the batch
-    val mx = batch.agg(max(col(idCol)).cast("long")).head()
+    val mx = qBatch.agg(max(col(idCol)).cast("long")).head()
     require(!mx.isNullAt(0),
       "monotonic-ingest contract: batch is empty")
     val foldId = mx.getLong(0)
@@ -704,7 +737,7 @@ object Boilerplate {
     // a crash-replay has no in-memory frame, so it secures the frozen
     // staged copy BEFORE sweeping the staging
     def stagedChangelog(): DataFrame =
-      spark.read.parquet(staging.resolve("out").toString)
+      qs.read.parquet(staging.resolve("out").toString)
         .select(col(idCol), col("clean_text"), col("n_removed"))
         .localCheckpoint()
     if (Files.exists(marker)) {
@@ -718,9 +751,9 @@ object Boilerplate {
     } else {
       val fresh =
         if (Files.exists(staging.resolve("_SUCCESS"))) None
-        else Some(stageFold(spark, path, staging, batch, idCol, textCol,
+        else Some(stageFold(qs, path, staging, qBatch, idCol, textCol,
           minDocs, nBuckets, nDocBuckets, seq = foldId,
-          prepped = Some(prepBatch(batch, idCol, textCol))))
+          prepped = Some(prepBatch(qBatch, idCol, textCol))))
       promoteFold(path, staging, s"bfold$foldId", None)
       // the freshly staged changelog derives only from checkpointed
       // inputs (valid after the sweep below)

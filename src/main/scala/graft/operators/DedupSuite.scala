@@ -791,12 +791,17 @@ object DedupSuite {
     * crash-redo-from-clean contract as [[HeavyHitters.appendToKeyStore]];
     * the streaming twin's committed-staging protocol is the
     * exactly-once variant. */
-  def exactSubstrFold(spark: org.apache.spark.sql.SparkSession,
+  def exactSubstrFold(spark0: org.apache.spark.sql.SparkSession,
                       path: String, batch: DataFrame, idCol: String,
                       textCol: String, l: Int, nBuckets: Int = 64,
                       hashKeys: Boolean = false,
                       autoVacuumTrigger: Int = 24): DataFrame = {
-    val (delta, out, newMax) = computeSubstrFold(spark, path, batch,
+    // AQE-off clone: the fold is a handful of batch-sized actions
+    // whose per-exchange stage-jobs are fixed-latency tax (see
+    // StoreCompaction.quietSession)
+    val spark = StoreCompaction.quietSession(spark0)
+    val (delta, out, newMax) = computeSubstrFold(spark, path,
+      org.apache.spark.sql.GraftColumnBridge.onSession(spark, batch),
       idCol, textCol, l, nBuckets, hashKeys)
     // the delta append (mapper-only — delta is already clustered by
     // bucket) and the output materialization are independent: the
@@ -845,18 +850,22 @@ object DedupSuite {
     }
     // tokenize ONCE: tk feeds the monotonic check, the window
     // aggregation, the marked join-back, and the final reconstruction
-    // — left lazy each consumer would re-tokenize the batch
+    // — left lazy each consumer would re-tokenize the batch. The
+    // batch min/max RIDES the checkpoint job as observed metrics
+    // (one fixed job latency per fold saved vs a separate agg).
+    val obs = org.apache.spark.sql.Observation()
     val tk = desc("tokenize checkpoint") {
-      substrTokens(batch, idCol, textCol).localCheckpoint()
+      substrTokens(batch, idCol, textCol)
+        .observe(obs, min(col("doc_id").cast("long")).as("mn"),
+          max(col("doc_id").cast("long")).as("mx"))
+        .localCheckpoint()
     }
     val prevMax = readSubstrMeta(spark, path, l, nBuckets, hashKeys)
-    val mm = desc("batch min/max") {
-      tk.agg(min(col("doc_id")).cast("long"),
-        max(col("doc_id")).cast("long")).head()
-    }
-    require(!mm.isNullAt(0) && mm.getLong(0) > prevMax,
+    val mmMap = obs.get
+    val mnAny = mmMap("mn")
+    require(mnAny != null && mnAny.asInstanceOf[Long] > prevMax,
       s"monotonic-ingest contract: batch min doc id " +
-        s"${if (mm.isNullAt(0)) "(empty)" else mm.getLong(0)} must exceed " +
+        s"${if (mnAny == null) "(empty)" else mnAny} must exceed " +
         s"stored max $prevMax")
     val occ = substrWindows(tk, l, hashKeys)
     // localCheckpoint, not persist: the batch aggregation feeds three
@@ -914,6 +923,6 @@ object DedupSuite {
     val out = substrClean(tk, substrMarked(occ, dup), l)
     val delta = batchAgg.select(col("wkey"), col("bkeep").as("keep"),
       col("bcnt").as("cnt"), col("bucket"))
-    (delta, out, mm.getLong(1))
+    (delta, out, mmMap("mx").asInstanceOf[Long])
   }
 }

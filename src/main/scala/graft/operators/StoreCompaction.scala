@@ -330,6 +330,26 @@ object StoreCompaction {
 
   // ----- auto-maintenance trigger ----------------------------------
 
+  /** AQE-off clone of the caller's session for fold/maintenance
+    * paths: their plans are dozens of tiny 1-3-exchange actions where
+    * AQE's per-exchange stage-jobs are pure fixed-latency tax
+    * (measured: ~40 jobs per boilerplate fold, ~15 actions) and its
+    * runtime re-planning has nothing to buy. Without AQE the fixed
+    * shuffle-partition count IS the task count of every tiny
+    * maintenance shuffle, so it is capped at 8 (shuffles here are
+    * bounded by one ingest batch / one bucket's deltas, never by the
+    * corpus). Clone-local — never mutates the caller's conf (a
+    * session-wide flip would race concurrent work, e.g. the shared
+    * streaming seeds). */
+  private[graft] def quietSession(spark: SparkSession): SparkSession = {
+    val c = org.apache.spark.sql.GraftColumnBridge.cloneSession(spark)
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    c.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .toString)
+    c
+  }
+
   /** Listing-only maintenance trigger for a hive-partitioned delta
     * store — TRUE when any partition holds ≥ `trigger` data files.
     * Delta-file count IS the dead/duplicate-row proxy for these

@@ -357,9 +357,15 @@ object StreamingJobs {
                                      l: Int, nBuckets: Int,
                                      hashKeys: Boolean): Unit = {
     deleteRecursively(staging)
+    // AQE-off clone: the staged fold is a handful of batch-sized
+    // actions whose per-exchange stage-jobs are fixed-latency tax
+    // (StoreCompaction.quietSession); clone-local, so concurrent
+    // streams on the caller's session are untouched
+    val qs = graft.operators.StoreCompaction.quietSession(spark)
     val (delta, out, newMax) = graft.operators.DedupSuite
-      .computeSubstrFold(spark, storePath, batch, "doc_id", "text",
-        l, nBuckets, hashKeys)
+      .computeSubstrFold(qs, storePath,
+        org.apache.spark.sql.GraftColumnBridge.onSession(qs, batch),
+        "doc_id", "text", l, nBuckets, hashKeys)
     // delta and out derive from the fold's checkpointed join — fan
     // out as concurrent jobs; `_SUCCESS` is written strictly last
     graft.operators.Par.run(Seq(
@@ -524,8 +530,12 @@ object StreamingJobs {
                                           batchId: Long, minDocs: Long,
                                           nBuckets: Int,
                                           nDocBuckets: Int): Unit = {
-    graft.operators.Boilerplate.stageFold(spark, storePath, staging,
-      batch, "doc_id", "text", minDocs, nBuckets, nDocBuckets,
+    // AQE-off clone (StoreCompaction.quietSession): same rationale as
+    // the substr twin above
+    val qs = graft.operators.StoreCompaction.quietSession(spark)
+    graft.operators.Boilerplate.stageFold(qs, storePath, staging,
+      org.apache.spark.sql.GraftColumnBridge.onSession(qs, batch),
+      "doc_id", "text", minDocs, nBuckets, nDocBuckets,
       seq = batchId)
     ()
   }

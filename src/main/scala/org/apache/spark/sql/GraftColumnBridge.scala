@@ -41,4 +41,28 @@ object GraftColumnBridge {
     val c = df.asInstanceOf[classic.Dataset[Row]]
     c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, df.schema)
   }
+
+  /** Re-root a DataFrame's UNANALYZED logical plan onto another
+    * session of the SAME SparkContext — the standard plan-transplant
+    * (`Dataset.ofRows` is `private[sql]`).
+    *
+    * Why: the fold/vacuum maintenance paths run dozens of TINY
+    * actions (checkpoints, staged writes) whose plans have 1-3
+    * exchanges each. Under AQE every exchange materializes as its own
+    * job, so a 15-action fold schedules ~40 jobs — pure fixed-latency
+    * tax at ingest-batch scale where AQE's runtime re-planning
+    * (coalescing, skew splits) has nothing to buy. Transplanting the
+    * inputs onto a cloned session with AQE off collapses each action
+    * back to one job without touching the caller's session conf (a
+    * session-wide conf flip would race the concurrent streaming
+    * seeds). */
+  def onSession(s: SparkSession, df: Dataset[Row]): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].logicalPlan)
+
+  /** Session clone with its own SQLConf (`cloneSession` is
+    * `private[sql]` in Spark 4) — the isolation [[onSession]]'s
+    * maintenance-path callers need to flip AQE off locally. */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[classic.SparkSession].cloneSession()
 }
