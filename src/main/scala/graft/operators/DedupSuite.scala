@@ -596,7 +596,10 @@ object DedupSuite {
     * every marked occurrence (corpus-sized in the full dedup). */
   private def substrMarked(occ: DataFrame, dup: DataFrame): DataFrame =
     occ.join(dup.select(col("wkey"), col("keep")), Seq("wkey"))
-      .filter(struct(col("doc_id"), col("wpos")) =!= col("keep"))
+      // null-safe: a NULL keep (the fold's stored-key rows — the true
+      // keep lives store-side under the monotone-id contract) exempts
+      // no occurrence; non-null keeps compare exactly as before
+      .filter(!(struct(col("doc_id"), col("wpos")) <=> col("keep")))
       .select(col("doc_id").as("m_doc"), col("wpos"))
 
   /** Coverage + reconstruction: a token is covered iff a marked window
@@ -893,34 +896,39 @@ object DedupSuite {
       batchAgg.agg(collect_set(col("bucket"))).head()
         .getSeq[Long](0).sorted
     }
-    // The stored side of the key merge reads the PINNED file snapshot
-    // ([[substrStoreFiles]]) — structural isolation from any later
-    // delta append, so nothing downstream needs an eager checkpoint
-    // barrier and the whole merge + reconstruction stays ONE fused
-    // DAG whose independent stages AQE runs concurrently (the same
-    // concurrency the full recompute enjoys). Semi-filter the scan
-    // down to batch-carried keys BEFORE any shuffle (AQE broadcasts
-    // the checkpointed batch-key side when it is small), then merge
-    // store rows and batch rows in ONE union + groupBy — `min(keep)`
-    // picks the stored keep whenever one exists because stored doc
-    // ids are strictly below batch doc ids (the monotonic contract),
-    // and `sum(cnt)` is the total. One shuffle of matched-plus-batch
-    // keys, vs the previous two (stored re-aggregation, then a second
-    // join back to the batch side). An empty snapshot degrades to the
-    // batch-only aggregation with the same schema.
+    // The stored side of the cut decision is EXISTENCE ONLY: under
+    // the monotone-id contract a stored key's global keep is always
+    // stored-side (stored doc ids are strictly below batch doc ids),
+    // so EVERY batch occurrence of a stored key is cut — the fold's
+    // output never needs stored keep or cnt. The scan of the PINNED
+    // file snapshot ([[substrStoreFiles]] — structural isolation from
+    // this fold's own delta append, no checkpoint barrier) therefore
+    // reads the SINGLE wkey column (columnar pruning cuts store-scan
+    // bytes ~3×), and the merge needs NO shuffle at all: the
+    // existence semi-join and the batch-only anti-join both broadcast
+    // the checkpointed batch keys. A stored key enters the dup set
+    // with a NULL keep (exempts nothing — the null-safe inequality in
+    // [[substrMarked]] cuts all its batch occurrences); a batch-only
+    // duplicated key keeps its batch keep. An empty snapshot degrades
+    // to the batch-only set with the same schema.
     val storeFiles = substrStoreFiles(path, buckets)
-    val batchSide = batchAgg
-      .select(col("wkey"), col("bkeep").as("keep"), col("bcnt").as("cnt"))
-    val matched = (if (storeFiles.isEmpty) batchSide.limit(0)
+    // explicit broadcasts: both build sides are bounded by the
+    // batch's distinct keys (ingest-batch-sized by the fold
+    // contract); the static planner only sees the scan's size
+    val storedKeys = (if (storeFiles.isEmpty)
+        batchAgg.select(col("wkey")).limit(0)
       else spark.read.parquet(storeFiles: _*)
-        .join(batchAgg.select(col("wkey")), Seq("wkey"), "left_semi")
-        .select(col("wkey"), col("keep"), col("cnt")))
-    val dup = batchSide
-      .unionByName(matched)
-      .groupBy(col("wkey"))
-      .agg(min(col("keep")).as("keep"), sum(col("cnt")).as("cnt"))
-      .filter(col("cnt") >= 2)
-    val out = substrClean(tk, substrMarked(occ, dup), l)
+        .select(col("wkey"))
+        .join(broadcast(batchAgg.select(col("wkey"))),
+          Seq("wkey"), "left_semi"))
+    val dup = batchAgg.filter(col("bcnt") >= 2)
+      .select(col("wkey"), col("bkeep").as("keep"))
+      .join(broadcast(storedKeys), Seq("wkey"), "left_anti")
+      .unionByName(storedKeys.select(col("wkey"),
+        lit(null).cast(batchAgg.schema("bkeep").dataType).as("keep")))
+    // dup is batch-bounded HERE (the build path's dup is corpus-sized
+    // and must stay shuffled — hint only this call site)
+    val out = substrClean(tk, substrMarked(occ, broadcast(dup)), l)
     val delta = batchAgg.select(col("wkey"), col("bkeep").as("keep"),
       col("bcnt").as("cnt"), col("bucket"))
     (delta, out, mmMap("mx").asInstanceOf[Long])
