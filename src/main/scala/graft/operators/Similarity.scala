@@ -165,9 +165,24 @@ object Similarity {
     * centroids ([[refineCentroids]]) and rebuild — the classic
     * merge-policy tradeoff, orthogonal to this append path. */
   def appendToIvfIndex(batch: DataFrame, path: String, centroids: DataFrame,
-                       idCol: String, vecCol: String): Unit =
+                       idCol: String, vecCol: String,
+                       autoCompactTrigger: Int = 24): Unit = {
     assignToCentroids(batch, centroids, idCol, vecCol)
       .write.mode("append").partitionBy("centroid_id").parquet(path)
+    // self-scheduled maintenance: each append lands one file set per
+    // touched centroid partition, so partition file count IS the
+    // uncompacted-append count. At the trigger (listing-only check,
+    // no job) squash files in place — serving stays fast over
+    // unbounded appends with no operator-remembered compaction.
+    // Row-identical (compaction regroups files, never rows), so the
+    // e10 full-rebuild oracle is unaffected. ≤ 0 disables.
+    if (autoCompactTrigger > 0 &&
+        StoreCompaction.needsMaintenance(path, autoCompactTrigger)) {
+      StoreCompaction.compactStoreFused(batch.sparkSession, path,
+        "centroid_id")
+      ()
+    }
+  }
 
   /** The crash-safe half of the streaming ingest protocol
     * ([[graft.streaming.StreamingJobs.appendIvfBatchIdempotent]]):

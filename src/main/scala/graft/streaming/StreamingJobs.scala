@@ -251,14 +251,29 @@ object StreamingJobs {
   def appendIvfBatchIdempotent(indexPath: String,
                                centroids: org.apache.spark.sql.DataFrame,
                                batch: org.apache.spark.sql.DataFrame,
-                               batchId: Long): Boolean = {
+                               batchId: Long,
+                               autoCompactTrigger: Int = 24): Boolean = {
     import java.nio.file.Paths
     val staging = Paths.get(indexPath, s".staging_batch_$batchId")
-    applyBatchIdempotent(
+    val applied = applyBatchIdempotent(
         Paths.get(indexPath, s"_batch_$batchId"), staging) { () =>
       graft.operators.Similarity.stageIvfBatch(
         batch, staging.toString, centroids, "vec_id", "embedding")
     } { () => promoteStagedIvfBatch(indexPath, batchId) }
+    // self-scheduled maintenance AFTER the batch's marker is durable:
+    // a compaction can then never interleave a promoted-but-markerless
+    // replay window (batch N replays before N+1 ever runs, and the
+    // fused compaction ignores dot-dirs, so a crashed sibling's
+    // staging is untouched). Row-identical — the e10 rebuild oracle
+    // and s13 gate serve from compacted stores already. ≤ 0 disables.
+    if (applied && autoCompactTrigger > 0 &&
+        graft.operators.StoreCompaction.needsMaintenance(indexPath,
+          autoCompactTrigger)) {
+      graft.operators.StoreCompaction.compactStoreFused(
+        batch.sparkSession, indexPath, "centroid_id")
+      ()
+    }
+    applied
   }
 
   /** Step 3 of [[appendIvfBatchIdempotent]]'s protocol, exposed so

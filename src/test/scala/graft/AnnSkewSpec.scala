@@ -154,6 +154,28 @@ class AnnSkewSpec extends SparkSpec {
     assert(appended == batch.count(), "every batch row must be in the index")
   }
 
+  test("IVF auto-compaction: appends self-schedule the squash at the trigger, serving unchanged") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .filter($"vec_id" < 200)
+    val root = java.nio.file.Files.createTempDirectory("ivf_auto").toString + "/index"
+    val cent = Similarity.buildIvfIndex(emb, root, "vec_id", "embedding", 8)
+    // NO explicit compaction below: the appends must fire it at the
+    // file-count trigger themselves
+    (1 to 6).foreach { i =>
+      val b = emb.filter($"vec_id" % 5 === i % 5)
+        .select(($"vec_id" + i * 100000L).as("vec_id"), $"embedding")
+      Similarity.appendToIvfIndex(b, root, cent, "vec_id", "embedding",
+        autoCompactTrigger = 3)
+    }
+    val counts = graft.operators.StoreCompaction.partitionFileCounts(root)
+    assert(counts.values.max < 3,
+      s"auto policy must keep partitions under the trigger: $counts")
+    // rows survive maintenance exactly: base + all six batches
+    val n = spark.read.parquet(root).count()
+    assert(n == emb.count() + 6 * emb.filter($"vec_id" % 5 === 0).count(),
+      s"compaction must never change rows, got $n")
+  }
+
   test("persisted PQ index: served == inline for IVFPQ and IVFADC, probe prunes dynamically") {
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val queries = emb.filter($"vec_id" < 8)
