@@ -272,12 +272,27 @@ object Boilerplate {
       .localCheckpoint() // feeds dict write, pair filter, and nothing else twice
     val dict = nd.filter(col("nd") >= minDocs).select(col("line"))
     val sub = nd.filter(col("nd") < minDocs).localCheckpoint()
-    val mr = docs.agg(max(col(idCol)).cast("long")).head()
-    val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
-    // the five sub-store writes are independent (nd/sub are
-    // checkpointed; pairs and docs re-derive from the input) — fan
-    // them out as concurrent jobs. Bucket-aligned repartition so each
-    // store is nBuckets files, not shufflePartitions × nBuckets.
+    // the high-water max RIDES the docs-store write as an observed
+    // metric (the separate docs.agg(max) pre-pass was a full corpus
+    // scan). The docs write runs FIRST, alone: three of the other
+    // writers stamp the metric, and blocking on obs.get inside the
+    // concurrent fan-out would hang forever if the docs write failed
+    // — and the docs write is the corpus-sized wall anyway, so
+    // serializing the vocabulary-sized rest behind it costs ~nothing.
+    val obs = org.apache.spark.sql.Observation()
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .observe(obs, max(col("doc_id").cast("long")).as("mx"))
+      .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$path/docs")
+    val maxDoc: Long = {
+      val m = obs.get("mx")
+      if (m == null) Long.MinValue else m.asInstanceOf[Long]
+    }
+    // the four remaining sub-store writes are independent (nd/sub are
+    // checkpointed; pairs re-derives from the input) — fan them out
+    // as concurrent jobs. Bucket-aligned repartition so each store is
+    // nBuckets files, not shufflePartitions × nBuckets.
     Par.run(Seq(
       () => dict.write.mode("overwrite").parquet(s"$path/dict"),
       // sub-threshold pairs only
@@ -295,11 +310,7 @@ object Boilerplate {
       // near-threshold sidecar, exact as of this build
       () => sidecarFrame(spark, sub.filter(col("nd") >= minDocs - ep),
           maxDoc)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/sidecar"),
-      () => docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
-        .repartition(col("dbucket"))
-        .write.mode("overwrite").partitionBy("dbucket").parquet(s"$path/docs")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sidecar")))
     writeMeta(spark, path, maxDoc, minDocs, nBuckets, nDocBuckets, ep,
       "overwrite")
     cleanWithDict(docs, idCol, textCol,

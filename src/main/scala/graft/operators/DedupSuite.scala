@@ -730,8 +730,15 @@ object DedupSuite {
     require(l >= 2, "window length must be at least 2")
     val spark = docs.sparkSession
     val tk = substrTokens(docs, idCol, textCol)
-    val occ = substrWindows(tk, l, hashKeys)
-    val agg = occ.groupBy(col("wkey"))
+    // the high-water max RIDES the store write as an observed metric
+    // on a write-chain-only branch of tk (the separate tk.agg(max)
+    // pre-pass was a full corpus scan); identical semantics — the
+    // high-water was already max over TOKENIZED docs
+    val obs = org.apache.spark.sql.Observation()
+    val occW = substrWindows(
+      tk.observe(obs, max(col("doc_id").cast("long")).as("mx")),
+      l, hashKeys)
+    val aggOf = (o: DataFrame) => o.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id"), col("wpos"))).as("keep"),
         count(lit(1)).as("cnt"))
     // bucket-align the write (the SemDeDup-state discipline): each
@@ -739,13 +746,15 @@ object DedupSuite {
     // not shuffle-partitions × nBuckets — at a store maintained by
     // many appends that factor is the difference between listing
     // thousands of files and listing nBuckets
-    substrWithBucket(agg, nBuckets)
+    substrWithBucket(aggOf(occW), nBuckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val mr = tk.agg(max(col("doc_id")).cast("long")).head()
-    val maxDoc = if (mr.isNullAt(0)) Long.MinValue else mr.getLong(0)
+    val mxAny = obs.get("mx")
+    val maxDoc =
+      if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
     writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys, "overwrite")
-    substrClean(tk, substrMarked(occ, agg.filter(col("cnt") >= 2)), l)
+    val occ = substrWindows(tk, l, hashKeys)
+    substrClean(tk, substrMarked(occ, aggOf(occ).filter(col("cnt") >= 2)), l)
   }
 
   /** Maintenance vacuum for an [[exactSubstrBuildStore]] layout: each
