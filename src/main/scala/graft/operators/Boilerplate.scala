@@ -274,26 +274,34 @@ object Boilerplate {
     val sub = nd.filter(col("nd") < minDocs).localCheckpoint()
     // the high-water max RIDES the docs-store write as an observed
     // metric (the separate docs.agg(max) pre-pass was a full corpus
-    // scan). The docs write runs FIRST, alone: three of the other
-    // writers stamp the metric, and blocking on obs.get inside the
-    // concurrent fan-out would hang forever if the docs write failed
-    // — and the docs write is the corpus-sized wall anyway, so
-    // serializing the vocabulary-sized rest behind it costs ~nothing.
+    // scan). The stamped writers (counts fseq, sidecar as_of) wait on
+    // a completion future — NOT on obs.get directly, which would hang
+    // the fan-out forever if the docs write failed — so dict/pairs
+    // overlap the docs write and only the two stamped writers
+    // serialize behind it (a vocabulary-sized wait buying back a
+    // corpus-sized scan).
     val obs = org.apache.spark.sql.Observation()
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .observe(obs, max(col("doc_id").cast("long")).as("mx"))
-      .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
-      .repartition(col("dbucket"))
-      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$path/docs")
-    val maxDoc: Long = {
-      val m = obs.get("mx")
-      if (m == null) Long.MinValue else m.asInstanceOf[Long]
-    }
-    // the four remaining sub-store writes are independent (nd/sub are
-    // checkpointed; pairs re-derives from the input) — fan them out
-    // as concurrent jobs. Bucket-aligned repartition so each store is
-    // nBuckets files, not shufflePartitions × nBuckets.
+    val docsDone = new java.util.concurrent.CompletableFuture[Long]()
+    def maxDoc: Long = docsDone.get()
+    // the five sub-store writes fan out as concurrent jobs (nd/sub
+    // are checkpointed; pairs and docs re-derive from the input).
+    // Bucket-aligned repartition so each store is nBuckets files,
+    // not shufflePartitions × nBuckets.
     Par.run(Seq(
+      () => try {
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          .observe(obs, max(col("doc_id").cast("long")).as("mx"))
+          .withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
+          .repartition(col("dbucket"))
+          .write.mode("overwrite").partitionBy("dbucket")
+          .parquet(s"$path/docs")
+        val m = obs.get("mx")
+        docsDone.complete(
+          if (m == null) Long.MinValue else m.asInstanceOf[Long])
+        ()
+      } catch { case e: Throwable =>
+        docsDone.completeExceptionally(e); throw e
+      },
       () => dict.write.mode("overwrite").parquet(s"$path/dict"),
       // sub-threshold pairs only
       () => pairs.join(sub.select(col("line")), Seq("line"), "left_semi")
