@@ -253,10 +253,11 @@ object StoreCompaction {
     * transform sees one bucket with the column hive-erased — a
     * key-collapse `groupBy(key)` there becomes
     * `groupBy(partCol, key)` here; equivalent because a key lives in
-    * exactly one bucket). Each partition lands as ~one output file —
-    * the fused form targets many-small-bucket maintenance; a store
-    * whose single partitions exceed `targetBytes` should use the
-    * per-partition form, which sizes files within a bucket. */
+    * exactly one bucket). Each small partition lands as ~one output
+    * file; partitions over 2×`targetBytes` are detected from the
+    * listing and routed through the SIZED per-partition path instead
+    * (own staged dir + `_SUCCESS`, output in ~targetBytes files), so
+    * a skewed bucket never becomes one multi-GB object. */
   def rewriteStoreFused(spark: SparkSession, path: String,
                         partCol: String,
                         transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
@@ -282,50 +283,85 @@ object StoreCompaction {
     val root = Paths.get(path)
     val byPart = partitionDirs(root).map(p => p -> listDir(p).filter(isDataFile))
     val before = byPart.map(_._2.size.toLong).sum
-    val todo = byPart.filter(_._2.size >= minFiles)
-    if (todo.isEmpty) return CompactionReport(0, before, before)
-    require(todo.forall(_._1.getFileName.toString.startsWith(partCol + "=")),
+    val due = byPart.filter(_._2.size >= minFiles)
+    if (due.isEmpty) return CompactionReport(0, before, before)
+    require(due.forall(_._1.getFileName.toString.startsWith(partCol + "=")),
       s"store $path partition dirs do not match partCol=$partCol")
+    // SKEW SPLIT: the fused write lands each partition as one file —
+    // right for the many-small-bucket maintenance it exists for, but
+    // a skewed bucket would become one multi-GB object. Oversized
+    // partitions take the SIZED per-partition path below instead.
+    val (big, todo) = due.partition(_._2.map(Files.size).sum >
+      2L * targetBytes)
     val stageRoot = root.resolve(".compact_stage")
-    // basePath keeps the hive partition column in the frame so the
-    // transform can group by it and partitionBy can re-emit it
-    val src = spark.read.option("basePath", root.toString)
-      .parquet(todo.map(_._1.toString): _*)
-    // hash-partition on partCol: all of a bucket's rows land in one
-    // task → exactly one file per staged partition. nOut only bounds
-    // task count (several buckets may share a task).
-    val nOut = math.min(todo.size,
-      math.max(1L, (todo.flatMap(_._2).map(Files.size).sum +
-        targetBytes - 1) / targetBytes).toInt)
-    transform(src)
-      .repartition(nOut, org.apache.spark.sql.functions.col(partCol))
-      .write.mode("overwrite").partitionBy(partCol)
-      .parquet(stageRoot.toString)
-    require(Files.exists(stageRoot.resolve("_SUCCESS")),
-      s"fused stage for $path has no _SUCCESS marker (success markers " +
-        "disabled in this session?) — aborting before touching the " +
-        "live store; the store is intact")
-    var after = before - todo.map(_._2.size.toLong).sum
     val trashRoot = root.resolve(".compact_trash")
-    Files.createDirectories(trashRoot)
-    todo.foreach { case (part, _) =>
+    var after = before - due.map(_._2.size.toLong).sum
+    if (todo.nonEmpty) {
+      // basePath keeps the hive partition column in the frame so the
+      // transform can group by it and partitionBy can re-emit it
+      val src = spark.read.option("basePath", root.toString)
+        .parquet(todo.map(_._1.toString): _*)
+      // hash-partition on partCol: all of a bucket's rows land in one
+      // task → exactly one file per staged partition. nOut only bounds
+      // task count (several buckets may share a task).
+      val nOut = math.min(todo.size,
+        math.max(1L, (todo.flatMap(_._2).map(Files.size).sum +
+          targetBytes - 1) / targetBytes).toInt)
+      transform(src)
+        .repartition(nOut, org.apache.spark.sql.functions.col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(stageRoot.toString)
+      require(Files.exists(stageRoot.resolve("_SUCCESS")),
+        s"fused stage for $path has no _SUCCESS marker (success markers " +
+          "disabled in this session?) — aborting before touching the " +
+          "live store; the store is intact")
+      Files.createDirectories(trashRoot)
+      todo.foreach { case (part, _) =>
+        val staged = stageRoot.resolve(part.getFileName.toString)
+        // a partition the transform emptied entirely writes no staged
+        // dir — swap in an explicit empty one so its dead files are
+        // still retired (read-invariant by the transform's contract);
+        // created after `_SUCCESS`, so a crash before this line leaves
+        // the original in place, which is equally read-correct
+        if (!Files.exists(staged)) Files.createDirectories(staged)
+        val trash = trashRoot.resolve(part.getFileName.toString)
+        Files.move(part, trash, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staged, part, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(trash)
+        after += listDir(part).count(isDataFile).toLong
+      }
+      deleteRecursively(stageRoot)
+    }
+    // oversized partitions, AFTER the fused stage is fully retired
+    // (its mode=overwrite write would wipe sibling staged dirs):
+    // each stages its own dir with its own `_SUCCESS` — the same
+    // per-partition crash windows repairStore already converges —
+    // and sizes its output at targetBytes
+    big.foreach { case (part, files) =>
+      val bytes = files.map(Files.size).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val staged = stageRoot.resolve(part.getFileName.toString)
-      // a partition the transform emptied entirely writes no staged
-      // dir — swap in an explicit empty one so its dead files are
-      // still retired (read-invariant by the transform's contract);
-      // created after `_SUCCESS`, so a crash before this line leaves
-      // the original in place, which is equally read-correct
-      if (!Files.exists(staged)) Files.createDirectories(staged)
+      transform(spark.read.option("basePath", root.toString)
+          .parquet(part.toString))
+        .drop(partCol) // constant here; the dir name carries it
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(staged.toString)
+      require(Files.exists(staged.resolve("_SUCCESS")),
+        s"staged compaction for $part has no _SUCCESS marker " +
+          "(success markers disabled in this session?) — aborting " +
+          "before touching the live partition; the store is intact")
       val trash = trashRoot.resolve(part.getFileName.toString)
+      Files.createDirectories(trashRoot)
       Files.move(part, trash, StandardCopyOption.ATOMIC_MOVE)
       Files.move(staged, part, StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(trash)
       after += listDir(part).count(isDataFile).toLong
     }
-    deleteRecursively(stageRoot)
+    if (Files.exists(stageRoot) && listDir(stageRoot).isEmpty)
+      Files.delete(stageRoot)
     if (Files.exists(trashRoot) && listDir(trashRoot).isEmpty)
       Files.delete(trashRoot)
-    CompactionReport(todo.size, before, after)
+    CompactionReport(due.size, before, after)
   }
 
   // ----- auto-maintenance trigger ----------------------------------

@@ -218,6 +218,34 @@ class StoreCompactionSpec extends SparkSpec {
     assert(summed(store) === expect, "no delta lost or double-counted")
   }
 
+  test("fused rewrite routes a skewed partition through the sized path") {
+    val store = deltaStore(3)
+    // blow up bucket=1 with 20k DISTINCT keys (collapse-stable) so its
+    // rewritten output stays far past the tiny targetBytes below
+    (0 until 2).foreach { _ =>
+      (0L until 20000L).map(j => (s"k1_$j", 1L, 1))
+        .toDF("k", "cnt", "bucket")
+        .repartition(2)
+        .write.mode("append").partitionBy("bucket").parquet(store)
+    }
+    val expect = summed(store)
+    val rep = StoreCompaction.rewriteStoreFused(spark, store, "bucket",
+      df => df.groupBy($"bucket", $"k")
+        .agg(sum($"cnt").cast("bigint").as("cnt")),
+      targetBytes = 32 * 1024)
+    assert(rep.partitionsCompacted == 4)
+    assert(summed(store) === expect, "summed reads must be invariant")
+    val counts = StoreCompaction.partitionFileCounts(store)
+    assert(counts("bucket=1") > 1,
+      s"the skewed bucket must be SIZED into multiple files: $counts")
+    assert(Seq("bucket=0", "bucket=2", "bucket=3")
+        .forall(counts(_) == 1),
+      s"small buckets must fuse to one file each: $counts")
+    assert(spark.read.parquet(store).groupBy($"k").count()
+      .agg(max($"count")).head().getLong(0) == 1L,
+      "collapse must apply on BOTH the fused and sized paths")
+  }
+
   test("maintenance triggers fire on file counts, listing-only") {
     val store = deltaStore(3) // 3 files per partition
     assert(StoreCompaction.needsMaintenance(store, 3))
