@@ -1053,11 +1053,21 @@ object SparkEntry {
             val (s14split, t1) = stagedSubstrIngestSplit(s, dir)
             val s14store = s"$s14Root/store"
             val s14out = s"$s14Root/out"
-            DedupSuite.exactSubstrBuildStore(
-                substrCorpus(s, dir).filter(col("doc_id") < t1),
-                "doc_id", "text", 8, s14store,
-                nBuckets = 64, hashKeys = true)
-              .write.parquet(s14out)
+            val s14docs = substrCorpus(s, dir).filter(col("doc_id") < t1)
+            // store build and seed-output write are INDEPENDENT
+            // corpus passes (the build's returned frame == the full
+            // dedup over the same docs, by its spec'd contract) —
+            // overlap them instead of paying the two walls serially
+            graft.operators.Par.run(Seq(
+              () => {
+                DedupSuite.exactSubstrBuildStore(s14docs,
+                  "doc_id", "text", 8, s14store,
+                  nBuckets = 64, hashKeys = true)
+                ()
+              },
+              () => DedupSuite.exactSubstrDedup(s14docs,
+                  "doc_id", "text", 8, hashKeys = true)
+                .write.parquet(s14out)))
             track(graft.streaming.StreamingJobs.streamingSubstrIngest(
               s, s14split, nearDupStreamSchema, s14store, s14out,
               trackCk("s14_ck").toString, l = 8, nBuckets = 64,
@@ -1094,12 +1104,21 @@ object SparkEntry {
             val s16store = s"$s16Root/store"
             val s16out = s"$s16Root/out"
             val m = Tables.documents(s, dir).count() / 25
-            Boilerplate.buildStore(
-                corpusTicker(s, dir).filter(col("doc_id") <= cut),
-                "doc_id", "text", m, s16store,
-                nBuckets = 16, nDocBuckets = 16)
-              .withColumn("seq", lit(-1L))
-              .write.parquet(s16out)
+            val s16docs = corpusTicker(s, dir).filter(col("doc_id") <= cut)
+            // store build and seed-output write are INDEPENDENT
+            // corpus passes (buildStore's returned frame ==
+            // removeCommonLines over the same docs, by its spec'd
+            // contract) — overlap them
+            graft.operators.Par.run(Seq(
+              () => {
+                Boilerplate.buildStore(s16docs, "doc_id", "text", m,
+                  s16store, nBuckets = 16, nDocBuckets = 16)
+                ()
+              },
+              () => Boilerplate.removeCommonLines(s16docs,
+                  "doc_id", "text", m)
+                .withColumn("seq", lit(-1L))
+                .write.parquet(s16out)))
             track(graft.streaming.StreamingJobs.streamingBoilerplateIngest(
               s, s16split, nearDupStreamSchema, s16store, s16out,
               trackCk("s16_ck").toString, m, nBuckets = 16,
