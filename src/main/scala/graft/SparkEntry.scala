@@ -1907,6 +1907,28 @@ object SparkEntry {
         DedupSuite.simhashHammingPairs(corpusExact(s, dir), "doc_id", "text",
           maxHamming = 3, bands = 4)),
 
+      // Multimodal near-dup: perceptual dHash over DECODED BMP pixels,
+      // Hamming-banded through the same pigeonhole machinery as d12
+      // (DedupSuite.hammingPairs). Every blob is synthesized from
+      // doc_id alone in 8-variant families whose dHash is closed-form
+      // (Multimodal.synthBmpPerceptual: ph = md5-family bits XOR
+      // variant flips, in-family Hamming 1-4 so the threshold-3
+      // boundary is exercised from both sides); the decoder sees only
+      // the bytes — variable bfOffBits, stride padding, bottom-up vs
+      // top-down rows, m-row blocks forcing the 61-point resample —
+      // so a pixel-path bug breaks the pair set. Scale: decode is
+      // per-partition and everything after ships (id, 8-byte long);
+      // one shuffle on (band, 15-bit key), hot buckets capped with
+      // observed accounting — never all-pairs.
+      "d27_phash_near_dup" -> ((s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthBmpPerceptual(id))))
+          .toDF("doc_id", "content")
+        Multimodal.bmpNearDups(media, "doc_id", "content",
+          maxHamming = 3, bands = 4)
+      }),
+
       // TF-IDF top terms per document. idf is the RAW ratio N/df rather
       // than log(N/df): log is monotone, so top-k ranking is identical,
       // and the ratio form stays bit-portable to the DuckDB oracle
@@ -5198,6 +5220,33 @@ object SparkEntry {
          |                          AND a.doc_id < c.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
+
+    // d27: closed-form inverse of Multimodal.synthBmpPerceptual — the
+    // perceptual hash is family-md5 bits XOR variant flip bits, so the
+    // oracle never touches a pixel; the Spark side must recover the
+    // same 60 bits from the real byte stream. Pair generation mirrors
+    // the pigeonhole band join (recall-1-equivalent to all-pairs at
+    // Hamming <= 3 with 4 bands — the d12 oracle's formulation).
+    "d27_phash_near_dup" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 8 AS f, doc_id % 8 AS v FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    xor(xor(
+        |      CAST(('0x' || substr(md5('d27:' || CAST(f AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      CASE WHEN v >= 1 THEN (CAST(1 AS BIGINT) << ((7 * v) % 60)) ELSE 0 END),
+        |      CASE WHEN v >= 4 THEN (CAST(1 AS BIGINT) << ((11 * v + 3) % 60)) ELSE 0 END)
+        |      AS ph
+        |  FROM p),
+        |b AS (SELECT doc_id, ph, j AS band,
+        |             (ph >> (CAST(j AS INT) * 15)) & 32767 AS band_key
+        |      FROM h, range(4) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |                a.ph AS ph_a, c.ph AS ph_b
+        |         FROM b a JOIN b c ON a.band = c.band AND a.band_key = c.band_key
+        |                          AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
 
     "t9_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

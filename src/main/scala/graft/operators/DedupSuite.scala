@@ -438,12 +438,7 @@ object DedupSuite {
     * the 60 per-bit folds on each of its three references here. */
   def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4,
-                          maxBucket: Int = 1000): DataFrame = {
-    require(60 % bands == 0, s"bands must divide 60, got $bands")
-    require(bands >= maxHamming + 1,
-      s"pigeonhole exactness needs bands >= maxHamming+1 ($bands vs $maxHamming)")
-    val width = 60 / bands
-    val mask = (1L << width) - 1
+                          maxBucket: Int = 1000): DataFrame =
     // sims is consumed by three branches (band derivation + both
     // verify joins). Measured at gate scale: the simhash fold is
     // 0.11 s warm for 5k docs and AQE broadcasts the verify sides
@@ -453,7 +448,28 @@ object DedupSuite {
     // and reverted. At corpus scale the two verify joins become
     // id-keyed shuffles whose exchanges canonically match, so the
     // fold still runs at most twice, band path included.
-    val sims = docs.select(col(idCol), simhash60(col(textCol)).as("sim"))
+    hammingPairs(docs.select(col(idCol), simhash60(col(textCol)).as("sim")),
+      idCol, "sim", maxHamming, bands, maxBucket)
+
+  /** Hamming near-dup PAIRS over a PRECOMPUTED 60-bit locality hash —
+    * the banding + verify core of [[simhashHammingPairs]], factored
+    * out so any 60-bit hash family reuses it unchanged: SimHash over
+    * token streams (d3/d12), perceptual dHash over decoded image
+    * pixels ([[graft.operators.Multimodal.dHash60]], d27). Same
+    * pigeonhole-exactness contract: `bands >= maxHamming + 1` slices
+    * guarantee two hashes within `maxHamming` bits agree on at least
+    * one slice, so recall is 1 (modulo metric-accounted capped
+    * buckets) at O(bands) rows per doc instead of O(n²) all-pairs.
+    * Output: (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(bands >= maxHamming + 1,
+      s"pigeonhole exactness needs bands >= maxHamming+1 ($bands vs $maxHamming)")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sims = hashes.select(col(idCol), col(hashCol).cast("long").as("sim"))
     val bandRows = sims.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), j =>
           call_function("shiftright", col("sim"), j * lit(width))

@@ -236,8 +236,10 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      require(kind == "image", s"BmpDecoder decodes image, got $kind")
+    /** Shared header walk: (width, height, topDown, offBits, stride),
+      * fully validated — both [[decode]] and [[rowLumaSums]] parse the
+      * same declared offsets, so a header bug breaks both m5 and d27. */
+    private def parseHeader(bytes: Array[Byte]): (Int, Int, Boolean, Int, Int) = {
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
         "not a BMP stream")
       val offBits = le32(bytes, 10)
@@ -267,7 +269,38 @@ object Multimodal {
         "truncated pixel data")
       // Validated above: offBits + stride*height <= bytes.length <=
       // Int.MaxValue, so all offsets below fit in Int.
-      val stride = strideL.toInt
+      (width, height, topDown, offBits, strideL.toInt)
+    }
+
+    /** Per-LOGICAL-row luma sums (Σ r+g+b over the row, row 0 = top of
+      * image regardless of storage orientation) — the pixel-access
+      * decode behind [[Multimodal.dHash60]]: same validated header
+      * walk as [[decode]], same loud-failure contract. Returns
+      * (width, height, rowSums). */
+    def rowLumaSums(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+      val (width, height, topDown, offBits, stride) = parseHeader(bytes)
+      val sums = new Array[Long](height)
+      var y = 0
+      while (y < height) {
+        val fileRow = if (topDown) y else height - 1 - y
+        val rowOff = offBits + fileRow * stride
+        var x = 0
+        var rowLuma = 0L
+        while (x < width) {
+          val o = rowOff + 3 * x
+          rowLuma += (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+            (bytes(o + 2) & 0xff)
+          x += 1
+        }
+        sums(y) = rowLuma
+        y += 1
+      }
+      (width, height, sums)
+    }
+
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      require(kind == "image", s"BmpDecoder decodes image, got $kind")
+      val (width, height, topDown, offBits, stride) = parseHeader(bytes)
       var sumR = 0L; var sumG = 0L; var sumB = 0L
       var topSum = 0L; var botSum = 0L
       var mx = 0; var mn = 255
@@ -345,6 +378,136 @@ object Multimodal {
       val r = (dr + 7 * y) % 256
       val g = (dg + 5 * y) % 256
       val b = (db + 3 * y) % 256
+      var x = 0
+      while (x < w) {
+        buf.put(b.toByte).put(g.toByte).put(r.toByte); x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fy += 1
+    }
+    buf.array()
+  }
+
+  /** 60-bit vertical difference hash (dHash, the classic
+    * perceptual-hash family) over a row-luma profile: the profile is
+    * resampled to a 61-point grid (nearest row `y_i = ⌊i·h/61⌋` —
+    * the aspect-normalizing resize step of a real dHash) and bit i is
+    * set iff `grid(i+1) > grid(i)`. Row SUMS compare identically to
+    * row MEANS because every row shares the image's width, so no
+    * division enters and the hash is integer-exact. 60 bits so the
+    * result drops straight into
+    * [[graft.operators.DedupSuite.hammingPairs]]' banding machinery
+    * (4 bands × 15 bits, pigeonhole-exact at Hamming ≤ 3). */
+  def dHash60(rowSums: Array[Long]): Long = {
+    val h = rowSums.length
+    require(h >= 1, "empty luma profile")
+    var acc = 0L
+    var i = 0
+    while (i < 60) {
+      val a = rowSums((i.toLong * h / 61).toInt)
+      val b = rowSums(((i + 1).toLong * h / 61).toInt)
+      if (b > a) acc |= 1L << i
+      i += 1
+    }
+    acc
+  }
+
+  /** Real-byte-stream BMP perceptual hash: [[BmpDecoder.rowLumaSums]]
+    * (validated variable-offset header walk, stride padding,
+    * orientation normalization) then [[dHash60]]. */
+  def bmpDHash60(bytes: Array[Byte]): Long =
+    dHash60(BmpDecoder.rowLumaSums(bytes)._3)
+
+  /** Perceptual near-duplicate PAIRS over a binary BMP column: decode
+    * each blob to its dHash per-partition (embarrassingly parallel —
+    * the only stage that touches pixel bytes; everything after ships
+    * (id, one 8-byte long) rows), then Hamming-banded candidate
+    * generation + exact xor/popcount verify via
+    * [[graft.operators.DedupSuite.hammingPairs]]. Never all-pairs:
+    * one shuffle on (band, 15-bit band key), hot buckets capped with
+    * observed drop accounting — the d2/d12 posture, applied to the
+    * multimodal column family. Output (id_a, id_b, hamming). */
+  def bmpNearDups(media: DataFrame, idCol: String, bytesCol: String,
+                  maxHamming: Int = 3, bands: Int = 4,
+                  maxBucket: Int = 1000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, bmpDHash60(bytes)) })
+      .toDF(idCol, "ph")
+    graft.operators.DedupSuite.hammingPairs(
+      hashes, idCol, "ph", maxHamming, bands, maxBucket)
+  }
+
+  /** Deterministic NEAR-DUPLICATE BMP synthesizer for the d27 gate:
+    * images come in families of 8 (family = docId/8, variant =
+    * docId%8) whose 60-bit perceptual [[dHash60]] is closed-form —
+    *
+    *   ph(docId) = F(family) XOR flips(variant)
+    *
+    * where F = first 15 hex chars of `md5("d27:" || family)` (60
+    * pseudo-random bits both engines compute identically) and
+    * flips(v) = nothing for v=0, bit `(7v) % 60` for v ≥ 1, plus bit
+    * `(11v+3) % 60` for v ≥ 4 — flip positions pairwise distinct by
+    * construction, giving in-family Hamming distances 1–4 (4 is
+    * EXCLUDED at the gate's threshold 3 — the boundary is exercised)
+    * and cross-family ≈30 (never pairs).
+    *
+    * The pixels REALIZE the hash rather than encode it: the 61-point
+    * luma profile is a ±5 walk from 320 whose step-i direction is bit
+    * i of ph (5·60 max drift keeps every luma in [20, 620] ⊂ [0,765]),
+    * laid out in m-row blocks (h = 61·m, m = 1 + family%3) so the
+    * decoder's grid resample must land in the right block; each luma
+    * L becomes the row color (min(L,255), clamp(L−255), max(L−510,0)).
+    * Layout varies per family — DIB header 40/108/124, 0–12 junk gap
+    * before the pixels, bottom-up vs top-down storage, width 3–6 (row
+    * padding 3..1 bytes) — so the only path to the oracle hash is an
+    * honest byte-level parse: an offset, stride, orientation, or
+    * resample bug scrambles the walk and breaks the d27 hash. */
+  def synthBmpPerceptual(docId: Long): Array[Byte] = {
+    require(docId >= 0, s"synthBmpPerceptual needs a non-negative id, got $docId")
+    val fam = docId / 8
+    val v = (docId % 8).toInt
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"d27:$fam".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    var ph = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    if (v >= 1) ph ^= 1L << ((7 * v) % 60)
+    if (v >= 4) ph ^= 1L << ((11 * v + 3) % 60)
+    val m = 1 + (fam % 3).toInt
+    val h = 61 * m
+    val w = 3 + (fam % 4).toInt
+    val dib = Array(40, 108, 124)((fam % 3).toInt)
+    val gap = ((fam % 4) * 4).toInt
+    val topDown = fam % 2 == 1
+    val lum = new Array[Int](61)
+    lum(0) = 320
+    var i = 0
+    while (i < 60) {
+      lum(i + 1) = lum(i) + (if (((ph >> i) & 1L) == 1L) 5 else -5)
+      i += 1
+    }
+    val stride = ((24 * w + 31) / 32) * 4
+    val offBits = 14 + dib + gap
+    val size = offBits + stride * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(offBits)
+    buf.putInt(dib).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 40 DIB bytes so far
+    var junk = dib - 40 + gap
+    while (junk > 0) { buf.put(0xEE.toByte); junk -= 1 }
+    var fy = 0
+    while (fy < h) {
+      val y = if (topDown) fy else h - 1 - fy // logical row of this file row
+      val l = lum(y / m)
+      val r = math.min(l, 255)
+      val g = math.min(math.max(l - 255, 0), 255)
+      val b = math.max(l - 510, 0)
       var x = 0
       while (x < w) {
         buf.put(b.toByte).put(g.toByte).put(r.toByte); x += 1

@@ -262,4 +262,65 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.BmpDecoder.decode("image", hugeW)
     }
   }
+
+  /** Closed-form perceptual hash of synthBmpPerceptual(docId) — the
+    * d27 oracle's arithmetic, recomputed independently here. */
+  private def expectedPh(docId: Long): Long = {
+    val fam = docId / 8
+    val v = (docId % 8).toInt
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"d27:$fam".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    var ph = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    if (v >= 1) ph ^= 1L << ((7 * v) % 60)
+    if (v >= 4) ph ^= 1L << ((11 * v + 3) % 60)
+    ph
+  }
+
+  test("perceptual dHash: byte-stream decode recovers the closed-form hash") {
+    // fams 0..5 cover m in {1,2,3} twice, both orientations, all DIB
+    // sizes and gaps; large ids for good measure
+    val ids = (0L to 47L) ++ Seq(4999L, 123456L)
+    ids.foreach { id =>
+      val bytes = Multimodal.synthBmpPerceptual(id)
+      assert(Multimodal.bmpDHash60(bytes) == expectedPh(id), s"ph mismatch $id")
+    }
+    // orientation honesty: flipping the stored height sign WITHOUT
+    // reordering rows must change the hash (the walk is direction-
+    // asymmetric: reversed profile = bitwise-NOT of the reversed hash)
+    val img = Multimodal.synthBmpPerceptual(0L) // fam 0: bottom-up, m=1
+    val h = 61
+    val flipped = img.clone()
+    val negH = -h
+    flipped(22) = (negH & 0xff).toByte
+    flipped(23) = ((negH >> 8) & 0xff).toByte
+    flipped(24) = ((negH >> 16) & 0xff).toByte
+    flipped(25) = ((negH >> 24) & 0xff).toByte
+    assert(Multimodal.bmpDHash60(flipped) != expectedPh(0L))
+    // rowLumaSums normalizes orientation: same logical image stored
+    // both ways decodes identically (synth pairs differing only in
+    // topDown don't exist across fams, so assert via the flip inverse)
+    val (_, hh, sums) = Multimodal.BmpDecoder.rowLumaSums(img)
+    val (_, _, sumsFlipped) = Multimodal.BmpDecoder.rowLumaSums(flipped)
+    assert(hh == h && sums.toSeq == sumsFlipped.reverse.toSeq)
+  }
+
+  test("perceptual near-dup pairs: in-family Hamming structure, 4 excluded") {
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 16L) // fams 0 and 1, all 8 variants each
+    val media = ids.toDF("doc_id")
+      .withColumn("content", udf((id: Long) =>
+        Multimodal.synthBmpPerceptual(id)).apply($"doc_id"))
+    val pairs = Multimodal.bmpNearDups(media, "doc_id", "content")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // per family: C(8,2)=28 pairs minus C(4,2)=6 both-variant>=4
+    // (Hamming 4) = 22; fams 0 and 1 share no low-Hamming pairs
+    assert(pairs.size == 44, s"got ${pairs.size}: ${pairs.keys.toSeq.sorted}")
+    assert(pairs((0L, 1L)) == 1L)  // v=0 vs v=1: one flip
+    assert(pairs((0L, 4L)) == 2L)  // v=0 vs v=4: two flips
+    assert(pairs((1L, 2L)) == 2L)  // distinct single flips
+    assert(pairs((1L, 4L)) == 3L)  // one flip vs two flips, disjoint
+    assert(!pairs.contains((4L, 5L))) // two flips vs two flips: Hamming 4
+    assert(pairs.keys.forall { case (a, b) => a / 8 == b / 8 }) // in-family only
+  }
 }
