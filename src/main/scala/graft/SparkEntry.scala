@@ -942,8 +942,18 @@ object SparkEntry {
     val cks = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
     val started =
       scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+    val queryLabels =
+      scala.collection.concurrent.TrieMap.empty[java.util.UUID, String]
     def track(q: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val qq = q
+      started.synchronized { started += qq }
+    }
+    // foreachBatch queries carry no queryName — label them at track
+    // time so the drain attribution below reads as s-entries
+    def trackAs(label: String)(
+        q: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val qq = q
+      queryLabels.put(qq.id, label)
       started.synchronized { started += qq }
     }
     def trackCk(name: String): java.nio.file.Path = {
@@ -980,7 +990,7 @@ object SparkEntry {
           // s5: foreachBatch incremental mart over the ordered 3-file
           // staging — not a memory sink, publishes into versioned staging
           () => phase("seed_s5") {
-            track(graft.streaming.StreamingJobs.streamingIncrementalMart(
+            trackAs("s5")(graft.streaming.StreamingJobs.streamingIncrementalMart(
               s, stagedEventsSplitDir(s, dir), eventsStreamSchema(s, dir),
               martRoot, trackCk("s5_ck").toString, maxFilesPerTrigger = Some(1)))
           },
@@ -989,7 +999,7 @@ object SparkEntry {
           () => phase("seed_s9") {
             graft.operators.VersionedStaging.publish(s, s9Root,
               q77Fixture(s, dir)._1)
-            track(graft.streaming.StreamingJobs.applyCdcStream(
+            trackAs("s9")(graft.streaming.StreamingJobs.applyCdcStream(
               s, stagedCdcSplitDir(s, dir), cdcStreamSchema, s9Root,
               Seq("doc_id"), trackCk("s9_ck").toString,
               maxFilesPerTrigger = Some(1)))
@@ -1002,7 +1012,7 @@ object SparkEntry {
               DedupSuite.minhashIndex(
                 Tables.documents(s, dir).select(col("doc_id"), col("text")),
                 "doc_id", "text", n = 3, k = 16, bands = 4))
-            track(graft.streaming.StreamingJobs.streamingIncrementalNearDup(
+            trackAs("s11")(graft.streaming.StreamingJobs.streamingIncrementalNearDup(
               s, stagedNearDupSplitDir(s, dir), nearDupStreamSchema, s11Index,
               s11Pairs, trackCk("s11_ck").toString,
               maxFilesPerTrigger = Some(1)))
@@ -1017,7 +1027,7 @@ object SparkEntry {
               s12emb, "vec_id", "embedding", m = 8, dims = 64, nCodes = 16)
             val s12codes = Similarity.pqEncode(
               s12emb, s12cb, "vec_id", "embedding", m = 8, dims = 64)
-            track(graft.streaming.StreamingJobs.streamingAnnServe(
+            trackAs("s12")(graft.streaming.StreamingJobs.streamingAnnServe(
               s, stagedAnnQuerySplitDir(s, dir), annStreamSchema, s12cb,
               s12codes, s12Out, trackCk("s12_ck").toString, k = 5, m = 8,
               dims = 64, maxFilesPerTrigger = Some(1)))
@@ -1035,7 +1045,7 @@ object SparkEntry {
             // roundtrip parquet exactly) — the post-drain serve reads
             // them back, the e10 store layout
             s13cent.write.mode("overwrite").parquet(s"$s13Index/centroids")
-            track(graft.streaming.StreamingJobs.streamingIvfIngest(
+            trackAs("s13")(graft.streaming.StreamingJobs.streamingIvfIngest(
               s, stagedIvfIngestSplitDir(s, dir), annStreamSchema,
               s"$s13Index/index",
               s.read.parquet(s"$s13Index/centroids"),
@@ -1054,21 +1064,15 @@ object SparkEntry {
             val s14store = s"$s14Root/store"
             val s14out = s"$s14Root/out"
             val s14docs = substrCorpus(s, dir).filter(col("doc_id") < t1)
-            // store build and seed-output write are INDEPENDENT
-            // corpus passes (the build's returned frame == the full
-            // dedup over the same docs, by its spec'd contract) —
-            // overlap them instead of paying the two walls serially
-            graft.operators.Par.run(Seq(
-              () => {
-                DedupSuite.exactSubstrBuildStore(s14docs,
-                  "doc_id", "text", 8, s14store,
-                  nBuckets = 64, hashKeys = true)
-                ()
-              },
-              () => DedupSuite.exactSubstrDedup(s14docs,
-                  "doc_id", "text", 8, hashKeys = true)
-                .write.parquet(s14out)))
-            track(graft.streaming.StreamingJobs.streamingSubstrIngest(
+            // the build's outWrite fan-out shares the ONE window
+            // aggregation between the store write and the seed-output
+            // write (the r16 form overlapped two independent passes
+            // that each paid their own agg; this pays it once)
+            DedupSuite.exactSubstrBuildStore(s14docs,
+              "doc_id", "text", 8, s14store, nBuckets = 64,
+              hashKeys = true,
+              outWrite = Some(_.write.parquet(s14out)))
+            trackAs("s14")(graft.streaming.StreamingJobs.streamingSubstrIngest(
               s, s14split, nearDupStreamSchema, s14store, s14out,
               trackCk("s14_ck").toString, l = 8, nBuckets = 64,
               hashKeys = true, maxFilesPerTrigger = Some(1)))
@@ -1085,7 +1089,7 @@ object SparkEntry {
             graft.operators.Quantiles.buildQuantileStore(
               quantileEvents(s, dir).filter(col("event_id") % 3 === 0),
               col("event_type"), col("xl"), s15store, cellBits = 8)
-            track(graft.streaming.StreamingJobs.streamingQuantileIngest(
+            trackAs("s15")(graft.streaming.StreamingJobs.streamingQuantileIngest(
               s, s15split, quantileStreamSchema, s15store,
               trackCk("s15_ck").toString, "event_type", "xl",
               maxFilesPerTrigger = Some(1)))
@@ -1105,21 +1109,15 @@ object SparkEntry {
             val s16out = s"$s16Root/out"
             val m = Tables.documents(s, dir).count() / 25
             val s16docs = corpusTicker(s, dir).filter(col("doc_id") <= cut)
-            // store build and seed-output write are INDEPENDENT
-            // corpus passes (buildStore's returned frame ==
-            // removeCommonLines over the same docs, by its spec'd
-            // contract) — overlap them
-            graft.operators.Par.run(Seq(
-              () => {
-                Boilerplate.buildStore(s16docs, "doc_id", "text", m,
-                  s16store, nBuckets = 16, nDocBuckets = 16)
-                ()
-              },
-              () => Boilerplate.removeCommonLines(s16docs,
-                  "doc_id", "text", m)
-                .withColumn("seq", lit(-1L))
+            // the build's outWrite fan-out writes the seed output from
+            // the build's own in-memory dictionary (the r16 form ran
+            // removeCommonLines as a second pass that recomputed the
+            // line counts + dictionary the build had already built)
+            Boilerplate.buildStore(s16docs, "doc_id", "text", m,
+              s16store, nBuckets = 16, nDocBuckets = 16,
+              outWrite = Some(_.withColumn("seq", lit(-1L))
                 .write.parquet(s16out)))
-            track(graft.streaming.StreamingJobs.streamingBoilerplateIngest(
+            trackAs("s16")(graft.streaming.StreamingJobs.streamingBoilerplateIngest(
               s, s16split, nearDupStreamSchema, s16store, s16out,
               trackCk("s16_ck").toString, m, nBuckets = 16,
               nDocBuckets = 16, maxFilesPerTrigger = Some(1)))
@@ -1140,7 +1138,7 @@ object SparkEntry {
                 Tables.documents(s, dir).filter(col("doc_id") < t1),
                 "doc_id", size(tokens(col("text"))), 128, s17store, 100)
               .write.parquet(s17out)
-            track(graft.streaming.StreamingJobs.streamingPackIngest(
+            trackAs("s17")(graft.streaming.StreamingJobs.streamingPackIngest(
               s, s17split, packStreamSchema, s17store, s17out,
               trackCk("s17_ck").toString, seqLen = 128,
               docsPerShard = 100, maxFilesPerTrigger = Some(1)))
@@ -1149,7 +1147,20 @@ object SparkEntry {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       }
-      phase("drain") { started.foreach(_.processAllAvailable()) }
+      phase("drain") {
+        // serial waits over concurrently-processing streams: each
+        // recorded offset is "seconds after drain start until this
+        // stream (and all waited before it) went idle" — the LAST
+        // increments attribute which stream chain bounds the drain
+        val d0 = System.nanoTime()
+        started.foreach { q =>
+          q.processAllAvailable()
+          val qn = queryLabels.getOrElse(q.id,
+            Option(q.name).getOrElse(q.id.toString.take(8)))
+          streamPassPhaseSecs.put(s"$dir|drain_at_$qn",
+            (System.nanoTime() - d0) / 1e9)
+        }
+      }
       phase("materialize") {
       // every output write is an independent Spark action over its own
       // drained state — fan out (was 7.8 s of the 17 s pass serially)

@@ -260,10 +260,16 @@ object Boilerplate {
   /** Initialize the incremental boilerplate store from a corpus and
     * return the corpus's cleaned output (== [[removeCommonLines]]
     * over `docs`). `eps` (pinned in `_meta`; −1 = auto) is the
-    * sidecar's near-threshold width — see the layout notes above. */
+    * sidecar's near-threshold width — see the layout notes above.
+    * `outWrite`, when set, PERSISTS that cleaned output as a sixth
+    * concurrent action of the build fan-out (the s16 stream seed):
+    * it consumes the in-memory checkpointed dictionary, so the
+    * build-then-separate-removeCommonLines form's duplicate
+    * lines-scan + count aggregation disappears. */
   def buildStore(docs: DataFrame, idCol: String, textCol: String,
                  minDocs: Long, path: String, nBuckets: Int = 64,
-                 nDocBuckets: Int = 64, eps: Long = -1L): DataFrame = {
+                 nDocBuckets: Int = 64, eps: Long = -1L,
+                 outWrite: Option[DataFrame => Unit] = None): DataFrame = {
     val spark = docs.sparkSession
     val ep = resolveEps(minDocs, eps)
     val pairs = lines(docs, idCol, textCol)
@@ -283,10 +289,18 @@ object Boilerplate {
     val obs = org.apache.spark.sql.Observation()
     val docsDone = new java.util.concurrent.CompletableFuture[Long]()
     def maxDoc: Long = docsDone.get()
-    // the five sub-store writes fan out as concurrent jobs (nd/sub
-    // are checkpointed; pairs and docs re-derive from the input).
+    // the sub-store writes fan out as concurrent jobs (nd/sub are
+    // checkpointed; pairs and docs re-derive from the input).
     // Bucket-aligned repartition so each store is nBuckets files,
     // not shufflePartitions × nBuckets.
+    // POOL INVARIANT (this fan-out blocks inside its own pool): the
+    // counts and sidecar actions park their threads on docsDone.get();
+    // that is deadlock-free because Par.run sizes its pool min(8, n)
+    // and this Seq stays ≤ 8 actions with the docs task FIRST — every
+    // action owns a thread for the fan-out's whole life, so the docs
+    // write always runs and completes the future. Adding a 9th action
+    // or moving the docs task off the head breaks the guarantee:
+    // extend past 8 only by moving the stamped writers AFTER Par.run.
     Par.run(Seq(
       () => try {
         docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -318,7 +332,12 @@ object Boilerplate {
       // near-threshold sidecar, exact as of this build
       () => sidecarFrame(spark, sub.filter(col("nd") >= minDocs - ep),
           maxDoc)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/sidecar")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sidecar"))
+      // optional sixth action: persist the cleaned corpus output from
+      // the IN-MEMORY dictionary (dict derives from the checkpointed
+      // nd — no store read, no docsDone wait, fully concurrent)
+      ++ outWrite.map(write =>
+        () => write(cleanWithDict(docs, idCol, textCol, dict))).toSeq)
     writeMeta(spark, path, maxDoc, minDocs, nBuckets, nDocBuckets, ep,
       "overwrite")
     cleanWithDict(docs, idCol, textCol,
@@ -494,7 +513,13 @@ object Boilerplate {
     // that grows with the crossing size).
     val crossedBuckets = crossedObs.get("buckets")
       .asInstanceOf[scala.collection.Seq[Long]].sorted
-    val dictNew = dict0.unionByName(crossed).distinct().localCheckpoint()
+    // no crossing (the steady-state fold): dictNew IS dict0, already
+    // checkpointed — the union+distinct checkpoint job would be a
+    // no-op pass over the dictionary (dict lines are distinct by
+    // construction: built distinct, appends are anti-joined crossings)
+    val dictNew =
+      if (crossedBuckets.isEmpty) dict0
+      else dict0.unionByName(crossed).distinct().localCheckpoint()
     val invCarriers =
       if (crossedBuckets.isEmpty) None
       else {

@@ -738,11 +738,15 @@ object DedupSuite {
     * duplicated by any later batch, and dropping it would silently
     * keep both copies (spec-pinned counter-example). State is
     * corpus-sized — O(total tokens) key rows, the d23 economics: the
-    * price of bit-exactness for corpus-wide keep-first semantics. */
+    * price of bit-exactness for corpus-wide keep-first semantics.
+    * `outWrite`, when set, PERSISTS the cleaned output via a fan-out
+    * that shares the one window aggregation between the store write
+    * and the output write (see the branch comment below). */
   def exactSubstrBuildStore(docs: DataFrame, idCol: String,
                             textCol: String, l: Int, path: String,
                             nBuckets: Int = 64,
-                            hashKeys: Boolean = false): DataFrame = {
+                            hashKeys: Boolean = false,
+                            outWrite: Option[DataFrame => Unit] = None): DataFrame = {
     require(l >= 2, "window length must be at least 2")
     val spark = docs.sparkSession
     val tk = substrTokens(docs, idCol, textCol)
@@ -762,15 +766,45 @@ object DedupSuite {
     // not shuffle-partitions × nBuckets — at a store maintained by
     // many appends that factor is the difference between listing
     // thousands of files and listing nBuckets
-    substrWithBucket(aggOf(occW), nBuckets)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val mxAny = obs.get("mx")
-    val maxDoc =
-      if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
+    val maxDoc = outWrite match {
+      case None =>
+        substrWithBucket(aggOf(occW), nBuckets)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val mxAny = obs.get("mx")
+        if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
+      case Some(write) =>
+        // Bootstrap fan-out: the caller wants the corpus's cleaned
+        // output PERSISTED alongside the store (the s14 stream seed).
+        // The window aggregation is the expensive shared stage — the
+        // store's content IS aggOf(occ) — so materialize it ONCE
+        // (executor-local checkpoint: the same bytes the store write
+        // is about to persist, spilled where a shuffle of that size
+        // would spill anyway) and fan out the two independent writes:
+        // the store (agg → bucket layout) and the cleaned output
+        // (re-window for positions — unavoidable, positions don't
+        // survive the agg — joined against the checkpointed dup
+        // keys). One corpus window-agg instead of the two the
+        // build-then-dedup form pays.
+        val agg = aggOf(occW).localCheckpoint()
+        val dup = agg.filter(col("cnt") >= 2)
+          .select(col("wkey"), col("keep"))
+        val occ = substrWindows(tk, l, hashKeys)
+        Par.run(Seq(
+          () => {
+            substrWithBucket(agg, nBuckets)
+              .repartition(col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(path)
+            ()
+          },
+          () => write(substrClean(tk, substrMarked(occ, dup), l))))
+        // the checkpoint materialized occW, so the observed max is set
+        val mxAny = obs.get("mx")
+        if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
+    }
     writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys, "overwrite")
-    val occ = substrWindows(tk, l, hashKeys)
-    substrClean(tk, substrMarked(occ, aggOf(occ).filter(col("cnt") >= 2)), l)
+    val occR = substrWindows(tk, l, hashKeys)
+    substrClean(tk, substrMarked(occR, aggOf(occR).filter(col("cnt") >= 2)), l)
   }
 
   /** Maintenance vacuum for an [[exactSubstrBuildStore]] layout: each
