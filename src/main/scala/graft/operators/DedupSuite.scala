@@ -605,8 +605,9 @@ object DedupSuite {
     * key except its keep. `dup` carries (wkey, keep). Renamed columns:
     * marked shares lineage with the token side downstream, and a
     * same-name join condition would degenerate to the trivially-true
-    * self-comparison Spark warns about. No distinct: `dup` is unique
-    * per wkey (it comes from a groupBy) and `occ` is unique per
+    * self-comparison Spark warns about. No distinct: every caller
+    * passes a wkey-unique `dup` (the full dedup's groupBy; the fold's
+    * batch-agg ∪ DISTINCT stored keys) and `occ` is unique per
     * (doc_id, wpos) by construction, so the join output is already
     * row-unique — a distinct here would be a free-standing shuffle of
     * every marked occurrence (corpus-sized in the full dedup). */
@@ -746,7 +747,8 @@ object DedupSuite {
                             textCol: String, l: Int, path: String,
                             nBuckets: Int = 64,
                             hashKeys: Boolean = false,
-                            outWrite: Option[DataFrame => Unit] = None): DataFrame = {
+                            outWrite: Option[DataFrame => Unit] = None,
+                            bloomSide: Boolean = false): DataFrame = {
     require(l >= 2, "window length must be at least 2")
     val spark = docs.sparkSession
     val tk = substrTokens(docs, idCol, textCol)
@@ -802,6 +804,11 @@ object DedupSuite {
         val mxAny = obs.get("mx")
         if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
     }
+    // opt-in small-fold bucket pruning ([[BloomSide]]): seed the
+    // sidecar from the just-written store (one single-column pass;
+    // builds are rare). Folds auto-detect the dir and maintain it.
+    if (bloomSide)
+      BloomSide.rebuildFromStore(spark, path, "bucket", "wkey")
     writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys, "overwrite")
     val occR = substrWindows(tk, l, hashKeys)
     substrClean(tk, substrMarked(occR, aggOf(occR).filter(col("cnt") >= 2)), l)
@@ -824,6 +831,10 @@ object DedupSuite {
       df.groupBy(col("bucket"), col("wkey"))
         .agg(min(col("keep")).as("keep"),
           sum(col("cnt")).cast("bigint").as("cnt")))
+    // collapse the fold-accumulated bloom rows to one per bucket
+    // (atomic swap; key set is vacuum-invariant so coverage holds)
+    if (BloomSide.maintained(path))
+      BloomSide.rebuildFromStore(spark, path, "bucket", "wkey")
     ()
   }
 
@@ -877,7 +888,21 @@ object DedupSuite {
         try delta.write.mode("append").partitionBy("bucket").parquet(path)
         finally spark.sparkContext.setJobDescription(null)
       },
-      () => outCp = out.localCheckpoint()))
+      () => outCp = out.localCheckpoint())
+      // stores that maintain a bloom sidecar get this fold's delta
+      // blooms as a third concurrent action (batch-sized; delta is
+      // checkpointed). Crash window = delta-without-bloom, covered by
+      // the same single-maintainer replay contract as the delta
+      // itself — see [[BloomSide]]'s coverage notes.
+      ++ (if (BloomSide.maintained(path))
+            Seq[() => Unit](() => {
+              spark.sparkContext.setJobDescription("substr-fold: bloom append")
+              try BloomSide.appendDelta(
+                delta.select(col("bucket"), col("wkey")), path,
+                "bucket", "wkey")
+              finally spark.sparkContext.setJobDescription(null)
+            })
+          else Nil))
     writeSubstrMeta(spark, path, newMax, l, nBuckets, hashKeys, "append")
     // self-scheduled maintenance: once a bucket's delta-file count
     // reaches the trigger (listing-only check), collapse the store in
@@ -949,9 +974,27 @@ object DedupSuite {
     }
     // the batch's bucket set, collected for a STATIC partition filter
     // (≤ nBuckets longs — the q92 directory-skip guarantee, no
-    // optimizer heuristic in the loop). ONE single-row agg job on the
-    // checkpoint — not a distinct + collect pair.
-    val buckets = desc("bucket set") {
+    // optimizer heuristic in the loop). Stores WITHOUT a bloom
+    // sidecar pay one single-row agg job (not a distinct + collect
+    // pair); bloom-maintained stores collect the batch's (bucket,
+    // key-hash) rows instead — the SAME one job (batch-bounded, the
+    // contract that lets every store-facing join broadcast the keys)
+    // — and prune further: once a batch carries ≳ nBuckets keys its
+    // own bucket set covers the store, but the steady-state ingest
+    // shape is a SMALL batch against a big store, where most buckets
+    // hold none of the batch's keys. [[BloomSide.pruneBuckets]] keeps
+    // only maybe-hit buckets, driver-direct (zero extra jobs); false
+    // positives re-add a bucket scan, misses are exact, so the
+    // fold's output is unchanged.
+    val buckets = if (BloomSide.maintained(path)) {
+      val kh = desc("bucket set + bloom-prune hashes") {
+        batchAgg.select(col("bucket"), xxhash64(col("wkey"))).collect()
+      }
+      val byBucket = kh.groupBy(_.getLong(0))
+        .map { case (b, rows) => b -> rows.map(_.getLong(1)) }
+      BloomSide.pruneBuckets(spark, path,
+        byBucket.keys.toSeq.sorted, byBucket)
+    } else desc("bucket set") {
       batchAgg.agg(collect_set(col("bucket"))).head()
         .getSeq[Long](0).sorted
     }
@@ -973,13 +1016,20 @@ object DedupSuite {
     val storeFiles = substrStoreFiles(path, buckets)
     // explicit broadcasts: both build sides are bounded by the
     // batch's distinct keys (ingest-batch-sized by the fold
-    // contract); the static planner only sees the scan's size
+    // contract); the static planner only sees the scan's size.
+    // distinct(): the raw store holds one DELTA row per (key, fold),
+    // so a key hot across folds would otherwise surface once per
+    // fold, fanning out substrMarked's join and inflating the dup
+    // broadcast (the walk is idempotent under duplicate starts, but
+    // paying autoVacuumTrigger× rows for it is waste) — batch-key-
+    // bounded, so the dedup is cheap under the broadcast
     val storedKeys = (if (storeFiles.isEmpty)
         batchAgg.select(col("wkey")).limit(0)
       else spark.read.parquet(storeFiles: _*)
         .select(col("wkey"))
         .join(broadcast(batchAgg.select(col("wkey"))),
-          Seq("wkey"), "left_semi"))
+          Seq("wkey"), "left_semi")
+        .distinct())
     val dup = batchAgg.filter(col("bcnt") >= 2)
       .select(col("wkey"), col("bkeep").as("keep"))
       .join(broadcast(storedKeys), Seq("wkey"), "left_anti")

@@ -371,6 +371,14 @@ object StreamingJobs {
                                      batch: org.apache.spark.sql.DataFrame,
                                      l: Int, nBuckets: Int,
                                      hashKeys: Boolean): Unit = {
+    // the streaming twin does not stage bloom-sidecar deltas; folding
+    // into a bloom-maintained store would silently break the sidecar's
+    // coverage contract (a later batch fold could wrongly skip a
+    // bucket holding this stream's keys) — fail loudly instead
+    require(!graft.operators.BloomSide.maintained(storePath),
+      s"store $storePath maintains a ${graft.operators.BloomSide.DirName} " +
+        "sidecar, which the streaming substr ingest does not update; " +
+        "build streamed stores with bloomSide = false")
     deleteRecursively(staging)
     // AQE-off clone: the staged fold is a handful of batch-sized
     // actions whose per-exchange stage-jobs are fixed-latency tax
