@@ -2498,6 +2498,31 @@ object SparkEntry {
         graft.functions.Bpe.encodeTokenCounts(docs, "text", merges)
       }),
 
+      // ---- BPE training over a NON-ASCII (CJK) alphabet under a
+      // hard-truncated driver pair table (t18): every document's
+      // tokens map deterministically to 3-char words over a 96-char
+      // CJK alphabet (md5-derived characters both engines compute
+      // identically), the trainer runs with a whitespace tokenizer
+      // override and maxPairs = 8 against thousands of distinct
+      // pairs — so every merge selection exercises the truncated
+      // table's floor/refill machinery (BpeDiversitySoak's soak-only
+      // guarantee, now hash-gated). Tie-breaks stay exact: the
+      // alphabet lives in the BMP, where UTF-16, codepoint, and
+      // UTF-8-byte orderings all agree.
+      "t18_bpe_cjk" -> ((s, dir) => {
+        def cjkChar(salt: Int, t: Column): Column =
+          call_function("substr", lit(cjkAlpha),
+            (conv(substring(md5(concat(lit(s"$salt:"), t)), 1, 8),
+              16, 10).cast("long") % 96 + 1).cast("int"), lit(1))
+        val cjk = Tables.documents(s, dir).select(
+          array_join(transform(tokens(col("text")), t =>
+            concat(cjkChar(0, t), cjkChar(1, t), cjkChar(2, t))), " ")
+            .as("text"))
+        graft.functions.Bpe.bpeTrainIncremental(cjk, "text", k = 6,
+          rewriteEvery = 4, maxPairs = 8, batchMerges = 2,
+          tokenize = c => filter(split(c, " "), x => x =!= ""))
+      }),
+
       // ---- Gopher-style within-doc line repetition signals (t17;
       // operators/Boilerplate.scala): fraction of lines (and of
       // characters) belonging to a line duplicated within its own
@@ -4495,6 +4520,13 @@ object SparkEntry {
         .otherwise(col("text")).as("text"))
   private def hash32Sql(salt: Int, v: String): String =
     s"CAST(('0x' || substr(md5('$salt:' || $v), 1, 8)) AS BIGINT)"
+  /** 96 consecutive BMP CJK ideographs (U+4E00…U+4E5F) — the t18
+    * non-ASCII BPE alphabet, generated (not a literal) so the Spark
+    * gate and the DuckDB oracle embed the identical string. BMP-only
+    * keeps UTF-16, codepoint, and UTF-8-byte orderings in agreement,
+    * which is what pins the trainer's lhs/rhs tie-break cross-engine. */
+  private val cjkAlpha: String =
+    (0x4E00 until 0x4E60).map(_.toChar).mkString
   private val shinglesSql =
     "list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))"
   /** SQL twin of [[corpusPara]] — ends defining CTE `corpus(doc_id, text)`. */
@@ -5675,6 +5707,45 @@ object SparkEntry {
     // FINAL state s_k weighted by word frequency — the corpus token
     // frequency table under the learned tokenizer, identical in both
     // engines because the state strings are.
+    // t18: the t15 iteration chain over the CJK-mapped corpus — the
+    // oracle trains with a COMPLETE pair table, the Spark gate with
+    // maxPairs = 8, so the hash proves the truncation machinery picks
+    // the same merges a complete table does. DuckDB's substr/len are
+    // character-based (UTF-8-aware) like Spark's, and the alphabet is
+    // BMP-only, so both the character split and the tie-break order
+    // agree byte-for-byte.
+    "t18_bpe_cjk" -> {
+      val k = 6
+      def ch(salt: Int): String =
+        s"substr('$cjkAlpha', CAST(1 + ${hash32Sql(salt, "t")} % 96 AS INT), 1)"
+      def iter(i: Int): String = {
+        val prev = if (i == 1) "s0" else s"s${i - 1}"
+        s"""sy$i AS (SELECT freq,
+           |  list_filter(string_split(s, chr(31)), x -> x <> '') AS sy FROM $prev),
+           |p$i AS (SELECT sy[j+1] AS l, sy[j+2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |        FROM (SELECT sy, freq, unnest(range(len(sy) - 1)) AS j FROM sy$i)
+           |        GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT CAST($i AS INTEGER) AS mrank, l AS lhs, r AS rhs, cnt
+           |        FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT w, freq, replace(s,
+           |          chr(31) || (SELECT lhs FROM b$i) || chr(31) || chr(31) ||
+           |            (SELECT rhs FROM b$i) || chr(31),
+           |          chr(31) || (SELECT lhs FROM b$i) ||
+           |            (SELECT rhs FROM b$i) || chr(31)) AS s FROM $prev)"""
+          .stripMargin
+      }
+      s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
+         |ti AS (SELECT unnest(toks) AS t FROM tk),
+         |cw AS (SELECT ${ch(0)} || ${ch(1)} || ${ch(2)} AS w FROM ti),
+         |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM cw GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT w, freq, chr(31) || array_to_string(
+         |          list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)),
+         |          chr(31) || chr(31)) || chr(31) AS s FROM words),
+         |${(1 to k).map(iter).mkString(",\n")}
+         |${(1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")}"""
+        .stripMargin
+    },
+
     "t16_bpe_encode" -> {
       val k = 6
       def iter(i: Int): String = {

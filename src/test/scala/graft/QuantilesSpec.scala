@@ -310,6 +310,27 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("store-served dispatcher == brute force, both descent regimes") {
+    // few groups (driver descent) and many groups (in-plan descent),
+    // seeds from the store's cells — the observation scan over rows
+    // never runs (PLANS.md dumps the job-log evidence)
+    for ((nGroups, maxDriver) <- Seq((5, 256L), (40, 8L))) {
+      val rows = (0 until 4000).map(i =>
+        (s"g${i % nGroups}", ((i * 37) % 211).toLong))
+      val store = java.nio.file.Files
+        .createTempDirectory("qstore_auto").toString + "/state"
+      Quantiles.buildQuantileStore(rows.toDF("g", "x"), col("g"),
+        col("x"), store, cellBits = 4)
+      val got = Quantiles.exactQuantilesAutoFromStore(spark, store,
+          rows.toDF("g", "x"), col("g"), col("x"), qs,
+          maxDriverGroups = maxDriver)
+        .collect()
+        .map(r => r.getString(0) -> qs.indices.map(i => r.getLong(i + 1)))
+        .toMap
+      assert(got === brute(rows, qs), s"nGroups=$nGroups")
+    }
+  }
+
   test("no sort appears in any selection pass plan") {
     // the operator's promise: counting, never sorting. The per-pass
     // aggregation is issued internally, so assert on the equivalent
