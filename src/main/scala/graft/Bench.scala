@@ -168,12 +168,19 @@ object Bench {
       .sorted.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"queries":$qs,"failed":$failedJson,"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"stream_pass_phases":$streamPhases,"calib_sec":$calibSec,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_job_sec":$calibJob,"calib_mem_sec":$calibMem,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
+    // Short summary line with NO per-query map, printed LAST (r16
+    // verdict cosmetic note): a driver that tails the output and
+    // truncates the long line still captures the totals + probes.
+    val summary =
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","value_norm":$valueNorm,"n_queries":${ok.size},"n_failed":${failed.size},"sf":"$sfDir","stream_shared_pass_sec":$streamPass,"calib_sec":$calibSec,"calib_job_sec":$calibJob,"calib_mem_sec":$calibMem,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_launcher":"$loadavgLauncher"$subsetField}"""
     // stdout goes through sbt's "[info] " prefix, which broke the
-    // driver's JSON extraction in round 1 — also land the raw line in a
-    // well-known file.
+    // driver's JSON extraction in round 1 — also land the raw lines in
+    // a well-known file (full line first, summary LAST in both).
     println(line)
+    println(summary)
     val outFile = if (only.isDefined) "BENCH_subset.json" else "BENCH.json"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line + "\n" + summary + "\n")
     // Idle-host artifact (r6 verdict item 6): a full-suite run that
     // STARTED on a quiet host (1-min loadavg < 0.2 before anything
     // spun up) also lands as BENCH_idle.json, so round-over-round
@@ -187,7 +194,8 @@ object Bench {
       .flatMap(_.toDoubleOption).exists(_ < 0.2)
     if (only.isEmpty && idleAtStart)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_idle.json"), line + "\n")
+        java.nio.file.Paths.get("BENCH_idle.json"),
+        line + "\n" + summary + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -159,9 +159,37 @@ object ManyGroupsQuantilesSoak {
       val t0 = System.nanoTime(); val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    val nRows = 20000000L
-    val nGroups = 200000L
-    val path = "target/soak/quantiles_many/rows.parquet"
+    // args: [nRows [nGroups]] — default 20M × 200k; the r17 ceiling
+    // run is 20M × 1M (an order of magnitude more groups, same
+    // planted mega-group), where the claim under test is that
+    // per-pass cost and driver state stay FLAT in the group count:
+    // each pass's driver action is one bounds row; the per-pass
+    // heavy job is timed below via its job description.
+    val nRows = if (args.length >= 1) args(0).toLong else 20000000L
+    val nGroups = if (args.length >= 2) args(1).toLong else 200000L
+    val path = s"target/soak/quantiles_many/rows_${nRows}_$nGroups.parquet"
+    // per-pass wall times keyed by the descent's job descriptions
+    val passSecs =
+      new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val passStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(js.properties
+            .getProperty("spark.job.description")).getOrElse("")
+          if (d.startsWith("q100 in-plan descent"))
+            passStarts.put(js.jobId, (js.time, d))
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = passStarts.remove(je.jobId)
+          if (st != null)
+            passSecs.merge(st._2, (je.time - st._1) / 1e3,
+              (a, b) => a + b)
+        }
+      })
     if (!new java.io.File(path).isDirectory) {
       spark.range(nRows).select(
           when(col("id") % 2 === 0, lit("mega"))
@@ -210,10 +238,18 @@ object ManyGroupsQuantilesSoak {
         s"(first diff: ${many.find(kv => brute.get(kv._1) != Some(kv._2))})")
     require(many("mega")(1) == 777L,
       "the mega-duplicate must be the mega-group's median")
+    Thread.sleep(300) // listener bus drain
+    val perPass = {
+      import scala.jdk.CollectionConverters._
+      passSecs.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${k.stripPrefix("q100 in-plan descent: ")}":$v""" }
+        .mkString("{", ",", "}")
+    }
     println(
       s"""{"rows":$nRows,"groups":${many.size},
          |"quantiles":${quantiles.size},
-         |"sec":{"many_groups_radix":$tMany,"window_sort":$tSort}}"""
+         |"sec":{"many_groups_radix":$tMany,"window_sort":$tSort},
+         |"pass_secs":$perPass}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

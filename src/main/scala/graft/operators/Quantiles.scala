@@ -566,7 +566,10 @@ object Quantiles {
             lit(1), dec(col("hi"))).cast("long").as("hi2"),
           (col("r") - (col("cum") - col("c"))).as("r"))
         .withColumnsRenamed(Map("lo2" -> "lo", "hi2" -> "hi"))
-      targets = materialize(targets)
+      spark.sparkContext.setJobDescription(
+        s"q100 in-plan descent: pass $pass")
+      try targets = materialize(targets)
+      finally spark.sparkContext.setJobDescription(null)
     }
     // every initial target must have descended to a solved value — a
     // target silently dropped by the bucket join (impossible unless
