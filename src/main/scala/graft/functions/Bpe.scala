@@ -267,9 +267,16 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("p.d")).as("cnt"))
         .localCheckpoint() // one recount job; histogram + survivors read it
+      // top maxPairs+1 histogram classes ONLY (a TakeOrdered, not a
+      // full collect): every class holds ≥ 1 key, so the floor walk
+      // below can consume at most maxPairs classes before stopping —
+      // truncating at maxPairs+1 is exact, and it restores the
+      // "driver never holds more than ~maxPairs rows" bound that the
+      // full histogram broke (distinct counts grow ~√(2·occurrences),
+      // not with maxPairs — a 1e13-occurrence corpus has millions)
       val hist = tbl.groupBy(col("cnt")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cnt").desc).limit(maxPairs + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(-_._1)
       var kept = 0L
       var idx = 0
       while (idx < hist.length && kept + hist(idx)._2 <= maxPairs) {
