@@ -18,6 +18,8 @@ object C5Profile {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.put(js.jobId, (js.time,
           Option(js.properties.getProperty("spark.job.description"))
+            .getOrElse("?") + " @ " +
+          Option(js.properties.getProperty("spark.job.callSite.short"))
             .orElse(Option(js.properties.getProperty("callSite.short")))
             .getOrElse("?")))
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -36,11 +38,15 @@ object C5Profile {
       val snap = done.synchronized(done.toList)
       println(f"== $tag: ${sec}%.2f s wall, ${snap.size} jobs, " +
         f"${snap.map(_._2).sum}%.2f s summed job time ==")
-      snap.groupBy(_._3).toSeq
+      snap.groupBy(_._3.split(" @ ").head).toSeq
         .map { case (d, js) => (d, js.size, js.map(_._2).sum) }
         .sortBy(-_._3)
         .foreach { case (d, n, s) =>
           println(f"  ${s}%6.2f s  $n%3d jobs  $d")
+        }
+      if (sys.env.contains("C5_PROFILE_JOBS"))
+        snap.sortBy(_._1).foreach { case (id, s, d) =>
+          println(f"    job $id%4d  ${s}%6.3f s  $d")
         }
       sec
     }

@@ -402,6 +402,16 @@ object Boilerplate {
     (b, org.apache.spark.sql.Row(m("mn"), m("mx")))
   }
 
+  /** Per-step job description for profiling, RESTORING the caller's
+    * description afterwards (a plain null-reset would clobber an
+    * outer gate-level label — the c5 profile's phases). */
+  private def desc[A](spark: SparkSession, s: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"boiler-fold: $s")
+    try body finally sc.setJobDescription(prev)
+  }
+
   private[graft] def computeFold(spark: SparkSession, path: String,
                                  batch: DataFrame, idCol: String,
                                  textCol: String, minDocs: Long,
@@ -422,17 +432,19 @@ object Boilerplate {
     var dict0: DataFrame = null
     var bpairs: DataFrame = null
     Par.run(Seq(
-      () => dict0 = spark.read.parquet(s"$path/dict").localCheckpoint(),
-      () => bpairs = lines(b, "doc_id", "text")
-        .select(col("line"), col("doc_id")).distinct()
-        .localCheckpoint() // feeds candidate agg + delta write
+      () => dict0 = desc(spark, "dict snapshot") {
+        spark.read.parquet(s"$path/dict").localCheckpoint() },
+      () => bpairs = desc(spark, "batch line pairs") {
+        lines(b, "doc_id", "text")
+          .select(col("line"), col("doc_id")).distinct()
+          .localCheckpoint() } // feeds candidate agg + delta write
     ))
     // candidate lines = batch lines not yet in the dictionary (a
     // dict line's count can never matter again — monotone)
-    val candAgg = bpairs
+    val candAgg = desc(spark, "candidate agg") { bpairs
       .join(broadcast(dict0), Seq("line"), "left_anti")
       .groupBy(col("line")).agg(count(lit(1)).as("ndb"))
-      .localCheckpoint()
+      .localCheckpoint() }
     // crossing detection, sidecar-first (see scaladoc). The batch
     // side is broadcast in every store-facing join so no store scan
     // is ever shuffled — which makes "batch distinct lines fit a
@@ -458,14 +470,14 @@ object Boilerplate {
     // metric (max over the exact escalation predicate) — the head(1)
     // probe job it replaces was pure fixed latency
     val cand2Obs = org.apache.spark.sql.Observation()
-    val cand2 = candAgg
+    val cand2 = desc(spark, "crossing candidates") { candAgg
       .join(sideHits.hint("broadcast"), Seq("line"), "left")
       .join(pnd.hint("broadcast"), Seq("line"), "left")
       .select(col("line"), col("ndb"), col("snd"),
         coalesce(col("pnd"), lit(0L)).as("pnd"))
       .observe(cand2Obs, max(when(col("snd").isNull &&
           col("pnd") + col("ndb") >= eps + 1L, 1).otherwise(0)).as("esc"))
-      .localCheckpoint()
+      .localCheckpoint() }
     // a line outside the sidecar had nd ≤ minDocs − eps − 1 at the
     // refresh: it can only cross with > eps occurrences since — the
     // exact escalation predicate, not a heuristic
@@ -498,11 +510,12 @@ object Boilerplate {
     // job as an observed collect_set (bounded by nBuckets — operator
     // parameter, not data) instead of a distinct+collect job
     val crossedObs = org.apache.spark.sql.Observation()
-    val crossed = escCrossed.map(sideCrossed.unionByName(_))
-      .getOrElse(sideCrossed)
-      .observe(crossedObs,
-        collect_set(pairBucket(col("line"), nBuckets)).as("buckets"))
-      .localCheckpoint()
+    val crossed = desc(spark, "crossed lines") {
+      escCrossed.map(sideCrossed.unionByName(_))
+        .getOrElse(sideCrossed)
+        .observe(crossedObs,
+          collect_set(pairBucket(col("line"), nBuckets)).as("buckets"))
+        .localCheckpoint() }
     // carrier lookup reads the WIDE pair store only for the crossed
     // lines' buckets — a handful, so the partition filter genuinely
     // prunes. The invalidated-id set is bounded (< minDocs ids per
@@ -519,7 +532,8 @@ object Boilerplate {
     // construction: built distinct, appends are anti-joined crossings)
     val dictNew =
       if (crossedBuckets.isEmpty) dict0
-      else dict0.unionByName(crossed).distinct().localCheckpoint()
+      else desc(spark, "dict update") {
+        dict0.unionByName(crossed).distinct().localCheckpoint() }
     val invCarriers =
       if (crossedBuckets.isEmpty) None
       else {
@@ -527,22 +541,24 @@ object Boilerplate {
         // checkpoint as observed metrics (the head(1) probe and the
         // distinct+collect each cost a fixed job latency)
         val idsObs = org.apache.spark.sql.Observation()
-        val ids = pairStoreRows(spark, path, crossedBuckets.toIndexedSeq)
+        val ids = desc(spark, "invalidated carriers") {
+          pairStoreRows(spark, path, crossedBuckets.toIndexedSeq)
           .join(broadcast(crossed), Seq("line"), "left_semi")
           .select(col("doc_id")).distinct()
           .observe(idsObs, count(lit(1)).as("n"),
             collect_set(docBucket(col("doc_id"), nDocBuckets)).as("dbuckets"))
-          .localCheckpoint()
+          .localCheckpoint() }
         if (idsObs.get("n").asInstanceOf[Long] == 0L) None
         else Some((ids, idsObs.get("dbuckets")
           .asInstanceOf[scala.collection.Seq[Long]].sorted))
       }
     val outInv = invCarriers.map { case (ids, dbuckets) =>
-      val inv = spark.read.parquet(s"$path/docs")
-        .filter(col("dbucket").isin(dbuckets.toIndexedSeq: _*))
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"))
-        .localCheckpoint() // snapshot before the doc-store append below
+      val inv = desc(spark, "invalidated docs") {
+        spark.read.parquet(s"$path/docs")
+          .filter(col("dbucket").isin(dbuckets.toIndexedSeq: _*))
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint() } // snapshot before the doc-store append below
       cleanWithDict(inv, "doc_id", "text", dictNew)
         .withColumnRenamed("doc_id", idCol)
     }
@@ -683,15 +699,20 @@ object Boilerplate {
       nBuckets, nDocBuckets, prepped)
     // independent staged artifacts fan out as concurrent jobs
     Par.run(Seq(
-      () => a.pairsDelta.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString),
-      () => a.countsDelta.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging.resolve("counts").toString),
-      () => a.docsApp.repartition(col("dbucket"))
-        .write.partitionBy("dbucket").parquet(staging.resolve("docs").toString),
-      () => a.dictApp.write.parquet(staging.resolve("dict").toString),
-      () => a.changelog.withColumn("seq", lit(seq))
-        .write.parquet(staging.resolve("out").toString)))
+      () => desc(spark, "staged pairs write") {
+        a.pairsDelta.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString) },
+      () => desc(spark, "staged counts write") {
+        a.countsDelta.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(staging.resolve("counts").toString) },
+      () => desc(spark, "staged docs write") {
+        a.docsApp.repartition(col("dbucket"))
+          .write.partitionBy("dbucket").parquet(staging.resolve("docs").toString) },
+      () => desc(spark, "staged dict write") {
+        a.dictApp.write.parquet(staging.resolve("dict").toString) },
+      () => desc(spark, "staged changelog write") {
+        a.changelog.withColumn("seq", lit(seq))
+          .write.parquet(staging.resolve("out").toString) }))
     StoreMeta.writeFile(spark, staging.resolve("meta").toString,
       boilerMetaFields(a.newMax, minDocs, nBuckets, nDocBuckets, a.eps))
     java.nio.file.Files.createFile(staging.resolve("_SUCCESS"))
