@@ -1940,6 +1940,21 @@ object SparkEntry {
           maxHamming = 3, bands = 4)
       }),
 
+      // d27's AUDIO twin: perceptual hash over decoded PCM — a
+      // 61-segment energy profile from the real RIFF/WAVE byte walk
+      // (raw-sample squares, integer-exact), dHashed and banded
+      // through the same hammingPairs machinery. Families use an
+      // independent md5 salt, so the pair structure is fresh while
+      // the oracle stays the same closed form.
+      "d28_phash_audio" -> ((s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthWavPerceptual(id))))
+          .toDF("doc_id", "content")
+        Multimodal.wavNearDups(media, "doc_id", "content",
+          maxHamming = 3, bands = 4)
+      }),
+
       // TF-IDF top terms per document. idf is the RAW ratio N/df rather
       // than log(N/df): log is monotone, so top-k ranking is identical,
       // and the ratio form stays bit-portable to the DuckDB oracle
@@ -5277,6 +5292,29 @@ object SparkEntry {
         |  SELECT doc_id,
         |    xor(xor(
         |      CAST(('0x' || substr(md5('d27:' || CAST(f AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      CASE WHEN v >= 1 THEN (CAST(1 AS BIGINT) << ((7 * v) % 60)) ELSE 0 END),
+        |      CASE WHEN v >= 4 THEN (CAST(1 AS BIGINT) << ((11 * v + 3) % 60)) ELSE 0 END)
+        |      AS ph
+        |  FROM p),
+        |b AS (SELECT doc_id, ph, j AS band,
+        |             (ph >> (CAST(j AS INT) * 15)) & 32767 AS band_key
+        |      FROM h, range(4) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |                a.ph AS ph_a, c.ph AS ph_b
+        |         FROM b a JOIN b c ON a.band = c.band AND a.band_key = c.band_key
+        |                          AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
+
+    // d28: the audio twin — identical closed form under the 'd28:'
+    // salt (the Spark side must recover the bits from PCM energies).
+    "d28_phash_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 8 AS f, doc_id % 8 AS v FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    xor(xor(
+        |      CAST(('0x' || substr(md5('d28:' || CAST(f AS VARCHAR)), 1, 15)) AS BIGINT),
         |      CASE WHEN v >= 1 THEN (CAST(1 AS BIGINT) << ((7 * v) % 60)) ELSE 0 END),
         |      CASE WHEN v >= 4 THEN (CAST(1 AS BIGINT) << ((11 * v + 3) % 60)) ELSE 0 END)
         |      AS ph

@@ -519,6 +519,161 @@ object Multimodal {
     buf.array()
   }
 
+  /** Per-segment PCM energy sums from a real RIFF/WAVE byte stream —
+    * the audio analog of [[BmpDecoder.rowLumaSums]]: the frame
+    * sequence is split into `segments` contiguous runs (segment i =
+    * frames [⌊i·n/segments⌋, ⌊(i+1)·n/segments⌋)) and each run sums
+    * Σ s² over its RAW integer samples (channel samples summed
+    * independently — integer-exact, no float normalization enters).
+    * Same validated RIFF walk + loud-failure contract as
+    * [[WavPcmDecoder.decode]]. Returns (sampleRate, nFrames,
+    * energies). */
+  def wavSegmentEnergies(bytes: Array[Byte],
+                         segments: Int): (Int, Int, Array[Long]) = {
+    require(segments >= 1, "need at least one segment")
+    def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" &&
+      tag(bytes, 8) == "WAVE", "not a RIFF/WAVE stream")
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = tag(bytes, off); val sz = le32(bytes, off + 4)
+      require(sz >= 0 && off.toLong + 8 + sz <= bytes.length,
+        s"truncated $id chunk")
+      if (id == "fmt ") {
+        require(sz >= 16, "fmt chunk too short")
+        require(le16(bytes, off + 8) == 1, "only PCM supported")
+        channels = le16(bytes, off + 10)
+        sampleRate = le32(bytes, off + 12)
+        bits = le16(bytes, off + 22)
+        require(channels >= 1 && sampleRate >= 1, "bad fmt fields")
+        require(bits == 8 || bits == 16, s"only 8/16-bit PCM, got $bits")
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    require(sampleRate > 0, "no fmt chunk")
+    require(dataOff >= 0, "no data chunk")
+    val bytesPerSample = bits / 8
+    val blockAlign = bytesPerSample * channels
+    val nFrames = dataLen / blockAlign
+    val energies = new Array[Long](segments)
+    var i = 0
+    while (i < nFrames) {
+      val seg = math.min((i.toLong * segments / nFrames).toInt, segments - 1)
+      var c = 0
+      var acc = 0L
+      while (c < channels) {
+        val o = dataOff + i * blockAlign + c * bytesPerSample
+        val s = if (bits == 16) le16(bytes, o).toShort.toInt
+                else (bytes(o) & 0xff) - 128
+        acc += s.toLong * s; c += 1
+      }
+      energies(seg) += acc
+      i += 1
+    }
+    (sampleRate, nFrames, energies)
+  }
+
+  /** 60-bit audio difference hash: bit i = energy(segment i+1) >
+    * energy(segment i) over the 61-segment profile — the PCM analog
+    * of [[dHash60]], integer-exact (raw-sample squares, no
+    * normalization), banding-ready for
+    * [[graft.operators.DedupSuite.hammingPairs]]. */
+  def wavDHash60(bytes: Array[Byte]): Long = {
+    val (_, _, e) = wavSegmentEnergies(bytes, 61)
+    var acc = 0L
+    var i = 0
+    while (i < 60) {
+      if (e(i + 1) > e(i)) acc |= 1L << i
+      i += 1
+    }
+    acc
+  }
+
+  /** Perceptual near-duplicate PAIRS over a binary WAV column — the
+    * audio twin of [[bmpNearDups]]: per-partition decode to
+    * [[wavDHash60]], then Hamming-banded candidates + exact verify.
+    * Output (id_a, id_b, hamming). */
+  def wavNearDups(media: DataFrame, idCol: String, bytesCol: String,
+                  maxHamming: Int = 3, bands: Int = 4,
+                  maxBucket: Int = 1000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, wavDHash60(bytes)) })
+      .toDF(idCol, "ph")
+    graft.operators.DedupSuite.hammingPairs(
+      hashes, idCol, "ph", maxHamming, bands, maxBucket)
+  }
+
+  /** Deterministic NEAR-DUPLICATE WAV synthesizer for the d28 gate —
+    * the audio twin of [[synthBmpPerceptual]], same closed form with
+    * an independent salt:
+    *
+    *   ph(docId) = F(family) XOR flips(variant),
+    *   F = first 15 hex chars of md5("d28:" || family)
+    *
+    * (families of 8; flips(v) = bit (7v)%60 for v ≥ 1 plus bit
+    * (11v+3)%60 for v ≥ 4 — in-family Hamming 1–4, threshold-3
+    * boundary exercised). The SAMPLES realize the hash: a square
+    * tone whose per-segment amplitude walks ±16 from 2000 with step
+    * i's direction = bit i of ph (range [1040, 2960] ⊂ int16), laid
+    * out in m-frame-per-segment blocks (61·m frames, m = 1 +
+    * family%3) so the 61-segment energy resample must land in the
+    * right block; sample rate and channel count vary per family.
+    * Equal frame counts per segment make energy comparisons exactly
+    * amplitude comparisons, so the decoder recovers ph iff its RIFF
+    * walk, sample decode, and segmentation are honest. */
+  def synthWavPerceptual(docId: Long): Array[Byte] = {
+    require(docId >= 0, s"synthWavPerceptual needs a non-negative id, got $docId")
+    val fam = docId / 8
+    val v = (docId % 8).toInt
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"d28:$fam".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    var ph = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    if (v >= 1) ph ^= 1L << ((7 * v) % 60)
+    if (v >= 4) ph ^= 1L << ((11 * v + 3) % 60)
+    val m = 1 + (fam % 3).toInt
+    val nFrames = 61 * m
+    val sr = 8000 + (fam % 8).toInt * 1000
+    val channels = 1 + (fam % 2).toInt
+    val amp = new Array[Int](61)
+    amp(0) = 2000
+    var i = 0
+    while (i < 60) {
+      amp(i + 1) = amp(i) + (if (((ph >> i) & 1L) == 1L) 16 else -16)
+      i += 1
+    }
+    val dataLen = nFrames * 2 * channels
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+    buf.putShort(1).putShort(channels.toShort).putInt(sr)
+    buf.putInt(sr * 2 * channels).putShort((2 * channels).toShort).putShort(16)
+    buf.put("data".getBytes(ascii)).putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      val a = amp(f / m)
+      val s = (if (f % 2 == 0) a else -a).toShort
+      var c = 0
+      while (c < channels) { buf.putShort(s); c += 1 }
+      f += 1
+    }
+    buf.array()
+  }
+
   /** Stub decode from a pre-computed digest. */
   def decodeFromDigest(kind: String, sha: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     def u(i: Int): Int = sha(i) & 0xff

@@ -263,19 +263,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  /** Closed-form perceptual hash of synthBmpPerceptual(docId) — the
-    * d27 oracle's arithmetic, recomputed independently here. */
-  private def expectedPh(docId: Long): Long = {
+  /** Closed-form perceptual hash of the d27/d28 synths — the oracles'
+    * arithmetic, recomputed independently here. */
+  private def expectedPhSalt(salt: String, docId: Long): Long = {
     val fam = docId / 8
     val v = (docId % 8).toInt
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"d27:$fam".getBytes("UTF-8"))
+      .digest(s"$salt:$fam".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     var ph = java.lang.Long.parseLong(hex.substring(0, 15), 16)
     if (v >= 1) ph ^= 1L << ((7 * v) % 60)
     if (v >= 4) ph ^= 1L << ((11 * v + 3) % 60)
     ph
   }
+  private def expectedPh(docId: Long): Long = expectedPhSalt("d27", docId)
 
   test("perceptual dHash: byte-stream decode recovers the closed-form hash") {
     // fams 0..5 cover m in {1,2,3} twice, both orientations, all DIB
@@ -303,6 +304,37 @@ class MultimodalSpec extends SparkSpec {
     val (_, hh, sums) = Multimodal.BmpDecoder.rowLumaSums(img)
     val (_, _, sumsFlipped) = Multimodal.BmpDecoder.rowLumaSums(flipped)
     assert(hh == h && sums.toSeq == sumsFlipped.reverse.toSeq)
+  }
+
+  test("audio perceptual dHash: PCM decode recovers the closed-form hash") {
+    // fams 0..5 cover m in {1,2,3}, both channel counts, varied rates
+    val ids = (0L to 47L) ++ Seq(4999L, 99991L)
+    ids.foreach { id =>
+      val bytes = Multimodal.synthWavPerceptual(id)
+      assert(Multimodal.wavDHash60(bytes) == expectedPhSalt("d28", id),
+        s"audio ph mismatch $id")
+    }
+    // segmentation honesty: energies are per-segment amplitude squares
+    // times a constant, so adjacent segments strictly order
+    val (sr, nf, e) = Multimodal.wavSegmentEnergies(
+      Multimodal.synthWavPerceptual(8L), 61) // fam 1: m=2, stereo
+    assert(nf == 122 && e.length == 61 && sr == 9000)
+    assert(e.forall(_ > 0L))
+    // malformed bytes fail loudly through the same walk
+    val good = Multimodal.synthWavPerceptual(0L)
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDHash60(bad)
+    }
+    // audio pairs end-to-end: same family structure as d27
+    import org.apache.spark.sql.functions._
+    val media = (0L until 16L).toDF("doc_id")
+      .withColumn("content", udf((id: Long) =>
+        Multimodal.synthWavPerceptual(id)).apply($"doc_id"))
+    val pairs = Multimodal.wavNearDups(media, "doc_id", "content")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.size == 44, s"got ${pairs.size}")
+    assert(pairs((0L, 1L)) == 1L && !pairs.contains((4L, 5L)))
   }
 
   test("perceptual near-dup pairs: in-family Hamming structure, 4 excluded") {
