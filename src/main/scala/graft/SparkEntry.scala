@@ -1955,6 +1955,26 @@ object SparkEntry {
           maxHamming = 3, bands = 4)
       }),
 
+      // The multimodal DEDUP composition (d27 emits PAIRS; training
+      // pipelines keep one image per perceptual cluster): pairs →
+      // connected components (transitive — Hamming ≤ 3 is not) →
+      // keep-lowest-id, every unpaired image keeping itself. Same
+      // d7 canonical-selection discipline over the image column.
+      "d29_phash_dedup" -> ((s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthBmpPerceptual(id))))
+          .toDF("doc_id", "content")
+        val pairs = Multimodal.bmpNearDups(media, "doc_id", "content",
+          maxHamming = 3, bands = 4).select(col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponents(pairs)
+        media.select(col("doc_id"))
+          .join(comps, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("keep_id"))
+          .withColumn("kept", (col("doc_id") === col("keep_id")).cast("boolean"))
+      }),
+
       // TF-IDF top terms per document. idf is the RAW ratio N/df rather
       // than log(N/df): log is monotone, so top-k ranking is identical,
       // and the ratio form stays bit-portable to the DuckDB oracle
@@ -5305,6 +5325,40 @@ object SparkEntry {
         |                          AND a.doc_id < c.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
+
+    // d29: keeps from the d27 pair set — recursive transitive closure
+    // (the d22 CC formulation) over the closed-form pairs, min-id
+    // labels, unpaired docs keep themselves.
+    "d29_phash_dedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, doc_id // 8 AS f, doc_id % 8 AS v FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    xor(xor(
+        |      CAST(('0x' || substr(md5('d27:' || CAST(f AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      CASE WHEN v >= 1 THEN (CAST(1 AS BIGINT) << ((7 * v) % 60)) ELSE 0 END),
+        |      CASE WHEN v >= 4 THEN (CAST(1 AS BIGINT) << ((11 * v + 3) % 60)) ELSE 0 END)
+        |      AS ph
+        |  FROM p),
+        |b AS (SELECT doc_id, ph, j AS band,
+        |             (ph >> (CAST(j AS INT) * 15)) & 32767 AS band_key
+        |      FROM h, range(4) r(j)),
+        |pr AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |       FROM b a JOIN b c ON a.band = c.band AND a.band_key = c.band_key
+        |                        AND a.doc_id < c.doc_id
+        |       WHERE bit_count(xor(a.ph, c.ph)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |       COALESCE(c.component, d.doc_id) AS keep_id,
+        |       d.doc_id = COALESCE(c.component, d.doc_id) AS kept
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
 
     // d28: the audio twin — identical closed form under the 'd28:'
     // salt (the Spark side must recover the bits from PCM energies).
