@@ -917,6 +917,14 @@ object SparkEntry {
                                      post: DataFrame => DataFrame)
 
   private def runStreamPass(s: SparkSession, dir: String): Map[String, String] = {
+    // event-bus hygiene barrier: the pass's seeds and folds block on
+    // observed metrics (Observation.get rides the shared async
+    // listener bus), so a pass starting right behind a large query
+    // flood (the bench warmup) would bill the backlog's drain time
+    // to every observation it takes — measured as a uniform ~2.5×
+    // seed inflation at matched calibration. Waiting out the backlog
+    // FIRST makes the pass timing self-contained; no-op when idle.
+    org.apache.spark.sql.GraftColumnBridge.drainListenerBus(s)
     val t0 = System.nanoTime()
     def phase[A](name: String)(body: => A): A = {
       val p0 = System.nanoTime()
@@ -1060,18 +1068,29 @@ object SparkEntry {
           // protocol — see foldSubstrBatchIdempotent). Production
           // mode: hashKeys=true (16-byte digest keys in the store).
           () => phase("seed_s14") {
-            val (s14split, t1) = stagedSubstrIngestSplit(s, dir)
             val s14store = s"$s14Root/store"
             val s14out = s"$s14Root/out"
-            val s14docs = substrCorpus(s, dir).filter(col("doc_id") < t1)
-            // the build's outWrite fan-out shares the ONE window
-            // aggregation between the store write and the seed-output
-            // write (the r16 form overlapped two independent passes
-            // that each paid their own agg; this pays it once)
-            DedupSuite.exactSubstrBuildStore(s14docs,
-              "doc_id", "text", 8, s14store, nBuckets = 64,
-              hashKeys = true,
-              outWrite = Some(_.write.parquet(s14out)))
+            // the split staging (the stream's input files) and the
+            // store build are INDEPENDENT — overlap them; the build
+            // thunk re-derives the tercile boundary itself (one
+            // cheap max probe, hidden inside the overlap; identical
+            // arithmetic to the split helper's). The build's
+            // outWrite fan-out shares the ONE window aggregation
+            // between the store write and the seed-output write.
+            var s14split: String = null
+            graft.operators.Par.run(Seq(
+              () => { s14split = stagedSubstrIngestSplit(s, dir)._1 },
+              () => {
+                val docsAll = substrCorpus(s, dir)
+                val t1 = docsAll.agg(max(col("doc_id"))).head()
+                  .getLong(0) / 3
+                DedupSuite.exactSubstrBuildStore(
+                  docsAll.filter(col("doc_id") < t1),
+                  "doc_id", "text", 8, s14store, nBuckets = 64,
+                  hashKeys = true,
+                  outWrite = Some(_.write.parquet(s14out)))
+                ()
+              }))
             trackAs("s14")(graft.streaming.StreamingJobs.streamingSubstrIngest(
               s, s14split, nearDupStreamSchema, s14store, s14out,
               trackCk("s14_ck").toString, l = 8, nBuckets = 64,
@@ -1104,19 +1123,32 @@ object SparkEntry {
           // post-drain latest-seq-per-doc resolution equals the full
           // recompute — c5's oracle.
           () => phase("seed_s16") {
-            val (s16split, cut) = stagedBoilerIngestSplit(s, dir)
             val s16store = s"$s16Root/store"
             val s16out = s"$s16Root/out"
-            val m = Tables.documents(s, dir).count() / 25
-            val s16docs = corpusTicker(s, dir).filter(col("doc_id") <= cut)
-            // the build's outWrite fan-out writes the seed output from
-            // the build's own in-memory dictionary (the r16 form ran
-            // removeCommonLines as a second pass that recomputed the
-            // line counts + dictionary the build had already built)
-            Boilerplate.buildStore(s16docs, "doc_id", "text", m,
-              s16store, nBuckets = 16, nDocBuckets = 16,
-              outWrite = Some(_.withColumn("seq", lit(-1L))
-                .write.parquet(s16out)))
+            // split staging ∥ store build (independent artifacts —
+            // the s14 move); the build thunk derives the doc cut and
+            // the threshold from ONE fused max+count probe (identical
+            // arithmetic to the split helper's own). The build's
+            // outWrite writes the seed output from the build's
+            // in-memory dictionary.
+            var s16split: String = null
+            var m = 0L
+            graft.operators.Par.run(Seq(
+              () => { s16split = stagedBoilerIngestSplit(s, dir)._1 },
+              () => {
+                val probe = Tables.documents(s, dir)
+                  .agg(max(col("doc_id")).cast("long"),
+                    count(lit(1))).head()
+                val cut = probe.getLong(0) / 2
+                m = probe.getLong(1) / 25
+                Boilerplate.buildStore(
+                  corpusTicker(s, dir).filter(col("doc_id") <= cut),
+                  "doc_id", "text", m, s16store,
+                  nBuckets = 16, nDocBuckets = 16,
+                  outWrite = Some(_.withColumn("seq", lit(-1L))
+                    .write.parquet(s16out)))
+                ()
+              }))
             trackAs("s16")(graft.streaming.StreamingJobs.streamingBoilerplateIngest(
               s, s16split, nearDupStreamSchema, s16store, s16out,
               trackCk("s16_ck").toString, m, nBuckets = 16,

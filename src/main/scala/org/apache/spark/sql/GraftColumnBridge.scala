@@ -21,6 +21,20 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Block until the shared async listener bus has delivered every
+    * queued event (bounded; swallows the timeout — this is a hygiene
+    * barrier, not a correctness gate). `Observation.get` and every
+    * observed-metric probe ride this bus, so a measurement window
+    * that opens right after a large query flood (the bench warmup's
+    * ~600 executions) otherwise bills the backlog's drain time to
+    * the first observation-heavy thing it measures — the round-17
+    * stream-pass anomaly (seeds uniformly ~2.5× at matched
+    * calibration, with the observation-free memory-sink drains flat).
+    * No-op on an idle bus. */
+  def drainListenerBus(s: SparkSession, timeoutMs: Long = 30000L): Unit =
+    try s.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** Re-wrap a materialized Dataset's internal RDD as a fresh
     * `LogicalRDD` with DEFAULT size statistics.
     *
