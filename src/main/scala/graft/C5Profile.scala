@@ -15,13 +15,20 @@ object C5Profile {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new scala.collection.mutable.ArrayBuffer[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobs.put(js.jobId, (js.time,
-          Option(js.properties.getProperty("spark.job.description"))
-            .getOrElse("?") + " @ " +
+      // group key = job description, falling back to the CALL SITE
+      // when no description is set (not "?": undescribed jobs would
+      // all collapse into one bucket). The separator is a tab, which
+      // cannot appear in either field as produced here.
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val callSite =
           Option(js.properties.getProperty("spark.job.callSite.short"))
             .orElse(Option(js.properties.getProperty("callSite.short")))
-            .getOrElse("?")))
+            .getOrElse("?")
+        val group =
+          Option(js.properties.getProperty("spark.job.description"))
+            .getOrElse(callSite)
+        jobs.put(js.jobId, (js.time, group + "\t@ " + callSite))
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val st = jobs.get(je.jobId)
         if (st != null) done.synchronized {
@@ -38,7 +45,7 @@ object C5Profile {
       val snap = done.synchronized(done.toList)
       println(f"== $tag: ${sec}%.2f s wall, ${snap.size} jobs, " +
         f"${snap.map(_._2).sum}%.2f s summed job time ==")
-      snap.groupBy(_._3.split(" @ ").head).toSeq
+      snap.groupBy(_._3.split("\t").head).toSeq
         .map { case (d, js) => (d, js.size, js.map(_._2).sum) }
         .sortBy(-_._3)
         .foreach { case (d, n, s) =>

@@ -241,7 +241,12 @@ object ManyGroupsQuantilesSoak {
     Thread.sleep(300) // listener bus drain
     val perPass = {
       import scala.jdk.CollectionConverters._
-      passSecs.asScala.toSeq.sortBy(_._1)
+      // numeric sort on the pass index — a lexical sort puts
+      // "pass 10" before "pass 2" and misreads per-pass flatness
+      passSecs.asScala.toSeq
+        .sortBy { case (k, _) =>
+          "\\d+".r.findFirstIn(k).map(_.toLong).getOrElse(Long.MaxValue)
+        }
         .map { case (k, v) => s""""${k.stripPrefix("q100 in-plan descent: ")}":$v""" }
         .mkString("{", ",", "}")
     }

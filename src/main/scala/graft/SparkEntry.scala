@@ -4010,8 +4010,9 @@ object SparkEntry {
         // build / fold / maintenance (thread-local, queries here run
         // sequentially)
         def desc[A](d: String)(body: => A): A = {
+          val prev = s.sparkContext.getLocalProperty("spark.job.description")
           s.sparkContext.setJobDescription(s"c5: $d")
-          try body finally s.sparkContext.setJobDescription(null)
+          try body finally s.sparkContext.setJobDescription(prev)
         }
         val e0 = desc("build") { Boilerplate.buildStore(
           all.filter(col("doc_id") <= cut1), "doc_id", "text", m, store,

@@ -168,7 +168,7 @@ object BloomSide {
     val distinctFiles = files.flatMap(_._2).distinct
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, distinctFiles.size)))
-    val read: Map[java.nio.file.Path, Seq[(Long, Array[Byte])]] =
+    val read: Map[java.nio.file.Path, Option[Seq[(Long, Array[Byte])]]] =
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -177,14 +177,20 @@ object BloomSide {
             scala.concurrent.Future(p -> cachedBloomRows(p)))),
           scala.concurrent.duration.Duration.Inf).toMap
       } finally pool.shutdown()
-    val byBucket: Map[Long, Seq[(Long, Array[Byte])]] =
+    // A bucket is prunable only when EVERY one of its sidecar files
+    // read cleanly: a failed file may hold the only coverage for some
+    // stored keys, so partial rows must not license a skip.
+    val byBucket: Map[Long, Option[Seq[(Long, Array[Byte])]]] =
       files.map { case (b, fs) =>
-        b -> fs.flatMap(read.getOrElse(_, Nil))
+        val perFile = fs.map(read.getOrElse(_, None))
+        b -> (if (perFile.exists(_.isEmpty)) None
+              else Some(perFile.flatMap(_.get)))
       }.toMap
     buckets.filter { b =>
       byBucket.get(b) match {
-        case None | Some(Nil) => true // no rows readable: scan it
-        case Some(rs) =>
+        case None | Some(None) => true // missing or any unreadable file: scan it
+        case Some(Some(Nil))   => true // no rows at all: scan it
+        case Some(Some(rs)) =>
           val hs = hashesByBucket.getOrElse(b, Array.emptyLongArray)
           rs.exists { case (items, bloomBytes) =>
             items < 0 || {
@@ -198,31 +204,36 @@ object BloomSide {
   }
 
   /** Memo cache over [[readBloomRows]], keyed by (path, size) —
-    * sound because sidecar parquet files are immutable. Bounded
-    * crudely: past [[CacheMaxBytes]] of bloom payload the whole map
-    * clears (the next fold re-reads; correctness is unaffected). */
+    * sound because sidecar parquet files are immutable. FAILED reads
+    * are never cached (the hole would persist across folds); only
+    * clean row sets memoize. Bounded crudely: past [[CacheMaxBytes]]
+    * of bloom payload the whole map clears (the next fold re-reads;
+    * correctness is unaffected). */
   private val CacheMaxBytes = 256L << 20
   private val cacheBytes = new java.util.concurrent.atomic.AtomicLong()
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Seq[(Long, Array[Byte])]]()
-  private def cachedBloomRows(p: java.nio.file.Path): Seq[(Long, Array[Byte])] = {
+  private def cachedBloomRows(p: java.nio.file.Path): Option[Seq[(Long, Array[Byte])]] = {
     val size = try java.nio.file.Files.size(p) catch { case _: Throwable => -1L }
     if (size < 0) return readBloomRows(p)
     val key = (p.toString, size)
     val hit = cache.get(key)
-    if (hit != null) return hit
+    if (hit != null) return Some(hit)
     val rows = readBloomRows(p)
-    if (cacheBytes.addAndGet(size) > CacheMaxBytes) {
-      cache.clear(); cacheBytes.set(size)
+    rows.foreach { rs =>
+      if (cacheBytes.addAndGet(size) > CacheMaxBytes) {
+        cache.clear(); cacheBytes.set(size)
+      }
+      cache.put(key, rs)
     }
-    cache.put(key, rows)
     rows
   }
 
   /** Read one sidecar file's (items, bloom) rows with parquet-mr on
-    * the calling thread. Any read failure → empty (callers treat the
-    * bucket as unprunable). */
-  private def readBloomRows(p: java.nio.file.Path): Seq[(Long, Array[Byte])] =
+    * the calling thread. Any read failure → None, distinct from a
+    * clean zero-row file (callers must treat None as "this file's
+    * coverage is unknown" and keep its bucket unprunable). */
+  private def readBloomRows(p: java.nio.file.Path): Option[Seq[(Long, Array[Byte])]] =
     try {
       val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
@@ -239,7 +250,7 @@ object BloomSide {
           out += ((items, bloom))
           g = reader.read()
         }
-        out.toList
+        Some(out.toList)
       } finally reader.close()
-    } catch { case _: Throwable => Nil }
+    } catch { case _: Throwable => None }
 }

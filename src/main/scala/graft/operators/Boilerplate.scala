@@ -440,11 +440,17 @@ object Boilerplate {
           .localCheckpoint() } // feeds candidate agg + delta write
     ))
     // candidate lines = batch lines not yet in the dictionary (a
-    // dict line's count can never matter again — monotone)
-    val candAgg = desc(spark, "candidate agg") { bpairs
+    // dict line's count can never matter again — monotone). NOT
+    // checkpointed: its three uses below (two broadcast semi-join
+    // builds + cand2's probe side) all sit inside cand2's ONE job,
+    // where they share the agg's shuffle exchange (exchange reuse —
+    // the subplans canonicalize identically), so fusing saves a whole
+    // serialized fixed job latency per fold without recomputing the
+    // agg; countsDelta later re-derives (line, ndb) from the
+    // CHECKPOINTED cand2, never from here.
+    val candAgg = bpairs
       .join(broadcast(dict0), Seq("line"), "left_anti")
       .groupBy(col("line")).agg(count(lit(1)).as("ndb"))
-      .localCheckpoint() }
     // crossing detection, sidecar-first (see scaladoc). The batch
     // side is broadcast in every store-facing join so no store scan
     // is ever shuffled — which makes "batch distinct lines fit a
@@ -466,17 +472,25 @@ object Boilerplate {
     val pnd = postRefreshCounts(spark, path, asOf)
       .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
       .groupBy(col("line")).agg(sum(col("nd_delta")).as("pnd"))
-    // the escalation probe RIDES the checkpoint job as an observed
-    // metric (max over the exact escalation predicate) — the head(1)
-    // probe job it replaces was pure fixed latency
+    // the escalation probe AND the side-crossed bucket set RIDE the
+    // checkpoint job as observed metrics (max over the exact
+    // escalation predicate; collect_set over the side-crossing
+    // predicate's pair buckets, ≤ nBuckets values) — the head(1)
+    // probe and, for non-escalating folds, the whole `crossed`
+    // checkpoint job they replace were pure fixed latency
     val cand2Obs = org.apache.spark.sql.Observation()
+    val sideCrossPred = col("snd").isNotNull &&
+      col("snd") + col("pnd") + col("ndb") >= minDocs
     val cand2 = desc(spark, "crossing candidates") { candAgg
       .join(sideHits.hint("broadcast"), Seq("line"), "left")
       .join(pnd.hint("broadcast"), Seq("line"), "left")
       .select(col("line"), col("ndb"), col("snd"),
         coalesce(col("pnd"), lit(0L)).as("pnd"))
-      .observe(cand2Obs, max(when(col("snd").isNull &&
-          col("pnd") + col("ndb") >= eps + 1L, 1).otherwise(0)).as("esc"))
+      .observe(cand2Obs,
+        max(when(col("snd").isNull &&
+          col("pnd") + col("ndb") >= eps + 1L, 1).otherwise(0)).as("esc"),
+        collect_set(when(sideCrossPred, pairBucket(col("line"), nBuckets)))
+          .as("sbuckets"))
       .localCheckpoint() }
     // a line outside the sidecar had nd ≤ minDocs − eps − 1 at the
     // refresh: it can only cross with > eps occurrences since — the
@@ -502,20 +516,28 @@ object Boilerplate {
           .filter(coalesce(col("nd0"), lit(0L)) + col("ndb") >= minDocs)
           .select(col("line")))
       }
-    val sideCrossed = cand2
-      .filter(col("snd").isNotNull &&
-        col("snd") + col("pnd") + col("ndb") >= minDocs)
-      .select(col("line"))
-    // the crossed lines' pair-store bucket set RIDES the checkpoint
-    // job as an observed collect_set (bounded by nBuckets — operator
-    // parameter, not data) instead of a distinct+collect job
-    val crossedObs = org.apache.spark.sql.Observation()
-    val crossed = desc(spark, "crossed lines") {
-      escCrossed.map(sideCrossed.unionByName(_))
-        .getOrElse(sideCrossed)
-        .observe(crossedObs,
-          collect_set(pairBucket(col("line"), nBuckets)).as("buckets"))
-        .localCheckpoint() }
+    val sideCrossed = cand2.filter(sideCrossPred).select(col("line"))
+    // crossed lines + their pair-store bucket set (bounded by
+    // nBuckets — operator parameter, not data). Non-escalating folds
+    // — the steady state — pay NO job here: sideCrossed is a cheap
+    // filter over the checkpointed cand2 (each consumer recomputes
+    // it, the `escalated` discipline) and the bucket set already rode
+    // cand2's observation. Only an escalation, which reads the counts
+    // store anyway, checkpoints the union and collects its buckets.
+    val (crossed, crossedBuckets) = escCrossed match {
+      case None =>
+        (sideCrossed, cand2Obs.get("sbuckets")
+          .asInstanceOf[scala.collection.Seq[Long]].sorted)
+      case Some(esc) =>
+        val crossedObs = org.apache.spark.sql.Observation()
+        val c = desc(spark, "crossed lines") {
+          sideCrossed.unionByName(esc)
+            .observe(crossedObs,
+              collect_set(pairBucket(col("line"), nBuckets)).as("buckets"))
+            .localCheckpoint() }
+        (c, crossedObs.get("buckets")
+          .asInstanceOf[scala.collection.Seq[Long]].sorted)
+    }
     // carrier lookup reads the WIDE pair store only for the crossed
     // lines' buckets — a handful, so the partition filter genuinely
     // prunes. The invalidated-id set is bounded (< minDocs ids per
@@ -524,8 +546,6 @@ object Boilerplate {
     // filter; the ids themselves reach the pruned read as a broadcast
     // semi-join (an `isin` over the ids would build a literal list
     // that grows with the crossing size).
-    val crossedBuckets = crossedObs.get("buckets")
-      .asInstanceOf[scala.collection.Seq[Long]].sorted
     // no crossing (the steady-state fold): dictNew IS dict0, already
     // checkpointed — the union+distinct checkpoint job would be a
     // no-op pass over the dictionary (dict lines are distinct by
@@ -564,7 +584,12 @@ object Boilerplate {
     }
     val pairsDelta = bpairs.join(broadcast(dictNew), Seq("line"), "left_anti")
       .withColumn("bucket", pairBucket(col("line"), nBuckets))
-    val countsDelta = candAgg.join(broadcast(dictNew), Seq("line"), "left_anti")
+    // (line, ndb) re-derived from the CHECKPOINTED cand2 — its left
+    // joins are per-line unique on both sides, so it holds candAgg's
+    // rows exactly once; reading it here keeps the un-checkpointed
+    // candAgg from being recomputed after the fold
+    val countsDelta = cand2.select(col("line"), col("ndb"))
+      .join(broadcast(dictNew), Seq("line"), "left_anti")
       .select(col("line"), col("ndb").as("nd_delta"),
         lit(mm.getLong(1)).as("fseq"))
       .withColumn("bucket", pairBucket(col("line"), nBuckets))
@@ -789,14 +814,16 @@ object Boilerplate {
     val qs = StoreCompaction.quietSession(spark)
     val qBatch = org.apache.spark.sql.GraftColumnBridge
       .onSession(qs, batch)
-    // the replay key needs only the batch max — a cheap agg on the raw
-    // frame, NOT prepBatch (full-batch localCheckpoint), so a
-    // crash-replay that merely re-serves the staged changelog never
-    // materializes the batch
-    val mx = qBatch.agg(max(col(idCol)).cast("long")).head()
-    require(!mx.isNullAt(0),
+    // the replay key (batch max) RIDES prepBatch's checkpoint as an
+    // observed metric — one batch scan and one job, where a separate
+    // raw-frame agg plus prepBatch paid two of each. The trade: a
+    // crash-replay that merely re-serves the staged changelog now
+    // materializes the batch it won't use — a rare-recovery cost,
+    // bought back on every normal fold.
+    val prep @ (_, mm) = prepBatch(qBatch, idCol, textCol)
+    require(!mm.isNullAt(1),
       "monotonic-ingest contract: batch is empty")
-    val foldId = mx.getLong(0)
+    val foldId = mm.getLong(1)
     val marker = Paths.get(path, s"_boiler_fold_$foldId")
     val staging = Paths.get(path, s".boiler_fold_staging_$foldId")
     // a crash-replay has no in-memory frame, so it secures the frozen
@@ -818,7 +845,7 @@ object Boilerplate {
         if (Files.exists(staging.resolve("_SUCCESS"))) None
         else Some(stageFold(qs, path, staging, qBatch, idCol, textCol,
           minDocs, nBuckets, nDocBuckets, seq = foldId,
-          prepped = Some(prepBatch(qBatch, idCol, textCol))))
+          prepped = Some(prep)))
       promoteFold(path, staging, s"bfold$foldId", None)
       // the freshly staged changelog derives only from checkpointed
       // inputs (valid after the sweep below)

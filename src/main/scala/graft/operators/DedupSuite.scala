@@ -884,9 +884,10 @@ object DedupSuite {
     var outCp: DataFrame = null
     Par.run(Seq(
       () => {
+        val prev = spark.sparkContext.getLocalProperty("spark.job.description")
         spark.sparkContext.setJobDescription("substr-fold: delta append")
         try delta.write.mode("append").partitionBy("bucket").parquet(path)
-        finally spark.sparkContext.setJobDescription(null)
+        finally spark.sparkContext.setJobDescription(prev)
       },
       () => outCp = out.localCheckpoint())
       // stores that maintain a bloom sidecar get this fold's delta
@@ -896,11 +897,13 @@ object DedupSuite {
       // itself — see [[BloomSide]]'s coverage notes.
       ++ (if (BloomSide.maintained(path))
             Seq[() => Unit](() => {
+              val prev = spark.sparkContext
+                .getLocalProperty("spark.job.description")
               spark.sparkContext.setJobDescription("substr-fold: bloom append")
               try BloomSide.appendDelta(
                 delta.select(col("bucket"), col("wkey")), path,
                 "bucket", "wkey")
-              finally spark.sparkContext.setJobDescription(null)
+              finally spark.sparkContext.setJobDescription(prev)
             })
           else Nil))
     writeSubstrMeta(spark, path, newMax, l, nBuckets, hashKeys, "append")
@@ -932,8 +935,9 @@ object DedupSuite {
       hashKeys: Boolean): (DataFrame, DataFrame, Long) = {
     require(l >= 2, "window length must be at least 2")
     def desc[A](s: String)(body: => A): A = {
+      val prev = spark.sparkContext.getLocalProperty("spark.job.description")
       spark.sparkContext.setJobDescription(s"substr-fold: $s")
-      try body finally spark.sparkContext.setJobDescription(null)
+      try body finally spark.sparkContext.setJobDescription(prev)
     }
     // tokenize ONCE: tk feeds the monotonic check, the window
     // aggregation, the marked join-back, and the final reconstruction

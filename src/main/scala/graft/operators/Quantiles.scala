@@ -51,6 +51,17 @@ import org.apache.spark.sql.types._
   */
 object Quantiles {
 
+  /** Run `body` under a job description, RESTORING the caller's
+    * description after (a bare setJobDescription(null) in a finally
+    * would clobber any outer gate-level label — the Boilerplate.desc
+    * discipline). */
+  private def desc[A](spark: SparkSession, s: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** One requested order statistic: φ = num/den (0 ≤ num ≤ den). */
   final case class Quantile(name: String, num: Long, den: Long) {
     require(den > 0 && num >= 0 && num <= den,
@@ -353,17 +364,16 @@ object Quantiles {
             col("g") === lit(i._1) &&
               col("x") >= lit(i._2) && col("x") <= lit(i._3))
           .reduce(_ || _)
-        val sparkCtx = keyed.sparkSession.sparkContext
-        sparkCtx.setJobDescription(
-          s"quantile-descent: pass over ${intervals.size} interval(s)")
-        val countRows = try keyed.filter(livePred).join(broadcast(iv),
-            col("g") === col("ig") &&
-              col("x") >= col("ilo") && col("x") <= col("ihi"))
-          .groupBy(col("g"), col("ilo"), col("ihi"),
-            bucket.cast("long").as("b"))
-          .agg(count(lit(1)).as("c"))
-          .collect()
-        finally sparkCtx.setJobDescription(null)
+        val countRows = desc(keyed.sparkSession,
+            s"quantile-descent: pass over ${intervals.size} interval(s)") {
+          keyed.filter(livePred).join(broadcast(iv),
+              col("g") === col("ig") &&
+                col("x") >= col("ilo") && col("x") <= col("ihi"))
+            .groupBy(col("g"), col("ilo"), col("ihi"),
+              bucket.cast("long").as("b"))
+            .agg(count(lit(1)).as("c"))
+            .collect()
+        }
         val counts = countRows
           .groupBy(r => (r.getString(0), r.getLong(1), r.getLong(2)))
           .map { case (k, rs) =>
@@ -566,10 +576,9 @@ object Quantiles {
             lit(1), dec(col("hi"))).cast("long").as("hi2"),
           (col("r") - (col("cum") - col("c"))).as("r"))
         .withColumnsRenamed(Map("lo2" -> "lo", "hi2" -> "hi"))
-      spark.sparkContext.setJobDescription(
-        s"q100 in-plan descent: pass $pass")
-      try targets = materialize(targets)
-      finally spark.sparkContext.setJobDescription(null)
+      targets = desc(spark, s"q100 in-plan descent: pass $pass") {
+        materialize(targets)
+      }
     }
     // every initial target must have descended to a solved value — a
     // target silently dropped by the bucket join (impossible unless
@@ -731,9 +740,8 @@ object Quantiles {
     // cell edges (lo = minCell·2^bits clears only low bits — exact in
     // Long; hi = maxCell·2^bits + 2^bits − 1 cannot overflow: the
     // maximal cell's edge is Long.MaxValue itself)
-    spark.sparkContext.setJobDescription(
-      "q101-store: seeds from store cells (rows never scanned)")
-    val (seeds, nGroups) = try {
+    val (seeds, nGroups) = desc(spark,
+        "q101-store: seeds from store cells (rows never scanned)") {
       val s = spark.read.parquet(path)
         .groupBy(col("g"))
         .agg(sum(col("cnt")).cast("long").as("n"),
@@ -741,7 +749,7 @@ object Quantiles {
           (shiftleft(max(col("cell")), cellBits) + lit(w - 1)).as("hi"))
         .localCheckpoint()
       (s, s.count())
-    } finally spark.sparkContext.setJobDescription(null)
+    }
     val keyed = keyedOf(rows, grp, value)
     if (nGroups <= maxDriverGroups) {
       // bounded collect (nGroups ≤ maxDriverGroups); expected = the

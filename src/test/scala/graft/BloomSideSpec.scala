@@ -109,6 +109,41 @@ class BloomSideSpec extends SparkSpec {
       maxBytes = 1L) == allBuckets)
   }
 
+  test("one unreadable sidecar file makes its bucket unprunable") {
+    // a bucket's coverage can be split across several sidecar files
+    // (build row + fold deltas); if ONE fails to read, the readable
+    // rows must not license a skip — the failed file may hold the
+    // only coverage for some stored keys
+    val store = java.nio.file.Files
+      .createTempDirectory("bloom_partial").toString + "/state"
+    val docs = (0L until 200L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"))
+      .toDF("doc_id", "text")
+    DedupSuite.exactSubstrBuildStore(docs, "doc_id", "text", 8, store,
+      nBuckets = 16, hashKeys = true, bloomSide = true)
+    val allBuckets = (0L until 16L).toSeq
+    val rnd = new scala.util.Random(11)
+    val absent = allBuckets.map(b =>
+      b -> Array.fill(4)(rnd.nextLong())).toMap
+    // sanity: with clean sidecars these hashes prune most buckets
+    val keptClean = BloomSide.pruneBuckets(spark, store, allBuckets, absent)
+    assert(keptClean.size < allBuckets.size)
+    // corrupt ONE file in one otherwise-clean bucket dir by planting
+    // a garbage .parquet beside the real row
+    val victim = allBuckets.filterNot(keptClean.contains).head
+    val dir = java.nio.file.Paths.get(store, BloomSide.DirName,
+      s"bucket=$victim")
+    java.nio.file.Files.write(dir.resolve("part-corrupt.parquet"),
+      Array.fill(64)(0x5a.toByte))
+    val kept = BloomSide.pruneBuckets(spark, store, allBuckets, absent)
+    assert(kept.contains(victim),
+      s"bucket $victim with an unreadable sidecar file must be scanned")
+    // and the failure must not be memo-cached as an empty read: a
+    // second prune still keeps the bucket
+    val kept2 = BloomSide.pruneBuckets(spark, store, allBuckets, absent)
+    assert(kept2.contains(victim))
+  }
+
   test("streaming substr ingest refuses a bloom-maintained store") {
     val store = java.nio.file.Files
       .createTempDirectory("bloom_stream").toString + "/state"

@@ -30,8 +30,16 @@ class EnrichSpec extends SparkSpec {
     val df = Seq("12", "oops").toDF("v")
     assert(df.select(Enrich.lenientLong($"v")).as[Long].collect().sorted.toSeq
       == Seq(0L, 12L))
+    // run the EXPECTED failure in a scratch session: the suites share
+    // one SparkSession, and a QueryExecutionListener registered by
+    // any other suite (Observation.on) would see this failure and
+    // dump an alarming-but-harmless ERROR stack into every green test
+    // log. newSession() has its own ExecutionListenerManager.
+    val scratch = spark.newSession()
+    import scratch.implicits._
+    val df2 = Seq("12", "oops").toDF("v")
     val ex = intercept[Throwable] {
-      df.select(Enrich.strictLong($"v")).collect()
+      df2.select(Enrich.strictLong(col("v"))).collect()
     }
     assert(ex.getMessage.toLowerCase.contains("cast"))
   }
