@@ -1084,11 +1084,15 @@ object SparkEntry {
                 val docsAll = substrCorpus(s, dir)
                 val t1 = docsAll.agg(max(col("doc_id"))).head()
                   .getLong(0) / 3
+                // bloomSide: the streamed folds stage + promote bloom
+                // deltas (exactly-once with the store delta), and each
+                // fold's store read is bucket-pruned by the sidecar
                 DedupSuite.exactSubstrBuildStore(
                   docsAll.filter(col("doc_id") < t1),
                   "doc_id", "text", 8, s14store, nBuckets = 64,
                   hashKeys = true,
-                  outWrite = Some(_.write.parquet(s14out)))
+                  outWrite = Some(_.write.parquet(s14out)),
+                  bloomSide = true)
                 ()
               }))
             trackAs("s14")(graft.streaming.StreamingJobs.streamingSubstrIngest(
@@ -1455,6 +1459,11 @@ object SparkEntry {
       // (seed tercile + three monotone batches); accumulated output ==
       // full recompute, so it shares d25's oracle like d26
       "s14_stream_substr_ingest" -> base("d25_exact_substr"),
+      // d30 folds a batch's perceptual pairs into the corpus's
+      // component labels; cumulative labels == the full d29 recompute,
+      // so it shares d29's recursive-CTE oracle — that equality IS
+      // the gate
+      "d30_incremental_phash_dedup" -> base("d29_phash_dedup"),
       // q96 serves exact quantiles from the additive cell-count store
       // (build third + two folds over all events); served == the
       // direct q95 computation, so it shares q95's oracle
@@ -2002,6 +2011,45 @@ object SparkEntry {
         val comps = Dedup.connectedComponents(pairs)
         media.select(col("doc_id"))
           .join(comps, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("keep_id"))
+          .withColumn("kept", (col("doc_id") === col("keep_id")).cast("boolean"))
+      }),
+
+      // d29's INGEST twin (the d22 incremental-components pattern
+      // applied to d27's pair stream): the corpus's perceptual hashes
+      // are the persisted band index (8 bytes/image — band keys derive
+      // from the hash in-plan, so the index IS the hash frame), a new
+      // media batch decodes ONCE, bands against the index
+      // (incrementalHammingPairs — broadcast semi-join, the corpus is
+      // never re-decoded), and the new pairs fold into the component
+      // labels (foldComponents — bit-identical to a full recompute).
+      // The gate output is the cumulative d29 shape and shares d29's
+      // recursive-CTE oracle: fold == full recompute, hash-exact.
+      "d30_incremental_phash_dedup" -> ((s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val mediaAll = ids
+          .mapPartitions(_.map(id => (id, Multimodal.synthBmpPerceptual(id))))
+          .toDF("doc_id", "content")
+        // corpus = non-multiples of 3; batch = the rest — the split
+        // crosses dHash families (families are id/8 blocks), so folded
+        // pairs include batch-batch AND batch-corpus edges that BRIDGE
+        // existing components (the fold's hard case)
+        val index = Multimodal.bmpDHashes(
+          mediaAll.filter(col("doc_id") % 3 =!= 0), "doc_id", "content")
+        val basePairs = DedupSuite.hammingPairs(index, "doc_id", "ph",
+          maxHamming = 3, bands = 4)
+        val labels0 = Dedup.connectedComponents(
+          basePairs.select(col("id_a"), col("id_b")))
+        val batchHashes = Multimodal.bmpDHashes(
+          mediaAll.filter(col("doc_id") % 3 === 0), "doc_id", "content")
+        val newPairs = DedupSuite.incrementalHammingPairs(index,
+          batchHashes, "doc_id", "ph", maxHamming = 3, bands = 4)
+        val labels = Dedup.foldComponents(labels0,
+          newPairs.select(col("id_a"), col("id_b")))
+        mediaAll.select(col("doc_id"))
+          .join(labels, col("doc_id") === col("id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("keep_id"))
           .withColumn("kept", (col("doc_id") === col("keep_id")).cast("boolean"))
@@ -3997,9 +4045,11 @@ object SparkEntry {
       "c5_boilerplate_ingest" -> ((s, dir) => {
         val all = corpusTicker(s, dir)
         val base = Tables.documents(s, dir)
-        val m = base.count() / 25
-        val maxBase = base.agg(max(col("doc_id")).cast("long"))
-          .head().getLong(0)
+        // one agg job for both gate parameters, not two
+        val baseStats = base.agg(count(lit(1)).cast("long"),
+          max(col("doc_id")).cast("long")).head()
+        val m = baseStats.getLong(0) / 25
+        val maxBase = baseStats.getLong(1)
         val (cut1, cut2) = (maxBase / 2, maxBase * 9 / 10)
         val tmp = java.nio.file.Files.createTempDirectory("c5_boiler")
         sys.addShutdownHook { rmTreeQuiet(tmp) }

@@ -96,7 +96,58 @@ object SubstrBloomSoak {
       println(f"batch $n%6d: bloom $tFoldB%6.2f s, control $tFoldC%6.2f s")
       s"""{"batch":$n,"bloom_sec":$tFoldB,"ctrl_sec":$tFoldC}"""
     }
-    println(s"""{"substr_docs":$nSub,"build_bloom_sec":$tBuildB,"build_ctrl_sec":$tBuildC,"folds":[${rows.mkString(",")}]}""")
+    // STREAMING section: the same decreasing-batch shape through the
+    // committed-staging twin (foldSubstrBatchIdempotent), bloom store
+    // vs control — the staged fold pays extra fixed write latencies
+    // (stage + promote + bloom delta), but the store-scan component
+    // should show the same drops-with-batch-size curve, because the
+    // fold inside is the same pruned computeSubstrFold
+    val sBloomStore = s"$base/stream_store_bloom"
+    val sCtrlStore = s"$base/stream_store_ctrl"
+    val sBloomOut = s"$base/stream_out_bloom"
+    val sCtrlOut = s"$base/stream_out_ctrl"
+    DedupSuite.exactSubstrBuildStore(subDocs, "doc_id", "text", 8,
+      sBloomStore, nBuckets = nb, hashKeys = true, bloomSide = true)
+    DedupSuite.exactSubstrBuildStore(subDocs, "doc_id", "text", 8,
+      sCtrlStore, nBuckets = nb, hashKeys = true)
+    // warmup batch per store (memo cache + JIT on the staging path)
+    locally {
+      val warm = spark.range(10L).select((col("id") + hw).as("doc_id"),
+        subDoc(col("id") + hw).as("text")).localCheckpoint()
+      hw += 10
+      graft.streaming.StreamingJobs.foldSubstrBatchIdempotent(spark,
+        sBloomStore, sBloomOut, warm, 0L, 8, nb, hashKeys = true)
+      graft.streaming.StreamingJobs.foldSubstrBatchIdempotent(spark,
+        sCtrlStore, sCtrlOut, warm, 0L, 8, nb, hashKeys = true)
+    }
+    val sRows = sizes.zipWithIndex.map { case (n, i) =>
+      val batch = spark.range(n).select(
+        (col("id") + hw).as("doc_id"),
+        when(col("id") % 2 === 0,
+            concat(subDoc(col("id") + hw), lit(" "), lit(boiler)))
+          .otherwise(subDoc(col("id") + hw)).as("text"))
+        .localCheckpoint()
+      hw += n
+      val (_, tB) = time {
+        graft.streaming.StreamingJobs.foldSubstrBatchIdempotent(spark,
+          sBloomStore, sBloomOut, batch, (i + 1).toLong, 8, nb,
+          hashKeys = true)
+      }
+      val (_, tC) = time {
+        graft.streaming.StreamingJobs.foldSubstrBatchIdempotent(spark,
+          sCtrlStore, sCtrlOut, batch, (i + 1).toLong, 8, nb,
+          hashKeys = true)
+      }
+      println(f"stream batch $n%6d: bloom $tB%6.2f s, control $tC%6.2f s")
+      s"""{"batch":$n,"bloom_sec":$tB,"ctrl_sec":$tC}"""
+    }
+    // the two streams' accumulated outputs must agree (same batches,
+    // same corpus — pruning must not change a single emission)
+    val outB = spark.read.parquet(sBloomOut)
+    val outC = spark.read.parquet(sCtrlOut)
+    require(outB.exceptAll(outC).isEmpty && outC.exceptAll(outB).isEmpty,
+      "bloom-store streamed outputs must equal the control's")
+    println(s"""{"substr_docs":$nSub,"build_bloom_sec":$tBuildB,"build_ctrl_sec":$tBuildC,"folds":[${rows.mkString(",")}],"stream_folds":[${sRows.mkString(",")}]}""")
     spark.stop()
   }
 }

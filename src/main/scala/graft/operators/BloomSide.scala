@@ -106,6 +106,37 @@ object BloomSide {
       .write.mode("append").partitionBy("bucket")
       .parquet(root(path).toString)
 
+  /** Stage one fold's bloom rows under an arbitrary dir (the live
+    * sidecar's layout) WITHOUT touching the store — the streaming
+    * twin's committed-staging step. [[promoteStaged]] copies a
+    * committed staging into the live sidecar. */
+  def stageDelta(keyed: DataFrame, stagedDir: String, bucketCol: String,
+                 keyCol: String): Unit =
+    bloomRows(keyed, bucketCol, keyCol)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(stagedDir)
+
+  /** Promote a staged bloom-delta dir ([[stageDelta]] output) into
+    * `path`'s live sidecar under deterministic `<stamp>-` names with
+    * REPLACE_EXISTING — a partial-crash re-copy overwrites the same
+    * targets byte-identically, so the caller's replay protocol makes
+    * the append exactly-once. No-op when the staging has no bloom dir
+    * (a store that wasn't bloom-maintained when staged). */
+  def promoteStaged(stagedDir: java.nio.file.Path, path: String,
+                    stamp: String): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(stagedDir)) return
+    val s = Files.list(stagedDir)
+    val parts = try s.iterator().asScala.toList finally s.close()
+    parts.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bucket="))
+      .foreach { bdir =>
+        StoreFiles.promoteFiles(bdir,
+          root(path).resolve(bdir.getFileName.toString), stamp)
+      }
+  }
+
   /** (Re)build the sidecar from the live store's keys and swap it in
     * atomically: stage to `_bloomside.staged`, two renames. Crash
     * residue is at worst an absent sidecar (readers stop pruning

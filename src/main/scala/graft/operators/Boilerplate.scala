@@ -277,7 +277,10 @@ object Boilerplate {
     val nd = pairs.groupBy(col("line")).agg(count(lit(1)).as("nd"))
       .localCheckpoint() // feeds dict write, pair filter, and nothing else twice
     val dict = nd.filter(col("nd") >= minDocs).select(col("line"))
-    val sub = nd.filter(col("nd") < minDocs).localCheckpoint()
+    // no checkpoint: a trivial filter over the CHECKPOINTED nd — its
+    // three consumers below re-filter in-memory partitions, cheaper
+    // than the extra serialized checkpoint job this used to pay
+    val sub = nd.filter(col("nd") < minDocs)
     // the high-water max RIDES the docs-store write as an observed
     // metric (the separate docs.agg(max) pre-pass was a full corpus
     // scan). The stamped writers (counts fseq, sidecar as_of) wait on
@@ -464,14 +467,25 @@ object Boilerplate {
     // lacks stats)
     val asOf = StoreMeta.footerMaxLong(spark, s"$path/sidecar", "as_of")
       .getOrElse(sc.agg(max(col("as_of"))).head().getLong(0))
-    val sideHits = sc.filter(col("line").isNotNull)
-      .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
-      .select(col("line"), col("nd").as("snd"))
-    // post-refresh deltas for this batch's candidates: pushed-down
-    // fseq > as_of skips every pre-refresh delta file on footer stats
-    val pnd = postRefreshCounts(spark, path, asOf)
-      .join(broadcast(candAgg.select(col("line"))), Seq("line"), "left_semi")
-      .groupBy(col("line")).agg(sum(col("nd_delta")).as("pnd"))
+    // ONE store-facing side: sidecar hits and the post-refresh delta
+    // slice (pushed-down fseq > as_of skips every pre-refresh delta
+    // file on footer stats) union into a single per-line aggregate —
+    // max over at-most-one sidecar nd (nulls from delta rows ignored),
+    // sum over the deltas (sidecar rows contribute 0). One broadcast
+    // build and one left join where two of each ran; equivalence:
+    // sidecar lines are unique, so (snd, pnd) land exactly as the
+    // separate joins produced them, null snd ⇔ not in the sidecar.
+    val probe = candAgg.select(col("line"))
+    val storeSide = sc.filter(col("line").isNotNull)
+      .join(broadcast(probe), Seq("line"), "left_semi")
+      .select(col("line"), col("nd").cast("long").as("snd"),
+        lit(0L).as("pnd"))
+      .unionByName(postRefreshCounts(spark, path, asOf)
+        .join(broadcast(probe), Seq("line"), "left_semi")
+        .select(col("line"), lit(null).cast("long").as("snd"),
+          col("nd_delta").cast("long").as("pnd")))
+      .groupBy(col("line"))
+      .agg(max(col("snd")).as("snd"), sum(col("pnd")).as("pnd"))
     // the escalation probe AND the side-crossed bucket set RIDE the
     // checkpoint job as observed metrics (max over the exact
     // escalation predicate; collect_set over the side-crossing
@@ -482,8 +496,7 @@ object Boilerplate {
     val sideCrossPred = col("snd").isNotNull &&
       col("snd") + col("pnd") + col("ndb") >= minDocs
     val cand2 = desc(spark, "crossing candidates") { candAgg
-      .join(sideHits.hint("broadcast"), Seq("line"), "left")
-      .join(pnd.hint("broadcast"), Seq("line"), "left")
+      .join(storeSide.hint("broadcast"), Seq("line"), "left")
       .select(col("line"), col("ndb"), col("snd"),
         coalesce(col("pnd"), lit(0L)).as("pnd"))
       .observe(cand2Obs,
@@ -659,13 +672,15 @@ object Boilerplate {
     val eps = StoreMeta.pinnedOf[Long](metaRows, path, "eps")
     val s = StoreMeta.maxLong(metaRows, "max_doc")
     val counts = spark.read.parquet(s"$path/counts")
-    // EAGER before any swap: the new sidecar reads the live counts
+    // reads the LIVE counts — safe lazily (no checkpoint job): its
+    // only consumer is the sidecar's staged write below, which runs
+    // before any swap touches the counts store (the counts rewrite is
+    // sequenced strictly after the sidecar swap in the same chain)
     val newSidecar = sidecarFrame(spark,
         counts.join(broadcast(dict), Seq("line"), "left_anti")
           .groupBy(col("line")).agg(sum(col("nd_delta")).as("nd"))
           .filter(col("nd") >= minDocs - eps),
         s)
-      .localCheckpoint()
     // ORDERING: the sidecar swap must COMPLETE before the counts
     // rewrite starts — a crash leaving compacted counts (one row per
     // line, fseq = S) under the OLD sidecar would double-count: the

@@ -342,6 +342,70 @@ object DedupSuite {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental Hamming near-dup: a batch of 60-bit hashes against a
+    * persisted hash index ([[hammingPairs]]' ingest twin — the d19
+    * pattern for the dHash/SimHash family, feeding d30's component
+    * fold). Returns exactly the pairs a full [[hammingPairs]] run over
+    * index ∪ batch emits that TOUCH the batch (id_a < id_b, either
+    * side may be the batch doc); the caller unions them onto its
+    * previously-computed index-only pairs (or folds them into a
+    * component store — [[Dedup.foldComponents]]).
+    *
+    * Exactness incl. the hot-bucket cap: a bucket's cap decision
+    * depends only on its FULL population, and every batch-touching
+    * bucket enters [[candidatePairs]] with its full population — the
+    * index side is restricted to the batch's (band, band_hash) keys by
+    * a broadcast semi-join, which drops whole buckets (none of which
+    * can hold a batch-touching pair), never rows within a surviving
+    * bucket. So the pair set equals the full run's restricted to new
+    * pairs, bit-exactly (DedupSuiteSpec pins it). Index-internal pairs
+    * that share a surviving bucket were emitted by the index's own
+    * run already and are filtered here.
+    *
+    * 100-TB design: the corpus is never re-decoded or re-banded into
+    * a shuffle — the per-fold cost is one scan of the index's 8-byte
+    * hash column under a broadcast semi-join (batch-bounded build
+    * side), plus batch-sized work. */
+  def incrementalHammingPairs(index: DataFrame, batch: DataFrame,
+                              idCol: String, hashCol: String,
+                              maxHamming: Int = 3, bands: Int = 4,
+                              maxBucket: Int = 1000): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(bands >= maxHamming + 1,
+      s"pigeonhole exactness needs bands >= maxHamming+1 ($bands vs $maxHamming)")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    def simsOf(df: DataFrame) = df.select(
+      col(idCol).cast("long").as(idCol), col(hashCol).cast("long").as("sim"))
+    def bandRows(sims: DataFrame) = sims.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), j =>
+          call_function("shiftright", col("sim"), j * lit(width))
+            .bitwiseAND(lit(mask)))))
+      .toDF(idCol, "band", "band_hash")
+    val iSims = simsOf(index)
+    val bSims = simsOf(batch)
+    val bBand = bandRows(bSims)
+    val touched = bBand.select(col("band"), col("band_hash")).distinct()
+    val rows = bandRows(iSims)
+      .join(broadcast(touched), Seq("band", "band_hash"), "left_semi")
+      .unionByName(bBand)
+    val pairs = candidatePairs(rows, idCol, maxBucket)
+    val bIds = bSims.select(col(idCol))
+    val newPairs = pairs
+      .join(bIds.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+      .unionByName(pairs
+        .join(bIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi"))
+      .distinct()
+    val sims = iSims.unionByName(bSims)
+    newPairs
+      .join(sims.select(col(idCol).as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col(idCol).as("id_b"), col("sim").as("sim_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** C4-style paragraph-level exact dedup: split every document on
     * `sep`, keep only the globally-FIRST occurrence of each distinct
     * paragraph (ordered by (doc id, position)), and reconstruct each
@@ -763,55 +827,50 @@ object DedupSuite {
     val aggOf = (o: DataFrame) => o.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id"), col("wpos"))).as("keep"),
         count(lit(1)).as("cnt"))
+    // The window aggregation is the expensive shared stage — the
+    // store's content IS aggOf(occ) and the returned cleaned output
+    // needs its dup keys — so materialize it ONCE (executor-local
+    // checkpoint: the same bytes the store write is about to persist,
+    // spilled where a shuffle of that size would spill anyway). The
+    // pre-checkpoint form paid the corpus agg TWICE on the plain
+    // path: once in the store write, once again when the returned
+    // frame materialized. The cleaned output re-windows tk for
+    // positions (unavoidable — positions don't survive the agg) but
+    // never re-aggregates; it deliberately does NOT read the store
+    // back, so it stays valid after later folds append or a vacuum
+    // rewrites the files.
+    val agg = aggOf(occW).localCheckpoint()
+    // the checkpoint materialized occW, so the observed max is set
+    val maxDoc = {
+      val mxAny = obs.get("mx")
+      if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
+    }
+    val dup = agg.filter(col("cnt") >= 2)
+      .select(col("wkey"), col("keep"))
+    val occ = substrWindows(tk, l, hashKeys)
+    val cleaned = substrClean(tk, substrMarked(occ, dup), l)
     // bucket-align the write (the SemDeDup-state discipline): each
     // bucket's rows land in ONE task, so the store is nBuckets files,
     // not shuffle-partitions × nBuckets — at a store maintained by
     // many appends that factor is the difference between listing
-    // thousands of files and listing nBuckets
-    val maxDoc = outWrite match {
-      case None =>
-        substrWithBucket(aggOf(occW), nBuckets)
+    // thousands of files and listing nBuckets. `outWrite` (the s14
+    // stream seed) persists the cleaned output as a concurrent
+    // action of the same fan-out.
+    Par.run(Seq(
+      () => {
+        substrWithBucket(agg, nBuckets)
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(path)
-        val mxAny = obs.get("mx")
-        if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
-      case Some(write) =>
-        // Bootstrap fan-out: the caller wants the corpus's cleaned
-        // output PERSISTED alongside the store (the s14 stream seed).
-        // The window aggregation is the expensive shared stage — the
-        // store's content IS aggOf(occ) — so materialize it ONCE
-        // (executor-local checkpoint: the same bytes the store write
-        // is about to persist, spilled where a shuffle of that size
-        // would spill anyway) and fan out the two independent writes:
-        // the store (agg → bucket layout) and the cleaned output
-        // (re-window for positions — unavoidable, positions don't
-        // survive the agg — joined against the checkpointed dup
-        // keys). One corpus window-agg instead of the two the
-        // build-then-dedup form pays.
-        val agg = aggOf(occW).localCheckpoint()
-        val dup = agg.filter(col("cnt") >= 2)
-          .select(col("wkey"), col("keep"))
-        val occ = substrWindows(tk, l, hashKeys)
-        Par.run(Seq(
-          () => {
-            substrWithBucket(agg, nBuckets)
-              .repartition(col("bucket"))
-              .write.mode("overwrite").partitionBy("bucket").parquet(path)
-            ()
-          },
-          () => write(substrClean(tk, substrMarked(occ, dup), l))))
-        // the checkpoint materialized occW, so the observed max is set
-        val mxAny = obs.get("mx")
-        if (mxAny == null) Long.MinValue else mxAny.asInstanceOf[Long]
-    }
+        ()
+      })
+      ++ outWrite.map(write => () => write(cleaned)).toSeq)
     // opt-in small-fold bucket pruning ([[BloomSide]]): seed the
     // sidecar from the just-written store (one single-column pass;
     // builds are rare). Folds auto-detect the dir and maintain it.
     if (bloomSide)
       BloomSide.rebuildFromStore(spark, path, "bucket", "wkey")
     writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys, "overwrite")
-    val occR = substrWindows(tk, l, hashKeys)
-    substrClean(tk, substrMarked(occR, aggOf(occR).filter(col("cnt") >= 2)), l)
+    cleaned
   }
 
   /** Maintenance vacuum for an [[exactSubstrBuildStore]] layout: each
@@ -968,12 +1027,24 @@ object DedupSuite {
     // is CLUSTERED by it, so the delta append (and the streaming
     // twin's staged delta write) is a mapper-only pass with no
     // further shuffle.
+    // the batch's bucket set — and, for bloom-maintained stores, the
+    // (bucket, key-hash) prune rows — RIDE this checkpoint as observed
+    // metrics (both batch-bounded: ≤ nBuckets longs / the same rows
+    // the bloom path used to collect in its own job), saving the
+    // separate collect job every fold paid
+    val bloomMaintained = BloomSide.maintained(path)
+    val aggObs = org.apache.spark.sql.Observation()
     val batchAgg = desc("batchAgg checkpoint") {
       substrWithBucket(
           occ.groupBy(col("wkey"))
             .agg(min(struct(col("doc_id"), col("wpos"))).as("bkeep"),
               count(lit(1)).as("bcnt")), nBuckets)
         .repartition(col("bucket"))
+        .observe(aggObs,
+          if (bloomMaintained)
+            collect_list(struct(col("bucket"), xxhash64(col("wkey"))))
+              .as("bset")
+          else collect_set(col("bucket")).as("bset"))
         .localCheckpoint()
     }
     // the batch's bucket set, collected for a STATIC partition filter
@@ -990,18 +1061,15 @@ object DedupSuite {
     // only maybe-hit buckets, driver-direct (zero extra jobs); false
     // positives re-add a bucket scan, misses are exact, so the
     // fold's output is unchanged.
-    val buckets = if (BloomSide.maintained(path)) {
-      val kh = desc("bucket set + bloom-prune hashes") {
-        batchAgg.select(col("bucket"), xxhash64(col("wkey"))).collect()
-      }
+    val buckets = if (bloomMaintained) {
+      val kh = aggObs.get("bset")
+        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
       val byBucket = kh.groupBy(_.getLong(0))
-        .map { case (b, rows) => b -> rows.map(_.getLong(1)) }
+        .map { case (b, rows) => b -> rows.map(_.getLong(1)).toArray }
       BloomSide.pruneBuckets(spark, path,
         byBucket.keys.toSeq.sorted, byBucket)
-    } else desc("bucket set") {
-      batchAgg.agg(collect_set(col("bucket"))).head()
-        .getSeq[Long](0).sorted
-    }
+    } else aggObs.get("bset")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq.sorted
     // The stored side of the cut decision is EXISTENCE ONLY: under
     // the monotone-id contract a stored key's global keep is always
     // stored-side (stored doc ids are strictly below batch doc ids),

@@ -430,15 +430,26 @@ object Multimodal {
     * multimodal column family. Output (id_a, id_b, hamming). */
   def bmpNearDups(media: DataFrame, idCol: String, bytesCol: String,
                   maxHamming: Int = 3, bands: Int = 4,
-                  maxBucket: Int = 1000): DataFrame = {
+                  maxBucket: Int = 1000): DataFrame =
+    graft.operators.DedupSuite.hammingPairs(
+      bmpDHashes(media, idCol, bytesCol), idCol, "ph", maxHamming,
+      maxBucket = maxBucket, bands = bands)
+
+  /** The (id, ph) perceptual-hash frame [[bmpNearDups]] bands — ALSO
+    * the d30 ingest family's persisted "band index": 8 bytes per image
+    * (band keys derive from ph by in-plan shifts, so nothing else
+    * needs storing), decoded exactly once per image; incremental folds
+    * probe new batches against it via
+    * [[graft.operators.DedupSuite.incrementalHammingPairs]] without
+    * ever re-decoding the corpus. */
+  def bmpDHashes(media: DataFrame, idCol: String,
+                 bytesCol: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val hashes = media.select(col(idCol).cast("long"), col(bytesCol))
+    media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, bmpDHash60(bytes)) })
       .toDF(idCol, "ph")
-    graft.operators.DedupSuite.hammingPairs(
-      hashes, idCol, "ph", maxHamming, bands, maxBucket)
   }
 
   /** Deterministic NEAR-DUPLICATE BMP synthesizer for the d27 gate:

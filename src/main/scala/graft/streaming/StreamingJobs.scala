@@ -328,7 +328,10 @@ object StreamingJobs {
     * committed-staging protocol applied to a fold that must publish
     * THREE artifacts atomically-by-replay: the store delta (bucket
     * partitions), the append-only `_meta` high-water row, and the
-    * batch's cleaned output (accumulated under `outPath`). The plain
+    * batch's cleaned output (accumulated under `outPath`) — plus, on
+    * a bloom-maintained store, the delta's bloom-sidecar rows as a
+    * fourth staged-and-promoted artifact (see [[stageSubstrFold]]'s
+    * coverage argument). The plain
     * [[graft.operators.DedupSuite.exactSubstrFold]] is crash-redo —
     * a replayed fold double-appends its delta (counts are not
     * idempotent); here every window closes:
@@ -371,14 +374,6 @@ object StreamingJobs {
                                      batch: org.apache.spark.sql.DataFrame,
                                      l: Int, nBuckets: Int,
                                      hashKeys: Boolean): Unit = {
-    // the streaming twin does not stage bloom-sidecar deltas; folding
-    // into a bloom-maintained store would silently break the sidecar's
-    // coverage contract (a later batch fold could wrongly skip a
-    // bucket holding this stream's keys) — fail loudly instead
-    require(!graft.operators.BloomSide.maintained(storePath),
-      s"store $storePath maintains a ${graft.operators.BloomSide.DirName} " +
-        "sidecar, which the streaming substr ingest does not update; " +
-        "build streamed stores with bloomSide = false")
     deleteRecursively(staging)
     // AQE-off clone: the staged fold is a handful of batch-sized
     // actions whose per-exchange stage-jobs are fixed-latency tax
@@ -390,11 +385,24 @@ object StreamingJobs {
         org.apache.spark.sql.GraftColumnBridge.onSession(qs, batch),
         "doc_id", "text", l, nBuckets, hashKeys)
     // delta and out derive from the fold's checkpointed join — fan
-    // out as concurrent jobs; `_SUCCESS` is written strictly last
+    // out as concurrent jobs; `_SUCCESS` is written strictly last.
+    // Bloom-maintained stores get this fold's delta blooms STAGED as
+    // a third concurrent action and promoted with the delta: the
+    // sidecar's coverage contract survives every crash window because
+    // the batch isn't marked applied until the promote step copied
+    // BOTH the delta and its blooms, and the stream replays the batch
+    // (single-maintainer) before any later fold could consult the
+    // sidecar against the new keys.
     graft.operators.Par.run(Seq(
       () => delta.write.partitionBy("bucket") // pre-clustered by bucket
         .parquet(staging.resolve("delta").toString),
-      () => out.write.parquet(staging.resolve("out").toString)))
+      () => out.write.parquet(staging.resolve("out").toString))
+      ++ (if (graft.operators.BloomSide.maintained(storePath))
+            Seq[() => Unit](() => graft.operators.BloomSide.stageDelta(
+              delta.select(org.apache.spark.sql.functions.col("bucket"),
+                org.apache.spark.sql.functions.col("wkey")),
+              staging.resolve("bloom").toString, "bucket", "wkey"))
+          else Nil))
     graft.operators.StoreMeta.writeFile(spark,
       staging.resolve("meta").toString,
       graft.operators.DedupSuite.substrMetaFields(newMax, l, nBuckets,
@@ -428,6 +436,10 @@ object StreamingJobs {
     promoteFiles(staging.resolve("meta"), Paths.get(s"${storePath}_meta"),
       stamp)
     promoteFiles(staging.resolve("out"), Paths.get(outPath), stamp)
+    // staged bloom deltas (present iff the store is bloom-maintained)
+    // land in the live sidecar under the same stamp discipline
+    graft.operators.BloomSide.promoteStaged(staging.resolve("bloom"),
+      storePath, stamp)
   }
 
   /** Streaming incremental ExactSubstr ingest (s14): a stream of

@@ -144,18 +144,54 @@ class BloomSideSpec extends SparkSpec {
     assert(kept2.contains(victim))
   }
 
-  test("streaming substr ingest refuses a bloom-maintained store") {
+  test("streaming substr ingest maintains sidecar coverage on a bloom store") {
+    // the streamed fold stages bloom deltas with its store delta and
+    // promotes both — after the batch applies, EVERY stored key must
+    // be covered by some sidecar row in its bucket (the coverage
+    // contract a later pruned fold relies on), and a follow-up batch
+    // fold over the grown store must equal the full recompute
+    val docs = substrFixture
     val store = java.nio.file.Files
       .createTempDirectory("bloom_stream").toString + "/state"
-    DedupSuite.exactSubstrBuildStore(
-      Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"),
-      "doc_id", "text", 8, store, bloomSide = true)
-    val staging = java.nio.file.Files.createTempDirectory("bloom_stg")
-    val e = intercept[IllegalArgumentException] {
-      graft.streaming.StreamingJobs.stageSubstrFold(spark, store,
-        staging, Seq((2L, "a b c d e f g h")).toDF("doc_id", "text"),
-        l = 8, nBuckets = 64, hashKeys = false)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bloom_stream_out").toString
+    val out1 = DedupSuite.exactSubstrBuildStore(
+      docs.filter(col("doc_id") < 14), "doc_id", "text", 8, store,
+      nBuckets = 16, hashKeys = true, bloomSide = true)
+    val applied = graft.streaming.StreamingJobs.foldSubstrBatchIdempotent(
+      spark, store, outDir,
+      docs.filter(col("doc_id") >= 14 && col("doc_id") < 27),
+      batchId = 0L, l = 8, nBuckets = 16, hashKeys = true)
+    assert(applied, "first application of the batch must fold")
+    // coverage: every stored key's hash hits a bloom row in its bucket
+    val stored = spark.read.parquet(store)
+      .select(col("bucket").cast("long"), xxhash64(col("wkey")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBucket = stored.groupBy(_._1)
+      .map { case (b, rs) => b -> rs.map(_._2) }
+    byBucket.foreach { case (b, hashes) =>
+      val kept = BloomSide.pruneBuckets(spark, store, Seq(b),
+        Map(b -> hashes))
+      assert(kept == Seq(b),
+        s"bucket $b lost coverage for a stored key after the streamed fold")
     }
-    assert(e.getMessage.contains(BloomSide.DirName))
+    // and a replay of the same batch must be a no-op skip
+    assert(!graft.streaming.StreamingJobs.foldSubstrBatchIdempotent(
+      spark, store, outDir,
+      docs.filter(col("doc_id") >= 14 && col("doc_id") < 27),
+      batchId = 0L, l = 8, nBuckets = 16, hashKeys = true))
+    // end-to-end exactness over the grown store: batch fold on top of
+    // the streamed fold still reproduces the full recompute
+    val out3 = DedupSuite.exactSubstrFold(spark, store,
+      docs.filter(col("doc_id") >= 27), "doc_id", "text", 8,
+      nBuckets = 16, hashKeys = true)
+    val out2 = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+    val full = DedupSuite.exactSubstrDedup(docs, "doc_id", "text", 8,
+      hashKeys = true)
+    val folded = out1.unionByName(out2).unionByName(out3)
+    assert(full.exceptAll(folded).isEmpty &&
+      folded.exceptAll(full).isEmpty,
+      "streamed + batch folds over a bloom store must equal the full recompute")
   }
 }

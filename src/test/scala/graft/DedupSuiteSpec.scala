@@ -346,6 +346,46 @@ class DedupSuiteSpec extends SparkSpec {
     assert(got == want, s"banding missed/invented pairs: ${got.diff(want)} / ${want.diff(got)}")
   }
 
+  test("incrementalHammingPairs equals the full run restricted to batch-touching pairs") {
+    // synthetic 60-bit hashes with planted near-dups straddling the
+    // index/batch split: exact set equality against hammingPairs over
+    // the union, keeping only pairs with a batch member — the d30
+    // fold's pair-stream contract (cross AND batch-internal pairs)
+    val rnd = new scala.util.Random(7)
+    val mask60 = (1L << 60) - 1
+    def flip(h: Long, bit: Int): Long = h ^ (1L << bit)
+    val bases = (0 until 12).map(_ => rnd.nextLong() & mask60)
+    // ids 0..11 base hashes; 100+i = 1-bit variant (same parity as the
+    // base — in-side pair); 201+i = 3-bit variant at the threshold
+    // (OPPOSITE parity — guaranteed cross pair under the even/odd
+    // split); 302+i = 4-bit variant (excluded vs base, 1 vs 201+i)
+    val all = bases.zipWithIndex.flatMap { case (h, i) =>
+      Seq((i.toLong, h), (100L + i, flip(h, i % 60)),
+        (201L + i, flip(flip(flip(h, i % 60), (i + 13) % 60), (i + 29) % 60)),
+        (302L + i, flip(flip(flip(flip(h, i % 60), (i + 13) % 60),
+          (i + 29) % 60), (i + 41) % 60)))
+    }
+    val df = all.toDF("doc_id", "ph")
+    val index = df.filter($"doc_id" % 2 === 0)
+    val batch = df.filter($"doc_id" % 2 === 1)
+    val got = DedupSuite.incrementalHammingPairs(index, batch,
+        "doc_id", "ph", maxHamming = 3, bands = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val batchIds = all.map(_._1).filter(_ % 2 == 1).toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      if batchIds(ia) || batchIds(ib)
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(want.nonEmpty && want.exists { case (a, b, _) =>
+      batchIds(a) && batchIds(b) }, "fixture lost its batch-internal pairs")
+    assert(want.exists { case (a, b, _) => batchIds(a) ^ batchIds(b) },
+      "fixture lost its cross pairs")
+    assert(got == want,
+      s"incremental probe missed/invented: ${want.diff(got)} / ${got.diff(want)}")
+  }
+
   test("simhashHammingPairs rejects band counts that break pigeonhole exactness") {
     intercept[IllegalArgumentException] {
       DedupSuite.simhashHammingPairs(docs, "doc_id", "text",
