@@ -137,6 +137,17 @@ object BloomSide {
       }
   }
 
+  /** Seed a FRESH sidecar from an in-memory keyed frame (the build's
+    * checkpointed aggregation) — no store read-back, so the caller
+    * can run it concurrently with the store write itself. Only for
+    * freshly-(re)built stores: it overwrites the sidecar without the
+    * staged swap [[rebuildFromStore]] gives a LIVE store. */
+  def seedFresh(keyed: DataFrame, path: String, bucketCol: String,
+                keyCol: String): Unit =
+    bloomRows(keyed, bucketCol, keyCol)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(root(path).toString)
+
   /** (Re)build the sidecar from the live store's keys and swap it in
     * atomically: stage to `_bloomside.staged`, two renames. Crash
     * residue is at worst an absent sidecar (readers stop pruning

@@ -856,6 +856,12 @@ object DedupSuite {
     // thousands of files and listing nBuckets. `outWrite` (the s14
     // stream seed) persists the cleaned output as a concurrent
     // action of the same fan-out.
+    // opt-in small-fold bucket pruning ([[BloomSide]]): the sidecar
+    // seeds from the SAME checkpointed aggregation as a concurrent
+    // action of the build fan-out — the post-write rebuildFromStore
+    // form paid a serialized store read-back pass for content the
+    // build already holds in memory. Folds auto-detect the dir and
+    // maintain it.
     Par.run(Seq(
       () => {
         substrWithBucket(agg, nBuckets)
@@ -863,12 +869,11 @@ object DedupSuite {
           .write.mode("overwrite").partitionBy("bucket").parquet(path)
         ()
       })
+      ++ (if (bloomSide)
+            Seq[() => Unit](() => BloomSide.seedFresh(
+              substrWithBucket(agg, nBuckets), path, "bucket", "wkey"))
+          else Nil)
       ++ outWrite.map(write => () => write(cleaned)).toSeq)
-    // opt-in small-fold bucket pruning ([[BloomSide]]): seed the
-    // sidecar from the just-written store (one single-column pass;
-    // builds are rare). Folds auto-detect the dir and maintain it.
-    if (bloomSide)
-      BloomSide.rebuildFromStore(spark, path, "bucket", "wkey")
     writeSubstrMeta(spark, path, maxDoc, l, nBuckets, hashKeys, "overwrite")
     cleaned
   }
