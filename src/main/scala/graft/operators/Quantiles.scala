@@ -258,18 +258,23 @@ object Quantiles {
     val keyed = keyedOf(df, grp, value)
     // one scan: routing stats AND per-group descent seeds together.
     // localCheckpoint: group-count-sized (distributed — never
-    // collected before the bounded-groups route is CHOSEN)
+    // collected before the bounded-groups route is CHOSEN). The four
+    // GLOBAL routing stats RIDE the checkpoint as observed metrics —
+    // the separate grouped.agg().head() job was pure fixed latency.
+    val obs = org.apache.spark.sql.Observation()
     val grouped = keyed.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("x")).as("ad"),
         min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .observe(obs, count(lit(1)).as("ng"),
+        coalesce(max(col("n")), lit(0L)).as("maxn"),
+        coalesce(sum(col("n")), lit(0L)).as("rows"),
+        coalesce(sum(col("ad")), lit(0L)).as("sumad"))
       .localCheckpoint()
-    val r = grouped.agg(count(lit(1)), coalesce(max(col("n")), lit(0L)),
-        coalesce(sum(col("n")), lit(0L)),
-        coalesce(sum(col("ad")), lit(0L)))
-      .head()
-    val st = QuantileStats(r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getLong(3))
+    val m = obs.get
+    val st = QuantileStats(m("ng").asInstanceOf[Long],
+      m("maxn").asInstanceOf[Long], m("rows").asInstanceOf[Long],
+      m("sumad").asInstanceOf[Long])
     chooseQuantileForm(st, maxDriverGroups, sorterBudget, dupRatio,
         minSelectionRows) match {
       case SortForm => sortQuantiles(df, grp, value, quantiles)
