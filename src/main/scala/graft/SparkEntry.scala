@@ -2028,27 +2028,37 @@ object SparkEntry {
       // recursive-CTE oracle: fold == full recompute, hash-exact.
       "d30_incremental_phash_dedup" -> ((s, dir) => {
         import s.implicits._
-        val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        val mediaAll = ids
-          .mapPartitions(_.map(id => (id, Multimodal.synthBmpPerceptual(id))))
+        val idsDf = Tables.documents(s, dir).select(col("doc_id"))
+        def mediaOf(pred: Column) = idsDf.filter(pred).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.synthBmpPerceptual(id))))
           .toDF("doc_id", "content")
         // corpus = non-multiples of 3; batch = the rest — the split
         // crosses dHash families (families are id/8 blocks), so folded
         // pairs include batch-batch AND batch-corpus edges that BRIDGE
-        // existing components (the fold's hard case)
+        // existing components (the fold's hard case).
+        // Checkpoints make "decode ONCE" true in EXECUTION, not just
+        // in the plan text: the components machinery evaluates its
+        // edge frames several times (count probe + collect / the
+        // fold's node and edge derivations), and without the
+        // checkpoint each evaluation would re-synthesize and re-decode
+        // every image. The hash frames play the persisted band index's
+        // role (8 bytes/image); the pair frames are pair-set-sized.
         val index = Multimodal.bmpDHashes(
-          mediaAll.filter(col("doc_id") % 3 =!= 0), "doc_id", "content")
+          mediaOf(col("doc_id") % 3 =!= 0), "doc_id", "content")
+          .localCheckpoint()
         val basePairs = DedupSuite.hammingPairs(index, "doc_id", "ph",
           maxHamming = 3, bands = 4)
-        val labels0 = Dedup.connectedComponents(
-          basePairs.select(col("id_a"), col("id_b")))
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val labels0 = Dedup.connectedComponents(basePairs)
         val batchHashes = Multimodal.bmpDHashes(
-          mediaAll.filter(col("doc_id") % 3 === 0), "doc_id", "content")
+          mediaOf(col("doc_id") % 3 === 0), "doc_id", "content")
+          .localCheckpoint()
         val newPairs = DedupSuite.incrementalHammingPairs(index,
           batchHashes, "doc_id", "ph", maxHamming = 3, bands = 4)
-        val labels = Dedup.foldComponents(labels0,
-          newPairs.select(col("id_a"), col("id_b")))
-        mediaAll.select(col("doc_id"))
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val labels = Dedup.foldComponents(labels0, newPairs)
+        idsDf // ids only — never re-synthesizes pixels for the output
           .join(labels, col("doc_id") === col("id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("keep_id"))
