@@ -32,6 +32,15 @@ object Sessions {
     // can push through.
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // File-index listing stays DRIVER-SIDE up to 1024 paths: the
+    // bucket-partitioned stores read pinned file snapshots of ≤ 64–128
+    // paths per fold, and the default threshold (32) turns every such
+    // read's listing into a whole Spark job — pure fixed latency in
+    // fold chains that run dozens of store reads. Local listing of a
+    // few hundred paths is microseconds on any filesystem this library
+    // targets; a deployment with object-store latencies and
+    // thousands-of-partition tables should lower it back.
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {

@@ -437,23 +437,34 @@ object Boilerplate {
     Par.run(Seq(
       () => dict0 = desc(spark, "dict snapshot") {
         spark.read.parquet(s"$path/dict").localCheckpoint() },
+      // ONE bucket-keyed exchange for the whole fold's pair-side:
+      // bucket = crc32(line) % n is a function of line, so
+      // repartition(bucket) co-locates every line's rows; the distinct
+      // (grouping (bucket, line, doc_id) ⊇ the partitioning), the
+      // candidate agg below (grouping (line, bucket)), and the staged
+      // pairs/counts writes (partitionBy bucket) all plan on top of it
+      // with NO further shuffle. localCheckpoint preserves the
+      // physical partitioning, so the planner still sees it.
       () => bpairs = desc(spark, "batch line pairs") {
         lines(b, "doc_id", "text")
-          .select(col("line"), col("doc_id")).distinct()
+          .select(col("line"), col("doc_id"))
+          .withColumn("bucket", pairBucket(col("line"), nBuckets))
+          .repartition(col("bucket"))
+          .distinct()
           .localCheckpoint() } // feeds candidate agg + delta write
     ))
     // candidate lines = batch lines not yet in the dictionary (a
     // dict line's count can never matter again — monotone). NOT
     // checkpointed: its three uses below (two broadcast semi-join
     // builds + cand2's probe side) all sit inside cand2's ONE job,
-    // where they share the agg's shuffle exchange (exchange reuse —
-    // the subplans canonicalize identically), so fusing saves a whole
-    // serialized fixed job latency per fold without recomputing the
-    // agg; countsDelta later re-derives (line, ndb) from the
-    // CHECKPOINTED cand2, never from here.
+    // where they share the agg's exchange-free plan over the
+    // checkpointed bpairs, so fusing saves a whole serialized fixed
+    // job latency per fold without recomputing the agg; countsDelta
+    // later re-derives (line, bucket, ndb) from the CHECKPOINTED
+    // cand2, never from here.
     val candAgg = bpairs
       .join(broadcast(dict0), Seq("line"), "left_anti")
-      .groupBy(col("line")).agg(count(lit(1)).as("ndb"))
+      .groupBy(col("line"), col("bucket")).agg(count(lit(1)).as("ndb"))
     // crossing detection, sidecar-first (see scaladoc). The batch
     // side is broadcast in every store-facing join so no store scan
     // is ever shuffled — which makes "batch distinct lines fit a
@@ -497,13 +508,12 @@ object Boilerplate {
       col("snd") + col("pnd") + col("ndb") >= minDocs
     val cand2 = desc(spark, "crossing candidates") { candAgg
       .join(storeSide.hint("broadcast"), Seq("line"), "left")
-      .select(col("line"), col("ndb"), col("snd"),
+      .select(col("line"), col("bucket"), col("ndb"), col("snd"),
         coalesce(col("pnd"), lit(0L)).as("pnd"))
       .observe(cand2Obs,
         max(when(col("snd").isNull &&
           col("pnd") + col("ndb") >= eps + 1L, 1).otherwise(0)).as("esc"),
-        collect_set(when(sideCrossPred, pairBucket(col("line"), nBuckets)))
-          .as("sbuckets"))
+        collect_set(when(sideCrossPred, col("bucket"))).as("sbuckets"))
       .localCheckpoint() }
     // a line outside the sidecar had nd ≤ minDocs − eps − 1 at the
     // refresh: it can only cross with > eps occurrences since — the
@@ -595,17 +605,19 @@ object Boilerplate {
       cleanWithDict(inv, "doc_id", "text", dictNew)
         .withColumnRenamed("doc_id", idCol)
     }
+    // both deltas inherit bpairs'/cand2's bucket column AND physical
+    // bucket clustering (broadcast joins preserve partitioning), so
+    // the staged writers partitionBy("bucket") directly — no
+    // repartition, no further shuffle anywhere in the fold's pair-side
     val pairsDelta = bpairs.join(broadcast(dictNew), Seq("line"), "left_anti")
-      .withColumn("bucket", pairBucket(col("line"), nBuckets))
-    // (line, ndb) re-derived from the CHECKPOINTED cand2 — its left
-    // joins are per-line unique on both sides, so it holds candAgg's
-    // rows exactly once; reading it here keeps the un-checkpointed
-    // candAgg from being recomputed after the fold
-    val countsDelta = cand2.select(col("line"), col("ndb"))
+    // (line, bucket, ndb) re-derived from the CHECKPOINTED cand2 — its
+    // left joins are per-line unique on both sides, so it holds
+    // candAgg's rows exactly once; reading it here keeps the
+    // un-checkpointed candAgg from being recomputed after the fold
+    val countsDelta = cand2.select(col("line"), col("bucket"), col("ndb"))
       .join(broadcast(dictNew), Seq("line"), "left_anti")
       .select(col("line"), col("ndb").as("nd_delta"),
-        lit(mm.getLong(1)).as("fseq"))
-      .withColumn("bucket", pairBucket(col("line"), nBuckets))
+        lit(mm.getLong(1)).as("fseq"), col("bucket"))
     val docsApp = b.withColumn("dbucket", docBucket(col("doc_id"), nDocBuckets))
     val outBatch = cleanWithDict(b, "doc_id", "text", dictNew)
       .withColumnRenamed("doc_id", idCol)
@@ -739,11 +751,13 @@ object Boilerplate {
       nBuckets, nDocBuckets, prepped)
     // independent staged artifacts fan out as concurrent jobs
     Par.run(Seq(
+      // pairs/counts deltas arrive CLUSTERED by bucket (the fold's one
+      // bucket-keyed exchange) — partitionBy writes directly
       () => desc(spark, "staged pairs write") {
-        a.pairsDelta.repartition(col("bucket"))
+        a.pairsDelta
           .write.partitionBy("bucket").parquet(staging.resolve("pairs").toString) },
       () => desc(spark, "staged counts write") {
-        a.countsDelta.repartition(col("bucket"))
+        a.countsDelta
           .write.partitionBy("bucket").parquet(staging.resolve("counts").toString) },
       () => desc(spark, "staged docs write") {
         a.docsApp.repartition(col("dbucket"))

@@ -1039,12 +1039,23 @@ object DedupSuite {
     // separate collect job every fold paid
     val bloomMaintained = BloomSide.maintained(path)
     val aggObs = org.apache.spark.sql.Observation()
+    // ONE shuffle, not two: bucket = crc32(wkey) % n is a FUNCTION of
+    // wkey, so a bucket-keyed exchange already co-locates every wkey's
+    // occurrences — grouping by (wkey, bucket) on top of
+    // repartition(bucket) satisfies the required clustering (the
+    // partitioning expressions are a subset of the grouping keys) and
+    // Catalyst plans no second exchange, where the groupBy(wkey)-then-
+    // repartition(bucket) form paid a wkey shuffle AND a bucket
+    // shuffle per fold. Map-side partial aggregation still applies.
+    // Batch folds are ingest-sized, so ≤ nBuckets reduce partitions is
+    // ample parallelism (the corpus-scale BUILD keeps full-width
+    // aggregation in exactSubstrBuildStore).
     val batchAgg = desc("batchAgg checkpoint") {
-      substrWithBucket(
-          occ.groupBy(col("wkey"))
-            .agg(min(struct(col("doc_id"), col("wpos"))).as("bkeep"),
-              count(lit(1)).as("bcnt")), nBuckets)
+      substrWithBucket(occ, nBuckets)
         .repartition(col("bucket"))
+        .groupBy(col("wkey"), col("bucket"))
+        .agg(min(struct(col("doc_id"), col("wpos"))).as("bkeep"),
+          count(lit(1)).as("bcnt"))
         .observe(aggObs,
           if (bloomMaintained)
             collect_list(struct(col("bucket"), xxhash64(col("wkey"))))
